@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's three metrics in
+one scan) on sf0.001. ``queries()`` / ``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 with its DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +11,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's whole analytical output — user_count,
+    total_successful_requests, total_requests (sree-etl-tdk-glue-job.py:52-63)
+    — computed in ONE scan + one aggregate (SURVEY.md §7.2)."""
+    return QUERIES["clf_daily_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
+
+    Keys absent here (minhash_lsh_neardup, simhash_neardup,
+    ngram_jaccard_pairs, ann_lsh_topk, image_feature_extract,
+    media_frame_sample, clf_user_count_approx) are genuinely
+    non-SQL-expressible (LSH/sketches/stubs) → driver's rows-only check.
     """
-    return {}
+    return dict(ORACLES)

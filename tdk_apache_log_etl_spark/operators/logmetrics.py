@@ -1,0 +1,409 @@
+"""Reference analytics re-expressed over the ``events`` fixture table.
+
+The reference's whole analytical output is three metrics over the cleansed
+log table (sree-etl-tdk-glue-job.py:52-63) plus three ad-hoc Athena checks
+(README.md:64-66). ``events`` is the driver's log-shaped stand-in
+(FIXTURES.md): user_id ↔ CLF user_id, event_type='purchase' ↔
+status_code=200, value ↔ size.
+
+Also here: the extension operators that naturally live on an event stream —
+gap-based sessionization (E5), event-time tumbling windows (E5), JSON prop
+extraction (E6) — and a full CLF parse round-trip that exercises the
+apache_log source against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.apache_log import parse_clf_lines
+from ..sources.tables import load_table
+from .numeric import dec_sum, sql_dec_sum
+from .registry import query
+
+# --------------------------------------------------------------------------
+# The reference's three computed metrics (sree-etl-tdk-glue-job.py:52-63)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "clf_user_count",
+    oracle="SELECT COUNT(DISTINCT user_id) AS user_count FROM events",
+)
+def clf_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: total distinct users (sree-etl-tdk-glue-job.py:52).
+
+    The reference does select('user_id').distinct().count() — a full
+    distinct shuffle then a count. countDistinct lets Spark plan a partial
+    aggregate per partition before the exchange; at 100 TB the
+    approx_count_distinct variant (clf_user_count_approx) avoids the exact
+    distinct entirely.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.countDistinct("user_id").alias("user_count"))
+
+
+@query("clf_user_count_approx")  # HLL++ differs from DuckDB's sketch → rows-only
+def clf_user_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 at scale: HyperLogLog++ distinct-count — no full shuffle of keys."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("user_count_approx")
+    )
+
+
+@query(
+    "clf_requests_per_user",
+    oracle="""
+        SELECT user_id, COUNT(*) AS requests_count
+        FROM events GROUP BY user_id
+    """,
+)
+def clf_requests_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-user request counts (sree-etl-tdk-glue-job.py:55-60).
+
+    The reference counts the phantom column 'client_requested_resource';
+    per SURVEY.md §1.3 the intended semantic is count of requests per user.
+    Spark plans this as partial hash-agg → exchange → final hash-agg, so the
+    shuffle carries one row per (partition, user) not per event.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(F.count(F.lit(1)).alias("requests_count"))
+
+
+@query(
+    "clf_total_successful_requests",
+    oracle="""
+        SELECT COUNT(*) AS total_successful_requests
+        FROM events WHERE event_type = 'purchase'
+    """,
+)
+def clf_total_successful_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F1: filtered global count (sree-etl-tdk-glue-job.py:63).
+
+    The equality predicate is pushed into the parquet scan (PushedFilters),
+    so at scale only matching row groups are decoded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("total_successful_requests")
+    )
+
+
+@query(
+    "clf_daily_summary",
+    oracle="""
+        SELECT
+          COUNT(DISTINCT user_id) AS user_count,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS total_successful_requests,
+          COUNT(*) AS total_requests
+        FROM events
+    """,
+)
+def clf_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 + §7.2 'one scan, many aggregates': the reference computes its
+    metrics with three separate actions (three scans of the same partition,
+    sree-etl-tdk-glue-job.py:52,63,68); here all metrics come from ONE scan
+    and one aggregate — the shape that matters at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("user_count"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "total_successful_requests"
+        ),
+        F.count(F.lit(1)).alias("total_requests"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The Athena ad-hoc checks (README.md:64-66), run through spark.sql
+# --------------------------------------------------------------------------
+
+
+@query(
+    "athena_count_nonnull_users",
+    oracle="SELECT COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL",
+)
+def athena_count_nonnull_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/A4 via the SQL entry point (README.md:64) — the same string runs
+    verbatim through spark.sql against a registered view (SURVEY.md §3.3)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_athena_v")
+    return spark.sql(
+        "SELECT COUNT(*) AS cnt FROM events_athena_v WHERE user_id IS NOT NULL"
+    )
+
+
+@query(
+    "athena_requests_by_user_sql",
+    oracle="SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id",
+)
+def athena_requests_by_user_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the group-by check query in SQL form (README.md:65)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_athena_v")
+    return spark.sql(
+        "SELECT user_id, COUNT(*) AS cnt FROM events_athena_v GROUP BY user_id"
+    )
+
+
+@query(
+    "events_error_count",
+    oracle="SELECT COUNT(*) AS error_count FROM events WHERE event_type = 'error'",
+)
+def events_error_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 variant: equality predicate + count (status_code-style filter)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "error").agg(
+        F.count(F.lit(1)).alias("error_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / per-group stats (P1-P5, F1, A2 generalizations)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_filter_project",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'click' AND value > 50
+    """,
+)
+def events_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/F1: projection + conjunctive predicate. Both the filter and the
+    3-column projection reach the parquet scan (PushedFilters / ReadSchema —
+    asserted in tests/test_plans.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 50)
+    ).select("event_id", "user_id", "value")
+
+
+@query(
+    "events_type_stats",
+    oracle=f"""
+        SELECT
+          event_type,
+          COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS n_users,
+          {sql_dec_sum("value")} AS total_value,
+          MIN(value) AS min_value,
+          MAX(value) AS max_value,
+          {sql_dec_sum("value")} / COUNT(value) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate per group — partial+final hash aggregation; min/max on
+    raw parquet doubles are exact, sums use the decimal trick
+    (operators/numeric.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum(F.col("value")).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (dec_sum(F.col("value")) / F.count("value")).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E6: JSON prop extraction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: get_json_object on the props column — native JsonPath evaluation
+    (no Python), grouped to exercise agg-over-derived-column."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E5: event-time windows + gap sessionization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hourly_event_counts",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 batch tumbling window via date_trunc (wall-clock, tz-safe; the
+    streaming variant with window()+watermark lives in streaming/)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+@query(
+    "sessionize_gap",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE
+                   WHEN ts - LAG(ts) OVER w <= INTERVAL {SESSION_GAP_SECONDS} SECOND
+                   THEN 0 ELSE 1
+                 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: gap-based sessionization — lag + cumulative-sum session ids.
+
+    One shuffle on user_id serves both window functions AND the final
+    group-by (same partitioning reused across stages). At 100 TB this is the
+    canonical approach; the streaming equivalent is session_window with a
+    watermark (streaming/windows.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap <= F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS"), 0
+    ).otherwise(1)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CLF parse round-trip: synthesize CLF lines from events, parse them back
+# with the real apache_log source, compare against directly-computed truth.
+# --------------------------------------------------------------------------
+
+_CLF_ORACLE = """
+    SELECT
+      '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+              || CAST(event_id % 256 AS VARCHAR) AS ip_address,
+      CAST(NULL AS DOUBLE) AS rfc_1413_identity,
+      CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id_parsed,
+      strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS time_str,
+      'GET' AS request_method,
+      '/r/' || CAST(event_id AS VARCHAR) AS request_resource,
+      'HTTP/1.1' AS request_protocol,
+      CASE WHEN event_type = 'error' THEN CAST(500 AS BIGINT)
+           ELSE CAST(200 AS BIGINT) END AS status_code,
+      CASE WHEN event_type = 'view' THEN NULL
+           ELSE event_id * 10 END AS size,
+      CASE WHEN event_type = 'click' THEN 'https://example.com/start'
+           ELSE NULL END AS referer,
+      'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' AS user_agent
+    FROM events
+"""
+
+
+def synthesize_clf_lines(events: DataFrame) -> DataFrame:
+    """Render events as Combined Log Format lines (deterministic)."""
+    ip = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    user = F.when(F.col("user_id") % 7 == 0, F.lit("-")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    time_part = F.concat(
+        F.lit("["),
+        F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000]"),
+    )
+    request = F.concat(
+        F.lit('"GET /r/'), F.col("event_id").cast("string"), F.lit(' HTTP/1.1"')
+    )
+    status = F.when(F.col("event_type") == "error", F.lit("500")).otherwise(
+        F.lit("200")
+    )
+    size = F.when(F.col("event_type") == "view", F.lit("-")).otherwise(
+        (F.col("event_id") * 10).cast("string")
+    )
+    referer = F.when(
+        F.col("event_type") == "click", F.lit('"https://example.com/start"')
+    ).otherwise(F.lit('"-"'))
+    ua = F.lit('"Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"')
+    return events.select(
+        F.concat_ws(
+            " ", ip, F.lit("-"), user, time_part, request, status, size, referer, ua
+        ).alias("value")
+    )
+
+
+@query("clf_parse_roundtrip", oracle=_CLF_ORACLE)
+def clf_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/X1-X5/P3 end-to-end: synthesize CLF lines from events, run the
+    production parser (sources/apache_log.py), emit typed+formatted columns.
+    The DuckDB oracle computes the expected parse output directly from the
+    events columns — a hash-checked differential test of the whole parser.
+    """
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_clf_lines(synthesize_clf_lines(events))
+    return parsed.select(
+        "ip_address",
+        "rfc_1413_identity",
+        F.col("user_id").alias("user_id_parsed"),
+        F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("time_str"),
+        "request_method",
+        "request_resource",
+        "request_protocol",
+        "status_code",
+        "size",
+        "referer",
+        "user_agent",
+    )

@@ -1,0 +1,417 @@
+"""Relational core over the TPC-H-ish star schema.
+
+The reference's single-table model has no joins, windows, sorts, or set ops
+(SURVEY.md §2.5 — verified absences), but the engine must still be a complete
+analytics surface; these are the E7 (enrichment joins), E8 (top-k), plus
+window / rollup / set-op operators, each designed for 100 TB:
+
+  * dimension joins are explicitly broadcast (no shuffle of the fact table);
+  * fact-fact joins shuffle on the join key once and reuse that partitioning;
+  * top-k is orderBy+limit → Spark plans TakeOrderedAndProject (no global
+    sort, per-partition heaps + driver merge of k rows);
+  * aggregation sums use the decimal trick (operators/numeric.py) so results
+    are bit-identical regardless of partitioning/AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .numeric import dec_sum, sql_dec_sum
+from .registry import query
+
+
+def _ts(df: DataFrame, colname: str, value: str):
+    """A literal comparable to df[colname] whatever timestamp flavor the
+    parquet footer produced (TIMESTAMP vs TIMESTAMP_NTZ)."""
+    return F.lit(value).cast(df.schema[colname].dataType)
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline (TPC-H Q1 shape) over lineitem
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          {sql_dec_sum("l_quantity")} AS sum_qty,
+          {sql_dec_sum("l_extendedprice")} AS sum_base_price,
+          {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+          {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+            AS sum_charge,
+          {sql_dec_sum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+          {sql_dec_sum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+          {sql_dec_sum("l_discount")} / COUNT(l_discount) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → partial/final hash agg; 6 aggregates in one
+    pass (whole-stage codegen keeps this a single pipelined stage up to the
+    exchange). The group-by key cardinality is tiny (3×2) so the exchange
+    moves only partial-agg rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts(li, "l_shipdate", "1998-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (dec_sum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E8: top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders_by_price",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: Spark plans TakeOrderedAndProject — per-partition top-k heaps,
+    only k rows reach the driver; no global sort even at 100 TB. The
+    o_orderkey tiebreak makes the k-th row deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# E7: enrichment joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_customer_region",
+    oracle=f"""
+        SELECT r.r_name AS region_name,
+               COUNT(*) AS n_customers,
+               {sql_dec_sum("c.c_acctbal")} AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def join_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 broadcast path: nation and region are tiny dims — broadcast them
+    explicitly so the customer table never shuffles for the join (plan shows
+    BroadcastHashJoin; asserted in tests/test_plans.py)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "orders_lineitem_revenue",
+    oracle=f"""
+        SELECT o.o_orderpriority AS order_priority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def orders_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 fact-fact path: orders ⋈ lineitem shuffles both sides on
+    l_orderkey once (sort-merge or shuffled-hash under AQE); at 100 TB the
+    scale answer is bucketing both tables on orderkey at write time
+    (sinks/staging.py) so this join needs no exchange at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dec_sum(revenue).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "star_revenue_by_nation",
+    oracle=f"""
+        SELECT n.n_name AS nation_name,
+               {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 full star: two fact-fact shuffle joins + one broadcast dim join.
+    Catalyst reorders freely since we declare, not schedule; nation is
+    explicitly broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), nation.n_nationkey == customer.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dec_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one >400k order. Semi joins
+    ship only the join key of the right side — no payload shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_orderless_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+)
+def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_top_order_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: each customer's most expensive order. Spark pushes
+    rn=1 into the window via a per-partition top-1 limit (WindowGroupLimit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / set ops / distinct
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_lineitem_status",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {sql_dec_sum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "union_nationkeys",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    """,
+)
+def union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION (distinct) of two key sets."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "intersect_nationkeys",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+)
+def intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT — nations having both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "except_nationkeys",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+)
+def except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT — nations with customers but no suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "distinct_mktsegments",
+    oracle="SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+)
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain DISTINCT (hash-agg on the projected column only)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(F.col("c_mktsegment").alias("mktsegment")).distinct()
+
+
+# --------------------------------------------------------------------------
+# Date bucketing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_by_month",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders,
+               {sql_dec_sum("o_totalprice")} AS total_price
+        FROM orders GROUP BY 1
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing on the order date (X6-family date functions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "part_type_stats",
+    oracle=f"""
+        SELECT p_type,
+               COUNT(*) AS n_parts,
+               {sql_dec_sum("p_retailprice")} / COUNT(p_retailprice) AS avg_price,
+               MAX(p_size) AS max_size
+        FROM part GROUP BY p_type
+    """,
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension profiling aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (dec_sum(F.col("p_retailprice")) / F.count("p_retailprice")).alias(
+            "avg_price"
+        ),
+        F.max("p_size").alias("max_size"),
+    )

@@ -1,0 +1,248 @@
+"""E3: embedding similarity search over the ``embeddings`` table
+(``embedding: array<float>``, fixed dimension).
+
+Two paths, as a real pipeline needs both:
+
+  * Brute-force cosine top-k for a small query set — linear in corpus size
+    (queries are broadcast), exact, and the correctness baseline. Dot
+    products are NATIVE array expressions (zip_with + aggregate fold), no
+    Python in the row path; the fold order matches DuckDB's list_reduce so
+    the oracle hash-matches bit-for-bit.
+  * Random-hyperplane LSH bucketing for the at-scale path: 16 fixed
+    hyperplanes → 16-bit bucket key → candidates share a bucket → exact
+    re-rank within buckets. Sub-linear candidate sets; recall vs brute
+    force is pinned in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .numeric import dec_sum, sql_dec_sum
+from .registry import query
+
+TOPK_N_QUERIES = 5
+TOPK_K = 5
+
+_SQL_DOT = """
+    list_reduce(
+      list_prepend(
+        CAST(0 AS DOUBLE),
+        list_transform(
+          range(1, len({a}) + 1),
+          i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+        )
+      ),
+      (acc, x) -> acc + x
+    )
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product over array<double> — deterministic order,
+    bit-identical to DuckDB's list_reduce fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+@query(
+    "embedding_norm_by_label",
+    oracle=f"""
+        WITH norms AS (
+          SELECT label,
+                 {_sql_dot("embedding", "embedding")} AS norm2
+          FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               {sql_dec_sum("norm2")} / COUNT(*) AS avg_norm2
+        FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: mean squared-norm per label. The per-row
+    fold is exact in both engines; the across-row mean uses the decimal
+    trick (operators/numeric.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm2 = dot(e, e)
+    return (
+        emb.select("label", norm2.alias("norm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (dec_sum(F.col("norm2")) / F.count(F.lit(1))).alias("avg_norm2"),
+        )
+    )
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS qnorm
+          FROM embeddings WHERE vec_id < {TOPK_N_QUERIES}
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding AS ce,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS cnorm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 {_sql_dot("q.qe", "c.ce")} / (q.qnorm * c.cnorm) AS cosine
+          FROM q, c
+          WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {TOPK_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 baseline: exact cosine top-k for a fixed query set. The query
+    side is broadcast (no shuffle of the corpus); ranking uses a
+    per-query-partition window with a deterministic tie-break. Output is
+    integer-only (ids + rank) so the hash comparison never touches floats —
+    but the float cosine itself is bit-identical in both engines (same fold
+    order, same IEEE ops), which the ordering relies on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        e.alias("ce"),
+        norm.alias("cnorm"),
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), e.alias("qe"), norm.alias("qnorm")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# -- LSH-bucketed ANN ------------------------------------------------------
+
+LSH_PLANES = 16
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state: values are a
+    fixed function of (plane, dim) via a hash-like recurrence)."""
+    planes = []
+    for p in range(LSH_PLANES):
+        row = []
+        x = (p + 1) * 2_654_435_761 % 2_147_483_647
+        for _ in range(dim):
+            x = (x * 48_271) % 2_147_483_647
+            row.append((x / 2_147_483_647) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(e: Column, dim: int) -> Column:
+    """16-bit random-hyperplane signature as a native expression: bit i is
+    sign(e · plane_i)."""
+    planes = _hyperplanes(dim)
+    bits = [
+        F.when(dot(e, F.array(*[F.lit(v) for v in plane])) >= 0, 1 << i).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+@query("ann_lsh_topk")  # rows-only: LSH bucketing has no ANSI-SQL oracle
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: random-hyperplane LSH. Corpus and queries get a
+    16-bit bucket; candidates are bucket-equal pairs (equi-join ⇒ hash
+    shuffle on the bucket key, no cross join); exact cosine re-ranks within
+    the candidate set. At 100 TB add multi-probe (flip low-margin bits) to
+    trade recall for candidate volume."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    base = emb.select(
+        F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
+        lsh_bucket(e, dim).alias("bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine", dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle=f"""
+        SELECT label, CAST(i AS INTEGER) AS pos,
+               {sql_dec_sum("CAST(embedding[i] AS DOUBLE)", 1_000_000)}
+                 / COUNT(*) AS centroid_val
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via posexplode + group-by (label, position) —
+    the distributed way to average vectors without collecting them. One
+    shuffle keyed on (label, pos); decimal-exact means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    return exploded.groupBy("label", "pos").agg(
+        (dec_sum(F.col("val"), 1_000_000) / F.count(F.lit(1))).alias("centroid_val")
+    )

@@ -1,0 +1,225 @@
+"""E4: text analysis over the ``documents`` table — tokenization, quality
+scoring, language heuristics, document fingerprinting.
+
+All hot-path operators are native column expressions (split / filter /
+transform / aggregate higher-order functions) — zero Python in the row path,
+so these scale with executors exactly like any other codegen'd expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .numeric import dec_sum, sql_dec_sum
+from .registry import query
+
+#: Tiny per-language marker-word lists for the n-gram/stopword language-ID
+#: heuristic. Shared between the Spark expression and the DuckDB oracle so
+#: both compute identical scores.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _marker_score(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def _sql_marker_score(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+    )
+
+
+@query(
+    "token_stats_by_lang",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               SUM(len(string_split(text, ' '))) / COUNT(*) AS avg_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token counting: whitespace tokenization + per-language corpus
+    stats. split/size are codegen'd; no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok) / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(replace(text, ' ', '')) AS n_chars_nospace,
+               length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')) AS avg_token_len,
+               {_sql_marker_score(STOPWORDS)}
+                 / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quality scoring: per-document length / token / stopword-ratio
+    features — the standard cheap filters of an LLM-data pipeline. All
+    integer-derived doubles (single deterministic division), so the oracle
+    matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_stop = _marker_score(toks, STOPWORDS)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars_nospace.alias("n_chars_nospace"),
+        (n_chars_nospace / n_tokens).alias("avg_token_len"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_doc_counts",
+    oracle=f"""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               {sql_dec_sum("n_chars")} AS total_chars
+        FROM documents GROUP BY lang, source
+    """,
+)
+def lang_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key corpus profile (lang × source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec_sum(F.col("n_chars").cast("double")).alias("total_chars"),
+    )
+
+
+@query(
+    "language_filter_en",
+    oracle="""
+        SELECT doc_id, source, n_chars
+        FROM documents WHERE lang = 'en' AND n_chars > 200
+    """,
+)
+def language_filter_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 language filter: the lang + min-length predicate combo every
+    training-data pipeline applies first; both predicates push to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _langid_sql_case() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = {l: _sql_marker_score(LANG_MARKERS[l]) for l in langs}
+    whens = []
+    for l in langs:
+        conds = " AND ".join(
+            f"{scores[l]} >= {scores[o]}" for o in langs if o != l
+        )
+        whens.append(f"WHEN {conds} THEN '{l}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@query(
+    "langid_heuristic",
+    oracle=f"""
+        SELECT {_langid_sql_case()} AS predicted_lang,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 language-ID: marker-word scoring with a deterministic argmax
+    (alphabetical tie-break, 'und' when all scores are 0-vs-0 ties resolve
+    to the first language). On real corpora the marker lists would be
+    fastText-style n-gram tables; the operator shape — score per language,
+    argmax — is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    langs = sorted(LANG_MARKERS)
+    scores = {l: _marker_score(toks, LANG_MARKERS[l]) for l in langs}
+    pred: Column = F.lit("und")
+    # Build the CASE chain in reverse so earlier (alphabetical) langs win ties.
+    expr = None
+    for l in langs:
+        cond = None
+        for o in langs:
+            if o == l:
+                continue
+            c = scores[l] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, l) if expr is None else expr.when(cond, l)
+    pred = expr.otherwise("und")
+    return (
+        docs.select(pred.alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(
+                     range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                   )
+                 ),
+                 (acc, c) -> (acc * 31 + c) % {FINGERPRINT_MOD}
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 document fingerprinting: polynomial rolling hash over the UTF-8
+    code points — a content-defined fingerprint computable in any engine
+    (unlike xxhash64, which is Spark-specific; that variant backs the
+    MinHash dedup in operators/dedup.py). Left-fold order is identical in
+    Spark's aggregate() and DuckDB's list_reduce, so values hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
