@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a noop-format write: full computation on
+executors, zero driver-transfer cost — the honest way to time a distributed
+plan (collect() would time Arrow serialization of the result instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # reference surface
+    "clf_daily_summary",
+    "clf_requests_per_user",
+    "clf_parse_roundtrip",
+    # relational core
+    "tpch_q1_pricing_summary",
+    "star_revenue_by_nation",
+    "orders_lineitem_revenue",
+    "topk_orders_by_price",
+    "window_top_order_per_customer",
+    # event-stream ops
+    "sessionize_gap",
+    "hourly_event_counts",
+    "json_props_extract",
+    # text / dedup
+    "token_stats_by_lang",
+    "text_quality_scores",
+    "dedup_exact_docs",
+    "minhash_lsh_neardup",
+    # similarity
+    "cosine_topk_bruteforce",
+    "embedding_centroid_by_label",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.session import get_spark
+
+    spark = get_spark("tdk-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warm-up (codegen, parquet footer caches) — not timed.
+    QUERIES["clf_user_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

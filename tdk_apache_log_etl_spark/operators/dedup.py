@@ -32,16 +32,13 @@ from .registry import query
 
 # -- MinHash parameters ----------------------------------------------------
 MINHASH_PERMS = 32
-MINHASH_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high prob.
+# 16 bands × 2 rows: candidate probability 1-(1-s²)^16 — ≈0.96 at s=0.5,
+# ≈0.9995 at s=0.7. 2-row bands admit more false candidates than 4-row
+# bands, but every candidate is verified with exact Jaccard anyway; at the
+# 0.5 threshold recall is what matters.
+MINHASH_BANDS = 16
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
-MERSENNE_P = 2_147_483_647  # 2^31 - 1
 SHINGLE_N = 3
-
-# Deterministic affine permutation coefficients (a*h + b) mod p, a != 0.
-_PERM_COEF = [
-    ((i * 2_654_435_761 + 1) % MERSENNE_P, (i * 40_503 + 7) % MERSENNE_P)
-    for i in range(1, MINHASH_PERMS + 1)
-]
 
 
 def shingles(col, n: int = SHINGLE_N):
@@ -60,23 +57,44 @@ def shingles(col, n: int = SHINGLE_N):
     )
 
 
-def minhash_signature(shingle_col):
-    """MinHash signature (array<long>, length MINHASH_PERMS), all JVM-side.
+def shingle_frame(docs: DataFrame, n_partitions: int = 64) -> DataFrame:
+    """(doc_id, sh: array<string>) — repartitioned (the fixture is one
+    parquet file → one input split; real corpora arrive pre-split) and
+    persisted, because both the LSH band join and the Jaccard verification
+    reuse it and Spark would otherwise recompute the shingling for every
+    consumer (no CSE across self-join branches)."""
+    return (
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .repartition(n_partitions, "doc_id")
+        .persist()
+    )
 
-    base = xxhash64(shingle) mod p  (one pass over shingles)
-    sig[i] = min over shingles of (a_i * base + b_i) mod p
-    a_i < p and base < p keep a_i*base < p² < Long.MAX — no ANSI overflow.
+
+def minhash_signatures(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{k-1}) MinHash signature columns.
+
+    sig_i = min over shingles of xxhash64(i, shingle) — seeding each
+    permutation by prepending the permutation index gives k genuinely
+    independent hash functions. (Affine re-hashes (a_i*h + b_i) mod p of ONE
+    shared base hash with structured coefficients are NOT min-wise
+    independent: the document's smallest base hash tends to win the min for
+    every i at once, and measured pair agreement collapsed to ~0.1 on
+    documents with true Jaccard 0.625.)
+
+    Shape: explode shingles → k scalar hashes per row → k min-aggregates in
+    ONE hash aggregation. Deliberately NOT nested higher-order functions
+    (array_min over k transform()s): Catalyst inlines the shingle array into
+    every lambda and codegen chokes on the tree (measured 540 s at sf0.1).
+    This form is fully whole-stage-codegen'd, one shuffle on doc_id, linear
+    at any scale.
     """
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    sig = F.array(
+    base = sh_df.select("doc_id", F.explode("sh").alias("s"))
+    return base.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(base, lambda h: F.pmod(h * a + b, F.lit(MERSENNE_P)))
-            )
-            for a, b in _PERM_COEF
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(MINHASH_PERMS)
         ]
     )
-    return sig
 
 
 @query("dedup_exact_docs", oracle="""
@@ -107,30 +125,32 @@ def dedup_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(sh_df: DataFrame) -> DataFrame:
     """LSH banding → candidate (a, b) doc pairs (a < b), deduped.
 
-    explode(bands) → groupBy-free equi-join on (band_id, band_hash): the
-    shuffle key is the band bucket, so complexity is Σ bucket², not n².
+    Band hash = xxhash64 over the band's signature columns; candidates come
+    from an equi-join on (band_id, band_hash) — the shuffle key is the band
+    bucket, so complexity is Σ bucket², not n². The banded frame is
+    persisted so the self-join's two branches don't recompute signatures.
     """
-    sig = minhash_signature(shingles(F.col("text")))
-    banded = docs.select(
-        F.col("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(sig, b * MINHASH_ROWS + 1, MINHASH_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
+    sig = minhash_signatures(sh_df)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * MINHASH_ROWS + j}").cast("string")
+                        for j in range(MINHASH_ROWS)
+                    ],
+                )
             )
-        ).alias("band_id", "band_hash"),
+            for b in range(MINHASH_BANDS)
+        ]
     )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -147,15 +167,14 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def exact_jaccard(pairs: DataFrame, sh_df: DataFrame) -> DataFrame:
     """Join shingle sets back onto candidate pairs and compute exact word
     n-gram Jaccard (array_intersect / array_union — native)."""
-    sh = docs.select(
-        F.col("doc_id"), shingles(F.col("text")).alias("sh")
-    )
     out = (
-        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        pairs.join(
+            sh_df.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a"
+        )
+        .join(sh_df.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -172,8 +191,8 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification at threshold 0.5. Deterministic (fixed
     permutation coefficients, xxhash64 seed 42 default)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    verified = exact_jaccard(cand, docs)
+    sh_df = shingle_frame(docs)
+    verified = exact_jaccard(minhash_candidate_pairs(sh_df), sh_df)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -184,8 +203,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 n-gram Jaccard scoring of LSH candidate pairs at a looser
     threshold (0.3) — the 'review band' between hard dups and distinct docs."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    verified = exact_jaccard(cand, docs)
+    sh_df = shingle_frame(docs)
+    verified = exact_jaccard(minhash_candidate_pairs(sh_df), sh_df)
     return verified.filter(F.col("jaccard") >= 0.3).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )

@@ -152,14 +152,23 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- LSH-bucketed ANN ------------------------------------------------------
 
-LSH_PLANES = 16
+# 8 independent tables × 8-bit signatures, multi-probe (flip each bit) on
+# the query side. One 16-bit table has ~zero recall on weakly-correlated
+# corpora (top neighbors at cosine ≈ 0.37 agree with a query on a given
+# hyperplane w.p. ≈ 0.62, so all-16-bits-equal ≈ 0.62^16 ≈ 5e-4); with 8
+# tables and flip-1 probing the same pair is a candidate w.p.
+# 1-(1-P(hamming≤1))^8 ≈ 0.67 while random pairs stay ≈ 0.25 — and the gap
+# widens with corpus correlation. At 100 TB: raise LSH_BITS so buckets
+# stay bounded; candidates per query scale with Σ bucket sizes, never n².
+LSH_TABLES = 8
+LSH_BITS = 8
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG state: values are a
-    fixed function of (plane, dim) via a hash-like recurrence)."""
+    fixed function of (plane, dim) via an LCG recurrence)."""
     planes = []
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         row = []
         x = (p + 1) * 2_654_435_761 % 2_147_483_647
         for _ in range(dim):
@@ -169,47 +178,81 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(e: Column, dim: int) -> Column:
-    """16-bit random-hyperplane signature as a native expression: bit i is
-    sign(e · plane_i)."""
-    planes = _hyperplanes(dim)
-    bits = [
-        F.when(dot(e, F.array(*[F.lit(v) for v in plane])) >= 0, 1 << i).otherwise(0)
-        for i, plane in enumerate(planes)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket
+def lsh_table_sigs(e: Column, dim: int) -> Column:
+    """array<int> of LSH_TABLES signatures; bit i of table t is
+    sign(e · plane_{t*LSH_BITS+i}). Native expressions only."""
+    planes = _hyperplanes(LSH_TABLES * LSH_BITS, dim)
+    sigs = []
+    for t in range(LSH_TABLES):
+        bits = [
+            F.when(
+                dot(e, F.array(*[F.lit(v) for v in planes[t * LSH_BITS + i]])) >= 0,
+                1 << i,
+            ).otherwise(0)
+            for i in range(LSH_BITS)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        sigs.append(sig)
+    return F.array(*sigs)
 
 
 @query("ann_lsh_topk")  # rows-only: LSH bucketing has no ANSI-SQL oracle
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path: random-hyperplane LSH. Corpus and queries get a
-    16-bit bucket; candidates are bucket-equal pairs (equi-join ⇒ hash
-    shuffle on the bucket key, no cross join); exact cosine re-ranks within
-    the candidate set. At 100 TB add multi-probe (flip low-margin bits) to
-    trade recall for candidate volume."""
+    """E3 scale path: multi-table random-hyperplane LSH with multi-probe.
+
+    Corpus: (vec_id, table_id, sig) — narrow, one shuffle key per bucket.
+    Queries: every sig plus its LSH_BITS flip-1 probes, broadcast (query
+    set is small by construction). Candidates = bucket-equal pairs via
+    equi-join on (table_id, sig) — hash join, no cross product; exact
+    cosine re-ranks the deduped candidate set.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
     e = as_double(F.col("embedding"))
     norm = F.sqrt(dot(e, e))
     base = emb.select(
         F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
-        lsh_bucket(e, dim).alias("bucket"),
+        lsh_table_sigs(e, dim).alias("sigs"),
     )
-    queries = base.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+    corpus_tables = base.select(
+        "vec_id", F.posexplode("sigs").alias("table_id", "sig")
+    )
+    qbase = base.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    query_probes = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("sigs").alias("table_id", "sig0"),
+    ).select(
+        "query_id",
+        "table_id",
+        F.explode(
+            F.array(
+                F.col("sig0"),
+                *[F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+            )
+        ).alias("sig"),
+    )
+    cand_ids = (
+        corpus_tables.join(
+            F.broadcast(query_probes),
+            ["table_id", "sig"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
     )
-    cand = base.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn(
-        "cosine", dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("nrm"))
+    cand = (
+        cand_ids.join(base.select("vec_id", "e", "nrm"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cosine", dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("nrm"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

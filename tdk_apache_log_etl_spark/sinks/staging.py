@@ -1,0 +1,78 @@
+"""Staging table: date-partitioned Snappy Parquet — the reference's K1/K2
+collapsed into ONE write (the reference writes the same frame twice:
+catalog-partitioned at sree-etl-tdk-lambda.py:112-118 and plain parquet at
+:121-122), plus the partition-pruned reader (S4/F3) and the post-ingest
+archive move (K5).
+
+Scale notes:
+  * partitionBy("date") gives the identical hive-style layout the reference
+    builds via Glue partition keys (sree-etl-tdk-lambda.py:78, :118); at
+    100 TB each daily partition is itself many files sized by
+    spark.sql.files.maxPartitionBytes.
+  * The reader applies the date predicate BEFORE any action, so Catalyst
+    prunes partitions at planning time — the manual push_down_predicate
+    string of sree-etl-tdk-glue-job.py:39 is automatic here (asserted in
+    tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.apache_log import read_apache_log
+
+STAGING_TABLE = "log_clean"
+
+
+def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1/K2: partitioned Snappy-Parquet staging write (one write, not the
+    reference's two)."""
+    (
+        df.write.mode(mode)
+        .partitionBy("date")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def read_staging(
+    spark: SparkSession, path: str, date: str | None = None
+) -> DataFrame:
+    """S4/F3: staging read, partition-pruned when ``date`` is given."""
+    df = spark.read.parquet(path)
+    if date is not None:
+        df = df.where(F.col("date") == date)
+    return df
+
+
+def ingest_logs(
+    spark: SparkSession,
+    log_dir: str,
+    staging_path: str,
+    run_date: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """The reference's whole Lambda (sree-etl-tdk-lambda.py:145-218) as one
+    distributed plan: text scan → native CLF parse → partitioned write.
+    Returns the parsed frame (lazy) for further use."""
+    parsed = read_apache_log(spark, log_dir, run_date=run_date)
+    write_staging(parsed, staging_path, mode=mode)
+    return parsed
+
+
+def archive_processed(src_dir: str, dst_dir: str) -> list[str]:
+    """K5: move processed ``*.log`` files (copy+delete, like
+    sree-etl-tdk-lambda.py:129-142). Driver-side FS metadata ops — never
+    data-plane work. The streaming path gets this natively via
+    cleanSource=archive (streaming/log_stream.py)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    moved = []
+    for name in sorted(os.listdir(src_dir)):
+        if name.endswith(".log"):
+            shutil.move(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+            moved.append(name)
+    return moved

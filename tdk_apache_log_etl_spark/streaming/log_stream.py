@@ -1,0 +1,121 @@
+"""Structured Streaming variant of the ingest + analytics pipeline.
+
+The reference simulates streaming with a nightly CloudWatch cron + manual
+S3 file moves (README.md:52,70; sree-etl-tdk-lambda.py:129-142). The native
+Spark equivalent is a file-source stream over the log directory:
+
+  * ``trigger(availableNow=True)`` reproduces the nightly-batch semantics
+    incrementally (process everything that arrived, then stop);
+  * ``cleanSource=archive`` + ``sourceArchiveDir`` IS the reference's K5
+    copy-then-delete archive step, handled by the engine exactly once per
+    file;
+  * watermarks bound state for late events; tumbling windows and session
+    windows give the E5 streaming aggregations.
+
+The SAME native parse expressions from sources/apache_log.py run on the
+streaming frame — one definition of the CLF semantics for batch and
+streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..sources.apache_log import parse_clf_lines
+
+
+def read_log_stream(
+    spark: SparkSession,
+    log_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CLF source: text file stream → parsed staging schema."""
+    reader = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.log")
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.load(log_dir)
+    return parse_clf_lines(lines)
+
+
+def write_staging_stream(
+    parsed: DataFrame,
+    staging_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> DataStreamWriter:
+    """Streaming staging sink: partitioned parquet with exactly-once file
+    tracking via the checkpoint. Caller runs ``.start()`` and awaits."""
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", staging_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "time",
+    key_col: str = "status_code",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """E5 streaming tumbling-window counts with a watermark bounding state:
+    events later than the watermark are dropped, everything else is
+    incrementally aggregated per (window, key).
+
+    The CLF parser emits ``time`` as TIMESTAMP_NTZ (session-tz-independent,
+    SURVEY.md §7.4.1) but event-time watermarks require TIMESTAMP; the cast
+    re-interprets the UTC wall-clock in the UTC session tz — same instant.
+    """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "time",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """E5 streaming sessionization: native session_window (dynamic-gap
+    merge handled by the state store; the batch twin is
+    operators/logmetrics.sessionize_gap). NTZ→LTZ cast as in
+    windowed_event_counts."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )

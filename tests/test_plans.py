@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the 100 TB story is in the plan, not
+the row counts: broadcast joins where we demanded them, filters pushed into
+the parquet scan, top-k planned as TakeOrderedAndProject (no global sort),
+partition pruning on the staging table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+
+from .conftest import SF_DIR_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(QUERIES["join_customer_region"](spark, SF_DIR_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle of the fact side
+
+
+def test_filters_and_projection_pushed_to_scan(spark):
+    plan = _plan(QUERIES["events_filter_project"](spark, SF_DIR_CORRECT))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: the scan must not read props/ts
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "props" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(QUERIES["topk_orders_by_price"](spark, SF_DIR_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR_CORRECT)
+    # AQE hides codegen until the plan is finalized — execute, then inspect.
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # WholeStageCodegen stage marker
+
+
+def test_window_top1_uses_group_limit(spark):
+    plan = _plan(QUERIES["window_top_order_per_customer"](spark, SF_DIR_CORRECT))
+    # Spark 3.5+/4.x pushes rn==1 into a per-partition WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+
+
+def test_staging_partition_pruning(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sinks.staging import read_staging, write_staging
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-08-12").otherwise("2026-08-13")
+        .alias("date"),
+    )
+    path = str(tmp_path / "staging")
+    write_staging(df, path)
+    pruned = read_staging(spark, path, date="2026-08-13")
+    assert pruned.count() == 50
+    plan = _plan(pruned)
+    # partition filter applied at scan; only one of two partitions read
+    assert "PartitionFilters" in plan and "2026-08-13" in plan

@@ -1,0 +1,95 @@
+"""Structured Streaming e2e: file-source CLF stream → parsed staging
+parquet (availableNow = the reference's nightly batch), source archiving
+(K5 native), watermarked tumbling windows and session windows."""
+
+from __future__ import annotations
+
+import os
+
+from tdk_apache_log_etl_spark.sinks.staging import read_staging
+from tdk_apache_log_etl_spark.streaming.log_stream import (
+    read_log_stream,
+    session_window_counts,
+    windowed_event_counts,
+    write_staging_stream,
+)
+
+LINES = [
+    '10.0.0.1 - 1 [13/Aug/2026:10:00:{s:02d} +0000] "GET /a HTTP/1.1" 200 10 '
+    '"-" "ua"'.format(s=s)
+    for s in range(10)
+] + [
+    '10.0.0.2 - 2 [13/Aug/2026:11:30:00 +0000] "GET /b HTTP/1.1" 404 20 "-" "ua"'
+]
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+
+    parsed = read_log_stream(spark, str(src), archive_dir=archive)
+    q = write_staging_stream(parsed, staging, ckpt).start()
+    q.awaitTermination(120)
+
+    out = read_staging(spark, staging)
+    assert out.count() == len(LINES)
+    assert out.filter("status_code = 404").count() == 1
+    # date-partitioned layout materialized
+    assert any(d.startswith("date=") for d in os.listdir(staging))
+
+    # restart with no new files → exactly-once: nothing reprocessed
+    q2 = write_staging_stream(
+        read_log_stream(spark, str(src)), staging, ckpt
+    ).start()
+    q2.awaitTermination(60)
+    assert read_staging(spark, staging).count() == len(LINES)
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-win")
+
+    parsed = read_log_stream(spark, str(src))
+    win = windowed_event_counts(parsed)
+    q = (
+        win.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    total = sum(r.n_events for r in rows)
+    assert total == len(LINES)
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-sess")
+
+    parsed = read_log_stream(spark, str(src))
+    sess = session_window_counts(parsed)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    # user 1: ten events within seconds → one session; user 2: one session
+    by_user = {r.user_id: r.n_events for r in rows}
+    assert by_user == {1: 10, 2: 1}
