@@ -30,8 +30,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
-    ngram_jaccard_pairs, ann_lsh_topk, image_feature_extract,
-    media_frame_sample, clf_user_count_approx) are genuinely
-    non-SQL-expressible (LSH/sketches/stubs) → driver's rows-only check.
+    ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
+    embedding_cosine_neardup, image_feature_extract, media_frame_sample,
+    clf_user_count_approx) are genuinely non-SQL-expressible
+    (LSH/sketches/iterative k-means/stubs) → driver's rows-only check.
     """
     return dict(ORACLES)

@@ -28,10 +28,13 @@ HEADLINE = [
     "orders_lineitem_revenue",
     "topk_orders_by_price",
     "window_top_order_per_customer",
+    "cube_orders_status_priority",
     # event-stream ops
     "sessionize_gap",
     "hourly_event_counts",
     "json_props_extract",
+    "asof_join_last_order",
+    "range_join_click_purchase",
     # text / dedup
     "token_stats_by_lang",
     "text_quality_scores",
@@ -39,6 +42,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     # similarity
     "cosine_topk_bruteforce",
+    "ann_ivf_topk",
     "embedding_centroid_by_label",
 ]
 

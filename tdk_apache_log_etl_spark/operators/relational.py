@@ -415,3 +415,99 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("p_size").alias("max_size"),
     )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               COUNT(*) AS n_orders,
+               {sql_dec_sum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — all 4 grouping sets in one Expand+shuffle pass
+    (Spark plans Expand: each row fans to 4 grouping variants BEFORE the
+    exchange, so the shuffle carries partial aggregates, not 4× raw rows).
+    GROUPING() columns disambiguate 'rolled-up' NULLs from data NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_suppkey,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_suppkey) AS INTEGER) AS g_supp,
+           COUNT(*) AS n_items,
+           {dec_sum_qty} AS sum_qty
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+"""
+
+
+@query(
+    "grouping_sets_lineitem",
+    oracle=_GROUPING_SETS_SQL.format(
+        dec_sum_qty=sql_dec_sum("l_quantity"), table="lineitem"
+    ),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point — the exact query
+    string is ANSI and runs verbatim in both engines (SURVEY.md §3.3: SQL
+    is a first-class entry point, same Catalyst plan as the DataFrame
+    form)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs_v"
+    )
+    return spark.sql(
+        _GROUPING_SETS_SQL.format(
+            dec_sum_qty=sql_dec_sum("l_quantity"), table="lineitem_gs_v"
+        )
+    )
+
+
+_PIVOT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderstatus,
+    """
+    + ",\n".join(
+        f"""COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS "p{i}" """
+        for i, p in enumerate(_PIVOT_PRIORITIES)
+    )
+    + """
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — never the values-discovery form,
+    which runs an extra distinct job over the data before planning (a
+    driver-blocking scan at 100 TB). With pinned values Spark compiles the
+    pivot to one pass of conditional aggregates, same as the oracle SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(p), F.lit(0)).alias(f"p{i}")
+                for i, p in enumerate(_PIVOT_PRIORITIES)
+            ],
+        )
+    )

@@ -16,6 +16,7 @@ Two paths, as a real pipeline needs both:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -288,4 +289,181 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
     return exploded.groupBy("label", "pos").agg(
         (dec_sum(F.col("val"), 1_000_000) / F.count(F.lit(1))).alias("centroid_val")
+    )
+
+
+# -- Embedding-cosine near-duplicate detection (dedup family, E2×E3) -------
+
+NEARDUP_COSINE_THRESHOLD = 0.85
+
+
+@query("embedding_cosine_neardup")  # rows-only: LSH candidates, no SQL oracle
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup: vector pairs with cosine >= 0.85.
+
+    Unlike ann_lsh_topk (small query set vs corpus), this is corpus ×
+    corpus — the quadratic trap. Same multi-table hyperplane LSH, but the
+    flip-1 probes go on the LEFT side of a self equi-join on (table_id,
+    sig): a pair is a candidate iff some table's signatures are within
+    hamming 1, which at cosine 0.85 (per-plane agreement ≈ 0.82) happens
+    w.p. ≈ 0.999 across 8 tables, while ~orthogonal pairs survive rarely.
+    Exact cosine verifies every candidate — LSH only controls recall and
+    candidate volume, never correctness of emitted pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    base = emb.select(
+        F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
+        lsh_table_sigs(e, dim).alias("sigs"),
+    ).persist()
+    tables = base.select("vec_id", F.posexplode("sigs").alias("table_id", "sig"))
+    probed = tables.select(
+        "vec_id",
+        "table_id",
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        probed.alias("a")
+        .join(
+            tables.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 4  # clusters probed per query
+IVF_ITERS = 2  # Lloyd refinement iterations
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """Pandas UDF: nearest-centroid ids (argsort of dot products against the
+    broadcast centroid matrix — one numpy matmul per Arrow batch). K×dim
+    native dot products per row would codegen a huge expression tree; a
+    dense matmul is the honest vectorized form of coarse quantization."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def assign(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Cn.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(order[:, :IVF_NPROBE].astype("int32")))
+
+    return assign
+
+
+def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
+    """Deterministic spherical k-means: init = the K lowest vec_ids, then
+    IVF_ITERS Lloyd steps. Assignment is the Arrow-batched matmul UDF;
+    the centroid update is a distributed posexplode + groupBy(cluster, pos)
+    mean — vectors are never collected, only the K×dim centroid matrix is.
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(IVF_K)
+        .select(as_double(F.col("embedding")).alias("e"))
+        .collect()
+    )
+    centroids = [list(r.e) for r in init]
+    for _ in range(IVF_ITERS):
+        assign = _assign_udf(centroids)
+        assigned = emb.select(
+            F.get(assign(F.col("embedding")), 0).alias("cluster"),
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("v"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r.cluster][r.pos] = r.v
+        centroids = new
+    return centroids
+
+
+@query("ann_ivf_topk")  # rows-only: iterative k-means, no SQL oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path #2: IVF — coarse k-means quantizer, inverted lists
+    keyed by nearest centroid, queries probe their IVF_NPROBE closest
+    centroids, exact cosine re-ranks within the probed lists.
+
+    The 100 TB shape: the quantizer trains on a sample (here: everything —
+    the train loop is already distributed), the corpus is partitioned by
+    cluster id (the inverted file IS a hash partitioning), and each query
+    touches nprobe/K of the data. Versus LSH: IVF adapts to the data
+    distribution; LSH needs no training pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    assign = _assign_udf(centroids)
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    base = emb.select(
+        F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
+        assign(F.col("embedding")).alias("probes"),
+    )
+    corpus = base.select(
+        "vec_id", "e", "nrm", F.get("probes", 0).alias("cluster")
+    )
+    queries = base.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+        F.explode("probes").alias("cluster"),
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
     )

@@ -1,0 +1,223 @@
+"""Temporal join operators the reference lacks (SURVEY.md §2.5 verified
+absences; driver north-star "custom operators" category): as-of join and
+range join, built as compositions of existing DataFrame ops — no custom
+physical operator needed, and no O(n·m) nested-loop join at any scale.
+
+As-of join (point-in-time lookup): for each event, the most recent order of
+the same customer at-or-before the event time. The scalable shape is the
+union-and-carry-forward trick: tag both sides, union them, sort within the
+user partition by time, and carry the last order's attributes forward with
+``last(..., ignorenulls=True)``. ONE shuffle on the join key; contrast with
+a per-event subquery (quadratic) or an inequality join (nested loop).
+
+Range join (interval containment): pairs of events within a bounded time
+window. The scalable shape is bucketization: quantize time into
+window-sized buckets so each pair lands in the same or adjacent bucket,
+equi-join on (key, bucket) ∪ (key, bucket+1), then apply the exact range
+predicate. The equi-join hash-partitions both sides — no cross product —
+and the bound guarantees each pair is found exactly once after the filter.
+
+Both have exact ANSI-SQL oracles (DuckDB ASOF JOIN / inequality join) — a
+true differential test of independent implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def dedup_orders_per_day(orders: DataFrame) -> DataFrame:
+    """One order row per (customer, order date): max o_orderkey wins, its
+    totalprice via max_by. Makes the as-of match deterministic when a
+    customer places several orders the same day (the fixture has such
+    collisions)."""
+    return orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for every ``left`` row, attach the ``right`` row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+
+    Union both sides with a side marker, window-sort by (ts, side) within
+    the key partition — right rows sort BEFORE left rows at equal ts so
+    ties match (<= semantics, like DuckDB ASOF) — and carry the right
+    attributes forward. One shuffle, linear, skew governed by the key.
+    """
+    l_tagged = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_t"),
+            F.lit(0).alias("_is_left"),
+            *right_cols,
+        )
+    )
+    for c in left.columns:
+        if c not in (on,):
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(dict(left.dtypes)[c])
+            )
+    unioned = l_tagged.select(
+        on, "_t", "_is_left", *right_cols, *[c for c in left.columns if c != on]
+    ).unionByName(
+        r_tagged.select(
+            on, "_t", "_is_left", *right_cols, *[c for c in left.columns if c != on]
+        )
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .drop("_t", "_is_left", *right_cols)
+        .withColumnsRenamed({f"_asof_{c}": c for c in right_cols})
+    )
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+        WITH o AS (
+          SELECT o_custkey, o_orderdate,
+                 MAX(o_orderkey) AS o_orderkey,
+                 MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               o.o_orderkey AS last_orderkey,
+               o.o_totalprice AS last_totalprice
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the customer's most recent order
+    at-or-before the event time. The DuckDB oracle uses the built-in ASOF
+    JOIN — an independent implementation of the same semantics."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = dedup_orders_per_day(
+        load_table(spark, sf_dir, "orders")
+    ).withColumnRenamed("o_custkey", "user_id")
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+RANGE_JOIN_WINDOW_SECONDS = 1800
+
+
+@query(
+    "range_join_click_purchase",
+    oracle=f"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_seconds
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL {RANGE_JOIN_WINDOW_SECONDS} SECOND
+    """,
+)
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization: purchases within 30 minutes AFTER a
+    click by the same user.
+
+    Quantizing event time into window-sized buckets turns the inequality
+    join into an equi-join on (user_id, bucket): a purchase at most
+    ``window`` after a click is in the click's bucket or the next one, so
+    the click side is expanded to 2 bucket keys (explode of a 2-element
+    array — bounded, not a cross join) and the exact predicate filters the
+    joined pairs. Spark plans a hash join on (user_id, bucket); without the
+    buckets it would fall back to BroadcastNestedLoopJoin — quadratic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = RANGE_JOIN_WINDOW_SECONDS
+    # Seconds since a fixed NTZ origin — session-timezone-INDEPENDENT
+    # (unix_timestamp(cast(ntz as timestamp)) renders via the session tz
+    # and would move bucket boundaries under a non-UTC driver).
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            epoch.alias("click_epoch"),
+            F.floor(epoch / win).alias("b0"),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "click_ts",
+            "click_epoch",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        epoch.alias("purchase_epoch"),
+        F.floor(epoch / win).alias("bucket"),
+    )
+    return (
+        clicks.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {win} SECONDS")
+            )
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            # Difference of floor-epochs, matching the oracle's
+            # floor(epoch()) arithmetic exactly (timestampdiff truncates the
+            # interval instead and disagrees on sub-second components).
+            (F.col("purchase_epoch") - F.col("click_epoch")).alias("lag_seconds"),
+        )
+    )

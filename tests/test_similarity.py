@@ -45,3 +45,66 @@ def test_centroids_cover_all_labels_and_dims(spark):
     poss = {r.pos for r in rows}
     assert poss == set(range(1, 65))
     assert len(rows) == len(labels) * 64
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = QUERIES["cosine_topk_bruteforce"](spark, SF_DIR_SMOKE).collect()
+    approx = QUERIES["ann_ivf_topk"](spark, SF_DIR_SMOKE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    # nprobe=4 of 16 clusters scans ~25% of the corpus; on near-random
+    # vectors that should still recover a good share of true neighbors
+    assert hits >= 5
+    for q, rs in approx_sets.items():
+        assert q not in rs  # a query never matches itself
+
+
+def test_embedding_cosine_neardup_planted(spark):
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        NEARDUP_COSINE_THRESHOLD,
+        lsh_table_sigs,
+        as_double,
+        dot,
+        LSH_BITS,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        embedding_cosine_neardup,
+    )
+
+    # fixture corpus is near-orthogonal → no pairs at 0.85
+    assert embedding_cosine_neardup(spark, SF_DIR_SMOKE).count() == 0
+
+    # planted: v, a tiny perturbation of v, and an unrelated vector
+    base = [(i % 7) - 3.0 for i in range(64)]
+    near = list(base)
+    near[0] += 0.05
+    other = [((i * 13) % 11) - 5.0 for i in range(64)]
+    import tdk_apache_log_etl_spark.operators.similarity as S
+
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], ["vec_id", "embedding"]
+    )
+    e = as_double(F.col("embedding"))
+    sigs = docs.select("vec_id", lsh_table_sigs(e, 64).alias("sigs")).collect()
+    by_id = {r.vec_id: r.sigs for r in sigs}
+    # near-identical vectors must collide (hamming<=1) in at least one table
+    collide = any(
+        bin(a ^ b).count("1") <= 1
+        for a, b in zip(by_id[0], by_id[1])
+    )
+    assert collide
+    # unrelated vector should not collide in most tables
+    collisions_other = sum(
+        1 for a, b in zip(by_id[0], by_id[2]) if bin(a ^ b).count("1") <= 1
+    )
+    assert collisions_other < len(by_id[0])

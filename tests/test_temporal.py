@@ -1,0 +1,52 @@
+"""As-of join and range join semantics on planted frames (oracle parity at
+sf0.01 is covered by the driver gate; these pin the edge semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tdk_apache_log_etl_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-10T12:00:00")),   # after both orders
+            (2, 100, _ts("2024-01-05T00:00:00")),   # exactly at order 2 (tie → match)
+            (3, 100, _ts("2024-01-01T00:00:00")),   # before all orders
+            (4, 200, _ts("2024-01-10T00:00:00")),   # user with no orders
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-03T00:00:00"), 31, 10.0),
+            (100, _ts("2024-01-05T00:00:00"), 32, 20.0),
+        ],
+        ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    got = {r.event_id: (r.o_orderkey, r.o_totalprice) for r in out.collect()}
+    assert got[1] == (32, 20.0)      # latest order before the event
+    assert got[2] == (32, 20.0)      # <= semantics: same-instant order matches
+    assert got[3] == (None, None)    # nothing at-or-before
+    assert got[4] == (None, None)    # key absent on the right
+    assert len(got) == 4             # every left row preserved
+
+
+def test_range_join_window_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    rows = QUERIES["range_join_click_purchase"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(0 < r.lag_seconds <= 1800 for r in rows)
