@@ -24,6 +24,8 @@ HEADLINE = [
     "clf_parse_roundtrip",
     # relational core
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_delta",
     "star_revenue_by_nation",
     "orders_lineitem_revenue",
     "topk_orders_by_price",
@@ -33,6 +35,7 @@ HEADLINE = [
     "sessionize_gap",
     "hourly_event_counts",
     "json_props_extract",
+    "events_value_percentiles",
     "asof_join_last_order",
     "range_join_click_purchase",
     # text / dedup

@@ -407,3 +407,70 @@ def clf_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "referer",
         "user_agent",
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution metrics: percentiles + histogram (log-analytics staples the
+# reference's 3 aggregates can't express; SURVEY.md §2.6 scope)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.90), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               COUNT(value) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group. Spark's
+    percentile() and DuckDB's quantile_cont share the index = p*(n-1)
+    definition, so rounded values hash-match. At 100 TB use
+    approx_percentile (t-digest sketch, mergeable, no global sort) —
+    exact percentile requires shuffling every group's values to one
+    reducer."""
+    events = load_table(spark, sf_dir, "events")
+    p = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return events.groupBy("event_type").agg(
+        F.round(F.get(p, 0), 6).alias("p50"),
+        F.round(F.get(p, 1), 6).alias("p90"),
+        F.round(F.get(p, 2), 6).alias("p99"),
+        F.count("value").alias("n"),
+    )
+
+
+HIST_BUCKET_WIDTH = 25.0
+HIST_N_BUCKETS = 12
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+        SELECT LEAST(GREATEST(CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT),
+                              0), {HIST_N_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS n
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with clamped edge buckets — one hash
+    aggregation keyed on the bucket id; the classic single-pass shape for
+    response-size/latency distributions over logs."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long"), F.lit(0)
+        ),
+        F.lit(HIST_N_BUCKETS - 1),
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

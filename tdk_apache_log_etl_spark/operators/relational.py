@@ -511,3 +511,120 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join → fact-fact
+    join on the order key → group → top-10. customer is broadcast (small
+    side); orders↔lineitem shuffle once on orderkey; the final ORDER BY +
+    LIMIT plans TakeOrderedAndProject — no global sort of the aggregate."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff_o = _ts(orders, "o_orderdate", "1998-01-01")
+    cutoff_l = _ts(li, "l_shipdate", "1998-01-01")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff_l)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6_revenue_delta",
+    oracle=f"""
+        SELECT {sql_dec_sum("l_extendedprice * l_discount")} AS revenue_delta,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate is a
+    pushable parquet filter (range on shipdate/discount/quantity) — the
+    100 TB cost is row groups actually decoded, not rows scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = _ts(li, "l_shipdate", "1997-01-01")
+    hi = _ts(li, "l_shipdate", "1998-01-01")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "scalar_subquery_pricey_parts",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        GROUP BY p_brand
+    """,
+)
+def scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — parts above the average retail price.
+    Catalyst evaluates the subquery once (its own tiny job) and folds the
+    scalar into the main scan's filter; no join materializes. AVG here is
+    plain double avg in BOTH engines: a single global aggregate has one
+    deterministic merge order, so bit-identity holds without the decimal
+    trick."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_sq_v")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part_sq_v
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part_sq_v)
+        GROUP BY p_brand
+        """
+    )

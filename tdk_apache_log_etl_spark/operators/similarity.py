@@ -388,14 +388,28 @@ def _assign_udf(centroids: list[list[float]]):
     return assign
 
 
+IVF_TRAIN_MOD = 4  # deterministic 1/4 sample for quantizer training
+
+
 def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
     """Deterministic spherical k-means: init = the K lowest vec_ids, then
     IVF_ITERS Lloyd steps. Assignment is the Arrow-batched matmul UDF;
     the centroid update is a distributed posexplode + groupBy(cluster, pos)
     mean — vectors are never collected, only the K×dim centroid matrix is.
+
+    Trains on a deterministic 1/IVF_TRAIN_MOD sample (vec_id modulus) —
+    the coarse quantizer only needs the density shape, and at 100 TB a
+    full-corpus training pass per Lloyd iteration would dwarf the search
+    itself. The sample is cached across iterations (each iteration is a
+    separate job; without the cache every iteration re-reads the corpus).
     """
+    train = (
+        emb.filter(F.col("vec_id") % IVF_TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .persist()
+    )
     init = (
-        emb.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(IVF_K)
         .select(as_double(F.col("embedding")).alias("e"))
         .collect()
@@ -403,7 +417,7 @@ def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
     centroids = [list(r.e) for r in init]
     for _ in range(IVF_ITERS):
         assign = _assign_udf(centroids)
-        assigned = emb.select(
+        assigned = train.select(
             F.get(assign(F.col("embedding")), 0).alias("cluster"),
             F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"),
         )
@@ -416,6 +430,7 @@ def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
         for r in rows:
             new[r.cluster][r.pos] = r.v
         centroids = new
+    train.unpersist()
     return centroids
 
 
