@@ -138,3 +138,56 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_offset_s"),
     )
     return frames
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+RESIZE_TARGET = (32, 32)
+
+
+def resize_images(images: DataFrame, target=RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize plumbing: (doc_id, payload) → (doc_id, w, h,
+    resized payload). The pixel resample is the stubbed step (real:
+    PIL.Image.resize); the stub emits a deterministic fixed-size payload
+    (sha256-seeded) so schema, batch shape, and byte budget are real. The
+    contract that matters at scale: output payload size is BOUNDED
+    (target w*h*3), so downstream stages can size partitions statically
+    even when input images vary wildly."""
+    import hashlib
+
+    import pandas as pd
+
+    w, h = target
+    out_len = w * h * 3
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                seed = hashlib.sha256(p).digest()
+                reps = out_len // len(seed) + 1
+                payloads.append((seed * reps)[:out_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w,
+                    "height": h,
+                    "payload": payloads,
+                }
+            )
+
+    return images.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+@query("image_resize")  # rows-only: stubbed resample, no SQL oracle
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-multimodal: bounded-size resize. Output drops the raw payload and
+    reports sizes only (the driver's value-hash would otherwise carry 3 KB
+    of binary per row through the compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    images = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    resized = resize_images(images)
+    return resized.select(
+        "doc_id", "width", "height", F.length("payload").alias("n_bytes")
+    )

@@ -223,3 +223,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+#: GPT-2-style pre-tokenizer shape: letter runs, single digits, punctuation
+#: runs. Plain character classes only, so the Java (Spark) and RE2 (DuckDB)
+#: regex engines agree exactly.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}'))) AS bpe_tokens,
+               SUM(len(string_split(text, ' '))) AS ws_tokens
+        FROM documents GROUP BY lang
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token counting, both ways a data pipeline needs: whitespace tokens
+    (fast budget proxy) and a BPE-ish pre-tokenization count (letter runs /
+    digits / punctuation — the GPT-2 pre-tokenizer shape without the merges
+    table). regexp_count is a native codegen'd expression; counting needs no
+    materialized token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count("text", F.lit(BPE_TOKEN_REGEX))).alias("bpe_tokens"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("ws_tokens"),
+    )
