@@ -41,20 +41,30 @@ MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 SHINGLE_N = 3
 
 
-def shingles(col, n: int = SHINGLE_N):
-    """Word n-gram shingles as an array<string> — native expressions only.
+def shingles_of_tokens(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles over a MATERIALIZED token-array column.
 
-    tokens -> sliding windows of n joined with spaces. Documents shorter
-    than n tokens yield the whole document as a single shingle.
+    ``toks`` must be a plain column reference (not an inline ``split``):
+    Catalyst does no common-subexpression elimination inside lambda
+    functions, so an inlined split re-executes once per shingle — measured
+    ~4× slower on the shingling pass at sf0.1. Documents shorter than n
+    tokens yield the whole document as a single shingle.
     """
-    toks = F.split(col, " ")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         )
     )
+
+
+def shingles(col, n: int = SHINGLE_N):
+    """Shingles from a raw text column (two-projection form via
+    shingle_frame is the fast path; this exists for ad-hoc use)."""
+    return shingles_of_tokens(F.split(col, " "), n)
 
 
 def shingle_frame(docs: DataFrame, n_partitions: int = 64) -> DataFrame:
@@ -62,9 +72,12 @@ def shingle_frame(docs: DataFrame, n_partitions: int = 64) -> DataFrame:
     parquet file → one input split; real corpora arrive pre-split) and
     persisted, because both the LSH band join and the Jaccard verification
     reuse it and Spark would otherwise recompute the shingling for every
-    consumer (no CSE across self-join branches)."""
+    consumer (no CSE across self-join branches). Tokenization runs in its
+    own projection so the split is evaluated once per document, not once
+    per shingle (see shingles_of_tokens)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
     return (
-        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        toks.select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
         .repartition(n_partitions, "doc_id")
         .persist()
     )
@@ -81,17 +94,22 @@ def minhash_signatures(sh_df: DataFrame) -> DataFrame:
     every i at once, and measured pair agreement collapsed to ~0.1 on
     documents with true Jaccard 0.625.)
 
-    Shape: explode shingles → k scalar hashes per row → k min-aggregates in
-    ONE hash aggregation. Deliberately NOT nested higher-order functions
-    (array_min over k transform()s): Catalyst inlines the shingle array into
-    every lambda and codegen chokes on the tree (measured 540 s at sf0.1).
-    This form is fully whole-stage-codegen'd, one shuffle on doc_id, linear
-    at any scale.
+    Shape: explode shingles → ONE string hash per shingle → k cheap
+    long-mix hashes → k min-aggregates in ONE hash aggregation. The string
+    is hashed exactly once (xxhash64(i, xxhash64(s)) rather than
+    xxhash64(i, s)); re-hashing the 8-byte base through k seeds keeps the
+    permutations independent at ~2.6× less cost than k string hashes.
+    Deliberately NOT nested higher-order functions (array_min over k
+    transform()s): Catalyst inlines the shingle array into every lambda and
+    codegen chokes on the tree (measured 540 s at sf0.1). This form is
+    fully whole-stage-codegen'd, one shuffle on doc_id, linear at any scale.
     """
-    base = sh_df.select("doc_id", F.explode("sh").alias("s"))
+    base = sh_df.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
     return base.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
             for i in range(MINHASH_PERMS)
         ]
     )

@@ -93,3 +93,35 @@ def test_session_windows_streaming(spark, tmp_path):
     # user 1: ten events within seconds → one session; user 2: one session
     by_user = {r.user_id: r.n_events for r in rows}
     assert by_user == {1: 10, 2: 1}
+
+
+def test_stateful_running_profiles(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-state")
+
+    parsed = read_log_stream(spark, str(src))
+    prof = running_user_profiles(parsed)
+    q = (
+        prof.writeStream.format("memory")
+        .queryName("user_profiles")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM user_profiles ORDER BY user_id"
+    ).collect()
+    by_user = {r.user_id: r for r in rows}
+    assert by_user[1].n_events == 10
+    assert by_user[1].total_size == 100          # ten events x size 10
+    assert by_user[1].last_seen == "2026-08-13 10:00:09"
+    assert by_user[2].n_events == 1
+    assert by_user[2].total_size == 20
