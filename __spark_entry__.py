@@ -31,8 +31,9 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
-    embedding_cosine_neardup, image_feature_extract, media_frame_sample,
-    clf_user_count_approx) are genuinely non-SQL-expressible
-    (LSH/sketches/iterative k-means/stubs) → driver's rows-only check.
+    embedding_cosine_neardup, image_feature_extract, image_resize,
+    media_frame_sample, clf_user_count_approx) are genuinely
+    non-SQL-expressible (LSH/sketches/iterative k-means/stubs) →
+    driver's rows-only check.
     """
     return dict(ORACLES)

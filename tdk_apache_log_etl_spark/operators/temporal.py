@@ -30,17 +30,6 @@ from ..sources.tables import load_table
 from .registry import query
 
 
-def dedup_orders_per_day(orders: DataFrame) -> DataFrame:
-    """One order row per (customer, order date): max o_orderkey wins, its
-    totalprice via max_by. Makes the as-of match deterministic when a
-    customer places several orders the same day (the fixture has such
-    collisions)."""
-    return orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderkey").alias("o_orderkey"),
-        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
-    )
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,6 +37,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Generic as-of join: for every ``left`` row, attach the ``right`` row
     with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
@@ -56,6 +46,12 @@ def asof_join(
     the key partition — right rows sort BEFORE left rows at equal ts so
     ties match (<= semantics, like DuckDB ASOF) — and carry the right
     attributes forward. One shuffle, linear, skew governed by the key.
+
+    ``tie_break`` (a right-side column, e.g. a primary key) disambiguates
+    multiple right rows at the same (key, ts): the max-tie_break row wins.
+    This replaces a pre-aggregation of the right side — the tie-break rides
+    the sort the window already does, where a groupBy dedup would cost its
+    own exchange of the whole right side first.
     """
     l_tagged = left.withColumn("_t", F.col(left_ts)).withColumn(
         "_is_left", F.lit(1)
@@ -82,9 +78,15 @@ def asof_join(
             on, "_t", "_is_left", *right_cols, *[c for c in left.columns if c != on]
         )
     )
+    order_cols = [F.col("_t").asc(), F.col("_is_left").asc()]
+    if tie_break is not None:
+        # Right rows at equal (key, ts) sort by tie_break ascending, so the
+        # carried-forward last() is the max-tie_break row. Left rows hold
+        # NULL here; nulls_first keeps them ordered after is_left anyway.
+        order_cols.append(F.col(tie_break).asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -122,11 +124,17 @@ def asof_join(
 def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event gets the customer's most recent order
     at-or-before the event time. The DuckDB oracle uses the built-in ASOF
-    JOIN — an independent implementation of the same semantics."""
+    JOIN — an independent implementation of the same semantics (with an
+    explicit same-day dedup, since DuckDB's ASOF picks arbitrarily among
+    equal-timestamp matches; ours resolves them via the window tie-break
+    without a separate aggregation pass)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = dedup_orders_per_day(
-        load_table(spark, sf_dir, "orders")
-    ).withColumnRenamed("o_custkey", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
     joined = asof_join(
         events,
         orders,
@@ -134,6 +142,7 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="o_orderdate",
         right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
     )
     return joined.select(
         "event_id",
