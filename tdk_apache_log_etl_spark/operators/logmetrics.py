@@ -474,3 +474,43 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_null_profile",
+    oracle="""
+        WITH u AS (
+          UNPIVOT (
+            SELECT CAST(event_id IS NULL AS INTEGER) AS event_id,
+                   CAST(ts IS NULL AS INTEGER) AS ts,
+                   CAST(user_id IS NULL AS INTEGER) AS user_id,
+                   CAST(event_type IS NULL AS INTEGER) AS event_type,
+                   CAST(value IS NULL AS INTEGER) AS value,
+                   CAST(props IS NULL AS INTEGER) AS props
+            FROM events
+          ) ON COLUMNS(*) INTO NAME column_name VALUE is_null
+        )
+        SELECT column_name, SUM(is_null) AS n_nulls, COUNT(*) AS n_rows
+        FROM u GROUP BY column_name
+    """,
+)
+def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality null profile via unpivot: per-column null counts in ONE
+    scan (the naive per-column count(*) loop is N scans — a real cost when
+    N×100 TB). unpivot/melt is the long-format pivot inverse; the narrow
+    (column_name, is_null) stream aggregates map-side before the shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    flags = events.select(
+        *[
+            F.col(c).isNull().cast("long").alias(c)
+            for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ]
+    )
+    return (
+        flags.unpivot([], flags.columns, "column_name", "is_null")
+        .groupBy("column_name")
+        .agg(
+            F.sum("is_null").alias("n_nulls"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

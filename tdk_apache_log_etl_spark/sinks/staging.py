@@ -64,6 +64,26 @@ def ingest_logs(
     return parsed
 
 
+def register_staging_table(
+    spark: SparkSession, path: str, table: str = STAGING_TABLE
+) -> None:
+    """Idempotent catalog DDL over the staging path — the Spark-native form
+    of the reference's table_exists → create_glue_table dance
+    (sree-etl-tdk-lambda.py:59-100): an external parquet table pointing at
+    the partitioned layout, partitions discovered via MSCK REPAIR (the
+    catalog equivalent of Glue partition registration at :118). After this,
+    ``spark.read.table(table)`` and ad-hoc SQL (the Athena entry point,
+    SURVEY.md §3.3) resolve against the catalog with partition pruning.
+    """
+    # No explicit column list → schema AND the date partitioning are
+    # inferred from the hive-style layout (Spark rejects PARTITIONED BY
+    # without a column list).
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} USING parquet LOCATION '{path}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def archive_processed(src_dir: str, dst_dir: str) -> list[str]:
     """K5: move processed ``*.log`` files (copy+delete, like
     sree-etl-tdk-lambda.py:129-142). Driver-side FS metadata ops — never

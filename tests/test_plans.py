@@ -66,3 +66,30 @@ def test_staging_partition_pruning(spark, tmp_path):
     plan = _plan(pruned)
     # partition filter applied at scan; only one of two partitions read
     assert "PartitionFilters" in plan and "2026-08-13" in plan
+
+
+def test_catalog_registration_and_pruned_sql(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sinks.staging import (
+        register_staging_table,
+        write_staging,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-08-12").otherwise("2026-08-13")
+        .alias("date"),
+    )
+    path = str(tmp_path / "staging_cat")
+    write_staging(df, path)
+    register_staging_table(spark, path, table="log_clean_cat_test")
+    # idempotent: second registration is a no-op
+    register_staging_table(spark, path, table="log_clean_cat_test")
+
+    assert spark.read.table("log_clean_cat_test").count() == 100
+    pruned = spark.sql(
+        "SELECT count(*) AS n FROM log_clean_cat_test WHERE date = '2026-08-13'"
+    )
+    assert pruned.collect()[0].n == 50
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "2026-08-13" in plan
+    spark.sql("DROP TABLE log_clean_cat_test")
