@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 
 HEADLINE = [
     # reference surface
@@ -63,6 +65,19 @@ def main() -> None:
 
     # JVM warm-up (codegen, parquet footer caches) — not timed.
     QUERIES["clf_user_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Python-worker warm-up: the first Pandas UDF pays the worker-pool
+    # startup (~2 s for 32 workers); warm it so UDF-bearing queries are
+    # timed on their own work.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).select(_warm(col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
 

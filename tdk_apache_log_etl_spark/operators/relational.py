@@ -628,3 +628,78 @@ def scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+_EXISTS_SQL = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers
+    FROM {customer} c
+    WHERE EXISTS (
+      SELECT 1 FROM {orders} o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "exists_urgent_customers",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
+def exists_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL entry point — Catalyst decorrelates it
+    into a left-semi hash join (same physical plan as the DataFrame
+    leftsemi in semi_join_big_spenders; this covers the SQL subquery
+    path)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex_v")
+    return spark.sql(
+        _EXISTS_SQL.format(customer="customer_ex_v", orders="orders_ex_v")
+    )
+
+
+@query(
+    "running_revenue_by_customer",
+    oracle="""
+        WITH daily AS (
+          SELECT o_custkey, o_orderdate,
+                 SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS day_scaled
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(SUM(day_scaled) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) / 10000 AS running_total
+        FROM daily
+    """,
+)
+def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative analytic frame: per-customer running revenue by order
+    date. The day-level pre-aggregation shuffles on (custkey, date); the
+    window then re-sorts within the custkey partition only — both stages
+    hash-partition on the customer, so AQE can reuse the exchange. The
+    running sum accumulates the fixed-point integers (operators/numeric.py)
+    so every prefix is bit-identical in both engines. The scaled LONG rides
+    both stages undivided — converting to double between them and re-scaling
+    truncates where the oracle rounds (a one-ulp trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))).alias(
+            "day_scaled"
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        (F.sum("day_scaled").over(w).cast("double") / 10000).alias(
+            "running_total"
+        ),
+    )
