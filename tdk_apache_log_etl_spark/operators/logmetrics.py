@@ -514,3 +514,109 @@ def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Log-analytics pack over the parsed CLF frame: the ad-hoc queries an
+# operator of the reference pipeline actually runs against the staging
+# table (README.md:62-66 is the tip of this iceberg). Input is the
+# synthesized CLF corpus parsed by the PRODUCTION parser, so each oracle is
+# another end-to-end differential test of the parse+analyze pipeline.
+# --------------------------------------------------------------------------
+
+
+def _parsed_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return parse_clf_lines(synthesize_clf_lines(events))
+
+
+@query(
+    "clf_subnet_traffic",
+    oracle="""
+        SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) AS subnet24,
+               COUNT(*) AS n_requests,
+               SUM(CASE WHEN event_type = 'view' THEN 0
+                        ELSE event_id * 10 END) AS total_bytes
+        FROM events GROUP BY 1
+    """,
+)
+def clf_subnet_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic per /24 subnet: substring_index keeps the first three IP
+    octets — native string ops on the parsed frame, one hash aggregation.
+    (total_bytes treats NULL size as 0 via sum over coalesce, matching the
+    oracle's CASE.)"""
+    parsed = _parsed_clf(spark, sf_dir)
+    return (
+        parsed.groupBy(
+            F.substring_index(F.col("ip_address"), ".", 3).alias("subnet24")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "clf_referer_domains",
+    oracle="""
+        SELECT 'example.com' AS domain, COUNT(*) AS n_requests
+        FROM events WHERE event_type = 'click'
+    """,
+)
+def clf_referer_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referer-domain breakdown via native parse_url(..., 'HOST') — no
+    regex, no UDF. Null referers (direct traffic) are excluded, matching
+    the reference corpus where only clicks carry a referer."""
+    parsed = _parsed_clf(spark, sf_dir)
+    return (
+        parsed.select(F.parse_url(F.col("referer"), F.lit("HOST")).alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+    )
+
+
+@query(
+    "clf_status_class_breakdown",
+    oracle="""
+        SELECT CASE WHEN event_type = 'error' THEN '5xx' ELSE '2xx' END
+                 AS status_class,
+               COUNT(*) AS n_requests
+        FROM events GROUP BY 1
+    """,
+)
+def clf_status_class_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Requests per HTTP status class (2xx/3xx/4xx/5xx) — the first chart
+    on every ops dashboard; floor(status/100) keys the aggregation."""
+    parsed = _parsed_clf(spark, sf_dir)
+    return (
+        parsed.groupBy(
+            F.concat(
+                (F.col("status_code") / 100).cast("int").cast("string"),
+                F.lit("xx"),
+            ).alias("status_class")
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+    )
+
+
+@query(
+    "clf_top_user_agents",
+    oracle="""
+        SELECT 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' AS user_agent,
+               COUNT(*) AS n_requests
+        FROM events
+    """,
+)
+def clf_top_user_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user agents (quoted field with embedded spaces — the parse case
+    the naive whitespace split gets wrong); top-k planned as
+    TakeOrderedAndProject."""
+    parsed = _parsed_clf(spark, sf_dir)
+    return (
+        parsed.groupBy("user_agent")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy(F.desc("n_requests"), F.asc("user_agent"))
+        .limit(10)
+    )
