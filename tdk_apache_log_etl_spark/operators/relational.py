@@ -703,3 +703,191 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_total"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Wider TPC-H shapes (Q4/Q5/Q12/Q14 analogues on the available columns).
+# The reference has no joins at all (SURVEY.md §2.5), so these are E7-family
+# coverage: correlated EXISTS with an inequality, a 6-table star with a
+# cross-dimension equality, conditional aggregation, and a ratio metric.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_priority_count",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality
+    (l_shipdate > o_orderdate). Planned as ONE left-semi hash join on the
+    equi-key (orderkey) with the inequality as a residual join filter —
+    never a per-row subquery. The date-range filter prunes orders before
+    the shuffle; at 100 TB it is a parquet row-group pushdown."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = _ts(orders, "o_orderdate", "1997-01-01")
+    hi = _ts(orders, "o_orderdate", "1997-10-01")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        )
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n_name,
+               {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star with the cross-dimension equality
+    c_nationkey = s_nationkey ("local supplier"). The ONLY shuffle is
+    lineitem↔orders on the order key; customer, supplier, nation, region
+    are all broadcast, and the nationkey equality rides as a residual
+    filter on broadcast joins — the fact table is never re-partitioned for
+    a dimension."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    lo = _ts(orders, "o_orderdate", "1997-01-01")
+    hi = _ts(orders, "o_orderdate", "1998-01-01")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q12_priority_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag on this schema): conditional
+    aggregation — two CASE-sums in one pass, one shuffle on the tiny
+    group key. The orders side carries only (o_orderkey, o_orderpriority)
+    through the join: column pruning keeps the shuffle narrow."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = _ts(li, "l_shipdate", "1997-01-01")
+    hi = _ts(li, "l_shipdate", "1998-01-01")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT (100.0 * {sql_dec_sum(
+            "CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+        )}) / {sql_dec_sum("l_extendedprice * (1 - l_discount)")}
+          AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue ratio. part is broadcast (the fact
+    scan never shuffles); both sums ride ONE aggregation pass; the ratio
+    divides two fixed-point-exact doubles, so the single-row result is
+    bit-identical across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = _ts(li, "l_shipdate", "1997-09-01")
+    hi = _ts(li, "l_shipdate", "1997-10-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            (
+                (
+                    F.lit(100.0)
+                    * dec_sum(
+                        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                )
+                / dec_sum(disc_price)
+            ).alias("promo_revenue")
+        )
+    )
