@@ -27,7 +27,11 @@ HEADLINE = [
     # relational core
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_priority_count",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_delta",
+    "tpch_q12_priority_by_flag",
+    "tpch_q14_promo_revenue",
     "star_revenue_by_nation",
     "orders_lineitem_revenue",
     "topk_orders_by_price",
