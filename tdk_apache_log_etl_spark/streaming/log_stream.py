@@ -119,3 +119,38 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def enrich_stream(parsed: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the parsed log
+    stream joins the (small) static dimension. The dim is explicitly
+    broadcast — per-batch hash join against an executor-local table, no
+    shuffle of the stream and no state store; the static side is re-read
+    per trigger, so a catalog-backed dim picks up dimension updates between
+    batches. This is the streaming twin of E7 (the batch enrichment joins
+    in operators/relational.py)."""
+    return parsed.join(F.broadcast(dim), on=key, how="left")
+
+
+def dedup_stream(
+    parsed: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "time",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """E1 streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size tracks the (late-data window ×
+    arrival rate), not the whole corpus — the property that lets this run
+    forever at 100 TB/day where an unbounded ``dropDuplicates`` would OOM
+    the state store. Duplicates arriving within the watermark window are
+    suppressed even when their event times differ (retransmitted log lines
+    get fresh ingest timestamps; the reference's file-level move protocol
+    cannot dedup at all — SURVEY.md §2.5)."""
+    keys = keys or ["ip_address", "user_id", "request_resource", "status_code"]
+    deduped = (
+        parsed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    return deduped

@@ -125,3 +125,66 @@ def test_stateful_running_profiles(spark, tmp_path):
     assert by_user[1].last_seen == "2026-08-13 10:00:09"
     assert by_user[2].n_events == 1
     assert by_user[2].total_size == 20
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.log_stream import enrich_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-enrich")
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    parsed = read_log_stream(spark, str(src))
+    q = (
+        enrich_stream(parsed, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, tier, count(*) n FROM enriched GROUP BY 1,2").collect()
+    got = {(r.user_id, r.tier): r.n for r in rows}
+    assert got == {(1, "gold"): 10, (2, "silver"): 1}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.log_stream import dedup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # 3 distinct requests, each retransmitted (5 duplicate lines total);
+    # duplicates differ only in event time (within the watermark window)
+    dup_lines = [
+        '10.0.0.1 - 1 [13/Aug/2026:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+        '10.0.0.1 - 1 [13/Aug/2026:10:00:05 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+        '10.0.0.1 - 1 [13/Aug/2026:10:00:09 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+        '10.0.0.2 - 2 [13/Aug/2026:10:01:00 +0000] "GET /b HTTP/1.1" 200 20 "-" "ua"',
+        '10.0.0.2 - 2 [13/Aug/2026:10:01:30 +0000] "GET /b HTTP/1.1" 200 20 "-" "ua"',
+        '10.0.0.3 - 3 [13/Aug/2026:10:02:00 +0000] "GET /c HTTP/1.1" 404 30 "-" "ua"',
+    ]
+    (src / "2026-08-13.log").write_text("\n".join(dup_lines) + "\n")
+    ckpt = str(tmp_path / "ckpt-dedup")
+
+    parsed = read_log_stream(spark, str(src))
+    q = (
+        dedup_stream(parsed)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT request_resource, count(*) n FROM deduped GROUP BY 1"
+    ).collect()
+    got = {(r.request_resource, r.n) for r in rows}
+    assert got == {("/a", 1), ("/b", 1), ("/c", 1)}
