@@ -49,6 +49,7 @@ HEADLINE = [
     "text_quality_scores",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
+    "dedup_cluster_canonical",
     # similarity
     "cosine_topk_bruteforce",
     "ann_ivf_topk",

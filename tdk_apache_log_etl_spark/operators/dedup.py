@@ -318,3 +318,160 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# -- Duplicate clustering (connected components) ---------------------------
+
+
+def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """COMPLETE exact-Jaccard pairs (doc_a < doc_b, jaccard ≥ threshold)
+    via an inverted shingle index. Any pair with Jaccard > 0 shares a
+    shingle, so unlike LSH banding this has recall 1.0 by construction
+    (which is what lets the cluster query carry a SQL oracle). The
+    intersection size |A∩B| is aggregated directly from the index join —
+    one count per co-occurring pair — and Jaccard is c/(|A|+|B|-c) from
+    persisted set sizes; the shingle ARRAYS are never shipped to candidate
+    pairs (the array_intersect re-join costs ~2× more, measured at sf0.1).
+    Cost is Σ posting-list², not n²; at 100 TB bound the hot lists with a
+    document-frequency cut or prefix filtering (drop each doc's most
+    frequent shingles — safe for thresholds ≥ the prefix bound) before
+    this join."""
+    inv = sh_df.select("doc_id", F.explode("sh").alias("w"))
+    sizes = sh_df.select("doc_id", F.size("sh").alias("n"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Size lookups are left adaptive (no forced broadcast): tiny here, but
+    # one row per doc — at corpus scale AQE must be free to pick a shuffle
+    # join instead of broadcasting billions of (doc_id, n) rows.
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Distributed min-label propagation: (doc_id, canonical_id) where
+    canonical_id = min doc_id of the connected component (singletons map
+    to themselves).
+
+    Pregel-style driver loop — each iteration is one shuffle-join + one
+    aggregation, all data stays on executors (the driver sees only the
+    changed-label COUNT used as the convergence test). Rounds needed =
+    component diameter; duplicate clusters are near-cliques, so 2-3 rounds
+    in practice with a max_iter backstop. Per-round frames are persisted
+    and the previous round unpersisted — the lineage would otherwise grow
+    one join per round and re-execute from the scan at every action."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["s"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+        WITH RECURSIVE
+        docs AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                      ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS w
+          FROM docs, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+          ) t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT da, db FROM common
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        ),
+        edges AS (
+          SELECT da AS s, db AS d FROM pairs
+          UNION
+          SELECT db AS s, da AS d FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        )
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.d), d.doc_id)) AS canonical_id
+        FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        GROUP BY d.doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-state: near-duplicate CLUSTERS, not just pairs — every doc
+    mapped to the min doc_id of its connected component at word-3-gram
+    Jaccard ≥ 0.5 ("keep one per cluster" is this plus a filter
+    doc_id = canonical_id). Pair generation is the complete inverted-index
+    join (recall 1.0 — giving this iterative operator an exact recursive-CTE
+    SQL oracle); clustering is distributed min-label propagation. The
+    LSH-accelerated variant swaps exact_jaccard_pairs for the
+    minhash_candidate_pairs + exact_jaccard stack unchanged (same cluster
+    stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_df = shingle_frame(docs)
+    pairs = exact_jaccard_pairs(sh_df, threshold=0.5)
+    return connected_components(docs.select("doc_id"), pairs)

@@ -71,3 +71,54 @@ def test_simhash_identical_docs_zero_distance(spark):
     # near-dup within a few bits, unrelated doc far away
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
+
+
+def test_connected_components_chain_converges(spark):
+    # a 6-node chain (0-1-2-3-4-5) forces label propagation across multiple
+    # rounds (diameter 5) — the case a single min-over-neighbors pass gets
+    # wrong; plus a disjoint pair and a singleton.
+    from tdk_apache_log_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0),
+                   (6, 6), (7, 6), (8, 8)}
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(spark):
+    # recall-1.0 claim: the inverted-index pair join must find exactly the
+    # pairs a brute-force array_intersect over ALL pairs finds.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.dedup import exact_jaccard_pairs
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    docs = load_table(spark, SF_DIR_CORRECT, "documents").limit(120)
+    sh_df = shingle_frame(docs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(sh_df, 0.5).collect()
+    }
+    a = sh_df.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})
+    b = sh_df.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert got == want
