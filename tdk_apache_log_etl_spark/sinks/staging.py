@@ -96,3 +96,34 @@ def archive_processed(src_dir: str, dst_dir: str) -> list[str]:
             shutil.move(os.path.join(src_dir, name), os.path.join(dst_dir, name))
             moved.append(name)
     return moved
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Hash-bucketed, per-bucket-sorted table — the 100 TB upgrade path for
+    recurring fact-fact joins (SCALE.md): two tables bucketed AND sorted on
+    the same key with the same bucket count join with ZERO exchange and
+    ZERO sort (bucket-local merge join). The shuffle is paid once at write
+    time, then amortized over every downstream join/aggregation on the key.
+    ``path`` makes it an external table (tests point this at a tmp dir).
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same murmur3
+    hash as the bucket-id assignment, so every task holds exactly one
+    bucket → ONE file per bucket. That is the condition under which the
+    reader trusts per-bucket sortedness; with many files per bucket Spark
+    keeps a defensive per-task Sort below the merge join."""
+    w = (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -119,3 +119,40 @@ def test_q14_single_aggregation_pass(spark):
     # the broadcast join) — a second aggregate would mean two scans
     assert plan.count("HashAggregate") == 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_skips_shuffle_and_sort(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sinks.staging import write_bucketed
+
+    o = spark.range(0, 10_000).selectExpr(
+        "id AS o_orderkey", "id % 5 AS o_status"
+    )
+    li = spark.range(0, 40_000).selectExpr(
+        "id % 10000 AS l_orderkey", "id AS l_qty"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", 8, str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, str(tmp_path / "bl"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Spark 3+ ignores per-bucket sort metadata unless this is on (the
+        # one-file-per-bucket layout write_bucketed guarantees is exactly
+        # the condition that makes it safe):
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # bucketing makes both sides pre-partitioned AND pre-sorted on the
+        # key: the join must plan no exchange and no per-task sort
+        assert "Exchange hashpartitioning" not in plan
+        assert "Sort [" not in plan.replace("SortMergeJoin", "")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
