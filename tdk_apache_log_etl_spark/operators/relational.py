@@ -891,3 +891,146 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Analytic-window breadth: RANGE frame (moving average), ntile, lag gaps.
+# The reference has zero window functions (SURVEY.md §2.5); these complete
+# the analytic surface alongside window_top_order_per_customer (ROWS top-1)
+# and running_revenue_by_customer (cumulative frame).
+# --------------------------------------------------------------------------
+
+# Epoch-day via timestampdiff against an NTZ epoch — floor-epoch difference
+# is the ONLY session-tz-proof day arithmetic shared bit-for-bit with
+# DuckDB's epoch()/86400 (date_diff counts boundary crossings, unix_*
+# renders via session tz).
+_EPOCH_DAY = (
+    "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " o_orderdate) / 86400 AS BIGINT)"
+)
+
+
+@query(
+    "moving_avg_daily_revenue",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_num,
+                 SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS day_scaled,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT day_num,
+               (CAST(SUM(day_scaled) OVER w AS DOUBLE) / 10000)
+                 / SUM(n_orders) OVER w AS avg_order_price_7d,
+               SUM(n_orders) OVER w AS n_orders_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day average order price: a RANGE frame over epoch-day —
+    the frame is VALUE-based (covers calendar gaps), not row-based. Day
+    pre-aggregation shrinks the window input to one row per day, so the
+    single-partition window sees ~2400 rows at any corpus size — the
+    global window is NOT a scale hazard once the heavy lifting happened in
+    the partial aggregation. Fixed-point longs ride the frame; one double
+    division at the end keeps bit-parity."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr(_EPOCH_DAY).alias("day_num"), F.col("o_totalprice")
+        )
+        .groupBy("day_num")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            ).alias("day_scaled"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        (
+            (F.sum("day_scaled").over(w).cast("double") / 10000)
+            / F.sum("n_orders").over(w)
+        ).alias("avg_order_price_7d"),
+        F.sum("n_orders").over(w).alias("n_orders_7d"),
+    )
+
+
+@query(
+    "ntile_customer_quartiles",
+    oracle="""
+        WITH q AS (
+          SELECT c_acctbal,
+                 ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer
+        )
+        SELECT quartile, COUNT(*) AS n_customers,
+               round(MIN(c_acctbal), 4) AS min_bal,
+               round(MAX(c_acctbal), 4) AS max_bal
+        FROM q GROUP BY quartile
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) wealth quartiles. The order key includes c_custkey so
+    bucket assignment is total-ordered → deterministic across engines
+    (ntile over a non-unique key would split ties arbitrarily). min/max
+    per bucket are order-insensitive; no float summation.
+
+    Scale note: an unpartitioned ntile funnels all rows through one task —
+    exact and fine for dimension-sized inputs, but at fact scale swap to
+    approx_percentile boundary cuts + a range-bucket assignment join
+    (sketch-mergeable, no global sort); the exact form stays as the
+    small-input oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+        WITH g AS (
+          SELECT o_custkey,
+                 CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+                   - lag(CAST(epoch(o_orderdate) / 86400 AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS gap
+          FROM orders
+        )
+        SELECT o_custkey, COUNT(*) AS n_gaps,
+               CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+               MAX(gap) AS max_gap_days
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY o_custkey
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap per customer via lag() over (custkey, orderdate,
+    orderkey) — the unique key makes tie order deterministic. One shuffle
+    on custkey serves both the window and the following aggregation
+    (exchange reuse); gaps are integer days, so avg is an exact long sum
+    over a double division — no fixed-point machinery needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.expr(_EPOCH_DAY)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey", (day_num - F.lag(day_num).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+        F.max("gap").alias("max_gap_days"),
+    )
