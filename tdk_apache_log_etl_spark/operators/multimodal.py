@@ -191,3 +191,37 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "width", "height", F.length("payload").alias("n_bytes")
     )
+
+
+@query(
+    "media_dedup_by_hash",
+    oracle="""
+        SELECT sha256(text) AS payload_sha256,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies,
+               MIN(octet_length(encode(text))) AS n_bytes
+        FROM documents GROUP BY 1
+    """,
+)
+def media_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 for media: exact dedup of binary payloads by content digest with
+    a deterministic survivor (min doc_id). The groupBy key is the 32-byte
+    sha256, computed scan-side — at 100 TB the shuffle carries digests and
+    counts, NEVER the payloads (grouping multi-MB blobs directly would move
+    the whole corpus through the exchange). Same survivor rule as
+    dedup_exact_docs; collision risk at 2^-128 is below hardware error."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.select(
+            F.sha2(payload, 256).alias("payload_sha256"),
+            "doc_id",
+            F.length(payload).alias("n_bytes"),
+        )
+        .groupBy("payload_sha256")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )
