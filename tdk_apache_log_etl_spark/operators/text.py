@@ -253,3 +253,46 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.regexp_count("text", F.lit(BPE_TOKEN_REGEX))).alias("bpe_tokens"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("ws_tokens"),
     )
+
+
+# -- Deterministic mixture sampling ----------------------------------------
+
+# Per-source keep rates for the training mix, encoded as a hex threshold on
+# the first byte of md5(text): 'c0'→75%, '80'→50%, '40'→25%.
+_MIX_HI = ("src0", "src1", "src2", "src3", "src4")
+_MIX_MID = ("src5", "src6", "src7", "src8", "src9")
+
+
+@query(
+    "mixture_sample_by_source",
+    oracle="""
+        SELECT doc_id, source,
+               substring(md5(text), 1, 2) AS h2
+        FROM documents
+        WHERE substring(md5(text), 1, 2) <
+              CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 'c0'
+                   WHEN source IN ('src5','src6','src7','src8','src9')
+                     THEN '80'
+                   ELSE '40' END
+    """,
+)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible data-mixing sampler: per-source keep rates applied by
+    comparing a CONTENT-HASH prefix to a hex threshold — no RNG, no seed
+    plumbing, identical sample whatever the partitioning, cluster size, or
+    engine (the property `df.sample`/`sampleBy` cannot give you across
+    retries and re-runs, since their sampling is per-partition-seeded).
+    Membership is also stable under re-ingestion: the same document is in
+    or out of the mix forever, which makes downstream dataset versions
+    diffable. Pure scan-side filter — pushdown-friendly, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 2)
+    threshold = (
+        F.when(F.col("source").isin(*_MIX_HI), "c0")
+        .when(F.col("source").isin(*_MIX_MID), "80")
+        .otherwise("40")
+    )
+    return docs.select("doc_id", "source", h2.alias("h2")).filter(
+        F.col("h2") < threshold
+    )
