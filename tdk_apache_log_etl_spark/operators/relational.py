@@ -1034,3 +1034,91 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
         F.max("gap").alias("max_gap_days"),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top-20 customers. One
+    fact-fact shuffle on orderkey; customer and nation broadcast; the
+    final top-20 is TakeOrderedAndProject with a c_custkey tiebreak so
+    the cut is deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = _ts(orders, "o_orderdate", "1997-01-01")
+    hi = _ts(orders, "o_orderdate", "1997-07-01")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               {sql_dec_sum("l_quantity")} AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        HAVING {sql_dec_sum("l_quantity")} > 120
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on an aggregate.
+    The quantity rollup groups on the (already co-partitioned) orderkey
+    before joining customer — aggregate-then-join keeps the broadcast
+    probe at one row per order, not one per lineitem."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        qty.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
