@@ -154,3 +154,44 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(keys)
     )
     return deduped
+
+
+def stream_stream_error_followup(
+    parsed: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: for each successful request, the error
+    the SAME user hits within ``horizon`` afterwards (the ops question
+    "which pages precede failures?"). Both sides carry watermarks and the
+    join has a bounded event-time range — the two conditions under which
+    Spark can expire join state instead of buffering both streams forever;
+    state per side is O(arrival rate × (watermark + horizon)), constant in
+    stream length. Equi-key user_id partitions both state stores the same
+    way, so matching is executor-local after one shuffle per side."""
+    base = parsed.withColumn("ts", F.col("time").cast("timestamp"))
+    ok = (
+        base.filter(F.col("status_code") == 200)
+        .select(
+            F.col("user_id").alias("ok_user"),
+            F.col("request_resource").alias("ok_resource"),
+            F.col("ts").alias("ok_ts"),
+        )
+        .withWatermark("ok_ts", watermark)
+    )
+    err = (
+        base.filter(F.col("status_code") >= 400)
+        .select(
+            F.col("user_id").alias("err_user"),
+            F.col("request_resource").alias("err_resource"),
+            F.col("status_code").alias("err_status"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    return ok.join(
+        err,
+        (F.col("ok_user") == F.col("err_user"))
+        & (F.col("err_ts") > F.col("ok_ts"))
+        & (F.col("err_ts") <= F.col("ok_ts") + F.expr(f"INTERVAL {horizon}")),
+    )

@@ -188,3 +188,44 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     ).collect()
     got = {(r.request_resource, r.n) for r in rows}
     assert got == {("/a", 1), ("/b", 1), ("/c", 1)}
+
+
+def test_stream_stream_error_followup_join(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        stream_stream_error_followup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        # user 1: success then a 404 2 min later (within horizon) → joins
+        '10.0.0.1 - 1 [13/Aug/2026:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+        '10.0.0.1 - 1 [13/Aug/2026:10:02:00 +0000] "GET /x HTTP/1.1" 404 5 "-" "ua"',
+        # user 2: success, error 3 HOURS later (outside horizon) → no join
+        '10.0.0.2 - 2 [13/Aug/2026:10:00:00 +0000] "GET /b HTTP/1.1" 200 10 "-" "ua"',
+        '10.0.0.2 - 2 [13/Aug/2026:13:00:00 +0000] "GET /y HTTP/1.1" 500 5 "-" "ua"',
+        # user 3: only successes → no join
+        '10.0.0.3 - 3 [13/Aug/2026:10:00:00 +0000] "GET /c HTTP/1.1" 200 10 "-" "ua"',
+    ]
+    (src / "2026-08-13.log").write_text("\n".join(lines) + "\n")
+    ckpt = str(tmp_path / "ckpt-ss")
+
+    parsed = read_log_stream(spark, str(src))
+    q = (
+        stream_stream_error_followup(parsed)
+        .writeStream.format("memory")
+        .queryName("followups")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT ok_user, ok_resource, err_resource, err_status FROM followups"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.ok_user, r.ok_resource, r.err_resource, r.err_status) == (
+        1, "/a", "/x", 404
+    )
