@@ -296,3 +296,76 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source", h2.alias("h2")).filter(
         F.col("h2") < threshold
     )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle="""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_tok FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM docs)
+            GROUP BY doc_id, w
+          ) GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT doc_id, COUNT(*) AS n_sh, COUNT(DISTINCT w3) AS n_uniq
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                        ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS w3
+            FROM docs, LATERAL (
+              SELECT unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+            ) t
+          ) GROUP BY doc_id
+        )
+        SELECT tok.doc_id,
+               1.0 - CAST(n_uniq AS DOUBLE) / n_sh AS dup_3gram_frac,
+               CAST(max_tok AS DOUBLE) / n_tokens AS top_token_frac
+        FROM tok JOIN sh ON tok.doc_id = sh.doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 repetition filters (the Gopher-rules signals): fraction of
+    duplicated word 3-grams and the most-frequent-token share. The 3-gram
+    stats are pure array expressions (no explode — the shingle list stays
+    inside one projection, whole-stage codegen'd); the token mode needs a
+    per-(doc, token) count, which is one explode + two hash aggregations
+    re-using the same doc_id partitioning. Integer counts → one double
+    division each, so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    k = F.greatest(F.size(F.col("ws")) - 2, F.lit(1))
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
+        ),
+    )
+    sh_stats = toks.select(
+        "doc_id",
+        F.size(raw_sh).alias("n_sh"),
+        F.size(F.array_distinct(raw_sh)).alias("n_uniq"),
+    )
+    tok_stats = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok"))
+    )
+    return tok_stats.join(sh_stats, "doc_id").select(
+        "doc_id",
+        (1.0 - F.col("n_uniq").cast("double") / F.col("n_sh")).alias(
+            "dup_3gram_frac"
+        ),
+        (F.col("max_tok").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+    )
