@@ -369,3 +369,32 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+@query(
+    "top_tokens_global",
+    oracle="""
+        SELECT w, COUNT(*) AS n
+        FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        GROUP BY w
+        ORDER BY n DESC, w
+        LIMIT 20
+    """,
+)
+def top_tokens_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode → count → top-20. The aggregation
+    is partial+final (the exchange carries one row per (partition, token),
+    not one per token occurrence) and the top-k is TakeOrderedAndProject —
+    at corpus scale the full vocabulary never sorts globally, and the
+    driver receives k rows. Tiebreak on the token keeps the cut
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
