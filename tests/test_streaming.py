@@ -229,3 +229,30 @@ def test_stream_stream_error_followup_join(spark, tmp_path):
     assert (r.ok_user, r.ok_resource, r.err_resource, r.err_status) == (
         1, "/a", "/x", 404
     )
+
+
+def test_foreach_batch_summary_sink(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        write_summary_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    out = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt-fb")
+
+    parsed = read_log_stream(spark, str(src))
+    q = write_summary_stream(parsed, out, ckpt).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.requests_count)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 10), (2, 1)}
+
+    # restart with no new data: checkpoint prevents reprocessing, counts stay
+    q2 = write_summary_stream(read_log_stream(spark, str(src)), out, ckpt).start()
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2
