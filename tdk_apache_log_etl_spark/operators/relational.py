@@ -1174,3 +1174,51 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 {sql_dec_sum("l_extendedprice * (1 - l_discount)")}
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived per-supplier revenue view, filtered to its
+    own global max (scalar subquery against the SAME derived aggregate).
+    The revenue frame is built once and persisted so the subquery branch
+    and the join branch don't recompute the lineitem aggregation; the max
+    is a one-row broadcast into the filter. Revenue is fixed-point exact,
+    so 'equal to the max' is well-defined across engines — with raw double
+    sums this query would be nondeterministic (ties on a summation-order-
+    dependent value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = _ts(li, "l_shipdate", "1997-01-01")
+    hi = _ts(li, "l_shipdate", "1997-04-01")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
