@@ -490,7 +490,8 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
           ) ON COLUMNS(*) INTO NAME column_name VALUE is_null
         )
-        SELECT column_name, SUM(is_null) AS n_nulls, COUNT(*) AS n_rows
+        SELECT column_name, CAST(SUM(is_null) AS BIGINT) AS n_nulls,
+               COUNT(*) AS n_rows
         FROM u GROUP BY column_name
     """,
 )
@@ -535,8 +536,8 @@ def _parsed_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) AS subnet24,
                COUNT(*) AS n_requests,
-               SUM(CASE WHEN event_type = 'view' THEN 0
-                        ELSE event_id * 10 END) AS total_bytes
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 0
+                        ELSE event_id * 10 END) AS BIGINT) AS total_bytes
         FROM events GROUP BY 1
     """,
 )

@@ -44,7 +44,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
+        F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha256"),
     )
 
@@ -216,7 +216,7 @@ def media_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.sha2(payload, 256).alias("payload_sha256"),
             "doc_id",
-            F.length(payload).alias("n_bytes"),
+            F.length(payload).cast("long").alias("n_bytes"),
         )
         .groupBy("payload_sha256")
         .agg(

@@ -814,10 +814,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q12_priority_by_flag",
     oracle="""
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -923,7 +923,7 @@ _EPOCH_DAY = (
         SELECT day_num,
                (CAST(SUM(day_scaled) OVER w AS DOUBLE) / 10000)
                  / SUM(n_orders) OVER w AS avg_order_price_7d,
-               SUM(n_orders) OVER w AS n_orders_7d
+               CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d
         FROM daily
         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -988,7 +988,9 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        cust.select(
+            "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

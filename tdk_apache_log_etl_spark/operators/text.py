@@ -96,8 +96,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = _marker_score(toks, STOPWORDS)
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars_nospace.alias("n_chars_nospace"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars_nospace.cast("long").alias("n_chars_nospace"),
         (n_chars_nospace / n_tokens).alias("avg_token_len"),
         (n_stop / n_tokens).alias("stopword_ratio"),
     )
@@ -236,8 +236,9 @@ BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
     oracle=f"""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}'))) AS bpe_tokens,
-               SUM(len(string_split(text, ' '))) AS ws_tokens
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')))
+                    AS BIGINT) AS bpe_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
         FROM documents GROUP BY lang
     """,
 )

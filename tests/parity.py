@@ -1,6 +1,16 @@
 """Differential harness predicting the driver's correctness gate:
 run a registered Spark query and its DuckDB oracle on the same parquet,
-compare row count, column names, and exact (order-insensitive) values.
+compare row count, column names, column TYPES, and exact
+(order-insensitive) values.
+
+Type strictness matters: the driver's value hash is dtype-typed, so a
+DuckDB ``SUM(bigint_col)`` (which returns HUGEINT and surfaces as
+decimal128/float64 through Arrow) hash-mismatches a Spark BIGINT even
+when every value is identical.  Round 1 shipped four such oracles that
+passed the old value-only local gate and failed the driver.  We now
+fetch the oracle result through Arrow and compare canonical type tags —
+integer width, float width, decimal precision/scale — against the Spark
+schema, so an uncast integer SUM fails locally before it fails remotely.
 """
 
 from __future__ import annotations
@@ -10,6 +20,9 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
+
+from pyspark.sql import types as T
 
 from tdk_apache_log_etl_spark.sources.tables import TABLES
 
@@ -36,6 +49,80 @@ def _canon(v):
     return ("s", str(v))
 
 
+# ---------------------------------------------------------------------------
+# Canonical type tags.  Arrow (oracle side) and Spark schema (query side)
+# both map onto the same small tag language; equality of tags is the
+# type-strictness gate.  Integer/float widths and decimal (precision,
+# scale) are part of the tag; timestamp unit/timezone are not (the value
+# canonicalizer already strips tzinfo, and the driver compares values in
+# naive local time).
+# ---------------------------------------------------------------------------
+
+
+def _arrow_tag(t: pa.DataType):
+    if pa.types.is_boolean(t):
+        return ("b",)
+    if pa.types.is_integer(t):
+        return ("i", t.bit_width)
+    if pa.types.is_floating(t):
+        return ("f", t.bit_width)
+    if pa.types.is_decimal(t):
+        return ("dec", t.precision, t.scale)
+    if pa.types.is_timestamp(t):
+        return ("ts",)
+    if pa.types.is_date(t):
+        return ("d",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("s",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("bin",)
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return ("l", _arrow_tag(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, _arrow_tag(f.type)) for f in t))
+    if pa.types.is_null(t):
+        return ("null",)
+    return ("other", str(t))
+
+
+def _spark_tag(t: T.DataType):
+    if isinstance(t, T.BooleanType):
+        return ("b",)
+    if isinstance(t, T.LongType):
+        return ("i", 64)
+    if isinstance(t, T.IntegerType):
+        return ("i", 32)
+    if isinstance(t, T.ShortType):
+        return ("i", 16)
+    if isinstance(t, T.ByteType):
+        return ("i", 8)
+    if isinstance(t, T.DoubleType):
+        return ("f", 64)
+    if isinstance(t, T.FloatType):
+        return ("f", 32)
+    if isinstance(t, T.DecimalType):
+        return ("dec", t.precision, t.scale)
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return ("ts",)
+    if isinstance(t, T.DateType):
+        return ("d",)
+    if isinstance(t, T.StringType):
+        return ("s",)
+    if isinstance(t, T.BinaryType):
+        return ("bin",)
+    if isinstance(t, T.ArrayType):
+        return ("l", _spark_tag(t.elementType))
+    if isinstance(t, T.StructType):
+        return ("struct", tuple((f.name, _spark_tag(f.dataType)) for f in t))
+    if isinstance(t, T.NullType):
+        return ("null",)
+    return ("other", t.simpleString())
+
+
 def _normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_canon(r[i]) for i in order) for r in rows]
@@ -44,27 +131,42 @@ def _normalize(rows, columns):
 
 
 def run_oracle(sql: str, sf_dir: str):
+    """Run the DuckDB oracle; return (columns, rows, {col: type_tag}).
+
+    Fetched through Arrow so HUGEINT/INTEGER/BIGINT stay distinguishable
+    (``fetchall`` collapses them all to Python int).
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
     con.close()
-    return cols, rows
+    cols = tbl.column_names
+    tags = {f.name: _arrow_tag(f.type) for f in tbl.schema}
+    cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*cols_data)) if cols_data else []
+    if tbl.num_columns and not rows and tbl.num_rows:
+        rows = [tuple() for _ in range(tbl.num_rows)]
+    return cols, rows, tags
 
 
 def compare(spark, name: str, fn, sql: str, sf_dir: str):
     """Returns (ok, detail)."""
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_tags = {f.name: _spark_tag(f.dataType) for f in sdf.schema.fields}
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(sql, sf_dir)
+    o_cols, o_rows, o_tags = run_oracle(sql, sf_dir)
 
     if sorted(s_cols) != sorted(o_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(o_cols)}"
+    type_diffs = {
+        c: (s_tags[c], o_tags[c]) for c in s_cols if s_tags[c] != o_tags[c]
+    }
+    if type_diffs:
+        return False, f"column types differ (spark, duck): {type_diffs}"
     if len(s_rows) != len(o_rows):
         return False, f"row counts differ: spark={len(s_rows)} duck={len(o_rows)}"
     nc_s = _normalize(s_rows, s_cols)
