@@ -48,14 +48,17 @@ def shingles_of_tokens(toks: Column, n: int = SHINGLE_N) -> Column:
     Catalyst does no common-subexpression elimination inside lambda
     functions, so an inlined split re-executes once per shingle — measured
     ~4× slower on the shingling pass at sf0.1. Documents shorter than n
-    tokens yield the whole document as a single shingle.
+    tokens yield the whole document as a single shingle: the reads past the
+    array end use try_element_at (NULL, never an ANSI INVALID_ARRAY_INDEX
+    error) and concat_ws skips NULLs, so the single sequence element
+    concatenates exactly the tokens that exist.
     """
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
             ),
         )
     )

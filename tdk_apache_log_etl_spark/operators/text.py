@@ -340,13 +340,16 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     k = F.greatest(F.size(F.col("ws")) - 2, F.lit(1))
+    # try_element_at + NULL-skipping concat_ws: documents under 3 tokens
+    # yield the whole document as the single "3-gram" (the oracle's
+    # len(ws) < 3 CASE) instead of an ANSI out-of-bounds error.
     raw_sh = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(F.col("ws"), i),
-            F.element_at(F.col("ws"), i + 1),
-            F.element_at(F.col("ws"), i + 2),
+            F.try_element_at(F.col("ws"), i),
+            F.try_element_at(F.col("ws"), i + 1),
+            F.try_element_at(F.col("ws"), i + 2),
         ),
     )
     sh_stats = toks.select(

@@ -29,6 +29,33 @@ def _planted_docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_short_documents_shingle_whole_doc(spark):
+    # Documents with fewer than SHINGLE_N tokens must yield the whole doc
+    # as one shingle — under Spark 4 ANSI mode a plain element_at past the
+    # array end would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead.
+    rows = [(0, "single"), (1, "two words"), (2, "now three tokens"),
+            (3, "spark query engine test")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.sh for r in shingle_frame(docs, n_partitions=2).collect()}
+    assert sh[0] == ["single"]
+    assert sh[1] == ["two words"]
+    assert sh[2] == ["now three tokens"]
+    assert sh[3] == ["spark query engine", "query engine test"]
+
+
+def test_minhash_pipeline_survives_short_docs(spark):
+    # End-to-end: the whole candidate-pair path runs on a corpus containing
+    # 1- and 2-token documents, and identical short docs still pair up.
+    rows = [(0, "hi"), (1, "hi"), (2, "ok bye"), (3, "ok bye"),
+            (4, "some longer document with many distinct words in it here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_frame(docs, n_partitions=2)
+    pairs = exact_jaccard(minhash_candidate_pairs(sh), sh)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in found and (2, 3) in found
+    assert all(4 not in p for p in found)
+
+
 def test_minhash_finds_planted_pairs(spark):
     docs = _planted_docs(spark)
     sh = shingle_frame(docs, n_partitions=4)
