@@ -532,10 +532,13 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast join → fact-fact
-    join on the order key → group → top-10. customer is broadcast (small
-    side); orders↔lineitem shuffle once on orderkey; the final ORDER BY +
-    LIMIT plans TakeOrderedAndProject — no global sort of the aggregate."""
+    """TPC-H Q3 shape: selective dim filter → join → fact-fact join on
+    the order key → group → top-10. The BUILDING-filtered customer joins
+    WITHOUT a forced broadcast hint — even filtered, customer is an
+    unbounded dimension at 100 TB, so AQE picks broadcast vs shuffle from
+    the measured post-filter size (it broadcasts at bench scale).
+    orders↔lineitem shuffle once on orderkey; the final ORDER BY + LIMIT
+    plans TakeOrderedAndProject — no global sort of the aggregate."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -549,7 +552,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderdate") < cutoff_o),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dec_sum(
@@ -772,10 +775,13 @@ def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star with the cross-dimension equality
     c_nationkey = s_nationkey ("local supplier"). The ONLY shuffle is
-    lineitem↔orders on the order key; customer, supplier, nation, region
-    are all broadcast, and the nationkey equality rides as a residual
-    filter on broadcast joins — the fact table is never re-partitioned for
-    a dimension."""
+    lineitem↔orders on the order key. nation and region are broadcast by
+    hint (bounded: 25 and 5 rows at ANY scale factor); customer and
+    supplier carry NO hint — both grow with the scale factor, and AQE
+    decides broadcast vs shuffle from measured sizes (at bench scale it
+    broadcasts them, so the nationkey equality still rides the join as a
+    residual filter and the fact table is never re-partitioned for a
+    dimension)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -793,9 +799,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -862,10 +868,13 @@ def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue ratio. part is broadcast (the fact
-    scan never shuffles); both sums ride ONE aggregation pass; the ratio
-    divides two fixed-point-exact doubles, so the single-row result is
-    bit-identical across engines and partitionings."""
+    """TPC-H Q14 shape: promo revenue ratio. part joins pruned to two
+    columns with NO forced broadcast — part grows with the scale factor
+    (hundreds of GB even two-column at 100 TB TPC-H), so AQE chooses the
+    strategy (broadcast at bench scale, shuffle-on-partkey beyond). Both
+    sums ride ONE aggregation pass; the ratio divides two
+    fixed-point-exact doubles, so the single-row result is bit-identical
+    across engines and partitionings."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     lo = _ts(li, "l_shipdate", "1997-09-01")
@@ -874,7 +883,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -1057,9 +1066,12 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, top-20 customers. One
-    fact-fact shuffle on orderkey; customer and nation broadcast; the
-    final top-20 is TakeOrderedAndProject with a c_custkey tiebreak so
-    the cut is deterministic."""
+    fact-fact shuffle on orderkey; nation (25 rows, bounded) is broadcast
+    by hint, but customer carries NO hint — it is an unbounded dimension
+    (billions of rows at 100 TB TPC-H) and a forced broadcast would OOM
+    the executors; AQE picks broadcast vs shuffle from the measured size.
+    The final top-20 is TakeOrderedAndProject with a c_custkey tiebreak
+    so the cut is deterministic."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1074,7 +1086,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1103,8 +1115,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via HAVING on an aggregate.
     The quantity rollup groups on the (already co-partitioned) orderkey
-    before joining customer — aggregate-then-join keeps the broadcast
-    probe at one row per order, not one per lineitem."""
+    before joining customer — aggregate-then-join keeps the probe at one
+    row per order, not one per lineitem. customer joins WITHOUT a
+    broadcast hint: it is an unbounded dimension and forcing it into
+    executor memory is exactly the plan that dies at 100 TB; AQE chooses
+    from the runtime size instead."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1115,7 +1130,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qty.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1144,8 +1159,9 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
     distributes the disjunction: the part-only terms (brand OR'd with
     brand) and the lineitem-only quantity bound become single-side filters
-    PUSHED BELOW the join, shrinking both inputs before the broadcast probe;
-    the mixed residual evaluates after. Writing the predicate once,
+    PUSHED BELOW the join, shrinking both inputs before the join probe
+    (no forced broadcast: part is unbounded, AQE sizes the strategy); the
+    mixed residual evaluates after. Writing the predicate once,
     declaratively, gets all of that — no hand-split needed."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -1167,7 +1183,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             dec_sum(
@@ -1221,6 +1237,6 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -95,6 +95,27 @@ def test_catalog_registration_and_pruned_sql(spark, tmp_path):
     spark.sql("DROP TABLE log_clean_cat_test")
 
 
+def test_no_forced_broadcast_of_unbounded_dimension():
+    # Policy gate: a F.broadcast() hint pins the frame into executor
+    # memory regardless of size, so it is only allowed on frames bounded
+    # at ANY scale factor — nation (25 rows), region (5), single-row
+    # aggregates, and the by-contract-small query/dim sets. customer,
+    # supplier, part, orders, lineitem grow with SF; hinting them is the
+    # plan that OOMs a 100 TB cluster even though it passes every sf0.1
+    # test. AQE picks broadcast for them at bench scale anyway.
+    import pathlib
+    import re
+
+    allowed = {"nation", "region", "max_rev", "queries", "query_probes", "dim"}
+    src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
+    bad = []
+    for p in sorted(src.rglob("*.py")):
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", p.read_text()):
+            if m.group(1) not in allowed:
+                bad.append(f"{p.name}: F.broadcast({m.group(1)}...)")
+    assert not bad, f"forced broadcast of unbounded frame(s): {bad}"
+
+
 def test_q4_exists_plans_semi_join_with_residual(spark):
     plan = _plan(QUERIES["tpch_q4_priority_count"](spark, SF_DIR_CORRECT))
     assert "LeftSemi" in plan
