@@ -26,9 +26,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .registry import query
+from .registry import query, scoped_persist
 
 # -- MinHash parameters ----------------------------------------------------
 MINHASH_PERMS = 32
@@ -70,19 +71,24 @@ def shingles(col, n: int = SHINGLE_N):
     return shingles_of_tokens(F.split(col, " "), n)
 
 
-def shingle_frame(docs: DataFrame, n_partitions: int = 64) -> DataFrame:
+def shingle_frame(docs: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """(doc_id, sh: array<string>) — repartitioned (the fixture is one
     parquet file → one input split; real corpora arrive pre-split) and
     persisted, because both the LSH band join and the Jaccard verification
     reuse it and Spark would otherwise recompute the shingling for every
     consumer (no CSE across self-join branches). Tokenization runs in its
     own projection so the split is evaluated once per document, not once
-    per shingle (see shingles_of_tokens)."""
+    per shingle (see shingles_of_tokens). The partition count follows
+    spark.sql.shuffle.partitions (no magic constants — the session config
+    is the one knob an operator sizes shuffles by)."""
+    if n_partitions is None:
+        n_partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-    return (
+    return scoped_persist(
         toks.select("doc_id", shingles_of_tokens(F.col("_toks")).alias("sh"))
         .repartition(n_partitions, "doc_id")
-        .persist()
     )
 
 
@@ -169,9 +175,11 @@ def minhash_candidate_pairs(sh_df: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
-    ).persist()
+    banded = scoped_persist(
+        sig.select(
+            "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -326,46 +334,66 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Duplicate clustering (connected components) ---------------------------
 
 
-def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
-    """COMPLETE exact-Jaccard pairs (doc_a < doc_b, jaccard ≥ threshold)
-    via an inverted shingle index. Any pair with Jaccard > 0 shares a
-    shingle, so unlike LSH banding this has recall 1.0 by construction
-    (which is what lets the cluster query carry a SQL oracle). The
-    intersection size |A∩B| is aggregated directly from the index join —
-    one count per co-occurring pair — and Jaccard is c/(|A|+|B|-c) from
-    persisted set sizes; the shingle ARRAYS are never shipped to candidate
-    pairs (the array_intersect re-join costs ~2× more, measured at sf0.1).
-    Cost is Σ posting-list², not n²; at 100 TB bound the hot lists with a
-    document-frequency cut or prefix filtering (drop each doc's most
-    frequent shingles — safe for thresholds ≥ the prefix bound) before
-    this join."""
+def prefix_candidates(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) via PREFIX FILTERING of the inverted
+    shingle index — the exact-recall replacement for the naive full index
+    self-join, whose cost is Σ posting-list² and explodes on one ubiquitous
+    shingle (a boilerplate header shared by millions of docs makes a single
+    quadratic bucket).
+
+    Order every document's shingles by ascending global document frequency
+    (rarest first, shingle text as tie-break) and index only the first
+    ``|d| - ceil(t·|d|) + 1`` of them. Guarantee: J(A,B) ≥ t implies
+    |A∩B| ≥ ceil(t·max(|A|,|B|)) (since J ≥ t also forces
+    min ≥ t·max on the sizes), and two sets with overlap ≥ α must share an
+    element within their (size - α + 1)-prefixes of ANY common total order
+    — so every qualifying pair still collides on some indexed shingle:
+    recall 1.0, which is what lets dedup_cluster_canonical keep an exact
+    recursive-CTE SQL oracle. Ubiquitous shingles sort LAST and fall out
+    of every prefix, so posting lists in the self-join are df-bounded by
+    construction. Cost: two extra narrow shuffles (df count, per-doc rank)
+    — linear, vs the quadratic bucket they prevent."""
     inv = sh_df.select("doc_id", F.explode("sh").alias("w"))
-    sizes = sh_df.select("doc_id", F.size("sh").alias("n"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
+    df_counts = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    by_rarity = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    whole_doc = Window.partitionBy("doc_id")
+    ranked = (
+        inv.join(df_counts, "w")
+        .withColumn("rn", F.row_number().over(by_rarity))
+        .withColumn("n", F.count(F.lit(1)).over(whole_doc))
+    )
+    # The 1e-9 guard keeps ceil from overshooting on float artifacts like
+    # 0.3*10 = 3.0000000000000004 (an overshoot SHORTENS the prefix and
+    # silently costs recall); exact products are unaffected.
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "w")
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .distinct()
     )
-    # Size lookups are left adaptive (no forced broadcast): tiny here, but
-    # one row per doc — at corpus scale AQE must be free to pick a shuffle
-    # join instead of broadcasting billions of (doc_id, n) rows.
-    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
-    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+
+
+def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """COMPLETE exact-Jaccard pairs (doc_a < doc_b, jaccard ≥ threshold):
+    prefix-filtered candidate generation (recall 1.0 — see
+    prefix_candidates) followed by exact shingle-set verification. The
+    shingle arrays ship only to the pruned candidate pairs, never to every
+    co-occurring pair."""
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
-        )
+        exact_jaccard(prefix_candidates(sh_df, threshold), sh_df)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

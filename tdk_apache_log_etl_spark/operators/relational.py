@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
-from .registry import query
+from .registry import query, scoped_persist
 
 
 def _ts(df: DataFrame, colname: str, value: str):
@@ -1232,8 +1232,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
-        .persist()
     )
+    rev = scoped_persist(rev)
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
-from .registry import query
+from .registry import query, scoped_persist
 
 TOPK_N_QUERIES = 5
 TOPK_K = 5
@@ -314,10 +314,12 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     e = as_double(F.col("embedding"))
     norm = F.sqrt(dot(e, e))
-    base = emb.select(
-        F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
-        lsh_table_sigs(e, dim).alias("sigs"),
-    ).persist()
+    base = scoped_persist(
+        emb.select(
+            F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
+            lsh_table_sigs(e, dim).alias("sigs"),
+        )
+    )
     tables = base.select("vec_id", F.posexplode("sigs").alias("table_id", "sig"))
     probed = tables.select(
         "vec_id",
@@ -403,10 +405,9 @@ def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
     itself. The sample is cached across iterations (each iteration is a
     separate job; without the cache every iteration re-reads the corpus).
     """
-    train = (
+    train = scoped_persist(
         emb.filter(F.col("vec_id") % IVF_TRAIN_MOD == 0)
         .select("vec_id", "embedding")
-        .persist()
     )
     init = (
         train.orderBy("vec_id")

@@ -47,6 +47,13 @@ def asof_join(
     ties match (<= semantics, like DuckDB ASOF) — and carry the right
     attributes forward. One shuffle, linear, skew governed by the key.
 
+    The carry is ONE struct of all right_cols, not per-column last()s: a
+    per-column carry with ignorenulls would smear an older row's non-null
+    value over a matched row whose attribute is legitimately NULL. The
+    struct is non-null exactly for right rows, so last(struct,
+    ignorenulls) finds the latest matching ROW and its fields come back
+    verbatim — NULLs included.
+
     ``tie_break`` (a right-side column, e.g. a primary key) disambiguates
     multiple right rows at the same (key, ts): the max-tie_break row wins.
     This replaces a pre-aggregation of the right side — the tie-break rides
@@ -89,17 +96,16 @@ def asof_join(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    payload = F.when(F.col("_is_left") == 0, F.struct(*right_cols))
     carried = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(payload, ignorenulls=True).over(w).alias("_asof_p")
     )
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .drop("_t", "_is_left", *right_cols)
-        .withColumnsRenamed({f"_asof_{c}": c for c in right_cols})
+    out = carried.filter(F.col("_is_left") == 1).drop(
+        "_t", "_is_left", *right_cols
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_asof_p"],
+        *[F.col(f"_asof_p.{c}").alias(c) for c in right_cols],
     )
 
 

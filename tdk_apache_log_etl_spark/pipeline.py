@@ -16,7 +16,14 @@ Differences from the reference, all deliberate (SURVEY.md §7):
   * malformed lines quarantined in ``_corrupt``, not file-fatal;
   * one staging write, not two;
   * three metrics share one scan instead of three;
-  * ``run_date`` is a parameter, not wall-clock ``datetime.now()``.
+  * ``run_date`` is a parameter, not wall-clock ``datetime.now()``;
+  * NULL user_id (the CLF ``-`` placeholder) is excluded from BOTH
+    outputs: ``requests_per_user`` filters the NULL group the reference's
+    ``groupBy('user_id')`` would emit, and ``user_count`` uses
+    ``countDistinct`` (NULL-excluding) where the reference's
+    ``.distinct().count()`` counts NULL as one extra "user". Anonymous
+    traffic is not a user; the un-dropped totals remain available via
+    ``total_requests`` in the staging queries.
 """
 
 from __future__ import annotations

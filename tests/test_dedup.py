@@ -119,6 +119,51 @@ def test_connected_components_chain_converges(spark):
                    (6, 6), (7, 6), (8, 8)}
 
 
+def test_scoped_caches_released_between_queries(spark):
+    # Query-building persist()s (shingle frames, LSH bands) must not
+    # accumulate across queries in a long-lived session: the registry
+    # drains the previous query's caches when the next one starts.
+    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators import registry
+
+    from .conftest import SF_DIR_SMOKE
+
+    QUERIES["minhash_lsh_neardup"](spark, SF_DIR_SMOKE).count()
+    assert len(registry._SCOPED_CACHES) > 0
+    QUERIES["dedup_exact_docs"](spark, SF_DIR_SMOKE).count()
+    assert len(registry._SCOPED_CACHES) == 0
+
+
+def test_prefix_filter_bounds_ubiquitous_shingle_bucket(spark):
+    # 40 docs all containing one identical 3-gram ("the quick fox" header)
+    # but otherwise pairwise-disjoint. The naive inverted-index self-join
+    # makes a 40²/2-pair bucket from that one posting list; the
+    # df-ascending prefix filter must rank the ubiquitous shingle last,
+    # drop it from every prefix, and emit ZERO candidates — while planted
+    # true dups (sharing RARE shingles) must still be found.
+    from tdk_apache_log_etl_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_candidates,
+    )
+
+    n = 40
+    rows = [
+        (i, f"the quick fox a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}")
+        for i in range(n)
+    ]
+    # docs 100/101: exact dups of each other, still carrying the header
+    dup = "the quick fox same same2 same3 same4 same5 same6 same7 same8"
+    rows += [(100, dup), (101, dup)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_frame(docs, n_partitions=4)
+
+    cands = {(r.doc_a, r.doc_b) for r in prefix_candidates(sh, 0.5).collect()}
+    assert cands == {(100, 101)}  # bounded: not ~800 header-bucket pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(sh, 0.5).collect()}
+    assert pairs == {(100, 101)}
+
+
 def test_exact_jaccard_pairs_matches_bruteforce(spark):
     # recall-1.0 claim: the inverted-index pair join must find exactly the
     # pairs a brute-force array_intersect over ALL pairs finds.

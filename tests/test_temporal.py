@@ -41,6 +41,29 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert len(got) == 4             # every left row preserved
 
 
+def test_asof_join_preserves_null_attribute_of_matched_row(spark):
+    # The matched right row carries a legitimately-NULL attribute: the join
+    # must return NULL for it, not smear the previous row's non-null value
+    # (the failure mode of a per-column last(ignorenulls) carry).
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-10T12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-03T00:00:00"), 31, 10.0),
+            (100, _ts("2024-01-05T00:00:00"), 32, None),  # latest match
+        ],
+        ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    r = out.collect()[0]
+    assert r.o_orderkey == 32
+    assert r.o_totalprice is None  # NOT 10.0 from the older row
+
+
 def test_range_join_window_bounds(spark):
     import pyspark.sql.functions as F
 
