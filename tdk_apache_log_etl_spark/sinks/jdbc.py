@@ -11,9 +11,11 @@ Fixes over the reference, per SURVEY.md §7.4.5:
     (``batchsize``) — the reference writes with Spark defaults, which at
     scale means one executor trickling single-row inserts.
 
-No database ships in this environment, so tests cover writer construction
-and option plumbing; the terminal ``.save()`` is the only untested call —
-it is a stock DataFrameWriter method.
+The full write path — including the terminal ``.save()``, table
+auto-create, truncate-preserving overwrite, and append — is exercised
+end-to-end in tests/test_jdbc.py against embedded Derby (the in-JVM
+database Spark already bundles for its Hive metastore), standing in for
+the reference's Oracle target.
 """
 
 from __future__ import annotations
