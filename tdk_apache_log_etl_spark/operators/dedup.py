@@ -353,14 +353,14 @@ def prefix_candidates(sh_df: DataFrame, threshold: float) -> DataFrame:
     of every prefix, so posting lists in the self-join are df-bounded by
     construction. Cost: two extra narrow shuffles (df count, per-doc rank)
     — linear, vs the quadratic bucket they prevent."""
-    inv = sh_df.select("doc_id", F.explode("sh").alias("w"))
+    # n rides along from the array (no count-over-partition window pass).
+    inv = sh_df.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("w")
+    )
     df_counts = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     by_rarity = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
-    whole_doc = Window.partitionBy("doc_id")
-    ranked = (
-        inv.join(df_counts, "w")
-        .withColumn("rn", F.row_number().over(by_rarity))
-        .withColumn("n", F.count(F.lit(1)).over(whole_doc))
+    ranked = inv.join(df_counts, "w").withColumn(
+        "rn", F.row_number().over(by_rarity)
     )
     # The 1e-9 guard keeps ceil from overshooting on float artifacts like
     # 0.3*10 = 3.0000000000000004 (an overshoot SHORTENS the prefix and
@@ -370,14 +370,18 @@ def prefix_candidates(sh_df: DataFrame, threshold: float) -> DataFrame:
         <= F.col("n")
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
         + 1
-    ).select("doc_id", "w")
+    ).select("doc_id", "n", "w")
     a = pref.alias("a")
     b = pref.alias("b")
+    # Size-compatibility rides the join: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+    # so size-incompatible collisions drop before the distinct.
     return (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -386,12 +390,79 @@ def prefix_candidates(sh_df: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: Direct-join budget: the full inverted-index self-join emits
+#: Σ df·(df-1)/2 candidate rows; allow it while that stays within this
+#: factor of the index size (output linear-ish in input), else switch to
+#: prefix filtering. 16 rows out per index row is comfortably inside one
+#: shuffle's headroom; a single hot shingle (df ~ 10⁵⁺ on a real corpus)
+#: blows past it immediately.
+PAIR_BUDGET_FACTOR = 16.0
+
+
+def _direct_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """Full inverted-index self-join: |A∩B| aggregated directly from the
+    index (one count per co-occurring pair), Jaccard from set sizes —
+    2 shuffles total, no array shipping. Fastest when posting lists are
+    uniformly small; quadratic in the hottest list otherwise."""
+    inv = sh_df.select("doc_id", F.explode("sh").alias("w"))
+    sizes = sh_df.select("doc_id", F.size("sh").alias("n"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Size lookups stay adaptive (no forced broadcast): one row per doc —
+    # at corpus scale AQE must be free to pick a shuffle join.
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
-    """COMPLETE exact-Jaccard pairs (doc_a < doc_b, jaccard ≥ threshold):
-    prefix-filtered candidate generation (recall 1.0 — see
-    prefix_candidates) followed by exact shingle-set verification. The
-    shingle arrays ship only to the pruned candidate pairs, never to every
-    co-occurring pair."""
+    """COMPLETE exact-Jaccard pairs (doc_a < doc_b, jaccard ≥ threshold),
+    with ADAPTIVE strategy selection — measure, don't guess:
+
+    One cheap stats pass over the document-frequency table prices the
+    direct inverted-index self-join (it emits exactly Σ df·(df-1)/2
+    rows). Within budget → run it (2 shuffles, no array shipping — the
+    fast plan for uniformly small posting lists, e.g. this corpus).
+    Over budget (any ubiquitous shingle) → prefix-filtered candidates +
+    exact verification (see prefix_candidates), whose join volume is
+    df-bounded by construction. Both strategies are exact (recall 1.0),
+    so the choice is invisible to results and to the SQL oracle — it is
+    the same runtime-statistics re-planning AQE does for join strategies,
+    applied to an operator Catalyst can't see into."""
+    stats = (
+        sh_df.select(F.explode("sh").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("index_rows"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2.0).alias("emitted"),
+        )
+        .collect()[0]
+    )
+    if (
+        stats.emitted is not None
+        and stats.emitted <= PAIR_BUDGET_FACTOR * (stats.index_rows or 0)
+    ):
+        return _direct_jaccard_pairs(sh_df, threshold)
     return (
         exact_jaccard(prefix_candidates(sh_df, threshold), sh_df)
         .filter(F.col("jaccard") >= threshold)

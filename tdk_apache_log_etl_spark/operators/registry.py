@@ -9,7 +9,6 @@ parquet tables. Column names AND values are designed to match exactly
 
 from __future__ import annotations
 
-import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,42 +18,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-#: Persisted frames created while building the CURRENT query, drained at
-#: the next query invocation. Several operators persist() intermediates
-#: that multiple plan branches reuse (shingle frames, LSH bands, the Q15
-#: revenue view); the cache must outlive the query function (the caller
-#: runs the action), so it can't be try/finally-scoped inside — but
-#: without cleanup a long-lived session accumulates cached blocks across
-#: queries until executor storage fills. One-query lifetime is the
-#: contract: reuse happens within a query's plan, never across queries.
-_SCOPED_CACHES: list[DataFrame] = []
+#: Bounded keyed cache for persist()ed intermediates. Several operators
+#: persist() frames that multiple plan branches reuse (shingle frames,
+#: LSH bands, the Q15 revenue view); the cache must outlive the query
+#: function (the caller runs the action), so it can't be
+#: try/finally-scoped inside — but without ANY cleanup a long-lived
+#: session accumulates cached blocks until executor storage fills.
+#: Policy: key by the frame's semantic hash so back-to-back queries over
+#: the SAME corpus reuse one materialization (the minhash → cluster
+#: sequence re-shingling the identical documents table is pure waste),
+#: and evict least-recently-used beyond a small cap so total cached
+#: storage stays bounded however many queries the session runs.
+_SCOPED_CACHES: dict[object, DataFrame] = {}
+_MAX_SCOPED_CACHES = 4
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist() with one-query lifetime: evicted when the NEXT registered
-    query starts building (or via release_scoped_caches)."""
-    _SCOPED_CACHES.append(df.persist())
+    """persist() with bounded lifetime: semantically-identical frames
+    share one cached materialization; least-recently-used entries are
+    unpersisted beyond a small cap (or all at once via
+    release_scoped_caches)."""
+    try:
+        key: object = df.semanticHash()
+    except Exception:  # pragma: no cover - defensive: hash is best-effort
+        key = object()
+    if key in _SCOPED_CACHES:
+        cached = _SCOPED_CACHES.pop(key)
+        _SCOPED_CACHES[key] = cached  # re-insert = mark most recent
+        return cached
+    df = df.persist()
+    _SCOPED_CACHES[key] = df
+    while len(_SCOPED_CACHES) > _MAX_SCOPED_CACHES:
+        oldest = next(iter(_SCOPED_CACHES))
+        _SCOPED_CACHES.pop(oldest).unpersist()
     return df
 
 
 def release_scoped_caches() -> None:
     while _SCOPED_CACHES:
-        _SCOPED_CACHES.pop().unpersist()
+        k = next(iter(_SCOPED_CACHES))
+        _SCOPED_CACHES.pop(k).unpersist()
 
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-
-        @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_scoped_caches()
-            return fn(spark, sf_dir)
-
-        QUERIES[name] = wrapped
+        QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
-        return wrapped
+        return fn
 
     return deco

@@ -119,18 +119,26 @@ def test_connected_components_chain_converges(spark):
                    (6, 6), (7, 6), (8, 8)}
 
 
-def test_scoped_caches_released_between_queries(spark):
+def test_scoped_cache_reuses_and_stays_bounded(spark):
     # Query-building persist()s (shingle frames, LSH bands) must not
-    # accumulate across queries in a long-lived session: the registry
-    # drains the previous query's caches when the next one starts.
-    from tdk_apache_log_etl_spark.operators import QUERIES
+    # accumulate without bound in a long-lived session — but semantically
+    # identical frames (same corpus shingled twice by back-to-back
+    # queries) must share ONE cached materialization.
     from tdk_apache_log_etl_spark.operators import registry
+    from tdk_apache_log_etl_spark.operators.registry import (
+        release_scoped_caches,
+        scoped_persist,
+    )
 
-    from .conftest import SF_DIR_SMOKE
-
-    QUERIES["minhash_lsh_neardup"](spark, SF_DIR_SMOKE).count()
-    assert len(registry._SCOPED_CACHES) > 0
-    QUERIES["dedup_exact_docs"](spark, SF_DIR_SMOKE).count()
+    release_scoped_caches()
+    d1 = scoped_persist(spark.range(10))
+    d2 = scoped_persist(spark.range(10))
+    assert d1 is d2  # identical plan -> reused, not re-persisted
+    assert len(registry._SCOPED_CACHES) == 1
+    for i in range(registry._MAX_SCOPED_CACHES + 3):
+        scoped_persist(spark.range(1000 + i))
+    assert len(registry._SCOPED_CACHES) == registry._MAX_SCOPED_CACHES
+    release_scoped_caches()
     assert len(registry._SCOPED_CACHES) == 0
 
 
@@ -162,6 +170,34 @@ def test_prefix_filter_bounds_ubiquitous_shingle_bucket(spark):
 
     pairs = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(sh, 0.5).collect()}
     assert pairs == {(100, 101)}
+
+
+def test_pair_strategies_agree(spark):
+    # The adaptive strategy switch must be invisible to results: the
+    # direct inverted-index count and the prefix-filter + verify paths
+    # produce identical pair sets and identical Jaccard values.
+    from tdk_apache_log_etl_spark.operators.dedup import (
+        _direct_jaccard_pairs,
+        exact_jaccard,
+        prefix_candidates,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    docs = load_table(spark, SF_DIR_CORRECT, "documents").limit(150)
+    sh = shingle_frame(docs)
+    direct = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _direct_jaccard_pairs(sh, 0.5).collect()
+    }
+    via_prefix = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in exact_jaccard(prefix_candidates(sh, 0.5), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert direct == via_prefix
 
 
 def test_exact_jaccard_pairs_matches_bruteforce(spark):
