@@ -32,6 +32,11 @@ HEADLINE = [
     "tpch_q6_revenue_delta",
     "tpch_q12_priority_by_flag",
     "tpch_q14_promo_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
     "star_revenue_by_nation",
     "orders_lineitem_revenue",
     "topk_orders_by_price",

@@ -4,6 +4,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 
 from . import logmetrics  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import tpch_full  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402

@@ -106,7 +106,11 @@ def test_no_forced_broadcast_of_unbounded_dimension():
     import pathlib
     import re
 
-    allowed = {"nation", "region", "max_rev", "queries", "query_probes", "dim"}
+    allowed = {
+        "nation", "region", "max_rev", "queries", "query_probes", "dim",
+        # 1-row aggregates (global scalar-subquery results):
+        "threshold", "total",
+    }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
     for p in sorted(src.rglob("*.py")):
@@ -177,3 +181,45 @@ def test_bucketed_join_skips_shuffle_and_sort(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q21_reads_lineitem_once(spark):
+    # the EXISTS/NOT EXISTS pair decorrelates into window aggregates, so
+    # lineitem and orders are each scanned exactly once — the naive
+    # groupBy + join-back rewrite scans them twice (no ReusedExchange)
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR_CORRECT)
+    df.collect()
+    # AQE's toString prints the Initial Plan below the Final Plan — only
+    # count scans in the executed (final) section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_correlated_avg_is_one_window_pass(spark):
+    # the correlated AVG(l_quantity) decorrelates into a window over the
+    # part key: one scan of lineitem, no self-join back
+    plan = _plan(QUERIES["tpch_q17_small_qty_revenue"](spark, SF_DIR_CORRECT))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q2_min_subquery_is_window_not_join(spark):
+    # MIN-per-part decorrelates to a window, so the aggregated unit-cost
+    # frame appears once and lineitem is scanned once
+    plan = _plan(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR_CORRECT))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_blacklist_is_anti_join(spark):
+    plan = _plan(QUERIES["tpch_q16_supplier_cnt"](spark, SF_DIR_CORRECT))
+    assert "LeftAnti" in plan
+
+
+def test_q20_nested_subquery_is_semi_join(spark):
+    plan = _plan(QUERIES["tpch_q20_promotion_suppliers"](spark, SF_DIR_CORRECT))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
