@@ -52,6 +52,7 @@ HEADLINE = [
     # text / dedup
     "token_stats_by_lang",
     "text_quality_scores",
+    "pack_token_offsets",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
     "dedup_cluster_canonical",

@@ -11,3 +11,4 @@ from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
+from . import packing  # noqa: F401,E402
