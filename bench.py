@@ -53,6 +53,7 @@ HEADLINE = [
     "token_stats_by_lang",
     "text_quality_scores",
     "pack_token_offsets",
+    "benchmark_decontaminate",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
     "dedup_cluster_canonical",

@@ -12,3 +12,4 @@ from . import multimodal  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
 from . import packing  # noqa: F401,E402
+from . import hygiene  # noqa: F401,E402

@@ -1,0 +1,133 @@
+"""Corpus-hygiene operators: blocklist filtering and benchmark
+decontamination.
+
+Two more standard stages of an LLM training-data pipeline (the C4/Gopher
+lineage), alongside dedup/quality/packing:
+
+  * **blocklist filtering**: count and strip blocked vocabulary per
+    document, and flag documents whose blocked-token ratio crosses the
+    drop threshold.  Pure array expressions — filter/size/array_join are
+    codegen'd JVM-side; no UDF, no shuffle (embarrassingly parallel).
+
+  * **benchmark decontamination**: find training documents that share a
+    long n-gram with an evaluation set, the standard leakage check
+    before training.  The probe "benchmark" here is a deterministic
+    slice of the corpus (doc_id % 7 == 0) so the oracle can replay it;
+    in production it is the actual eval suites.  Contamination is an
+    equi-join on the n-gram text between corpus shingles and the
+    distinct probe shingles — at 100 TB you would pre-hash the n-gram
+    to 8 bytes (xxhash64) for the shuffle and string-verify only the
+    hash matches, exactly like the MinHash verify stage in
+    operators/dedup.py; at oracle scale the string join IS the verify.
+
+The reference has no text surface at all (Apache-log ETL); these extend
+the driver-mandated LLM-pipeline pack (SURVEY.md §2 extension rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+#: blocked vocabulary (stand-in for a real blocklist; the fixture corpus
+#: is synthetic word-soup, so real obscenity lists would never match)
+BLOCKED = ("slow", "big")
+#: documents above this blocked-token ratio are flagged for dropping
+DROP_RATIO = 0.05
+#: contamination n-gram length (long enough that chance collisions are
+#: rare, the usual 8-13 range from the decontamination literature)
+DECON_N = 8
+#: deterministic probe slice standing in for the benchmark set
+PROBE_MOD = 7
+
+_BLOCKED_SQL = ", ".join(f"'{t}'" for t in BLOCKED)
+
+
+@query(
+    "blocklist_scrub",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(ws, t -> t IN ({_BLOCKED_SQL})))
+                    AS BIGINT) AS n_blocked,
+               len(list_filter(ws, t -> t IN ({_BLOCKED_SQL})))
+                 / len(ws) AS blocked_ratio,
+               len(list_filter(ws, t -> t IN ({_BLOCKED_SQL})))
+                 / len(ws) > {DROP_RATIO} AS dropped,
+               array_to_string(
+                 list_filter(ws, t -> t NOT IN ({_BLOCKED_SQL})), ' '
+               ) AS clean_text
+        FROM t
+    """,
+)
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist pass: per-document blocked-token count/ratio, the
+    cleaned text with blocked tokens removed, and the drop flag.  One
+    narrow projection over the scan — no shuffle, no UDF; the lambda
+    array functions stay inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    is_blocked = lambda t: t.isin(*BLOCKED)  # noqa: E731
+    n_blocked = F.size(F.filter(ws, is_blocked))
+    ratio = n_blocked / F.size(ws)
+    return docs.select(
+        "doc_id",
+        n_blocked.cast("long").alias("n_blocked"),
+        ratio.alias("blocked_ratio"),
+        (ratio > DROP_RATIO).alias("dropped"),
+        F.array_join(
+            F.filter(ws, lambda t: ~t.isin(*BLOCKED)), " "
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "benchmark_decontaminate",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id, array_to_string(ws[i:i+{DECON_N - 1}], ' ') AS ng
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+          LATERAL (
+            SELECT unnest(generate_series(1, len(ws) - {DECON_N - 1})) AS i
+          ) t
+        )
+        SELECT g.doc_id, COUNT(DISTINCT g.ng) AS n_hits
+        FROM g
+        JOIN (SELECT DISTINCT ng FROM g
+              WHERE doc_id % {PROBE_MOD} = 0) p USING (ng)
+        WHERE g.doc_id % {PROBE_MOD} <> 0
+        GROUP BY g.doc_id
+    """,
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: corpus documents sharing at least one
+    {DECON_N}-gram with the probe set, with the count of distinct shared
+    n-grams.  Shape: explode → distinct-probe build side → equi-join →
+    count-distinct per doc.  The probe side (a benchmark suite: ~10⁶
+    n-grams in practice) is the natural broadcast candidate — AQE
+    measures it post-distinct rather than a forced hint.  Documents
+    shorter than {DECON_N} tokens contribute no n-grams (guarded; the
+    ANSI element_at trap from round 1 doesn't apply to slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (DECON_N - 1))
+    ngrams = F.when(
+        F.size(ws) >= DECON_N,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, DECON_N), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(ngrams).alias("ng"))
+    probes = (
+        g.filter(F.col("doc_id") % PROBE_MOD == 0).select("ng").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % PROBE_MOD != 0)
+        .join(probes, "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n_hits"))
+    )

@@ -1,0 +1,68 @@
+"""Planted-case semantics for the hygiene operators: a known
+contaminated document must be flagged (and only it), and the blocklist
+scrub must strip exactly the blocked tokens."""
+
+from __future__ import annotations
+
+import pytest
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+
+
+@pytest.fixture()
+def planted_docs_dir(spark, tmp_path):
+    """A documents.parquet with one probe doc (id % 7 == 0), one doc
+    sharing the probe's 8-gram, and one clean doc."""
+    probe_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # doc 7: probe (7 % 7 == 0)
+        (7, f"start {probe_gram} end", "en", "web", 0),
+        # doc 8: contains the probe's 8-gram verbatim → contaminated
+        (8, f"other words then {probe_gram} trailing", "en", "web", 0),
+        # doc 9: same vocabulary, different order → no shared 8-gram
+        (9, "theta eta zeta epsilon delta gamma beta alpha pad pad", "en", "web", 0),
+        # doc 10: too short for any 8-gram → must not crash, not match
+        (10, "tiny doc", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_decontaminate_flags_planted_overlap(spark, planted_docs_dir):
+    got = {
+        r.doc_id: r.n_hits
+        for r in QUERIES["benchmark_decontaminate"](
+            spark, planted_docs_dir
+        ).collect()
+    }
+    assert set(got) == {8}
+    assert got[8] == 1  # exactly the one planted 8-gram
+
+
+def test_blocklist_scrub_strips_exactly_blocked_tokens(spark, tmp_path):
+    rows = [
+        # 2 blocked of 10 tokens → ratio 0.2 > 0.05 → dropped
+        (1, "slow query on a big table with eight more words", "en", "w", 0),
+        # no blocked tokens → kept, text unchanged
+        (2, "fast query on a small table", "en", "w", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["blocklist_scrub"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_blocked == 2
+    assert got[1].dropped
+    assert got[1].clean_text == "query on a table with eight more words"
+    assert got[2].n_blocked == 0
+    assert not got[2].dropped
+    assert got[2].clean_text == "fast query on a small table"

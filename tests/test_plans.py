@@ -110,6 +110,8 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "nation", "region", "max_rev", "queries", "query_probes", "dim",
         # 1-row aggregates (global scalar-subquery results):
         "threshold", "total",
+        # N_GROUPS-row prefix-sum offset frame (packing.py)
+        "group_offsets",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
