@@ -1,0 +1,67 @@
+"""Fleet-wide plan-hazard sweep: every registered query's physical plan
+is checked for the classic 100 TB killers — cartesian products,
+row-at-a-time Python UDFs, and unbounded global windows.  Exceptions are
+an explicit allowlist with the boundedness argument stated next to each
+name; a new query that introduces a hazard fails here until it is either
+re-planned or justified."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+
+from .conftest import SF_DIR_SMOKE
+
+#: BroadcastNestedLoopJoin is acceptable ONLY when one side is bounded at
+#: any scale factor:
+BNLJ_OK = {
+    "cosine_topk_bruteforce",  # query set is TOPK_N_QUERIES rows by contract
+    "ann_lsh_topk",            # same bounded query set
+    "ann_ivf_topk",            # same bounded query set
+    "tpch_q11_important_parts",   # 1-row global-total crossJoin
+    "tpch_q22_sales_opportunity",  # 1-row average-balance crossJoin
+    "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
+}
+
+#: empty-partition (global) windows acceptable ONLY over provably bounded
+#: frames (the docstrings carry the argument):
+GLOBAL_WINDOW_OK = {
+    "moving_avg_daily_revenue",  # pre-aggregated to one row per day
+    "ntile_customer_quartiles",  # pre-aggregated per-customer, then 4-tile
+    "pack_token_offsets",        # N_GROUPS-row group-offset frame
+    "pack_sequences_greedy",     # oracle-side only; Spark side has none
+}
+
+
+def _global_window_key(plan: str) -> str | None:
+    for line in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        # a partitioned window lists partition cols first (no ASC/DESC on
+        # the first argument); a global one starts with the ORDER BY col
+        if m and re.match(r"\s*\w+#\d+\w* (ASC|DESC)", m.group(1)):
+            return m.group(1).split("#")[0].strip()
+    return None
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_hazards_in_plan(spark, name):
+    plan = (
+        QUERIES[name](spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF (use Arrow/pandas form)"
+    )
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_OK, (
+            f"{name}: BroadcastNestedLoopJoin without a boundedness waiver"
+        )
+    key = _global_window_key(plan)
+    if key is not None:
+        assert name in GLOBAL_WINDOW_OK, (
+            f"{name}: global window over '{key}' without a waiver"
+        )
