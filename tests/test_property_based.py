@@ -1,0 +1,158 @@
+"""Hypothesis property tests (SURVEY.md §5's generative tier):
+
+  * the CLF parser round-trips randomly generated well-formed lines —
+    every field comes back exactly, for any IP/user/offset/method/size
+    combination, not just the golden lines;
+  * the greedy packer satisfies its invariants for arbitrary token-count
+    sequences (pure-pandas helper — no Spark session in the loop);
+  * dec_sum is bit-identical across partitionings for arbitrary doubles
+    — the exact property the DuckDB differential gate relies on.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tdk_apache_log_etl_spark.operators.numeric import dec_sum
+from tdk_apache_log_etl_spark.operators.packing import CTX, _pack_group
+from tdk_apache_log_etl_spark.sources.apache_log import parse_clf_lines
+
+# ---------------------------------------------------------------------------
+# greedy packer: pure-function invariants
+# ---------------------------------------------------------------------------
+
+token_counts = st.lists(st.integers(min_value=1, max_value=2 * CTX), max_size=60)
+
+
+@given(token_counts)
+def test_pack_group_invariants(counts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(counts)),
+            "grp": [0] * len(counts),
+            "n_tokens": counts,
+        }
+    )
+    out = _pack_group(pdf)
+    assert list(out["doc_id"]) == sorted(out["doc_id"])  # order preserved
+    assert len(out) == len(counts)  # nothing dropped or split
+    cur_bin, fill, n_in_bin = 0, 0, 0
+    for i, r in enumerate(out.itertuples()):
+        if i == 0:
+            assert r.bin_idx == 0
+            fill, n_in_bin = r.n_tokens, 1
+        elif r.bin_idx == cur_bin:
+            fill += r.n_tokens
+            n_in_bin += 1
+        else:
+            # bins are consecutive, and a new one opens ONLY on overflow
+            assert r.bin_idx == cur_bin + 1
+            assert fill + r.n_tokens > CTX
+            cur_bin, fill, n_in_bin = r.bin_idx, r.n_tokens, 1
+        # capacity respected except oversized singletons
+        assert fill <= CTX or n_in_bin == 1
+
+
+# ---------------------------------------------------------------------------
+# CLF parser: generative round-trip
+# ---------------------------------------------------------------------------
+
+ips = st.tuples(*[st.integers(0, 255)] * 4).map(
+    lambda t: ".".join(map(str, t))
+)
+users = st.one_of(st.none(), st.integers(1, 99999))
+offsets = st.integers(-24, 24).map(lambda q: q * 30)  # ±HHMM in 30-min steps
+methods = st.sampled_from(["GET", "POST", "PUT", "DELETE", "HEAD"])
+resources = st.text(
+    alphabet="abcdefghij/_-.0123456789", min_size=1, max_size=20
+).map(lambda s: "/" + s)
+statuses = st.sampled_from([200, 201, 301, 304, 401, 404, 500])
+sizes_ = st.one_of(st.none(), st.integers(0, 10_000_000))
+times = st.datetimes(
+    min_value=datetime.datetime(1995, 1, 1, 0, 0, 0),
+    max_value=datetime.datetime(2030, 12, 31, 23, 59, 59),
+).map(lambda d: d.replace(microsecond=0))
+
+line_components = st.tuples(
+    ips, users, times, offsets, methods, resources, statuses, sizes_
+)
+
+_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+
+
+def _fmt_clf(ip, user, t, off_min, method, res, status, size):
+    sign = "+" if off_min >= 0 else "-"
+    off = f"{sign}{abs(off_min) // 60:02d}{abs(off_min) % 60:02d}"
+    ts = (
+        f"{t.day:02d}/{_MONTHS[t.month - 1]}/{t.year}:"
+        f"{t.hour:02d}:{t.minute:02d}:{t.second:02d} {off}"
+    )
+    u = "-" if user is None else str(user)
+    sz = "-" if size is None else str(size)
+    return (
+        f'{ip} - {u} [{ts}] "{method} {res} HTTP/1.1" {status} {sz} '
+        f'"https://ref.example/" "agent/1.0 (x11)"'
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(line_components, min_size=1, max_size=20))
+def test_clf_parser_roundtrips_generated_lines(spark, batch):
+    lines = [_fmt_clf(*c) for c in batch]
+    rows = parse_clf_lines(
+        spark.createDataFrame([(l,) for l in lines], ["value"])
+    ).collect()
+    assert len(rows) == len(batch)
+    for r, (ip, user, t, off_min, method, res, status, size) in zip(
+        rows, batch
+    ):
+        assert r._corrupt is None
+        assert r.ip_address == ip
+        assert r.user_id == user
+        assert r.status_code == status
+        assert r.size == size
+        assert (r.request_method, r.request_resource) == (method, res)
+        # ±HHMM offset normalizes to UTC
+        assert r.time == t - datetime.timedelta(minutes=off_min)
+
+
+# ---------------------------------------------------------------------------
+# dec_sum: partitioning invariance (bit-exact)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dec_sum_is_partitioning_invariant(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    one = df.coalesce(1).agg(dec_sum(df.v).alias("s")).collect()[0].s
+    many = (
+        df.repartition(16).agg(dec_sum(df.v).alias("s")).collect()[0].s
+    )
+    assert one == many and repr(one) == repr(many)
