@@ -1240,3 +1240,70 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "customer_rfm_scores",
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT c_custkey, c_mktsegment,
+                 date_diff('day', MAX(o_orderdate),
+                           TIMESTAMP '2001-09-01') AS recency_days,
+                 COUNT(*) AS frequency,
+                 {sql_dec_sum("o_totalprice")} AS monetary
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_mktsegment
+        )
+        SELECT c_custkey, c_mktsegment,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary,
+               percent_rank() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY monetary, c_custkey
+               ) AS monetary_pct,
+               cume_dist() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY frequency
+               ) AS frequency_cume
+        FROM per_cust
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring with
+    segment-relative analytic ranks — exercises percent_rank and
+    cume_dist, the two rank-family functions the rest of the suite
+    doesn't touch.  One shuffle aggregates per customer; the rank
+    windows then re-shuffle once on the segment key.  percent_rank
+    orders by (monetary, c_custkey) so ties rank deterministically;
+    cume_dist is tie-stable by definition (ties share a value).
+
+    Scale note: the per-segment window sees all customers of a segment —
+    fine at dimension scale; at fact scale swap to approx_percentile
+    boundary cuts exactly as documented for ntile_customer_quartiles.
+    The reference date is pinned past the fixture's order horizon (the
+    reference pipeline would use run_date)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ref_date = _ts(orders, "o_orderdate", "2001-09-01")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.datediff(ref_date, F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    w_m = Window.partitionBy("c_mktsegment").orderBy("monetary", "c_custkey")
+    w_f = Window.partitionBy("c_mktsegment").orderBy("frequency")
+    return per_cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.percent_rank().over(w_m).alias("monetary_pct"),
+        F.cume_dist().over(w_f).alias("frequency_cume"),
+    )
