@@ -44,6 +44,7 @@ HEADLINE = [
     "cube_orders_status_priority",
     # event-stream ops
     "sessionize_gap",
+    "funnel_conversion",
     "hourly_event_counts",
     "json_props_extract",
     "events_value_percentiles",
@@ -93,11 +94,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two timed runs per query, keep the min: single-shot numbers on a
+    # shared host mix scheduler noise into the signal (observed 4×
+    # run-to-run swings on an otherwise idle box); min-of-2 reports the
+    # computation, not the co-tenant.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -621,3 +621,78 @@ def clf_top_user_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_requests"), F.asc("user_agent"))
         .limit(10)
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT * FROM (
+          SELECT 1 AS stage_idx, 'view' AS stage,
+                 (SELECT COUNT(*) FROM s1) AS n_users
+          UNION ALL
+          SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click —
+    the classic product-analytics operator (no reference analogue; the
+    reference has no event sequencing at all, SURVEY.md §2.5).
+
+    Each stage is one aggregate on user_id joined to the previous
+    stage's first-passage time; all three shuffles hash the SAME key, so
+    the exchanges align (no re-partitioning between stages), and each
+    stage's frame shrinks monotonically. Strict ts inequality makes the
+    result engine-independent (no tie ambiguity: equal timestamps never
+    advance a stage). The 3-row summary assembles from three count
+    aggregates — driver-sized, not a data union."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    return _stage(1, "view", s1).unionAll(
+        _stage(2, "click", s2)
+    ).unionAll(_stage(3, "purchase", s3))
