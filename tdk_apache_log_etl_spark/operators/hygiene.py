@@ -46,6 +46,27 @@ PROBE_MOD = 7
 _BLOCKED_SQL = ", ".join(f"'{t}'" for t in BLOCKED)
 
 
+def scrub_columns(docs: DataFrame) -> DataFrame:
+    """The blocklist projection itself, usable on ANY frame with
+    (doc_id, text) — including an unbounded streaming one: it is a
+    stateless narrow transformation, so the same expression graph runs
+    under ``readStream`` without watermarks or state
+    (tests/test_streaming_hygiene.py drives it over a file stream)."""
+    ws = F.split(F.col("text"), " ")
+    is_blocked = lambda t: t.isin(*BLOCKED)  # noqa: E731
+    n_blocked = F.size(F.filter(ws, is_blocked))
+    ratio = n_blocked / F.size(ws)
+    return docs.select(
+        "doc_id",
+        n_blocked.cast("long").alias("n_blocked"),
+        ratio.alias("blocked_ratio"),
+        (ratio > DROP_RATIO).alias("dropped"),
+        F.array_join(
+            F.filter(ws, lambda t: ~t.isin(*BLOCKED)), " "
+        ).alias("clean_text"),
+    )
+
+
 @query(
     "blocklist_scrub",
     oracle=f"""
@@ -70,20 +91,7 @@ def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text with blocked tokens removed, and the drop flag.  One
     narrow projection over the scan — no shuffle, no UDF; the lambda
     array functions stay inside whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    is_blocked = lambda t: t.isin(*BLOCKED)  # noqa: E731
-    n_blocked = F.size(F.filter(ws, is_blocked))
-    ratio = n_blocked / F.size(ws)
-    return docs.select(
-        "doc_id",
-        n_blocked.cast("long").alias("n_blocked"),
-        ratio.alias("blocked_ratio"),
-        (ratio > DROP_RATIO).alias("dropped"),
-        F.array_join(
-            F.filter(ws, lambda t: ~t.isin(*BLOCKED)), " "
-        ).alias("clean_text"),
-    )
+    return scrub_columns(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -696,3 +696,66 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage(1, "view", s1).unionAll(
         _stage(2, "click", s2)
     ).unionAll(_stage(3, "purchase", s3))
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day
+          FROM events
+        ),
+        signup AS (
+          SELECT user_id,
+                 CAST(FLOOR(CAST(MIN(day) AS DOUBLE) / 7) AS BIGINT)
+                   AS cohort_week
+          FROM ev WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST(FLOOR(CAST(ev.day AS DOUBLE) / 7) AS BIGINT)
+                 - cohort_week AS week_offset,
+               COUNT(DISTINCT ev.user_id) AS n_active
+        FROM ev JOIN signup ON ev.user_id = signup.user_id
+        WHERE CAST(FLOOR(CAST(ev.day AS DOUBLE) / 7) AS BIGINT)
+              >= cohort_week
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by signup week (cohort),
+    counted as active in each subsequent week they produced any event —
+    the standard growth-analytics rollup (no reference analogue;
+    SURVEY.md §2.5 verified absences).
+
+    Plan: signup first-passage aggregates on user_id, rejoins the event
+    stream on the same key (aligned exchanges), then one aggregate on
+    the tiny (cohort_week, week_offset) grid. countDistinct carries the
+    user ids through the final shuffle — at fact scale swap to
+    approx_count_distinct exactly as documented for clf_user_count's HLL
+    variant. Week arithmetic goes through FLOOR(double/7) identically in
+    both engines (exact for any realistic day number)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_date(F.to_date("ts")).cast("long").alias("day"),
+    )
+    week = lambda c: F.floor(c.cast("double") / 7).cast("long")  # noqa: E731
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("day")).alias("cohort_week"))
+    )
+    return (
+        ev.join(signup, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("day")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
