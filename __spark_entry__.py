@@ -32,8 +32,8 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
     embedding_cosine_neardup, image_feature_extract, image_resize,
-    media_frame_sample, clf_user_count_approx) are genuinely
-    non-SQL-expressible (LSH/sketches/iterative k-means/stubs) →
-    driver's rows-only check.
+    media_frame_sample, clf_user_count_approx,
+    events_value_percentiles_approx) are genuinely non-SQL-expressible
+    (LSH/sketches/iterative k-means/stubs) → driver's rows-only check.
     """
     return dict(ORACLES)

@@ -443,6 +443,28 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_value_percentiles_approx")
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of events_value_percentiles: approx_percentile's
+    mergeable sketch combines map-side, so no group ever ships its raw
+    values to one reducer — the shuffle carries one sketch per
+    (partition x group).  Deliberately oracle-free (sketch estimates are
+    engine-specific; rows-only check): the EXACT twin above is the
+    correctness anchor, this is the scale path the docs promise."""
+    events = load_table(spark, sf_dir, "events")
+    p = F.approx_percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    )
+    return events.groupBy("event_type").agg(
+        F.get(p, 0).alias("p50"),
+        F.get(p, 1).alias("p90"),
+        F.get(p, 2).alias("p99"),
+        F.count("value").alias("n"),
+    )
+
+
 HIST_BUCKET_WIDTH = 25.0
 HIST_N_BUCKETS = 12
 
