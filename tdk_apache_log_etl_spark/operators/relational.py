@@ -1307,3 +1307,37 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w_m).alias("monetary_pct"),
         F.cume_dist().over(w_f).alias("frequency_cume"),
     )
+
+
+@query(
+    "supplier_rank_in_nation",
+    oracle="""
+        SELECT s_suppkey, n_name,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier leaderboard — rank() and dense_rank(), the
+    last two rank-family functions not yet exercised.  The order key
+    appends s_suppkey so rank assignment is total-ordered (deterministic
+    across engines even on tied balances); the window partitions by
+    nation, so no global sort at any scale."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.rank().over(w).cast("long").alias("bal_rank"),
+            F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        )
+    )
