@@ -503,6 +503,9 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the update carries its own changed flag, so convergence is a
+        # filter-count over the just-materialized checkpoint blocks — a
+        # separate old-vs-new join per round would double the joins
         new_labels = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["s"], "left")
             .select(
@@ -510,16 +513,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
