@@ -38,6 +38,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for every ``left`` row, attach the ``right`` row
     with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
@@ -85,20 +86,32 @@ def asof_join(
             on, "_t", "_is_left", *right_cols, *[c for c in left.columns if c != on]
         )
     )
-    order_cols = [F.col("_t").asc(), F.col("_is_left").asc()]
-    if tie_break is not None:
-        # Right rows at equal (key, ts) sort by tie_break ascending, so the
-        # carried-forward last() is the max-tie_break row. Left rows hold
-        # NULL here; nulls_first keeps them ordered after is_left anyway.
-        order_cols.append(F.col(tie_break).asc_nulls_first())
+    if direction == "backward":
+        order_cols = [F.col("_t").asc(), F.col("_is_left").asc()]
+        if tie_break is not None:
+            # Right rows at equal (key, ts) sort by tie_break ascending, so
+            # the carried-forward last() is the max-tie_break row. Left rows
+            # hold NULL here; nulls_first keeps them ordered after is_left
+            # anyway.
+            order_cols.append(F.col(tie_break).asc_nulls_first())
+        frame = (Window.unboundedPreceding, Window.currentRow)
+    else:
+        # forward: left rows sort BEFORE right rows at equal ts (>= match),
+        # and the carry runs ahead — first() finds the EARLIEST right row
+        # at-or-after; tie ascending makes the min-tie_break row win.
+        order_cols = [F.col("_t").asc(), F.col("_is_left").desc()]
+        if tie_break is not None:
+            order_cols.append(F.col(tie_break).asc_nulls_last())
+        frame = (Window.currentRow, Window.unboundedFollowing)
     w = (
         Window.partitionBy(on)
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     payload = F.when(F.col("_is_left") == 0, F.struct(*right_cols))
+    carry = F.last if direction == "backward" else F.first
     carried = unioned.select(
-        "*", F.last(payload, ignorenulls=True).over(w).alias("_asof_p")
+        "*", carry(payload, ignorenulls=True).over(w).alias("_asof_p")
     )
     out = carried.filter(F.col("_is_left") == 1).drop(
         "_t", "_is_left", *right_cols
@@ -235,4 +248,59 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             # interval instead and disagrees on sub-second components).
             (F.col("purchase_epoch") - F.col("click_epoch")).alias("lag_seconds"),
         )
+    )
+
+
+@query(
+    "asof_join_next_order",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               c.o_orderkey AS next_orderkey,
+               c.o_totalprice AS next_totalprice
+        FROM events e LEFT JOIN (
+          SELECT * FROM (
+            SELECT e2.event_id AS eid, o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY e2.event_id
+                                      ORDER BY o.o_orderdate, o.o_orderkey)
+                     AS rn
+            FROM events e2 JOIN orders o
+              ON e2.user_id = o.o_custkey AND o.o_orderdate >= e2.ts
+          ) WHERE rn = 1
+        ) c ON c.eid = e.event_id
+    """,
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event gets the customer's FIRST order
+    at-or-after the event time (the fulfillment-lookup direction; the
+    backward twin above is the attribution direction). Same union +
+    carry shape run forward — one shuffle on the key, a first() over the
+    forward frame instead of last() over the backward one. The oracle is
+    an independent inequality-join + ROW_NUMBER decorrelation with the
+    identical (orderdate, orderkey) tie-break."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
     )
