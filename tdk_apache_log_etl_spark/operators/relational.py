@@ -1341,3 +1341,41 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
         )
     )
+
+
+@query(
+    "top3_orders_per_segment",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice
+        FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k for k > 1: the rn <= k filter pushes below the
+    shuffle as WindowGroupLimit (per-partition top-k heaps before the
+    exchange — asserted in test_plans), so each group ships k rows per
+    input partition, never its whole order history. Order key appends
+    the orderkey for tie-deterministic membership."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -225,3 +225,8 @@ def test_q20_nested_subquery_is_semi_join(spark):
     plan = _plan(QUERIES["tpch_q20_promotion_suppliers"](spark, SF_DIR_CORRECT))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_top3_per_group_plans_window_group_limit(spark):
+    plan = _plan(QUERIES["top3_orders_per_segment"](spark, SF_DIR_CORRECT))
+    assert "WindowGroupLimit" in plan

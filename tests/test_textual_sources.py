@@ -63,3 +63,20 @@ def test_csv_roundtrip_with_planted_corruption(spark, tmp_path):
     assert bad[0].event_id == 3
     # ...and the raw line for replay
     assert "not_a_double" in bad[0]._corrupt
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    # format breadth beyond parquet: the same partitioned-staging pattern
+    # works over Spark's built-in ORC source, pruning included
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("part"),
+    )
+    path = str(tmp_path / "orc_staging")
+    df.write.mode("overwrite").partitionBy("part").orc(path)
+    back = spark.read.orc(path).filter(F.col("part") == "a")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
