@@ -127,3 +127,65 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_staging(
+    spark: SparkSession,
+    path: str,
+    dates: list[str] | None = None,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Small-files compaction for the staging table — the standing ops
+    task of any streaming/incremental ingest at scale (each micro-batch
+    appends files; a month of 5-minute triggers is ~8k files per
+    partition, and scan planning cost grows with file count, not bytes).
+
+    Rewrites the given date partitions (default: all) at
+    ``target_files_per_partition`` files each, via per-partition
+    repartition + dynamic partition overwrite — untouched partitions are
+    NOT rewritten, so compaction cost is proportional to the compacted
+    data, and readers never see a partially-deleted partition (the
+    overwrite swaps per-partition directories atomically at commit).
+    Returns the number of partitions compacted.
+    """
+    part_dates = dates
+    if part_dates is None:
+        part_dates = sorted(
+            e.split("=", 1)[1]
+            for e in os.listdir(path)
+            if e.startswith("date=")
+        )
+    if not part_dates:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df = spark.read.parquet(path).where(
+            F.col("date").isin(list(part_dates))
+        )
+        # hashing on date alone puts each date in ONE task however many
+        # partitions are requested; a bounded salt spreads a date across
+        # exactly target_files_per_partition tasks (= output files)
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()),
+            F.lit(target_files_per_partition),
+        )
+        (
+            df.withColumn("_salt", salt)
+            .repartition(
+                len(part_dates) * target_files_per_partition,
+                "date",
+                "_salt",
+            )
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    return len(part_dates)

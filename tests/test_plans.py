@@ -230,3 +230,57 @@ def test_q20_nested_subquery_is_semi_join(spark):
 def test_top3_per_group_plans_window_group_limit(spark):
     plan = _plan(QUERIES["top3_orders_per_segment"](spark, SF_DIR_CORRECT))
     assert "WindowGroupLimit" in plan
+
+
+def test_compact_staging_reduces_files_and_preserves_rows(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sinks.staging import (
+        compact_staging,
+        read_staging,
+    )
+
+    path = str(tmp_path / "staging_compact")
+    # simulate many micro-batch appends: 8 writes x 2 partitions
+    for i in range(8):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "2026-08-12")
+            .otherwise("2026-08-13")
+            .alias("date"),
+        )
+        df.repartition(4).write.mode("append").partitionBy("date").parquet(
+            path
+        )
+    import glob
+    import os as _os
+
+    def n_files(d):
+        return len(
+            glob.glob(_os.path.join(path, f"date={d}", "*.parquet"))
+        )
+
+    assert n_files("2026-08-12") > 8
+    before = read_staging(spark, path).groupBy("date").count().collect()
+
+    n = compact_staging(spark, path, dates=["2026-08-12"])
+    assert n == 1
+    # compacted partition: 1 file; untouched partition: still many
+    assert n_files("2026-08-12") == 1
+    assert n_files("2026-08-13") > 8
+    after = read_staging(spark, path).groupBy("date").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_compact_staging_honors_target_above_one(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sinks.staging import compact_staging
+
+    path = str(tmp_path / "staging_compact2")
+    df = spark.range(1000).select(
+        F.col("id"), F.lit("2026-08-12").alias("date")
+    )
+    df.repartition(16).write.mode("append").partitionBy("date").parquet(path)
+    compact_staging(spark, path, target_files_per_partition=3)
+    import glob
+    import os as _os
+
+    files = glob.glob(_os.path.join(path, "date=2026-08-12", "*.parquet"))
+    assert 1 <= len(files) <= 3
