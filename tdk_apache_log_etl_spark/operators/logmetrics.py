@@ -781,3 +781,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "rolling_wau",
+    oracle="""
+        WITH user_days AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day
+          FROM events
+        ),
+        contrib AS (
+          SELECT user_id, day + i AS obs_day
+          FROM user_days, LATERAL (
+            SELECT unnest(generate_series(0, 6)) AS i
+          ) t
+        ),
+        bounds AS (
+          SELECT MIN(day) AS lo, MAX(day) AS hi FROM user_days
+        )
+        SELECT obs_day, COUNT(DISTINCT user_id) AS wau
+        FROM contrib, bounds
+        WHERE obs_day BETWEEN lo AND hi
+        GROUP BY obs_day
+    """,
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day — the classic growth
+    metric. countDistinct over a sliding RANGE window is not a window
+    function Spark (or any engine) supports directly; the scalable shape
+    is the bounded fan-out: dedup to (user, day), explode each into the
+    ≤7 observation days it contributes to, and hash-aggregate distinct
+    users per day. The fan-out is a constant 7× of the DEDUPED user-day
+    frame (tiny relative to raw events), versus a per-day self-join or a
+    quadratic window. Observation days outside the corpus range are
+    clipped by a broadcast 1-row bounds frame; at fact scale swap the
+    final countDistinct for approx_count_distinct (documented HLL
+    pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = (
+        events.select(
+            "user_id",
+            F.unix_date(F.to_date("ts")).cast("long").alias("day"),
+        ).distinct()
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("obs_day"),
+    )
+    bounds = user_days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("obs_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

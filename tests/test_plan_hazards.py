@@ -24,6 +24,7 @@ BNLJ_OK = {
     "tpch_q11_important_parts",   # 1-row global-total crossJoin
     "tpch_q22_sales_opportunity",  # 1-row average-balance crossJoin
     "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
+    "rolling_wau",             # 1-row day-bounds crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

@@ -109,7 +109,7 @@ def test_no_forced_broadcast_of_unbounded_dimension():
     allowed = {
         "nation", "region", "max_rev", "queries", "query_probes", "dim",
         # 1-row aggregates (global scalar-subquery results):
-        "threshold", "total",
+        "threshold", "total", "bounds",
         # N_GROUPS-row prefix-sum offset frame (packing.py)
         "group_offsets",
     }
