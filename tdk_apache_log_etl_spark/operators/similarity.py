@@ -485,3 +485,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 4).alias("cosine"),
         )
     )
+
+
+@query(
+    "embedding_medoid_by_label",
+    oracle=f"""
+        WITH cent AS (
+          SELECT label, i,
+                 {sql_dec_sum("CAST(embedding[i] AS DOUBLE)", 1_000_000)}
+                   / COUNT(*) AS cv
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i
+        ),
+        ev AS (
+          SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS val
+          FROM embeddings, range(1, 65) t(i)
+        ),
+        dots AS (
+          SELECT ev.vec_id, ev.label,
+                 {sql_dec_sum("val * cv", 1_000_000)} AS dvc,
+                 {sql_dec_sum("val * val", 1_000_000)} AS vv
+          FROM ev JOIN cent ON ev.label = cent.label AND ev.i = cent.i
+          GROUP BY ev.vec_id, ev.label
+        ),
+        cnorm AS (
+          SELECT label, {sql_dec_sum("cv * cv", 1_000_000)} AS cc
+          FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT vec_id, dots.label,
+                 dvc / (sqrt(vv) * sqrt(cc)) AS centrality
+          FROM dots JOIN cnorm ON dots.label = cnorm.label
+        )
+        SELECT label, vec_id AS medoid_vec_id, centrality
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY centrality DESC, vec_id
+          ) AS rn FROM scored
+        ) WHERE rn = 1
+    """,
+)
+def embedding_medoid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label medoid: the corpus vector most cosine-similar to its
+    label's centroid — the exemplar-selection step of clustering-based
+    curation. Three aggregates, all keyed: centroid per (label, pos),
+    per-vector dot/self-norm via one join on (label, pos), and a top-1
+    window per label (WindowGroupLimit, no global sort). Every float sum
+    is scaled-integer exact, so the final sqrt/divide chain — and
+    therefore the rank order and tie-break — is bit-identical to the
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = ev.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (dec_sum(F.col("val"), 1_000_000) / F.count(F.lit(1))).alias("cv")
+    )
+    dots = (
+        ev.join(
+            cent,
+            (F.col("label") == F.col("c_label")) & (ev["pos"] == cent["pos"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            dec_sum(F.col("val") * F.col("cv"), 1_000_000).alias("dvc"),
+            dec_sum(F.col("val") * F.col("val"), 1_000_000).alias("vv"),
+        )
+    )
+    cnorm = cent.groupBy(F.col("c_label").alias("n_label")).agg(
+        dec_sum(F.col("cv") * F.col("cv"), 1_000_000).alias("cc")
+    )
+    scored = dots.join(
+        cnorm, F.col("label") == F.col("n_label")
+    ).select(
+        "vec_id",
+        "label",
+        (
+            F.col("dvc") / (F.sqrt(F.col("vv")) * F.sqrt(F.col("cc")))
+        ).alias("centrality"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("centrality"), F.asc("vec_id")
+    )
+    return (
+        scored.select(
+            "label",
+            F.col("vec_id").alias("medoid_vec_id"),
+            "centrality",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
