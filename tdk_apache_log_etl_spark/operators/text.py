@@ -8,7 +8,7 @@ so these scale with executors exactly like any other codegen'd expression.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -401,4 +401,75 @@ def top_tokens_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("w"))
         .limit(20)
+    )
+
+
+@query(
+    "doc_distinctive_tokens",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf_count
+          FROM tok GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df_count FROM tok
+          GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token,
+               CAST(tf_count AS BIGINT) AS tf_count,
+               CAST(df_count AS BIGINT) AS df_count,
+               CAST(tf_count AS DOUBLE) * n_docs / df_count AS score
+        FROM (
+          SELECT tf.doc_id, tf.token, tf.tf_count, df.df_count, n.n_docs,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf_count AS DOUBLE) * n.n_docs
+                              / df.df_count DESC,
+                            tf.token
+                 ) AS rn
+          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        ) WHERE rn <= 3
+    """,
+)
+def doc_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive tokens per document — the TF-IDF shape
+    with a rational score (tf × N / df) instead of tf·log(N/df): the
+    ranking semantics are the classic ones, but the score avoids libm
+    log(), whose last-ulp rounding differs between engines and would
+    poison the hash gate. Two aggregates (term frequency on (doc, token),
+    document frequency on token), a broadcast 1-row corpus count, and a
+    per-doc top-3 window (WindowGroupLimit). The df join shuffles on the
+    token — the natural key; a stop-token df cut (as in dedup's prefix
+    filter) bounds the hottest tokens at web scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf_count")
+    )
+    df_counts = tok.groupBy(F.col("token").alias("df_token")).agg(
+        F.countDistinct("doc_id").alias("df_count")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf_count").cast("double") * F.col("n_docs") / F.col("df_count")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(df_counts, F.col("token") == F.col("df_token"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "token", "tf_count", "df_count", score.alias("score")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )

@@ -25,6 +25,7 @@ BNLJ_OK = {
     "tpch_q22_sales_opportunity",  # 1-row average-balance crossJoin
     "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
     "rolling_wau",             # 1-row day-bounds crossJoin
+    "doc_distinctive_tokens",  # 1-row corpus-count crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
