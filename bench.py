@@ -45,6 +45,8 @@ HEADLINE = [
     # event-stream ops
     "sessionize_gap",
     "funnel_conversion",
+    "retention_cohorts",
+    "rolling_wau",
     "hourly_event_counts",
     "json_props_extract",
     "events_value_percentiles",
@@ -54,7 +56,9 @@ HEADLINE = [
     "token_stats_by_lang",
     "text_quality_scores",
     "pack_token_offsets",
+    "pack_sequences_greedy",
     "benchmark_decontaminate",
+    "doc_distinctive_tokens",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
     "dedup_cluster_canonical",
@@ -62,6 +66,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "embedding_centroid_by_label",
+    "embedding_medoid_by_label",
 ]
 
 
