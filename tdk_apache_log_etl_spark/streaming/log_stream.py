@@ -232,3 +232,56 @@ def write_summary_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def write_windowed_topk_stream(
+    parsed: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 3,
+    ts_col: str = "time",
+    key_col: str = "status_code",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataStreamWriter:
+    """Streaming per-window top-k: rank functions aren't supported on
+    streaming aggregates (no window functions over an unbounded frame),
+    so the standard shape is watermarked windowed counts + a
+    ``foreachBatch`` hook that ranks WITHIN each emitted micro-batch —
+    the batch is a plain DataFrame, so the same WindowGroupLimit-planned
+    top-k the batch engine uses applies verbatim.  Append output mode
+    means a window's counts arrive once, after the watermark closes it,
+    so the per-batch rank over finalized windows is the global rank for
+    those windows.  Idempotent per-batch partition overwrite as in
+    write_summary_stream."""
+    from pyspark.sql import Window
+
+    counts = windowed_event_counts(
+        parsed,
+        ts_col=ts_col,
+        key_col=key_col,
+        window_duration=window_duration,
+        watermark=watermark,
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc(key_col)
+        )
+        (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -256,3 +256,39 @@ def test_foreach_batch_summary_sink(spark, tmp_path):
     q2 = write_summary_stream(read_log_stream(spark, str(src)), out, ckpt).start()
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_windowed_topk_stream(spark, tmp_path):
+    from tdk_apache_log_etl_spark.sources.apache_log import parse_clf_lines
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        write_windowed_topk_stream,
+    )
+
+    src = tmp_path / "in_topk"
+    src.mkdir()
+    # 10:00 window: 10 hits of 200, 1 of 404 → top-2 = [200, 404]
+    lines = LINES + [
+        '10.0.0.3 - 3 [13/Aug/2026:10:00:30 +0000] "GET /c HTTP/1.1" 500 5 '
+        '"-" "ua"'
+    ]
+    (src / "2026-08-13.log").write_text("\n".join(lines) + "\n")
+    stream = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.log")
+        .load(str(src))
+    )
+    parsed = parse_clf_lines(stream)
+    q = write_windowed_topk_stream(
+        parsed,
+        str(tmp_path / "topk_out"),
+        str(tmp_path / "topk_ckpt"),
+        k=2,
+    ).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "topk_out"))
+    first_window = out.filter("window_start = '2026-08-13 10:00:00'")
+    rows = {r.status_code: r.n_events for r in first_window.collect()}
+    # top-2 of the 10:00 window: 200 (x10) and the tie-broken second
+    assert rows[200] == 10
+    assert len(rows) == 2
