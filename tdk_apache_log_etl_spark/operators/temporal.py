@@ -41,7 +41,9 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for every ``left`` row, attach the ``right`` row
-    with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+    with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (``direction="backward"``, the default), or the smallest ``right_ts``
+    >= ``left_ts`` (``direction="forward"``).
 
     Union both sides with a side marker, window-sort by (ts, side) within
     the key partition — right rows sort BEFORE left rows at equal ts so
