@@ -1379,3 +1379,76 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "dq_audit",
+    oracle="""
+        SELECT 1 AS check_idx, 'orders_null_custkey' AS check_name,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                 AS violations
+        UNION ALL
+        SELECT 2, 'orders_dup_orderkey',
+               (SELECT COUNT(*) FROM (
+                  SELECT o_orderkey FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        UNION ALL
+        SELECT 3, 'lineitem_orphan_orderkey',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 4, 'lineitem_nonpositive_qty',
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL
+        SELECT 5, 'orders_date_out_of_range',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate > TIMESTAMP '2030-01-01')
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the fact tables: null keys, duplicate
+    primary keys, referential orphans, domain violations — the checks an
+    ingest gate runs before publishing a partition. Each check is one
+    aggregate (the orphan check an anti join on the key), and the result
+    is a fixed 5-row scorecard assembled from 1-row aggregates —
+    driver-sized output whatever the corpus size. All-zero violations on
+    the fixtures is itself the assertion: the generator produces
+    referentially-intact data, and a regression in ingest would light a
+    row up."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = _ts(orders, "o_orderdate", "1990-01-01")
+    hi = _ts(orders, "o_orderdate", "2030-01-01")
+
+    def check(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("int").alias("check_idx"),
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    return (
+        check(1, "orders_null_custkey",
+              orders.filter(F.col("o_custkey").isNull()))
+        .unionAll(check(2, "orders_dup_orderkey", dup_keys))
+        .unionAll(check(3, "lineitem_orphan_orderkey", orphans))
+        .unionAll(check(4, "lineitem_nonpositive_qty",
+                        li.filter(F.col("l_quantity") <= 0)))
+        .unionAll(check(5, "orders_date_out_of_range",
+                        orders.filter(
+                            (F.col("o_orderdate") < lo)
+                            | (F.col("o_orderdate") > hi)
+                        )))
+    )
