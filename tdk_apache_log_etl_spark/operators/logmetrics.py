@@ -841,3 +841,73 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "events_value_anomalies",
+    oracle="""
+        WITH stats AS (
+          SELECT event_type,
+                 COUNT(value) AS n_events,
+                 CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 10000 / COUNT(value) AS mean_value,
+                 sqrt(
+                   CAST(SUM(CAST(FLOOR(value * value * 10000 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 10000
+                     / COUNT(value)
+                   - POW(CAST(SUM(CAST(FLOOR(value * 10000 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 10000
+                         / COUNT(value), 2)
+                 ) AS std_value
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        )
+        SELECT e.event_type, n_events, mean_value, std_value,
+               CAST(SUM(CASE WHEN abs(e.value - mean_value)
+                                  > 3 * std_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM events e JOIN stats ON e.event_type = stats.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type, n_events, mean_value, std_value
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type. stddev_pop's float sums are
+    partitioning-dependent, so mean and variance come from scaled-integer
+    sums (Σv and Σv² exact, then two deterministic double divisions and
+    one sqrt — bit-identical in both engines). The per-type stats frame
+    is bounded by event-type cardinality and broadcast-joins back for the
+    outlier pass; events are scanned twice, both scans pruned to
+    (event_type, value). A window over event_type instead would funnel
+    each type's full history through one task — the trap this shape
+    avoids."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    s = F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+    ss = F.sum(
+        F.floor(F.col("value") * F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+    )
+    n = F.count("value")
+    mean = s.cast("double") / 10000 / n
+    var = ss.cast("double") / 10000 / n - mean * mean
+    dim = events.groupBy(F.col("event_type").alias("s_type")).agg(
+        n.alias("n_events"),
+        mean.alias("mean_value"),
+        F.sqrt(var).alias("std_value"),
+    )
+    return (
+        events.join(
+            F.broadcast(dim), F.col("event_type") == F.col("s_type")
+        )
+        .groupBy("event_type", "n_events", "mean_value", "std_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean_value"))
+                    > 3 * F.col("std_value"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies")
+        )
+    )
