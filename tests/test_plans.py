@@ -284,3 +284,46 @@ def test_compact_staging_honors_target_above_one(spark, tmp_path):
 
     files = glob.glob(_os.path.join(path, "date=2026-08-12", "*.parquet"))
     assert 1 <= len(files) <= 3
+
+
+def test_salting_splits_hot_key_partitions(spark):
+    from tdk_apache_log_etl_spark.operators.skew import salted_join
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 90% of the big side carries ONE key — the stranded-reducer shape
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("rid"),
+        )
+        small = big.select("k").distinct().withColumn("v", F.col("k") * 2)
+
+        def max_partition_rows(df):
+            sizes = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain = big.join(small, "k")
+        salted = salted_join(big, small, "k", "rid", n_salts=64)
+        assert plain.count() == salted.count() == 100_000
+
+        hot = 90_000
+        m_plain = max_partition_rows(plain)
+        m_salted = max_partition_rows(salted)
+        # unsalted: the hot key lands intact in one task
+        assert m_plain >= hot
+        # salted: 64 hot-key groups spread over the 32 shuffle
+        # partitions; even with birthday-collision stacking the biggest
+        # partition must shrink at least 8x
+        assert m_salted <= m_plain / 8, (m_plain, m_salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
