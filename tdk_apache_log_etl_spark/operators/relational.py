@@ -1452,3 +1452,42 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             | (F.col("o_orderdate") > hi)
                         )))
     )
+
+
+#: engine-neutral Q1 text — valid verbatim in BOTH Spark SQL and DuckDB
+#: (the scaled-sum helper emits only FLOOR/CAST/SUM/COUNT arithmetic)
+_Q1_SQL_NEUTRAL = f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dec_sum("l_quantity")} AS sum_qty,
+      {sql_dec_sum("l_extendedprice")} AS sum_base_price,
+      {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+        AS sum_charge,
+      {sql_dec_sum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+      {sql_dec_sum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+      {sql_dec_sum("l_discount")} / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM {{table}}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "tpch_q1_sql_form",
+    oracle=_Q1_SQL_NEUTRAL.format(table="lineitem"),
+)
+def tpch_q1_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A5 pattern (verbatim SQL via spark.sql, the Athena-style entry
+    point) applied to the relational core: ONE SQL string runs unchanged
+    in both Spark SQL and DuckDB — the scaled-sum arithmetic is
+    engine-neutral by construction, so the dialect-portability claim is
+    hash-checked, not asserted. The view registration is the ad-hoc-SQL
+    path a reference user would take (SURVEY.md §3.3); the plan is
+    identical to the DataFrame form (same Catalyst pipeline)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(_Q1_SQL_NEUTRAL.format(table="lineitem_v"))
