@@ -30,9 +30,17 @@ STAGING_TABLE = "log_clean"
 
 def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K1/K2: partitioned Snappy-Parquet staging write (one write, not the
-    reference's two)."""
+    reference's two).
+
+    Overwrites are DYNAMIC per-partition: only the dates present in the
+    frame are replaced, so the nightly job is idempotent for its own day
+    and never wipes earlier days — static overwrite would delete the
+    whole table on each run, which is exactly the multi-day data-loss
+    trap (the reference's daily Glue catalog write has per-partition
+    semantics too)."""
     (
         df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .option("compression", "snappy")
         .parquet(path)

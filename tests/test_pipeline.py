@@ -57,3 +57,38 @@ def test_jdbc_writer_validates_url_and_configures(spark):
     )
     # writer is fully constructed; .save() is the only step needing a DB
     assert w is not None
+
+
+def test_multi_day_lifecycle_keeps_prior_partitions(spark, tmp_path):
+    """Two nightly runs back to back: day 2's ingest must not wipe day 1
+    (dynamic partition overwrite), re-running a day must be idempotent,
+    and each day's analytics sees only its own partition."""
+    day2_lines = [
+        '10.0.0.9 - 9 [14/Aug/2026:09:00:00 +0000] "GET /x HTTP/1.1" 200 1 "-" "ua"',
+        '10.0.0.9 - 9 [14/Aug/2026:09:00:01 +0000] "GET /y HTTP/1.1" 200 1 "-" "ua"',
+    ]
+    logs = tmp_path / "logs_md"
+    logs.mkdir()
+    staging = str(tmp_path / "staging_md")
+
+    (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ingest(spark, str(logs), staging, run_date="2026-08-13")
+    for f in logs.iterdir():
+        f.unlink()
+    (logs / "2026-08-14.log").write_text("\n".join(day2_lines) + "\n")
+    ingest(spark, str(logs), staging, run_date="2026-08-14")
+
+    # both days present after the second run
+    assert read_staging(spark, staging, date="2026-08-13").count() == len(LINES)
+    assert read_staging(spark, staging, date="2026-08-14").count() == 2
+
+    # re-running day 2 is idempotent (replaces, never duplicates)
+    ingest(spark, str(logs), staging, run_date="2026-08-14")
+    assert read_staging(spark, staging, date="2026-08-14").count() == 2
+    assert read_staging(spark, staging, date="2026-08-13").count() == len(LINES)
+
+    # per-day analytics isolation
+    _, s1 = daily_analytics(spark, staging, "2026-08-13")
+    _, s2 = daily_analytics(spark, staging, "2026-08-14")
+    assert s1.collect()[0].user_count == 2
+    assert s2.collect()[0].user_count == 1
