@@ -58,9 +58,23 @@ def ingest(
     parsed = read_apache_log(spark, log_dir, run_date=run_date)
     write_staging(parsed.drop("_corrupt"), staging_path)
     quarantine = os.path.join(staging_path, "_quarantine")
-    parsed.filter(F.col("_corrupt").isNotNull()).select("_corrupt").write.mode(
-        "append"
-    ).parquet(quarantine)
+    # quarantine is date-partitioned with dynamic overwrite, same as the
+    # staging write: re-running a day REPLACES that day's corrupt rows
+    # (a plain append would duplicate them on every re-run). Corrupt
+    # lines have no parseable event date, so the run date stamps them.
+    (
+        parsed.filter(F.col("_corrupt").isNotNull())
+        .select(
+            "_corrupt",
+            F.lit(run_date if run_date is not None else "unknown").alias(
+                "date"
+            ),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(quarantine)
+    )
     corrupt = spark.read.parquet(quarantine)
     if archive_dir is not None:
         os.makedirs(archive_dir, exist_ok=True)

@@ -92,3 +92,15 @@ def test_multi_day_lifecycle_keeps_prior_partitions(spark, tmp_path):
     _, s2 = daily_analytics(spark, staging, "2026-08-14")
     assert s1.collect()[0].user_count == 2
     assert s2.collect()[0].user_count == 1
+
+
+def test_quarantine_is_idempotent_per_day(spark, tmp_path):
+    logs = tmp_path / "logs_q"
+    logs.mkdir()
+    staging = str(tmp_path / "staging_q")
+    (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    c1 = ingest(spark, str(logs), staging, run_date="2026-08-13")
+    assert c1.count() == 1
+    # re-run the same day: corrupt rows replaced, not duplicated
+    c2 = ingest(spark, str(logs), staging, run_date="2026-08-13")
+    assert c2.count() == 1
