@@ -1491,3 +1491,49 @@ def tpch_q1_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem_v"
     )
     return spark.sql(_Q1_SQL_NEUTRAL.format(table="lineitem_v"))
+
+
+@query(
+    "part_cooccurrence_topk",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order. The self-join on the order key fans out as
+    Σ(parts-per-order²) — bounded by basket size (~7 lines/order), NOT
+    corpus size, so it scales linearly with orders; the a < b predicate
+    halves the pairs and canonicalizes their orientation. Distinct
+    (order, part) first so multi-line items of one part don't inflate
+    counts. Top-20 plans TakeOrderedAndProject; the (n_orders, part_a,
+    part_b) sort key is unique per row, so the cut is deterministic."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
