@@ -12,4 +12,5 @@ from . import multimodal  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
 from . import packing  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 from . import hygiene  # noqa: F401,E402

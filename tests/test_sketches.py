@@ -1,0 +1,111 @@
+"""HLL sketch rollup contracts: accuracy vs exact distinct counts,
+mergeability (union-of-parts == sketch-of-whole), and shape.
+
+These replace a DuckDB oracle — DuckDB's approx_count_distinct is a
+different estimator, and "exact" is deliberately not what the operator
+computes; the contract that matters is bounded error plus exact
+mergeability, which is what makes the sketch-table design sound at
+100 TB (merging never loses information relative to sketching the
+whole)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tdk_apache_log_etl_spark.operators.sketches import (
+    ALL,
+    build_hll_sketches,
+    hll_user_rollup,
+)
+from tdk_apache_log_etl_spark.sources.tables import load_table
+
+from .conftest import SF_DIR_CORRECT
+
+#: lgK=12 → ~1.6% RSE; 5% is >3σ, so a failure means a real bug,
+#: not estimator noise. (At sf0.01 cardinalities the sketch is in exact
+#: sparse mode anyway.)
+TOL = 0.05
+
+
+def _exact_rollup(spark):
+    events = load_table(spark, SF_DIR_CORRECT, "events")
+    facts = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    detail = facts.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    by_type = facts.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    ).withColumn("day", F.lit(ALL))
+    total = facts.agg(F.countDistinct("user_id").alias("exact")).select(
+        F.lit(ALL).alias("event_type"), F.lit(ALL).alias("day"), "exact"
+    )
+    out = {}
+    for r in detail.collect() + by_type.collect() + total.collect():
+        out[(r["event_type"], r["day"])] = r["exact"]
+    return out
+
+
+def test_hll_rollup_accuracy_all_levels(spark):
+    exact = _exact_rollup(spark)
+    got = {
+        (r["event_type"], r["day"]): r["est_users"]
+        for r in hll_user_rollup(spark, SF_DIR_CORRECT).collect()
+    }
+    assert set(got) == set(exact)
+    for cell, e in exact.items():
+        est = got[cell]
+        assert abs(est - e) <= max(1, TOL * e), (cell, est, e)
+
+
+def test_hll_union_of_parts_equals_sketch_of_whole(spark):
+    """Mergeability: rolling daily sketches up must give the SAME state
+    (hence the same estimate) as sketching the whole table directly —
+    the property that lets a nightly sketch table answer ad-hoc ranges
+    without rescanning facts."""
+    events = load_table(spark, SF_DIR_CORRECT, "events")
+    facts = events.filter(F.col("user_id").isNotNull()).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = build_hll_sketches(facts, ["day"], "user_id")
+    merged = daily.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("hll"), F.lit(False))
+        ).alias("est")
+    ).collect()[0]["est"]
+    direct = facts.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+
+
+def test_hll_rollup_partitioning_invariant(spark):
+    """Estimates are a function of the value SET, not the layout: a
+    repartitioned input must produce identical rows."""
+    a = {tuple(r) for r in hll_user_rollup(spark, SF_DIR_CORRECT).collect()}
+    events = load_table(spark, SF_DIR_CORRECT, "events")
+    facts = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .repartition(7, "user_id")
+    )
+    sk = build_hll_sketches(facts, ["event_type", "day"], "user_id")
+    b = {
+        (r["event_type"], r["day"], r["est"])
+        for r in sk.select(
+            "event_type",
+            "day",
+            F.hll_sketch_estimate("hll").alias("est"),
+        ).collect()
+    }
+    detail_a = {t for t in a if t[0] != ALL and t[1] != ALL}
+    assert detail_a == b
