@@ -13,4 +13,5 @@ from . import temporal  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
 from . import packing  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
+from . import cdc  # noqa: F401,E402
 from . import hygiene  # noqa: F401,E402
