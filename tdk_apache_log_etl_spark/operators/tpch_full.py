@@ -83,16 +83,33 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     average unit price from lineitem history — the correlated-MIN
     topology is identical.
 
-    Plan: one shuffle to aggregate (partkey, suppkey), then a window MIN
-    over partkey — a second shuffle but NO join-back (the subquery
-    decorrelates into the window).  Dimension joins afterwards touch only
-    the min-cost survivors; nation/region broadcast (bounded), supplier/
-    part by AQE choice.  Ties all survive, as in the original; the sort
-    key (s_acctbal, n_name, s_name, p_partkey) is unique per row so the
-    LIMIT 100 cut is deterministic."""
+    Plan (r2, one full-lineitem shuffle saved): the p_type filter is
+    pushed BELOW the expensive aggregation as a left-semi join on
+    p_partkey — legal because min_cost is per-partkey, so dropping other
+    parts' rows cannot change any surviving row. Then ONE explicit
+    repartition on l_partkey alone feeds BOTH the (partkey, suppkey)
+    aggregate and the window MIN: hash-partitioning on a subset of the
+    group keys satisfies the aggregate's clustering requirement, and the
+    window needs exactly that subset — so agg and window share a single
+    exchange (asserted in tests/test_plans.py). The semi side broadcasts
+    under AQE at bench scale; at 100 TB a shuffle semi-join partitions
+    lineitem by l_partkey anyway, which this layout then reuses for free.
+    Dimension joins afterwards touch only the min-cost survivors;
+    nation/region broadcast (bounded). Ties all survive, as in the
+    original; the sort key (s_acctbal, n_name, s_name, p_partkey) is
+    unique per row so the LIMIT 100 cut is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    li_std = li.join(
+        part.select("p_partkey"),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
     unit = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li_std.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
                 dec_sum(F.col("l_extendedprice") / F.col("l_quantity"))
@@ -104,9 +121,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("supply_cost").over(Window.partitionBy("l_partkey")),
         )
         .filter(F.col("supply_cost") == F.col("min_cost"))
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type") == "STANDARD"
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

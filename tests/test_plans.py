@@ -327,3 +327,23 @@ def test_salting_splits_hot_key_partitions(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_q2_single_exchange_feeds_agg_and_window(spark):
+    """The r2 Q2 rewrite: the p_type semi-join sits BELOW the aggregate,
+    and one hash partitioning on l_partkey serves both the
+    (partkey, suppkey) aggregate and the per-partkey window — no second
+    lineitem-wide exchange between them."""
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR_CORRECT)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert "LeftSemi" in plan, "p_type filter not pushed below agg"
+    # ONE shuffle exchange in the whole query (the l_partkey repartition
+    # shared by agg + window); every other join is broadcast at this sf
+    shuffles = re.findall(r"[+:]- Exchange \(", plan)
+    assert len(shuffles) == 1, plan
