@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from tdk_apache_log_etl_spark.sinks.staging import read_staging
 from tdk_apache_log_etl_spark.streaming.log_stream import (
     read_log_stream,
@@ -292,3 +294,52 @@ def test_windowed_topk_stream(spark, tmp_path):
     # top-2 of the 10:00 window: 200 (x10) and the tie-broken second
     assert rows[200] == 10
     assert len(rows) == 2
+
+
+def test_transform_with_state_first_seen_dedup(spark, tmp_path):
+    # transformWithState's Python<->JVM state protocol needs protobuf,
+    # absent from this container (see transform_state.py docstring).
+    pytest.importorskip("google.protobuf")
+    from tdk_apache_log_etl_spark.streaming.transform_state import (
+        ROCKSDB_PROVIDER,
+        first_seen_requests,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # ten repeats of /a from ip 1, one /b from ip 2 → two deduped rows
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-tws")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        deduped = first_seen_requests(read_log_stream(spark, str(src)))
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("first_seen")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.sql(
+        "SELECT * FROM first_seen ORDER BY ip_address"
+    ).collect()
+    assert [
+        (r.ip_address, r.request_resource, r.status_code, r.size)
+        for r in rows
+    ] == [
+        ("10.0.0.1", "/a", 200, 10),
+        ("10.0.0.2", "/b", 404, 20),
+    ]
