@@ -15,3 +15,4 @@ from . import packing  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import hygiene  # noqa: F401,E402
+from . import privacy  # noqa: F401,E402

@@ -1,0 +1,166 @@
+"""Privacy operators: PII detection/redaction and log anonymization.
+
+Standard compliance stages of both pipelines this repo serves:
+
+  * **PII scrub** — the LLM-training-corpus pass (the C4/Dolma lineage):
+    find and redact emails, IPv4 addresses, and phone numbers in document
+    text before training. Pure ``regexp_count``/``regexp_replace``
+    projections — JVM regex inside whole-stage codegen, no UDF, no
+    shuffle; embarrassingly parallel at any corpus size.
+
+  * **log anonymization** — the GDPR-style pass over the reference's
+    domain (Apache access logs, sree-etl-tdk-lambda.py parses full client
+    IPs and identities): truncate the IP's last octet and replace the
+    user id with an irreversible content-hash pseudonym, keeping the
+    columns analytics joins on.
+
+The synthetic corpus is PII-free word-soup, so ``pii_scrub`` plants a
+deterministic contact string derived from ``doc_id`` (same expression in
+the oracle — the planted text is part of the query contract, like the
+probe slice in hygiene.benchmark_decontaminate); the regexes then do
+real extraction work that DuckDB re-verifies independently.
+
+Regex parity note: patterns stick to the syntax subset (character
+classes, ``\\d``, ``{m,n}``, ``\\b``) that Java regex (Spark) and RE2
+(DuckDB) interpret identically; DuckDB needs the explicit ``'g'`` flag
+where Spark's regexp_replace is always-global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# -- patterns (Java regex == RE2 on this subset) ---------------------------
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RX = r"\+\d{1,2} \d{3}-\d{4}"
+
+#: planted contact line: one email, one IPv4, one phone per document,
+#: all deterministic functions of doc_id so the oracle replays them.
+_PLANT_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.org or 203.0.',"
+    " pmod(doc_id, 113), '.', pmod(doc_id, 251),"
+    " ' or +1 555-', lpad(cast(pmod(doc_id, 10000) as string), 4, '0'))"
+)
+_PLANT_SQL = (
+    "text || ' contact user' || doc_id || '@example.org or 203.0.'"
+    " || (doc_id % 113) || '.' || (doc_id % 251)"
+    " || ' or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def scrub_pii(full_text: F.Column) -> dict[str, F.Column]:
+    """The redaction expressions over ANY text column: per-category match
+    counts (taken before redaction) and the scrubbed text. Email first —
+    its local/domain parts contain digits and dots that the IP/phone
+    patterns could otherwise chew on."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full_text, EMAIL_RX, "<EMAIL>"),
+            IPV4_RX,
+            "<IP>",
+        ),
+        PHONE_RX,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": F.regexp_count(full_text, F.lit(EMAIL_RX)).cast("long"),
+        "n_ips": F.regexp_count(full_text, F.lit(IPV4_RX)).cast("long"),
+        "n_phones": F.regexp_count(full_text, F.lit(PHONE_RX)).cast("long"),
+        "clean_text": redacted,
+    }
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {_PLANT_SQL} AS full_text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(full_text, '{EMAIL_RX}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(full_text, '{IPV4_RX}'))
+                    AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(full_text, '{PHONE_RX}'))
+                    AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(full_text, '{EMAIL_RX}', '<EMAIL>', 'g'),
+                   '{IPV4_RX}', '<IP>', 'g'),
+                 '{PHONE_RX}', '<PHONE>', 'g') AS clean_text
+        FROM t
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: per-document email/IP/phone match
+    counts and the text with every match replaced by a typed placeholder.
+    One narrow projection — scan-parallel, pushdown-friendly, nothing
+    leaves codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(_PLANT_SPARK).alias("full_text")
+    )
+    cols = scrub_pii(F.col("full_text"))
+    return planted.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+@query(
+    "log_anonymize",
+    oracle="""
+        WITH t AS (
+          SELECT event_id, user_id,
+                 '203.0.' || (event_id % 113) || '.' || (event_id % 251)
+                   AS ip, event_type
+          FROM events
+        )
+        SELECT event_id,
+               regexp_replace(ip, '\\.\\d{1,3}$', '.0') AS ip_anon,
+               CASE WHEN user_id IS NULL THEN NULL
+                    ELSE substring(md5('u' || user_id), 1, 12)
+               END AS user_pseudo,
+               event_type
+        FROM t
+    """,
+)
+def log_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style access-log anonymization: last IP octet truncated to
+    ``.0`` (the common /24 coarsening — still joins against subnet-level
+    geo/abuse tables) and the user id replaced by a salted-hash pseudonym
+    (irreversible, but STABLE: the same user maps to the same pseudonym,
+    so per-user analytics — requests_per_user, sessionize — keep working
+    on the anonymized frame). The client IP is synthesized from event_id
+    the same way clf_subnet_traffic stands in for the parsed CLF frame.
+    NULL user (the CLF ``-``) stays NULL rather than becoming a shared
+    fake identity. Narrow projection, no shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("203.0."),
+        F.pmod(F.col("event_id"), F.lit(113)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("event_id"), F.lit(251)).cast("string"),
+    )
+    return events.select(
+        "event_id",
+        F.regexp_replace(ip, r"\.\d{1,3}$", ".0").alias("ip_anon"),
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit("u"), F.col("user_id").cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                12,
+            ),
+        ).alias("user_pseudo"),
+        "event_type",
+    )
