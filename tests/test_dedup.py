@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tdk_apache_log_etl_spark.operators import QUERIES
 from tdk_apache_log_etl_spark.operators.dedup import (
     exact_jaccard,
     minhash_candidate_pairs,
@@ -230,3 +231,32 @@ def test_exact_jaccard_pairs_matches_bruteforce(spark):
     )
     want = {(r.doc_a, r.doc_b) for r in brute.collect()}
     assert got == want
+
+
+def test_span_dedup_drops_repeated_span_keeps_first(spark, tmp_path):
+    from tdk_apache_log_etl_spark.operators.dedup import SPAN_W
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    # doc 0 and doc 1 share an identical first span (exactly SPAN_W
+    # tokens); doc 1's copy must drop, doc 0's must survive, and doc 1
+    # keeps its distinct tail.
+    shared = " ".join(f"s{i}" for i in range(SPAN_W))
+    tail = " ".join(f"t{i}" for i in range(SPAN_W))
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [shared, shared + " " + tail],
+            "lang": ["en", "en"],
+            "source": ["src0", "src0"],
+            "n_chars": [len(shared), len(shared) + 1 + len(tail)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["span_dedup_rebuild"](spark, str(tmp_path)).collect()
+    }
+    assert rows[0].n_kept == 1 and rows[0].new_text == shared
+    assert rows[1].n_chunks == 2 and rows[1].n_kept == 1
+    assert rows[1].new_text == tail
