@@ -473,3 +473,172 @@ def doc_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Composed quality gate + deterministic split: the two decisions a corpus
+# pipeline makes per document after the signals are computed.
+# --------------------------------------------------------------------------
+
+#: quality-gate thresholds (Gopher-rule shapes, tuned so the synthetic
+#: corpus splits meaningfully rather than all-pass: token counts run
+#: 10-99, top-token fractions 0.07-0.14, mean token lengths 3.7-5.3).
+GATE_MIN_TOKENS = 25
+GATE_MAX_TOKENS = 100_000
+GATE_MAX_TOP_TOKEN_FRAC = 0.12
+GATE_MAX_DUP3_FRAC = 0.55
+GATE_MEAN_LEN_LO = 3.0
+GATE_MEAN_LEN_HI = 5.0
+
+
+@query(
+    "quality_filter_gate",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 MAX(c)::DOUBLE / SUM(c) AS top_frac,
+                 SUM(c * LEN(w))::DOUBLE / SUM(c) AS mean_len
+          FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM docs)
+            GROUP BY doc_id, w
+          ) GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT doc_id,
+                 1.0 - COUNT(DISTINCT w3)::DOUBLE / COUNT(*) AS dup3
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                        ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   END AS w3
+            FROM docs, LATERAL (
+              SELECT unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+                AS i
+            ) t
+          ) GROUP BY doc_id
+        )
+        SELECT tok.doc_id, n_tokens,
+               n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}
+                 AS ok_length,
+               top_frac <= {GATE_MAX_TOP_TOKEN_FRAC} AS ok_top_token,
+               dup3 <= {GATE_MAX_DUP3_FRAC} AS ok_repetition,
+               mean_len BETWEEN {GATE_MEAN_LEN_LO} AND {GATE_MEAN_LEN_HI}
+                 AS ok_word_len,
+               (n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS})
+                 AND top_frac <= {GATE_MAX_TOP_TOKEN_FRAC}
+                 AND dup3 <= {GATE_MAX_DUP3_FRAC}
+                 AND (mean_len BETWEEN {GATE_MEAN_LEN_LO}
+                      AND {GATE_MEAN_LEN_HI}) AS keep
+        FROM tok JOIN sh ON tok.doc_id = sh.doc_id
+    """,
+)
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop decision (Gopher-style): length bounds,
+    top-token concentration, duplicate-3-gram fraction, and mean word
+    length, each surfaced as its own boolean so downstream can report WHY
+    documents drop (per-rule drop rates are the standard pipeline health
+    metric), plus the conjunctive ``keep``.
+
+    Shape: one explode + two hash aggregations on doc_id for the token
+    stats (count-per-token feeds max/sum in the same aggregation tree),
+    3-gram stats stay inside a single array projection (no explode), one
+    doc_id join to combine — the second aggregation and the join reuse the
+    doc_id partitioning. All thresholds are compile-time literals, so the
+    gate composes into any scan without breaking pushdown below it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    per_tok = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+        (
+            dec_sum(F.col("c") * F.length("w")).cast("double") / F.sum("c")
+        ).alias("mean_len"),
+    )
+    w3 = F.when(
+        F.size(F.col("ws")) < 3, F.array(F.array_join(F.col("ws"), " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ws")) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.try_element_at(F.col("ws"), i + 1),
+                F.try_element_at(F.col("ws"), i + 2),
+            ),
+        )
+    )
+    sh = toks.select("doc_id", w3.alias("g3")).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("g3")).cast("double") / F.size("g3")
+        ).alias("dup3"),
+    )
+    ok_length = F.col("n_tokens").between(GATE_MIN_TOKENS, GATE_MAX_TOKENS)
+    ok_top = F.col("top_frac") <= GATE_MAX_TOP_TOKEN_FRAC
+    ok_rep = F.col("dup3") <= GATE_MAX_DUP3_FRAC
+    ok_len = F.col("mean_len").between(GATE_MEAN_LEN_LO, GATE_MEAN_LEN_HI)
+    return tok.join(sh, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        ok_length.alias("ok_length"),
+        ok_top.alias("ok_top_token"),
+        ok_rep.alias("ok_repetition"),
+        ok_len.alias("ok_word_len"),
+        (ok_length & ok_top & ok_rep & ok_len).alias("keep"),
+    )
+
+
+#: md5-prefix threshold for the 90/10 train/val cut ('e6'/'100' ≈ 0.898).
+SPLIT_TRAIN_MAX = "e6"
+
+
+@query(
+    "train_val_split_counts",
+    oracle=f"""
+        SELECT source,
+               CASE WHEN substring(md5('split:' || doc_id), 1, 2)
+                         < '{SPLIT_TRAIN_MAX}'
+                    THEN 'train' ELSE 'val' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/validation assignment audited per
+    source: membership hashes the DOCUMENT ID with a split-purpose salt
+    (not the text — exact duplicates must be allowed to land in different
+    splits for the leakage DETECTOR to catch them; near-dup leakage is
+    benchmark_decontaminate's job), so the split is reproducible across
+    engines, partitionings, and re-runs — `randomSplit` guarantees none
+    of that. Scan-side projection + one aggregation; the audit is the
+    by-product, the assignment expression is the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit("split:"), F.col("doc_id").cast("string")),
+                "UTF-8",
+            )
+        ),
+        1,
+        2,
+    )
+    split = F.when(h2 < SPLIT_TRAIN_MAX, "train").otherwise("val")
+    return docs.groupBy(
+        "source", split.alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
