@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from tdk_apache_log_etl_spark.operators import QUERIES
 
-from .conftest import SF_DIR_SMOKE
+from .conftest import SF_DIR_CORRECT, SF_DIR_SMOKE
 
 
 def test_lsh_results_subset_of_corpus_and_ranked(spark):
@@ -108,3 +108,13 @@ def test_embedding_cosine_neardup_planted(spark):
         1 for a, b in zip(by_id[0], by_id[2]) if bin(a ^ b).count("1") <= 1
     )
     assert collisions_other < len(by_id[0])
+
+
+def test_ann_recall_eval_floor(spark):
+    rows = QUERIES["ann_recall_eval"](spark, SF_DIR_CORRECT).collect()
+    assert len(rows) == 5
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    # deterministic (no RNG anywhere in the LSH path): exact value is
+    # stable run-to-run; the floor guards against silent index decay
+    assert mean >= 0.4
+    assert all(r.n_true == 5 for r in rows)
