@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_lsh_neardup",
     "dedup_cluster_canonical",
+    "span_dedup_rebuild",
+    "quality_filter_gate",
+    "pii_scrub",
     # similarity
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
