@@ -1537,3 +1537,61 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "daily_revenue_gapfilled",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_num,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS scaled
+          FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM daily),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi)) AS day_num FROM bounds
+        )
+        SELECT s.day_num,
+               COALESCE(n_orders, 0) AS n_orders,
+               CAST(COALESCE(scaled, 0) AS DOUBLE) / 10000 AS revenue
+        FROM spine s LEFT JOIN daily d ON s.day_num = d.day_num
+    """,
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue: a generated calendar spine left-joined to
+    the per-day aggregate, so days with zero orders appear as explicit
+    zero rows — the shape every downstream time-series consumer (anomaly
+    detection, forecasting, the RANGE-frame queries here) needs, since a
+    missing day and a zero day are different facts.
+
+    Scale shape: the heavy lifting is the one fact-table aggregation; the
+    spine is sequence(min, max) exploded from a ONE-ROW frame (a few
+    thousand int64s even for decades of days — generated, never stored),
+    and the spine⋈daily join is two tiny post-aggregate frames (AQE
+    broadcasts). Epoch-day arithmetic keeps it session-tz-proof (see
+    _EPOCH_DAY). Revenue rides fixed-point and converts to double once."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr(_EPOCH_DAY).alias("day_num"), F.col("o_totalprice")
+        )
+        .groupBy("day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            ).alias("scaled"),
+        )
+    )
+    spine = daily.agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num"))
+    return spine.join(daily, "day_num", "left").select(
+        "day_num",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        (
+            F.coalesce(F.col("scaled"), F.lit(0)).cast("double") / 10000
+        ).alias("revenue"),
+    )
