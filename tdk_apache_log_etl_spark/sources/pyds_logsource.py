@@ -36,6 +36,7 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -141,6 +142,58 @@ class ApacheLogReader(DataSourceReader):
                     yield parse_clf_line(line)
 
 
+class ApacheLogStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector (``spark.readStream.format(
+    "apachelog")``): micro-batch offsets are the SORTED LIST OF FILES
+    seen so far — new files between two offsets become that batch's
+    input partitions (one per file, same granularity as the batch
+    reader), which is exactly the discovery contract of Spark's native
+    file stream source re-expressed through the Python API. Offsets are
+    JSON-serializable and checkpointable, so restart resumes at the
+    file boundary; files are assumed immutable-once-written (the log
+    rotation contract the reference's Lambda relies on:
+    sree-etl-tdk-lambda.py:147-166).
+
+    Driver-side state is one sorted filename list per offset — tens of
+    thousands of daily logs stay trivially cheap; the per-file rows are
+    read on EXECUTORS via the same partition reader as the batch path.
+    """
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("apachelog source requires a path option")
+        self._glob = options.get("pattern", "*.log")
+
+    def _current_files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, self._glob)))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        # empty micro-batch → one no-op partition (the API requires >= 1)
+        return [_LogFilePartition(f) for f in new] or [_LogFilePartition("")]
+
+    def read(self, partition: _LogFilePartition):
+        if not partition.path:
+            return
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    yield parse_clf_line(line)
+
+    def commit(self, end: dict) -> None:
+        # files are immutable once written; nothing to clean up. A
+        # post-ingest archive (K5) would move end["files"] here.
+        pass
+
+
 class ApacheLogDataSource(DataSource):
     """``spark.read.format("apachelog").option("path", dir).load()``."""
 
@@ -153,6 +206,9 @@ class ApacheLogDataSource(DataSource):
 
     def reader(self, schema) -> ApacheLogReader:
         return ApacheLogReader(self.options)
+
+    def streamReader(self, schema) -> ApacheLogStreamReader:
+        return ApacheLogStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -146,3 +146,45 @@ def test_pyds_parse_clf_line_pure():
     assert row[5] == 401 and row[9] is None
     bad = parse_clf_line("garbage")
     assert bad[9] == "garbage" and bad[0] is None
+
+
+def test_pyds_apachelog_stream_resumes_at_file_boundary(spark, tmp_path):
+    """Streaming connector: first run ingests the initial files; a
+    restart from the same checkpoint picks up ONLY files added since —
+    the offset (= seen-file list) round-trips through the checkpoint."""
+    from tdk_apache_log_etl_spark.sources import pyds_logsource
+
+    pyds_logsource.register(spark)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("\n".join(CLF_GOLDEN[:2]) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("apachelog")
+            .option("path", str(d))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).select("ip_address").collect()
+
+    first = sorted(r.ip_address for r in run_once())
+    assert first == ["198.51.100.9", "203.0.113.7"]
+
+    (d / "b.log").write_text("\n".join(CLF_GOLDEN[2:]) + "\n")
+    second = [r.ip_address for r in run_once()]
+    # run 2 appended ONLY the new file's rows (one parsed line + one
+    # corrupt line) — a.log was not re-ingested
+    assert len(second) == 4
+    assert sorted(x for x in second if x is not None) == [
+        "192.0.2.44", "198.51.100.9", "203.0.113.7",
+    ]
