@@ -21,6 +21,7 @@ BNLJ_OK = {
     "cosine_topk_bruteforce",  # query set is TOPK_N_QUERIES rows by contract
     "ann_lsh_topk",            # same bounded query set
     "ann_ivf_topk",            # same bounded query set
+    "ann_recall_eval",         # composes the two waived queries above
     "tpch_q11_important_parts",   # 1-row global-total crossJoin
     "tpch_q22_sales_opportunity",  # 1-row average-balance crossJoin
     "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
