@@ -682,3 +682,58 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_df = shingle_frame(docs)
     pairs = exact_jaccard_pairs(sh_df, threshold=0.5)
     return connected_components(docs.select("doc_id"), pairs)
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+        WITH names AS (
+          SELECT DISTINCT p_brand, p_type, p_name FROM part
+        )
+        SELECT a.p_brand, a.p_type,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM names a
+        JOIN names b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: near-identical part names
+    (edit distance ≤ 2 — typos, OCR slips) found WITHOUT an all-pairs
+    levenshtein cross join. Two standard ER moves make it scale: (1)
+    collapse to DISTINCT (block, name) before pairing — the quadratic
+    step runs on the name VOCABULARY, not the row count, so a 100 TB
+    catalog with millions of rows but bounded distinct names pays
+    vocabulary², and (2) block on (p_brand, p_type) so the self-join is
+    a hash join on the block key with levenshtein as a cheap residual
+    predicate on the few within-block candidates — never a broadcast
+    nested loop over everything. `a.p_name < b.p_name` emits each
+    unordered pair once, deterministically. Complements the token-set
+    family (MinHash/SimHash, same module): edit distance catches
+    character-level corruption Jaccard can't see."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_type", "p_name")
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )

@@ -911,3 +911,121 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_anomalies")
         )
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS cnt,
+               CAST(MIN(event_id) AS BIGINT) AS first_event
+        FROM events GROUP BY 1
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 on the Spark 4 VARIANT path: ``try_parse_json`` shreds the JSON
+    string ONCE into the binary Variant encoding, then ``variant_get``
+    probes it with a typed path — no re-parse per extraction, which is
+    the difference that matters when a props blob is probed for ten keys
+    instead of one (``get_json_object`` re-parses the string per call).
+    ``try_`` semantics: malformed JSON → NULL row, never a failed job —
+    the 100 TB posture where one bad record must not kill a 1000-executor
+    stage. Same aggregation semantics as json_props_extract, so the same
+    DuckDB oracle applies; both stay in whole-stage codegen."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return (
+        events.select(
+            F.variant_get(v, "$.k", "bigint").alias("k"), "event_id"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+#: Fixed epoch for the trend regressor: keeps the day regressor small so
+#: every moment sum stays exactly representable in BIGINT (the raw epoch
+#: day is ~20k; its cross-moments with 1e4-scaled values overflow long at
+#: bench scale already — centering is correctness, not cosmetics).
+TREND_EPOCH = "2024-01-01"
+
+
+@query(
+    "events_value_trend",
+    oracle=f"""
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx,
+                 SUM(x * x) AS sxx,
+                 SUM(y) AS sy,
+                 SUM(x * y) AS sxy
+          FROM (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '{TREND_EPOCH}',
+                                  CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS y
+            FROM events
+          )
+          GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000
+                 AS slope_per_day,
+               (CAST(sy AS DOUBLE) / n / 10000)
+                 - ((CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000)
+                   * (CAST(sx AS DOUBLE) / n)
+                 AS intercept
+        FROM m
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (slope of value over time) as pure
+    integer moment sums — distributed OLS without ML machinery or a
+    second pass: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over a day index
+    and a 1e4-scaled value. Why not covar_samp/var_samp (both engines
+    have them): their float accumulation is partitioning-order-dependent
+    in the last bits, so the cross-engine hash would flap; integer
+    moments are exact and commutative, so ONE map-side-combinable
+    aggregation yields bit-stable slopes under any parallelism. The
+    same four moments also give the intercept — no extra scan. At 100 TB
+    switch the moment sums to DECIMAL(38,0); the shape is unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit(TREND_EPOCH))).cast(
+        "long"
+    )
+    y = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    m = (
+        events.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = (num / den) / 10000
+    intercept = (
+        F.col("sy").cast("double") / F.col("n") / 10000
+        - slope * (F.col("sx").cast("double") / F.col("n"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )

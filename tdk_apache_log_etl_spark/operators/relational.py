@@ -1595,3 +1595,76 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("scaled"), F.lit(0)).cast("double") / 10000
         ).alias("revenue"),
     )
+
+
+@query(
+    "overlapping_orders_per_customer",
+    oracle="""
+        WITH iv AS (
+          SELECT o_custkey, o_orderkey, o_orderdate AS start_ts, end_ts
+          FROM orders
+          JOIN (SELECT l_orderkey, MAX(l_shipdate) AS end_ts
+                FROM lineitem GROUP BY l_orderkey) li
+            ON o_orderkey = l_orderkey
+        ),
+        flagged AS (
+          SELECT o_custkey,
+                 CASE WHEN MAX(end_ts) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY start_ts, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) > start_ts THEN 1 ELSE 0 END AS ov
+          FROM iv
+        )
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(ov) AS BIGINT) AS n_overlapping
+        FROM flagged
+        GROUP BY o_custkey
+        HAVING SUM(ov) > 0
+    """,
+)
+def overlapping_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap detection without an interval join: an order's
+    active interval is [o_orderdate, max(l_shipdate)]; an order overlaps
+    an earlier order of the same customer iff the running maximum of
+    earlier interval ends passes its start. The naive formulation is a
+    per-customer self-join on the overlap predicate — O(k²) rows per
+    customer and a nested-loop join Spark can't hash; the running-max
+    window computes the same per-order flag in O(k log k) with ONE sort
+    per customer partition. Per-customer partitions are bounded (order
+    count per customer, not corpus size), so no global sort appears.
+    The interval ends come from one map-side-combinable agg over
+    lineitem sharing the o_orderkey shuffle with the join. Ties
+    tie-break on o_orderkey so the frame boundary — and therefore the
+    flag — is engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ends = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("end_ts"))
+    iv = orders.join(ends, orders.o_orderkey == ends.l_orderkey).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("start_ts"),
+        "end_ts",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("start_ts", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        F.when(F.max("end_ts").over(w) > F.col("start_ts"), 1)
+        .otherwise(0)
+        .alias("ov"),
+    )
+    return (
+        flagged.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("ov").alias("n_overlapping"),
+        )
+        .where(F.col("n_overlapping") > 0)
+    )

@@ -642,3 +642,69 @@ def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "token_commonness_scores",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS t FROM tok)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * c) AS BIGINT) AS sum_freq,
+               CAST(SUM(tf * c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE) AS commonness
+        FROM tf JOIN cnt USING (w)
+        GROUP BY doc_id
+    """,
+)
+def token_commonness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM commonness score per document — the log-free proxy for
+    'how typical is this document's vocabulary of the corpus': the mean
+    corpus frequency p(t) = count(t)/total of its tokens. Rare-garbage
+    documents (OCR noise, base64 spill) score near 1/total; boilerplate
+    scores high. The standard LM quality signal is mean log p(t); the
+    ranking is monotone in this sum either way, and staying in integer
+    arithmetic (sum of counts, two final double divisions) keeps the
+    result bit-identical across engines and partitionings
+    (operators/numeric.py rules), where a float log-sum would not be.
+
+    Shape, scale-first: ONE explode pass feeds (a) per-doc term
+    frequencies grouped on (doc_id, token) and (b) the corpus vocabulary
+    count grouped on token — so the tf⋈vocab join is on DISTINCT
+    (doc, token) pairs, not raw token instances (documents repeating a
+    token contribute one join row, the heavy-tail 'the' rows collapse
+    per-doc first). The vocabulary side is Zipf-skewed; AQE's skew-join
+    splitting handles the hot tokens, and the final per-doc agg re-uses
+    the (doc_id, w) clustering so it is map-side-combinable. The corpus
+    total rides in as a broadcast single-row frame, never a collect().
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    per_doc = (
+        tf.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("c")).alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.col("t").cast("double")
+        ).alias("commonness"),
+    )

@@ -72,6 +72,38 @@ def ingest_logs(
     return parsed
 
 
+def ingest_logs_observed(
+    spark: SparkSession,
+    log_dir: str,
+    staging_path: str,
+    run_date: str | None = None,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Ingest with free data-quality telemetry: ``df.observe`` attaches
+    accumulator-backed aggregates to the WRITE pass itself, so row count,
+    corrupt-line count, and null-field tallies come out of the one scan
+    the job already does — no second validation scan of a 100 TB input
+    (the reference's equivalent is a blind ``print`` of ``df.count()``
+    that triggers exactly such an extra pass,
+    sree-etl-tdk-lambda.py:191). Returns the observed metrics dict; the
+    staging parquet is written as a side effect of the same action."""
+    from pyspark.sql import Observation
+
+    parsed = read_apache_log(spark, log_dir, run_date=run_date)
+    obs = Observation("ingest")
+    observed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("request_method").isNull(), 1)).alias(
+            "n_unparsed"
+        ),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+        F.count(F.when(F.col("size").isNull(), 1)).alias("n_null_size"),
+    )
+    write_staging(observed, staging_path, mode=mode)
+    return dict(obs.get)
+
+
 def register_staging_table(
     spark: SparkSession, path: str, table: str = STAGING_TABLE
 ) -> None:

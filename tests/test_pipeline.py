@@ -104,3 +104,24 @@ def test_quarantine_is_idempotent_per_day(spark, tmp_path):
     # re-run the same day: corrupt rows replaced, not duplicated
     c2 = ingest(spark, str(logs), staging, run_date="2026-08-13")
     assert c2.count() == 1
+
+
+def test_ingest_observed_metrics_single_pass(spark, tmp_path):
+    # df.observe rides the write action: metrics arrive without a second
+    # scan, and they agree with what a separate count would say.
+    logs = tmp_path / "obs_logs"
+    logs.mkdir()
+    (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    staging = str(tmp_path / "obs_staging")
+
+    from tdk_apache_log_etl_spark.sinks.staging import ingest_logs_observed
+
+    metrics = ingest_logs_observed(
+        spark, str(logs), staging, run_date="2026-08-13"
+    )
+    assert metrics["n_rows"] == len(LINES)
+    assert metrics["n_unparsed"] == 1   # the malformed line
+    assert metrics["n_null_user"] == 2  # '-' user + malformed line
+    assert metrics["n_null_size"] == 2  # 304-style '-' size + malformed
+    staged = read_staging(spark, staging, date="2026-08-13")
+    assert staged.count() == metrics["n_rows"]
