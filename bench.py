@@ -49,9 +49,12 @@ HEADLINE = [
     "rolling_wau",
     "hourly_event_counts",
     "json_props_extract",
+    "variant_props_extract",
+    "events_value_trend",
     "events_value_percentiles",
     "asof_join_last_order",
     "range_join_click_purchase",
+    "overlapping_orders_per_customer",
     # text / dedup
     "token_stats_by_lang",
     "text_quality_scores",
@@ -65,6 +68,8 @@ HEADLINE = [
     "span_dedup_rebuild",
     "quality_filter_gate",
     "pii_scrub",
+    "fuzzy_part_name_pairs",
+    "token_commonness_scores",
     # similarity
     "cosine_topk_bruteforce",
     "ann_ivf_topk",

@@ -121,14 +121,30 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams in practice) is the natural broadcast candidate — AQE
     measures it post-distinct rather than a forced hint.  Documents
     shorter than {DECON_N} tokens contribute no n-grams (guarded; the
-    ANSI element_at trap from round 1 doesn't apply to slice)."""
+    ANSI element_at trap from round 1 doesn't apply to slice).
+
+    The join and the distinct run on xxhash64 FINGERPRINTS of the
+    n-grams, not the strings — the ~50-byte n-gram text never crosses
+    the exchange, only 8-byte longs (the standard trick in production
+    decontamination: at 100 TB the shuffle is the cost, and this cuts
+    its width ~6×). A fingerprint collision (p ≈ pairs/2⁶⁴) could
+    overcount n_hits by one; the DuckDB oracle joins on the full
+    strings, so the differential gate itself proves no collision exists
+    in the fixture corpus."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(ws) - (DECON_N - 1))
     ngrams = F.when(
         F.size(ws) >= DECON_N,
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, DECON_N), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.array_join(F.slice(ws, i, DECON_N), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # NOT persisted: measured slower (4.1 s vs 2.8 s at sf0.1) — a
+    # persist serializes the probe/corpus branches behind one
+    # materialization job, while the un-persisted plan tokenizes twice
+    # but runs both branches' scans fully parallel.
     g = docs.select("doc_id", F.explode(ngrams).alias("ng"))
     probes = (
         g.filter(F.col("doc_id") % PROBE_MOD == 0).select("ng").distinct()

@@ -347,3 +347,29 @@ def test_q2_single_exchange_feeds_agg_and_window(spark):
     # shared by agg + window); every other join is broadcast at this sf
     shuffles = re.findall(r"[+:]- Exchange \(", plan)
     assert len(shuffles) == 1, plan
+
+
+def test_fuzzy_pairs_is_hash_join_not_bnlj(spark):
+    # The blocked ER join must plan as an equi-join on the block key with
+    # levenshtein as residual — a BroadcastNestedLoopJoin would mean the
+    # blocking failed and every name pair is compared.
+    plan = _plan(QUERIES["fuzzy_part_name_pairs"](spark, SF_DIR_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trend_is_single_aggregation_pass(spark):
+    # All four OLS moments must ride one partial+final hash aggregate —
+    # no join, no window, no second scan of events.
+    plan = _plan(QUERIES["events_value_trend"](spark, SF_DIR_CORRECT))
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_commonness_total_is_broadcast(spark):
+    # The corpus-total single-row frame must come in as a broadcast,
+    # never a shuffled cross join.
+    plan = _plan(QUERIES["token_commonness_scores"](spark, SF_DIR_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
