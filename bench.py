@@ -41,6 +41,8 @@ HEADLINE = [
     "orders_lineitem_revenue",
     "topk_orders_by_price",
     "window_top_order_per_customer",
+    "lateral_top2_orders",
+    "order_chains_recursive_sql",
     "cube_orders_status_priority",
     # event-stream ops
     "sessionize_gap",

@@ -1668,3 +1668,31 @@ def overlapping_orders_per_customer(
         )
         .where(F.col("n_overlapping") > 0)
     )
+
+
+_LATERAL_TOP2_SQL = """
+SELECT c.c_mktsegment, c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+"""
+
+
+@query("lateral_top2_orders", oracle=_LATERAL_TOP2_SQL)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — each customer's two priciest orders,
+    written the way an analyst would (per-row subquery with ORDER BY +
+    LIMIT), executed the way a cluster needs: Catalyst decorrelates the
+    lateral into a WindowGroupLimit over orders plus ONE equi-join
+    (verified in the plan — no per-customer re-execution, no nested
+    loop), so the 'run a query per row' phrasing costs the same as the
+    hand-written window form in window_top_order_per_customer. The
+    IDENTICAL SQL string is the DuckDB oracle — dialect-portable like
+    tpch_q1_sql_form. Ties broken by o_orderkey so LIMIT is
+    deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOP2_SQL)

@@ -306,3 +306,59 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_totalprice").alias("next_totalprice"),
     )
+
+
+#: Gap threshold for the rapid-reorder chain query.
+CHAIN_GAP_DAYS = 30
+
+_CHAIN_SQL_SPARK = f"""
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS d,
+         LEAD(o_orderkey) OVER w AS nk,
+         LEAD(CAST(o_orderdate AS DATE)) OVER w AS nd,
+         LAG(CAST(o_orderdate AS DATE)) OVER w AS pd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+edges AS (
+  SELECT o_orderkey AS src, nk AS dst FROM nxt
+  WHERE nk IS NOT NULL AND datediff(nd, d) <= {CHAIN_GAP_DAYS}
+),
+heads AS (
+  SELECT o_custkey, o_orderkey AS head FROM nxt
+  WHERE pd IS NULL OR datediff(d, pd) > {CHAIN_GAP_DAYS}
+),
+chain(o_custkey, head, tail, len) AS (
+  SELECT o_custkey, head, head, 1 FROM heads
+  UNION ALL
+  SELECT c.o_custkey, c.head, e.dst, c.len + 1
+  FROM chain c JOIN edges e ON e.src = c.tail
+)
+SELECT o_custkey, head AS head_orderkey, CAST(MAX(len) AS BIGINT) AS chain_len
+FROM chain GROUP BY o_custkey, head HAVING MAX(len) >= 2
+"""
+
+
+@query(
+    "order_chains_recursive_sql",
+    oracle=_CHAIN_SQL_SPARK.replace(
+        "datediff(nd, d)", "date_diff('day', d, nd)"
+    ).replace("datediff(d, pd)", "date_diff('day', pd, d)"),
+)
+def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-reorder chains — maximal runs of a customer's consecutive
+    orders each placed within {CHAIN_GAP_DAYS} days of the previous one —
+    via Spark 4's recursive CTE (WITH RECURSIVE, new in 4.0). Chain
+    membership is a PATH property (each link must individually satisfy
+    the gap), which a single window cannot express; the recursion walks
+    lead()-derived next-order edges from each chain head. The edge
+    relation is functional (≤1 successor per order) and time-ordered
+    (acyclic), so each recursion step is a linear equi-join with no
+    path explosion and guaranteed termination — rounds = longest chain,
+    the same bound the Pregel loop in operators/dedup.py pays per
+    component diameter. Both engines run the IDENTICAL query modulo the
+    datediff argument-order dialect; only the chain heads with length
+    ≥ 2 are returned."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CHAIN_SQL_SPARK)

@@ -373,3 +373,12 @@ def test_commonness_total_is_broadcast(spark):
     plan = _plan(QUERIES["token_commonness_scores"](spark, SF_DIR_CORRECT))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    # The correlated LATERAL-with-LIMIT must decorrelate: one equi-join
+    # plus WindowGroupLimit, never a per-row nested loop.
+    plan = _plan(QUERIES["lateral_top2_orders"](spark, SF_DIR_CORRECT))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
