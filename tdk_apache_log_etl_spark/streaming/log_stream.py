@@ -160,15 +160,25 @@ def stream_stream_error_followup(
     parsed: DataFrame,
     horizon: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: for each successful request, the error
-    the SAME user hits within ``horizon`` afterwards (the ops question
+    """Stream-stream join: for each successful request, the error the
+    SAME user hits within ``horizon`` afterwards (the ops question
     "which pages precede failures?"). Both sides carry watermarks and the
     join has a bounded event-time range — the two conditions under which
     Spark can expire join state instead of buffering both streams forever;
     state per side is O(arrival rate × (watermark + horizon)), constant in
     stream length. Equi-key user_id partitions both state stores the same
-    way, so matching is executor-local after one shuffle per side."""
+    way, so matching is executor-local after one shuffle per side.
+
+    ``how="leftOuter"``: successes with NO follow-up error emit once the
+    watermark passes their join window — NULL-padded, exactly-once, the
+    streaming form of "requests that did NOT fail within 10 minutes".
+    Outer rows are emitted by the state-expiry path, so they appear in
+    the micro-batch AFTER the watermark passes the window close, never
+    the batch that read the row — a single-batch run emits no outer
+    rows (tests/test_streaming.py drives this with maxFilesPerTrigger=1
+    so later files advance the watermark across batches)."""
     base = parsed.withColumn("ts", F.col("time").cast("timestamp"))
     ok = (
         base.filter(F.col("status_code") == 200)
@@ -194,6 +204,7 @@ def stream_stream_error_followup(
         (F.col("ok_user") == F.col("err_user"))
         & (F.col("err_ts") > F.col("ok_ts"))
         & (F.col("err_ts") <= F.col("ok_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
 
 

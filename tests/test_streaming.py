@@ -343,3 +343,71 @@ def test_transform_with_state_first_seen_dedup(spark, tmp_path):
         ("10.0.0.1", "/a", 200, 10),
         ("10.0.0.2", "/b", 404, 20),
     ]
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    # leftOuter: the success with no error inside the horizon must emit
+    # NULL-padded — but only in a batch AFTER the watermark passes its
+    # join window, so the input is split into three files processed one
+    # per micro-batch (maxFilesPerTrigger=1): file2/file3 exist to
+    # advance the watermark past user 3's window and flush its state.
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        read_log_stream,
+        stream_stream_error_followup,
+    )
+
+    src = tmp_path / "in-louter"
+    src.mkdir()
+    (src / "a-2026-08-13.log").write_text(
+        "\n".join(
+            [
+                # user 1: success + 404 2 min later → matched row
+                '10.0.0.1 - 1 [13/Aug/2026:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+                '10.0.0.1 - 1 [13/Aug/2026:10:02:00 +0000] "GET /x HTTP/1.1" 404 5 "-" "ua"',
+                # user 3: success only → outer row once watermark passes
+                '10.0.0.3 - 3 [13/Aug/2026:10:00:00 +0000] "GET /c HTTP/1.1" 200 10 "-" "ua"',
+            ]
+        )
+        + "\n"
+    )
+    # late traffic whose only job is to advance the watermark — on BOTH
+    # sides: the join's global watermark is min(ok side, err side), so an
+    # advancer file lacking either a 200 or an error leaves the global
+    # watermark pinned at the stale side and no outer row ever flushes
+    (src / "b-2026-08-13.log").write_text(
+        "\n".join(
+            [
+                '10.0.0.8 - 8 [13/Aug/2026:16:00:00 +0000] "GET /v HTTP/1.1" 200 5 "-" "ua"',
+                '10.0.0.9 - 9 [13/Aug/2026:16:00:00 +0000] "GET /w HTTP/1.1" 500 5 "-" "ua"',
+            ]
+        )
+        + "\n"
+    )
+    (src / "c-2026-08-13.log").write_text(
+        "\n".join(
+            [
+                '10.0.0.8 - 8 [13/Aug/2026:17:00:00 +0000] "GET /v HTTP/1.1" 200 5 "-" "ua"',
+                '10.0.0.9 - 9 [13/Aug/2026:17:00:00 +0000] "GET /w HTTP/1.1" 500 5 "-" "ua"',
+            ]
+        )
+        + "\n"
+    )
+    ckpt = str(tmp_path / "ckpt-louter")
+
+    parsed = read_log_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream_stream_error_followup(parsed, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("louter")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.ok_user, r.err_status)
+        for r in spark.sql("SELECT ok_user, err_status FROM louter").collect()
+    }
+    assert (1, 404) in rows          # matched pair
+    assert (3, None) in rows         # outer row, NULL-padded error side
