@@ -1029,3 +1029,58 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_day"),
         intercept.alias("intercept"),
     )
+
+
+@query(
+    "session_window_counts_batch",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE
+                   WHEN ts - LAG(ts) OVER w < INTERVAL {SESSION_GAP_SECONDS} SECOND
+                   THEN 0 ELSE 1
+                 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 via the NATIVE session operator: ``session_window`` works in
+    batch too, and this is the same sessionization as sessionize_gap
+    without the two-window lag/prefix-sum dance — the operator merges
+    point-intervals [ts, ts+gap) whenever a new event lands strictly
+    inside the open session (Spark's merge rule is ``<``, not ``<=``:
+    the session end is exclusive, and the oracle's LAG test mirrors
+    that). One shuffle on user_id, sessions assembled executor-side;
+    the window bounds come back as session start and exclusive end
+    (max ts + gap). Formatted to whole seconds like sessionize_gap so
+    the NTZ timestamps compare engine-neutrally."""
+    events = load_table(spark, sf_dir, "events")
+    sw = events.groupBy(
+        F.session_window(F.col("ts"), f"{SESSION_GAP_SECONDS} seconds"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )

@@ -27,6 +27,7 @@ BNLJ_OK = {
     "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
     "rolling_wau",             # 1-row day-bounds crossJoin
     "doc_distinctive_tokens",  # 1-row corpus-count crossJoin
+    "token_commonness_scores",  # 1-row corpus-total crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
