@@ -1696,3 +1696,112 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_TOP2_SQL)
+
+
+@query(
+    "daily_revenue_interpolated",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_num,
+                 SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS scaled
+          FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM daily),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi)) AS day_num FROM bounds
+        ),
+        joined AS (
+          SELECT s.day_num, d.scaled FROM spine s
+          LEFT JOIN daily d ON s.day_num = d.day_num
+        ),
+        nbrs AS (
+          SELECT day_num, scaled,
+                 last_value(CASE WHEN scaled IS NOT NULL
+                                 THEN day_num END IGNORE NULLS) OVER wp
+                   AS prev_day,
+                 last_value(scaled IGNORE NULLS) OVER wp AS prev_s,
+                 first_value(CASE WHEN scaled IS NOT NULL
+                                  THEN day_num END IGNORE NULLS) OVER wf
+                   AS next_day,
+                 first_value(scaled IGNORE NULLS) OVER wf AS next_s
+          FROM joined
+          WINDOW
+            wp AS (ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (ORDER BY day_num
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT day_num,
+               (CASE WHEN scaled IS NOT NULL THEN CAST(scaled AS DOUBLE)
+                     ELSE CAST(prev_s AS DOUBLE)
+                          + CAST(next_s - prev_s AS DOUBLE)
+                            * CAST(day_num - prev_day AS DOUBLE)
+                            / CAST(next_day - prev_day AS DOUBLE)
+                END) / 10000 AS revenue,
+               scaled IS NULL AS is_interpolated
+        FROM nbrs
+    """,
+)
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair by LINEAR INTERPOLATION — where
+    daily_revenue_gapfilled makes missing days explicit zeros, this
+    estimates them from the nearest observed neighbors (the hypertable
+    `interpolate()` semantic): carry the last observed (day, value)
+    forward and the next observed one backward with ignorenulls window
+    functions, then one rational blend. The spine's first/last days are
+    always observed (bounds come from the data), so every gap has both
+    neighbors — no NULL output rows.
+
+    Scale: identical to the gap-fill — one fact aggregation, a generated
+    spine, and windows over the BOUNDED one-row-per-day frame (waived in
+    the global-window sweep with the same pre-aggregated argument as
+    moving_avg_daily_revenue). The blend stays on scaled integers cast
+    to double in a fixed expression tree, so both engines produce
+    identical bits despite the division."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr(_EPOCH_DAY).alias("day_num"), F.col("o_totalprice")
+        )
+        .groupBy("day_num")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            ).alias("scaled")
+        )
+    )
+    spine = daily.agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num"))
+    joined = spine.join(daily, "day_num", "left")
+    wp = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("day_num").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("scaled").isNotNull(), F.col("day_num"))
+    nbrs = joined.select(
+        "day_num",
+        "scaled",
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.last("scaled", ignorenulls=True).over(wp).alias("prev_s"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_day"),
+        F.first("scaled", ignorenulls=True).over(wf).alias("next_s"),
+    )
+    blend = F.col("prev_s").cast("double") + (
+        F.col("next_s") - F.col("prev_s")
+    ).cast("double") * (F.col("day_num") - F.col("prev_day")).cast(
+        "double"
+    ) / (F.col("next_day") - F.col("prev_day")).cast("double")
+    return nbrs.select(
+        "day_num",
+        (
+            F.when(
+                F.col("scaled").isNotNull(), F.col("scaled").cast("double")
+            ).otherwise(blend)
+            / 10000
+        ).alias("revenue"),
+        F.col("scaled").isNull().alias("is_interpolated"),
+    )

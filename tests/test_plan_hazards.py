@@ -34,6 +34,7 @@ BNLJ_OK = {
 #: frames (the docstrings carry the argument):
 GLOBAL_WINDOW_OK = {
     "moving_avg_daily_revenue",  # pre-aggregated to one row per day
+    "daily_revenue_interpolated",  # same one-row-per-day spine frame
     "ntile_customer_quartiles",  # pre-aggregated per-customer, then 4-tile
     "pack_token_offsets",        # N_GROUPS-row group-offset frame
     "pack_sequences_greedy",     # oracle-side only; Spark side has none
