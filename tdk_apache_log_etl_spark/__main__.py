@@ -1,0 +1,137 @@
+"""Command-line entry points — the two scheduled jobs of the reference
+(`python -m tdk_apache_log_etl_spark ingest|analytics`, replacing the
+CloudWatch-triggered Lambda and Glue job, sree-etl-tdk-lambda.py:145 /
+sree-etl-tdk-glue-job.py:13) plus the extension surfaces (corpus
+preparation, ad-hoc registered queries, interactive SQL).
+
+Every subcommand builds one SparkSession via session.get_spark (AQE on,
+UTC, tuned shuffle partitions) and writes results as parquet — a JDBC
+URL switches the analytics sinks to a database, matching the reference's
+Oracle loads (K3/K4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tdk_apache_log_etl_spark",
+        description="PySpark-native Apache-log ETL + analytics engine",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="parse *.log files into staging")
+    pi.add_argument("log_dir")
+    pi.add_argument("staging_path")
+    pi.add_argument("--archive-dir", default=None)
+    pi.add_argument("--run-date", default=None, help="YYYY-MM-DD")
+
+    pa = sub.add_parser(
+        "analytics", help="daily per-user counts + summary row"
+    )
+    pa.add_argument("staging_path")
+    pa.add_argument("run_date", help="YYYY-MM-DD partition to analyze")
+    pa.add_argument("--out", required=True, help="output directory")
+    pa.add_argument(
+        "--jdbc-url", default=None,
+        help="write to JDBC instead of parquet (reference K3/K4 semantics)",
+    )
+
+    pc = sub.add_parser(
+        "corpus", help="hygiene -> dedup -> pack corpus preparation"
+    )
+    pc.add_argument("sf_dir", help="fixture dir with documents.parquet")
+    pc.add_argument("--out", default=None)
+
+    pq = sub.add_parser("query", help="run a registered query by name")
+    pq.add_argument("name")
+    pq.add_argument("sf_dir")
+    pq.add_argument("--out", default=None, help="parquet output (else show)")
+
+    ps = sub.add_parser("sql", help="run one SQL string over the fixtures")
+    ps.add_argument("sf_dir")
+    ps.add_argument("statement")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    # Only stop a session this process created: getOrCreate returns any
+    # live session (e.g. a test harness's), and stopping someone else's
+    # JVM context is not this CLI's call.
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(f"tdk-{args.cmd}")
+    try:
+        if args.cmd == "ingest":
+            from .pipeline import ingest
+
+            corrupt = ingest(
+                spark,
+                args.log_dir,
+                args.staging_path,
+                archive_dir=args.archive_dir,
+                run_date=args.run_date,
+            )
+            print(f"corrupt_lines={corrupt.count()}")
+        elif args.cmd == "analytics":
+            from .pipeline import daily_analytics
+            from .sinks.jdbc import write_jdbc
+
+            per_user, summary = daily_analytics(
+                spark, args.staging_path, args.run_date
+            )
+            if args.jdbc_url:
+                write_jdbc(
+                    per_user, args.jdbc_url, "tdk_user_requests_table",
+                    mode="overwrite",
+                )
+                write_jdbc(
+                    summary, args.jdbc_url, "tdk_total_requests_table",
+                    mode="append",
+                )
+            else:
+                per_user.write.mode("overwrite").parquet(
+                    f"{args.out}/user_requests"
+                )
+                summary.write.mode("append").parquet(
+                    f"{args.out}/total_requests"
+                )
+            print("analytics_ok=1")
+        elif args.cmd == "corpus":
+            from .pipeline_corpus import prepare_corpus
+
+            out = prepare_corpus(spark, args.sf_dir, out_dir=args.out)
+            print(f"corpus_rows={out.count()}")
+        elif args.cmd == "query":
+            from .operators import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}", file=sys.stderr)
+                return 2
+            df = QUERIES[args.name](spark, args.sf_dir)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(f"rows={spark.read.parquet(args.out).count()}")
+            else:
+                df.show(50, truncate=False)
+        elif args.cmd == "sql":
+            from .sources.tables import TABLES, load_table
+
+            for t in TABLES:
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            spark.sql(args.statement).show(50, truncate=False)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

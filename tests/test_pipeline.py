@@ -125,3 +125,28 @@ def test_ingest_observed_metrics_single_pass(spark, tmp_path):
     assert metrics["n_null_size"] == 2  # 304-style '-' size + malformed
     staged = read_staging(spark, staging, date="2026-08-13")
     assert staged.count() == metrics["n_rows"]
+
+
+def test_cli_ingest_and_query(tmp_path, capsys):
+    # __main__.main drives the same pipeline code paths end to end.
+    from tdk_apache_log_etl_spark.__main__ import main
+
+    logs = tmp_path / "cli_logs"
+    logs.mkdir()
+    (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    staging = str(tmp_path / "cli_staging")
+    rc = main(
+        ["ingest", str(logs), staging, "--run-date", "2026-08-13"]
+    )
+    assert rc == 0
+    assert "corrupt_lines=1" in capsys.readouterr().out
+
+    out = str(tmp_path / "cli_q")
+    rc = main(
+        ["query", "clf_user_count", "/root/testdata/sf0.001", "--out", out]
+    )
+    assert rc == 0
+    assert "rows=1" in capsys.readouterr().out
+
+    rc = main(["query", "no_such_query", "/root/testdata/sf0.001"])
+    assert rc == 2
