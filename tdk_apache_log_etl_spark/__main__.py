@@ -54,6 +54,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("sql", help="run one SQL string over the fixtures")
     ps.add_argument("sf_dir")
     ps.add_argument("statement")
+
+    pe = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    pe.add_argument("name")
+    pe.add_argument("sf_dir")
     return p
 
 
@@ -127,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
             for t in TABLES:
                 load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
             spark.sql(args.statement).show(50, truncate=False)
+        elif args.cmd == "explain":
+            from .operators import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}", file=sys.stderr)
+                return 2
+            QUERIES[args.name](spark, args.sf_dir).explain("formatted")
         return 0
     finally:
         if owns_session:
