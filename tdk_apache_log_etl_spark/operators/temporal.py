@@ -311,7 +311,7 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Gap threshold for the rapid-reorder chain query.
 CHAIN_GAP_DAYS = 30
 
-_CHAIN_SQL_SPARK = f"""
+_CHAIN_SQL_ORACLE = f"""
 WITH RECURSIVE nxt AS (
   SELECT o_custkey, o_orderkey,
          CAST(o_orderdate AS DATE) AS d,
@@ -323,11 +323,11 @@ WITH RECURSIVE nxt AS (
 ),
 edges AS (
   SELECT o_orderkey AS src, nk AS dst FROM nxt
-  WHERE nk IS NOT NULL AND datediff(nd, d) <= {CHAIN_GAP_DAYS}
+  WHERE nk IS NOT NULL AND date_diff('day', d, nd) <= {CHAIN_GAP_DAYS}
 ),
 heads AS (
   SELECT o_custkey, o_orderkey AS head FROM nxt
-  WHERE pd IS NULL OR datediff(d, pd) > {CHAIN_GAP_DAYS}
+  WHERE pd IS NULL OR date_diff('day', pd, d) > {CHAIN_GAP_DAYS}
 ),
 chain(o_custkey, head, tail, len) AS (
   SELECT o_custkey, head, head, 1 FROM heads
@@ -339,13 +339,19 @@ SELECT o_custkey, head AS head_orderkey, CAST(MAX(len) AS BIGINT) AS chain_len
 FROM chain GROUP BY o_custkey, head HAVING MAX(len) >= 2
 """
 
-
-@query(
-    "order_chains_recursive_sql",
-    oracle=_CHAIN_SQL_SPARK.replace(
-        "datediff(nd, d)", "date_diff('day', d, nd)"
-    ).replace("datediff(d, pd)", "date_diff('day', pd, d)"),
+_CHAIN_RECURSION_SQL = """
+WITH RECURSIVE chain(o_custkey, head, tail, len) AS (
+  SELECT o_custkey, head, head, 1 FROM chain_heads
+  UNION ALL
+  SELECT c.o_custkey, c.head, e.dst, c.len + 1
+  FROM chain c JOIN chain_edges e ON e.src = c.tail
 )
+SELECT o_custkey, head AS head_orderkey, CAST(MAX(len) AS BIGINT) AS chain_len
+FROM chain GROUP BY o_custkey, head HAVING MAX(len) >= 2
+"""
+
+
+@query("order_chains_recursive_sql", oracle=_CHAIN_SQL_ORACLE)
 def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid-reorder chains — maximal runs of a customer's consecutive
     orders each placed within {CHAIN_GAP_DAYS} days of the previous one —
@@ -357,8 +363,42 @@ def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     (acyclic), so each recursion step is a linear equi-join with no
     path explosion and guaranteed termination — rounds = longest chain,
     the same bound the Pregel loop in operators/dedup.py pays per
-    component diameter. Both engines run the IDENTICAL query modulo the
-    datediff argument-order dialect; only the chain heads with length
-    ≥ 2 are returned."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_CHAIN_SQL_SPARK)
+    component diameter.
+
+    The edge/head relations are built ONCE in DataFrame land and
+    localCheckpoint'ed before the recursion: CTE inlining would
+    otherwise re-run the lead/lag window inside every recursion round
+    (measured 3.3 s → 1.9 s at sf0.1 from this alone) — the same
+    materialize-what-iterates rule the dedup loop applies. The DuckDB
+    oracle runs the whole thing as one recursive SQL statement; only
+    chain heads with length ≥ 2 are returned."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    nxt = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("d"),
+        F.lead("o_orderkey").over(w).alias("nk"),
+        F.lead(d).over(w).alias("nd"),
+        F.lag(d).over(w).alias("pd"),
+    )
+    edges = (
+        nxt.where(
+            F.col("nk").isNotNull()
+            & (F.datediff("nd", "d") <= CHAIN_GAP_DAYS)
+        )
+        .select(F.col("o_orderkey").alias("src"), F.col("nk").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    heads = (
+        nxt.where(
+            F.col("pd").isNull()
+            | (F.datediff("d", "pd") > CHAIN_GAP_DAYS)
+        )
+        .select("o_custkey", F.col("o_orderkey").alias("head"))
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("chain_edges")
+    heads.createOrReplaceTempView("chain_heads")
+    return spark.sql(_CHAIN_RECURSION_SQL)
