@@ -1805,3 +1805,47 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.col("scaled").isNull().alias("is_interpolated"),
     )
+
+
+@query(
+    "lineitem_measures_unpivot",
+    oracle=f"""
+        WITH m AS (
+          SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice', l_extendedprice
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        )
+        SELECT l_returnflag, measure,
+               COUNT(*) AS n,
+               {sql_dec_sum('v')} AS total
+        FROM m GROUP BY l_returnflag, measure
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with the NATIVE unpivot operator (the
+    DataFrame `melt`): three measure columns become (measure, value)
+    rows in one Expand node — the relational dual of pivot, and the
+    shape a metrics store or plotting layer wants. Expand multiplies
+    rows 3× WITHOUT reading the scan three times (the oracle's UNION ALL
+    phrasing is the portable equivalent, but Spark plans unpivot as one
+    pass); the follow-up aggregate is an ordinary partial+final
+    hash-agg on the widened rows. Fixed-point sums keep the three
+    measure totals bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure_col",
+        "v",
+    ).select(
+        "l_returnflag",
+        F.regexp_replace(F.col("measure_col"), "^l_", "").alias("measure"),
+        "v",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum(F.col("v")).alias("total")
+    )
