@@ -44,12 +44,15 @@ HEADLINE = [
     "lateral_top2_orders",
     "order_chains_recursive_sql",
     "cube_orders_status_priority",
+    "lineitem_measures_unpivot",
+    "daily_revenue_interpolated",
     # event-stream ops
     "sessionize_gap",
     "funnel_conversion",
     "retention_cohorts",
     "rolling_wau",
     "hourly_event_counts",
+    "session_window_counts_batch",
     "json_props_extract",
     "variant_props_extract",
     "events_value_trend",
@@ -126,6 +129,11 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+    # The headline set GROWS round over round (29 → 50+ queries), so the
+    # raw total is not comparable across rounds — n_queries and the
+    # per-query median are the stable figures of merit.
+    times = sorted(per_query.values())
+    median = times[len(times) // 2]
     print(
         json.dumps(
             {
@@ -133,6 +141,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "n_queries": len(per_query),
+                "sec_per_query_median": round(median, 3),
                 "sf": sf,
             }
         )
