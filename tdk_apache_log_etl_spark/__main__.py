@@ -60,6 +60,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pe.add_argument("name")
     pe.add_argument("sf_dir")
+
+    pst = sub.add_parser(
+        "ingest-stream",
+        help="incremental ingest via Structured Streaming (availableNow)",
+    )
+    pst.add_argument("log_dir")
+    pst.add_argument("staging_path")
+    pst.add_argument("checkpoint_path")
+    pst.add_argument(
+        "--archive-dir", default=None,
+        help="cleanSource=archive target for processed files",
+    )
     return p
 
 
@@ -140,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query {args.name!r}", file=sys.stderr)
                 return 2
             QUERIES[args.name](spark, args.sf_dir).explain("formatted")
+        elif args.cmd == "ingest-stream":
+            from .streaming.log_stream import (
+                read_log_stream,
+                write_staging_stream,
+            )
+
+            parsed = read_log_stream(
+                spark, args.log_dir, archive_dir=args.archive_dir
+            ).drop("_corrupt")
+            q = write_staging_stream(
+                parsed, args.staging_path, args.checkpoint_path
+            ).start()
+            q.awaitTermination()
+            print("ingest_stream_ok=1")
         return 0
     finally:
         if owns_session:

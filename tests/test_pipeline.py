@@ -150,3 +150,21 @@ def test_cli_ingest_and_query(tmp_path, capsys):
 
     rc = main(["query", "no_such_query", "/root/testdata/sf0.001"])
     assert rc == 2
+
+
+def test_cli_ingest_stream(tmp_path, capsys, spark):
+    # the streaming CLI path: availableNow drains the directory once and
+    # the checkpoint makes a re-run a no-op (exactly-once).
+    from tdk_apache_log_etl_spark.__main__ import main
+
+    logs = tmp_path / "cli_slogs"
+    logs.mkdir()
+    (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    staging = str(tmp_path / "cli_sstaging")
+    ckpt = str(tmp_path / "cli_sckpt")
+    assert main(["ingest-stream", str(logs), staging, ckpt]) == 0
+    assert "ingest_stream_ok=1" in capsys.readouterr().out
+    n1 = spark.read.parquet(staging).count()
+    assert n1 == len(LINES)
+    assert main(["ingest-stream", str(logs), staging, ckpt]) == 0
+    assert spark.read.parquet(staging).count() == n1  # no reprocessing
