@@ -75,7 +75,13 @@ def ingest(
         .partitionBy("date")
         .parquet(quarantine)
     )
-    corrupt = spark.read.parquet(quarantine)
+    # Explicit schema: on a fully-clean day the quarantine write leaves
+    # an EMPTY partitioned directory (no files to infer from), and a
+    # schema-inferring read would fail the whole ingest — the worst
+    # possible reward for a corruption-free input.
+    corrupt = spark.read.schema("_corrupt STRING, date STRING").parquet(
+        quarantine
+    )
     if archive_dir is not None:
         os.makedirs(archive_dir, exist_ok=True)
         for name in sorted(os.listdir(log_dir)):

@@ -79,3 +79,44 @@ def test_jdbc_writer_rejects_bare_url(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="jdbc:"):
         jdbc_writer(df, "myhost:1521/svc", "t")
+
+
+def test_cli_analytics_jdbc_roundtrip(spark, tmp_path, derby_url, capsys):
+    # The reference's full Glue-job flow through the CLI: staged logs →
+    # per-user counts into the overwrite table, daily summary appended —
+    # read back from Derby to close the loop (K3 + K4 end to end).
+    from tdk_apache_log_etl_spark.__main__ import main
+    from tdk_apache_log_etl_spark.pipeline import ingest
+
+    logs = tmp_path / "jdbc_cli_logs"
+    logs.mkdir()
+    logs.joinpath("2026-08-13.log").write_text(
+        "\n".join(
+            [
+                '10.0.0.1 - 1 [13/Aug/2026:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"',
+                '10.0.0.1 - 1 [13/Aug/2026:10:00:01 +0000] "GET /b HTTP/1.1" 200 10 "-" "ua"',
+                '10.0.0.2 - 2 [13/Aug/2026:10:00:02 +0000] "GET /c HTTP/1.1" 404 20 "-" "ua"',
+            ]
+        )
+        + "\n"
+    )
+    staging = str(tmp_path / "jdbc_cli_staging")
+    ingest(spark, str(logs), staging, run_date="2026-08-13")
+
+    rc = main(
+        [
+            "analytics", staging, "2026-08-13",
+            "--out", str(tmp_path / "unused"),
+            "--jdbc-url", derby_url,
+        ]
+    )
+    assert rc == 0
+    assert "analytics_ok=1" in capsys.readouterr().out
+    got = {
+        (r.user_id, r.requests_count)
+        for r in _read(spark, derby_url, "tdk_user_requests_table").collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+    summary = _read(spark, derby_url, "tdk_total_requests_table").collect()
+    assert len(summary) == 1
+    assert summary[0].total_successful_requests == 2
