@@ -27,6 +27,16 @@ from ..sources.apache_log import read_apache_log
 
 STAGING_TABLE = "log_clean"
 
+#: The cleansed staging schema (SURVEY.md §1.3; matches what
+#: sources/apache_log.py writes — time is TIMESTAMP_NTZ so values never
+#: shift with the reader's session timezone).
+STAGING_SCHEMA = (
+    "ip_address string, rfc_1413_identity double, user_id bigint, "
+    "time timestamp_ntz, status_code bigint, size bigint, referer string, "
+    "user_agent string, request_method string, request_resource string, "
+    "request_protocol string, date string"
+)
+
 
 def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K1/K2: partitioned Snappy-Parquet staging write (one write, not the
@@ -50,8 +60,14 @@ def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_staging(
     spark: SparkSession, path: str, date: str | None = None
 ) -> DataFrame:
-    """S4/F3: staging read, partition-pruned when ``date`` is given."""
-    df = spark.read.parquet(path)
+    """S4/F3: staging read, partition-pruned when ``date`` is given.
+
+    The schema is DECLARED, not inferred: inference fails outright on an
+    empty staging table (a brand-new deployment before the first log
+    arrives — same failure class as the quarantine read fixed in
+    pipeline.ingest), and at scale it costs a footer-sampling pass the
+    fixed contract makes unnecessary."""
+    df = spark.read.schema(STAGING_SCHEMA).parquet(path)
     if date is not None:
         df = df.where(F.col("date") == date)
     return df

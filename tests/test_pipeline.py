@@ -168,3 +168,21 @@ def test_cli_ingest_stream(tmp_path, capsys, spark):
     assert n1 == len(LINES)
     assert main(["ingest-stream", str(logs), staging, ckpt]) == 0
     assert spark.read.parquet(staging).count() == n1  # no reprocessing
+
+
+def test_read_staging_survives_empty_table(spark, tmp_path):
+    # a brand-new staging location (no partitions yet) must read as an
+    # empty typed frame, not an UNABLE_TO_INFER_SCHEMA crash
+    from tdk_apache_log_etl_spark.sinks.staging import read_staging
+    from tdk_apache_log_etl_spark.sources.apache_log import read_apache_log
+    from tdk_apache_log_etl_spark.sinks.staging import write_staging
+
+    logs = tmp_path / "empty_logs"
+    logs.mkdir()
+    (logs / "2026-08-13.log").write_text("")  # zero lines
+    staging = str(tmp_path / "empty_staging")
+    parsed = read_apache_log(spark, str(logs), run_date="2026-08-13")
+    write_staging(parsed.drop("_corrupt"), staging)
+    df = read_staging(spark, staging, date="2026-08-13")
+    assert df.count() == 0
+    assert "request_method" in df.columns
