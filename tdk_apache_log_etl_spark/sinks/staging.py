@@ -216,7 +216,7 @@ def compact_staging(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df = spark.read.parquet(path).where(
+        df = spark.read.schema(STAGING_SCHEMA).parquet(path).where(
             F.col("date").isin(list(part_dates))
         )
         # hashing on date alone puts each date in ONE task however many
