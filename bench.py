@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -132,8 +133,7 @@ def main() -> None:
     # The headline set GROWS round over round (29 → 50+ queries), so the
     # raw total is not comparable across rounds — n_queries and the
     # per-query median are the stable figures of merit.
-    times = sorted(per_query.values())
-    median = times[len(times) // 2]
+    median = statistics.median(per_query.values())
     print(
         json.dumps(
             {

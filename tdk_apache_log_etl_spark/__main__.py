@@ -34,7 +34,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pa.add_argument("staging_path")
     pa.add_argument("run_date", help="YYYY-MM-DD partition to analyze")
-    pa.add_argument("--out", required=True, help="output directory")
+    pa.add_argument(
+        "--out", default=None,
+        help="output directory (required unless --jdbc-url is given)",
+    )
     pa.add_argument(
         "--jdbc-url", default=None,
         help="write to JDBC instead of parquet (reference K3/K4 semantics)",
@@ -76,7 +79,13 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if args.cmd == "analytics" and not args.jdbc_url and not args.out:
+        # Exactly one sink: parquet (--out) or database (--jdbc-url).
+        # Requiring --out unconditionally invited the belief that parquet
+        # was also written on JDBC runs (it never was).
+        parser.error("analytics requires --out unless --jdbc-url is given")
     from pyspark.sql import SparkSession
 
     from .session import get_spark

@@ -975,11 +975,11 @@ TREND_EPOCH = "2024-01-01"
         SELECT event_type,
                CAST(n AS BIGINT) AS n,
                (CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000
+                  / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)) / 10000
                  AS slope_per_day,
                (CAST(sy AS DOUBLE) / n / 10000)
                  - ((CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000)
+                       / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)) / 10000)
                    * (CAST(sx AS DOUBLE) / n)
                  AS intercept
         FROM m
@@ -1018,7 +1018,10 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
         "double"
     )
-    slope = (num / den) / 10000
+    # Degenerate groups (single event, or all events on one day) have
+    # den = 0; both engines must yield NULL slope/intercept there rather
+    # than ANSI-divide-by-zero on Spark vs ±inf on DuckDB.
+    slope = (num / F.nullif(den, F.lit(0.0))) / 10000
     intercept = (
         F.col("sy").cast("double") / F.col("n") / 10000
         - slope * (F.col("sx").cast("double") / F.col("n"))

@@ -23,6 +23,8 @@ true differential test of independent implementations.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -341,10 +343,10 @@ FROM chain GROUP BY o_custkey, head HAVING MAX(len) >= 2
 
 _CHAIN_RECURSION_SQL = """
 WITH RECURSIVE chain(o_custkey, head, tail, len) AS (
-  SELECT o_custkey, head, head, 1 FROM chain_heads
+  SELECT o_custkey, head, head, 1 FROM {heads}
   UNION ALL
   SELECT c.o_custkey, c.head, e.dst, c.len + 1
-  FROM chain c JOIN chain_edges e ON e.src = c.tail
+  FROM chain c JOIN {edges} e ON e.src = c.tail
 )
 SELECT o_custkey, head AS head_orderkey, CAST(MAX(len) AS BIGINT) AS chain_len
 FROM chain GROUP BY o_custkey, head HAVING MAX(len) >= 2
@@ -399,6 +401,21 @@ def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", F.col("o_orderkey").alias("head"))
         .localCheckpoint(eager=True)
     )
-    edges.createOrReplaceTempView("chain_edges")
-    heads.createOrReplaceTempView("chain_heads")
-    return spark.sql(_CHAIN_RECURSION_SQL)
+    # Per-call view names: createOrReplaceTempView on a fixed name is
+    # session-global state — it clobbers same-named views and races when
+    # queries share one session. spark.sql() analyzes eagerly (the view
+    # plans are inlined at parse time), so the views can be dropped
+    # immediately; the localCheckpoint RDDs keep the data alive for the
+    # recursion itself and fall to GC with the returned frame.
+    suffix = uuid.uuid4().hex
+    edges_view = f"chain_edges_{suffix}"
+    heads_view = f"chain_heads_{suffix}"
+    edges.createOrReplaceTempView(edges_view)
+    heads.createOrReplaceTempView(heads_view)
+    try:
+        return spark.sql(
+            _CHAIN_RECURSION_SQL.format(edges=edges_view, heads=heads_view)
+        )
+    finally:
+        spark.catalog.dropTempView(edges_view)
+        spark.catalog.dropTempView(heads_view)

@@ -34,7 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sinks.staging import read_staging, write_staging
+from .sinks.staging import read_staging, write_quarantine, write_staging
 from .sources.apache_log import read_apache_log
 
 
@@ -57,24 +57,7 @@ def ingest(
     """
     parsed = read_apache_log(spark, log_dir, run_date=run_date)
     write_staging(parsed.drop("_corrupt"), staging_path)
-    quarantine = os.path.join(staging_path, "_quarantine")
-    # quarantine is date-partitioned with dynamic overwrite, same as the
-    # staging write: re-running a day REPLACES that day's corrupt rows
-    # (a plain append would duplicate them on every re-run). Corrupt
-    # lines have no parseable event date, so the run date stamps them.
-    (
-        parsed.filter(F.col("_corrupt").isNotNull())
-        .select(
-            "_corrupt",
-            F.lit(run_date if run_date is not None else "unknown").alias(
-                "date"
-            ),
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(quarantine)
-    )
+    quarantine = write_quarantine(parsed, staging_path, run_date)
     # Explicit schema: on a fully-clean day the quarantine write leaves
     # an EMPTY partitioned directory (no files to infer from), and a
     # schema-inferring read would fail the whole ingest — the worst

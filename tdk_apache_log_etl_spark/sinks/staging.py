@@ -57,6 +57,35 @@ def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_quarantine(
+    parsed: DataFrame, staging_path: str, run_date: str | None
+) -> str:
+    """Quarantine the ``_corrupt`` audit rows next to (not inside) the
+    declared staging columns. Every staging writer must drop ``_corrupt``
+    before ``write_staging`` — otherwise the parquet grows an undeclared
+    13th column that the declared-schema read silently hides and that
+    ``compact_staging`` (which rewrites through STAGING_SCHEMA) would
+    permanently discard. The quarantine is date-partitioned with dynamic
+    overwrite so re-running a day replaces that day's corrupt rows; corrupt
+    lines have no parseable event date, so the run date stamps them.
+    Returns the quarantine path."""
+    quarantine = os.path.join(staging_path, "_quarantine")
+    (
+        parsed.filter(F.col("_corrupt").isNotNull())
+        .select(
+            "_corrupt",
+            F.lit(run_date if run_date is not None else "unknown").alias(
+                "date"
+            ),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(quarantine)
+    )
+    return quarantine
+
+
 def read_staging(
     spark: SparkSession, path: str, date: str | None = None
 ) -> DataFrame:
@@ -82,9 +111,12 @@ def ingest_logs(
 ) -> DataFrame:
     """The reference's whole Lambda (sree-etl-tdk-lambda.py:145-218) as one
     distributed plan: text scan → native CLF parse → partitioned write.
-    Returns the parsed frame (lazy) for further use."""
+    ``_corrupt`` audit rows go to the quarantine sidecar, never into the
+    declared staging columns. Returns the parsed frame (lazy, still
+    carrying ``_corrupt``) for further use."""
     parsed = read_apache_log(spark, log_dir, run_date=run_date)
-    write_staging(parsed, staging_path, mode=mode)
+    write_staging(parsed.drop("_corrupt"), staging_path, mode=mode)
+    write_quarantine(parsed, staging_path, run_date)
     return parsed
 
 
@@ -115,9 +147,18 @@ def ingest_logs_observed(
         ),
         F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
         F.count(F.when(F.col("size").isNull(), 1)).alias("n_null_size"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
     )
-    write_staging(observed, staging_path, mode=mode)
-    return dict(obs.get)
+    # The observe node sits below the drop, so metrics (including the
+    # _corrupt tally) still ride the staging write's single scan while the
+    # written columns honor STAGING_SCHEMA.
+    write_staging(observed.drop("_corrupt"), staging_path, mode=mode)
+    metrics = dict(obs.get)
+    # Quarantine pass only when the first scan saw corruption — clean days
+    # (the common case at 100 TB) stay one-scan.
+    if metrics.get("n_corrupt", 0):
+        write_quarantine(parsed, staging_path, run_date)
+    return metrics
 
 
 def register_staging_table(

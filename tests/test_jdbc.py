@@ -106,7 +106,6 @@ def test_cli_analytics_jdbc_roundtrip(spark, tmp_path, derby_url, capsys):
     rc = main(
         [
             "analytics", staging, "2026-08-13",
-            "--out", str(tmp_path / "unused"),
             "--jdbc-url", derby_url,
         ]
     )

@@ -123,8 +123,49 @@ def test_ingest_observed_metrics_single_pass(spark, tmp_path):
     assert metrics["n_unparsed"] == 1   # the malformed line
     assert metrics["n_null_user"] == 2  # '-' user + malformed line
     assert metrics["n_null_size"] == 2  # 304-style '-' size + malformed
+    assert metrics["n_corrupt"] == 1    # quarantined, not staged
     staged = read_staging(spark, staging, date="2026-08-13")
     assert staged.count() == metrics["n_rows"]
+
+
+def test_all_staging_writers_honor_declared_schema(spark, tmp_path):
+    # Every staging writer must drop _corrupt before writing: an inferred
+    # read of the staging parquet (what a foreign engine would do) must
+    # show exactly the declared 12 columns, and the corrupt audit row must
+    # land in the quarantine sidecar instead — for BOTH convenience
+    # writers, not just pipeline.ingest (round-2 ADVICE).
+    from tdk_apache_log_etl_spark.sinks.staging import (
+        STAGING_SCHEMA,
+        ingest_logs,
+        ingest_logs_observed,
+    )
+
+    declared = {c.split()[0] for c in STAGING_SCHEMA.split(", ")}
+    for name, runner in [
+        ("w1", lambda lg, st: ingest_logs(spark, lg, st,
+                                          run_date="2026-08-13")),
+        ("w2", lambda lg, st: ingest_logs_observed(spark, lg, st,
+                                                   run_date="2026-08-13")),
+    ]:
+        logs = tmp_path / f"{name}_logs"
+        logs.mkdir()
+        (logs / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+        staging = str(tmp_path / f"{name}_staging")
+        runner(str(logs), staging)
+        inferred = spark.read.parquet(staging)
+        assert set(inferred.columns) == declared, name
+        quarantined = spark.read.schema("_corrupt STRING, date STRING").parquet(
+            os.path.join(staging, "_quarantine")
+        )
+        assert quarantined.count() == 1, name
+
+
+def test_cli_analytics_requires_out_or_jdbc(tmp_path):
+    from tdk_apache_log_etl_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["analytics", str(tmp_path / "staging"), "2026-08-13"])
+    assert exc.value.code == 2
 
 
 def test_cli_ingest_and_query(tmp_path, capsys):
