@@ -64,7 +64,9 @@ def oracle_sql() -> dict[str, str]:
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
     embedding_cosine_neardup, image_feature_extract, image_resize,
     media_frame_sample, clf_user_count_approx,
-    events_value_percentiles_approx) are genuinely non-SQL-expressible
-    (LSH/sketches/iterative k-means/stubs) → driver's rows-only check.
+    events_value_percentiles_approx, hll_user_rollup,
+    cms_user_frequency, ann_recall_eval) are genuinely
+    non-SQL-expressible (LSH/sketches/iterative k-means/stubs) →
+    driver's rows-only check.
     """
     return {k: ORACLES[k] for k in _sampling_order(ORACLES)}

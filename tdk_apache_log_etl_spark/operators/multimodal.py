@@ -94,7 +94,7 @@ def extract_image_features(images: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payload: bytes):
-    """Real image decode — requires PIL, absent in this container."""
+    """Real image decode — requires PIL (``pip install .[media]``)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover
@@ -107,6 +107,46 @@ def decode_image_real(payload: bytes):
     from PIL import Image
 
     return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def extract_image_features_real(images: DataFrame) -> DataFrame:
+    """The REAL decoder behind the exact same contract as
+    ``extract_image_features``: Arrow-batched ``mapInPandas`` over
+    (doc_id, payload binary) → IMAGE_FEATURE_SCHEMA, 1:1 per input row.
+    Requires PIL on the EXECUTORS (``pip install .[media]``); the
+    import lives inside the batch fn so the driver can build the plan
+    without it and only tasks fail fast when the library is missing.
+    tests/test_multimodal_real.py exercises this end-to-end wherever
+    pillow is installable (importorskip elsewhere)."""
+    import pandas as pd
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_intensity": [],
+            }
+            for payload in pdf["payload"]:
+                img = Image.open(io.BytesIO(payload))
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["channels"].append(len(img.getbands()))
+                rows["mean_intensity"].append(
+                    float(np.asarray(img.convert("L"), dtype="float64").mean())
+                    / 255.0
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
 
 
 @query("image_feature_extract")  # rows-only: stubbed decode, no SQL oracle

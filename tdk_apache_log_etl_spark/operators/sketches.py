@@ -13,10 +13,15 @@ way (distinct counts are not additive across groups); sketches do.
 Spark 4 ships Apache DataSketches HLL natively (`hll_sketch_agg`,
 `hll_union_agg`, `hll_sketch_estimate` — JVM-side, codegen-friendly
 aggregates), so the whole operator stays in whole-stage codegen with no
-UDF. Count-min-sketch exists too (`F.count_min_sketch`) but Spark
-exposes no SQL-side probe of the binary, so frequency questions here go
-through exact top-k (operators/relational.py) instead — noted, not
-stubbed.
+UDF. Count-min-sketch exists too (`F.count_min_sketch`): Spark exposes
+no SQL-side probe of the binary, but the sketch is a bounded driver
+artifact (width×depth counters, ~100 KB at eps=1e-3), so the correct
+scale pattern is: build the sketch DISTRIBUTED (one map-side-combinable
+aggregate over the facts), ship the one binary to the driver, and probe
+it there through the JVM's ``CountMinSketch.readFrom`` — the same
+bounded-driver-data shape as the IVF centroid matrix in similarity.py.
+``cms_user_frequency`` does exactly that; its ε·N overcount bound is
+asserted against exact counts in tests/test_sketches.py.
 
 Scale notes:
 
@@ -101,3 +106,77 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ALL).alias("event_type"), F.lit(ALL).alias("day"), est
     )
     return detail.unionByName(by_type).unionByName(total)
+
+
+#: Count-min parameters: eps bounds the overcount at eps·N (N = total
+#: items) with probability `confidence`; the seed fixes the hash family
+#: so estimates are deterministic across runs and cluster layouts.
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+CMS_TOPK = 10
+
+
+def build_count_min(
+    df: DataFrame,
+    col: str,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONFIDENCE,
+    seed: int = CMS_SEED,
+) -> bytes:
+    """One distributed pass over the facts → one ~100 KB sketch binary.
+    The aggregate is a commutative monoid, so Spark's partial-aggregation
+    (map-side combine) applies; only the final merged binary reaches the
+    driver."""
+    row = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms")
+    ).head()
+    return bytes(row["cms"])
+
+
+def probe_count_min(spark: SparkSession, sketch: bytes, items) -> dict:
+    """Driver-side frequency probe of a serialized Spark CountMinSketch.
+    Deserializes once through the JVM (`CountMinSketch.readFrom`) and
+    estimates each item — O(depth) per probe, no executor work. `items`
+    must be a BOUNDED query list; unbounded per-key frequencies belong in
+    an exact groupBy, not a sketch probe."""
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sketch)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    return {item: cms.estimateCount(item) for item in items}
+
+
+@query("cms_user_frequency")  # rows-only: probes a Spark-format binary
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch probe: how often do the top-K users appear in the
+    event stream, answered from a count-min sketch instead of a second
+    fact scan. The exact top-K (one aggregate) supplies the bounded probe
+    list; the sketch estimate rides next to the exact count so the ε·N
+    error contract is visible in the output. At 100 TB the sketch is
+    built once per ingest window and probed for any ad-hoc key without
+    touching the facts again. No DuckDB oracle: the estimate depends on
+    Spark's CMS hash family; the error bound is tested instead."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    events = scoped_persist(events)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+        .collect()
+    )
+    sketch = build_count_min(events, "user_id")
+    est = probe_count_min(spark, sketch, [int(r["user_id"]) for r in top])
+    return spark.createDataFrame(
+        [
+            (int(r["user_id"]), int(r["n_exact"]), int(est[int(r["user_id"])]))
+            for r in top
+        ],
+        "user_id bigint, n_exact bigint, n_est bigint",
+    )

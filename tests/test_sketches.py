@@ -109,3 +109,46 @@ def test_hll_rollup_partitioning_invariant(spark):
     }
     detail_a = {t for t in a if t[0] != ALL and t[1] != ALL}
     assert detail_a == b
+
+
+def test_count_min_probe_within_eps_bound(spark):
+    # CMS never undercounts, and overcounts by at most eps·N with
+    # probability `confidence`; with a fixed seed over a fixed fixture the
+    # check is deterministic. Also: building the sketch from each half of
+    # the data and merging must equal the single-pass sketch (the property
+    # that makes the build map-side combinable).
+    from tdk_apache_log_etl_spark.operators.sketches import (
+        CMS_EPS,
+        build_count_min,
+        cms_user_frequency,
+        probe_count_min,
+    )
+
+    got = cms_user_frequency(spark, SF_DIR_CORRECT).collect()
+    assert len(got) > 0
+    events = (
+        load_table(spark, SF_DIR_CORRECT, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    n_total = events.count()
+    for r in got:
+        assert r.n_est >= r.n_exact, r
+        assert r.n_est <= r.n_exact + CMS_EPS * n_total, r
+
+    # mergeability: sketch(half1) ⊕ sketch(half2) == sketch(whole)
+    whole = build_count_min(events, "user_id")
+    h1 = build_count_min(events.filter(F.col("user_id") % 2 == 0), "user_id")
+    h2 = build_count_min(events.filter(F.col("user_id") % 2 == 1), "user_id")
+    jvm = spark.sparkContext._jvm
+    cms1 = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(h1)
+    )
+    cms2 = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(h2)
+    )
+    cms1.mergeInPlace(cms2)
+    users = [int(r.user_id) for r in got]
+    merged = {u: cms1.estimateCount(u) for u in users}
+    single = probe_count_min(spark, whole, users)
+    assert merged == single
