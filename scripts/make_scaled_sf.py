@@ -1,0 +1,140 @@
+"""Generate a K×-scaled copy of a fixture dir for scaling studies.
+
+Usage: python scripts/make_scaled_sf.py SRC_DIR DST_DIR K
+
+Replicates every fact table K times with CONSISTENT key shifts so join
+topology is preserved exactly (each replica is a disjoint TPC-H-ish
+universe; nation/region stay fixed like real bounded dims):
+
+  * customer.c_custkey and orders.o_custkey shift together;
+  * orders.o_orderkey and lineitem.l_orderkey shift together;
+  * part.p_partkey / supplier.s_suppkey shift with lineitem's FKs;
+  * events.event_id/user_id shift (user_id shares the customer shift so
+    events↔orders joins keep matching);
+  * documents: doc_id shifts AND every 3rd word is tagged with the
+    replica id — replicas land below near-dup thresholds (one prepended
+    token would leave shingle overlap ~99% and collapse the corpus into
+    K-clusters, inflating dedup work instead of scaling it);
+  * embeddings: vec_id shifts and a replica-dependent rotation-free
+    perturbation (+r·0.01 per component) keeps vectors distinct without
+    changing dimensionality or norm-order.
+
+The result is a dataset whose per-query work grows ~K× with realistic
+key cardinalities — the third point for per-query scaling exponents
+(SCALE.md "Measured scaling" section).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: per-table (column -> shift-group) map; columns in one group shift by
+#: the same per-replica offset so FKs keep resolving within a replica.
+SHIFT_GROUPS = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "cust"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+FIXED_TABLES = ["nation", "region"]
+
+
+def _group_extents(spark: SparkSession, src: str) -> dict[str, int]:
+    """offset unit per shift group = max(key)+1 across every column in
+    the group (one tiny agg per table)."""
+    extents: dict[str, int] = {}
+    for table, cols in SHIFT_GROUPS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        row = df.agg(
+            *[F.max(F.col(c)).alias(c) for c in cols]
+        ).head()
+        for c, grp in cols.items():
+            v = row[c]
+            if v is not None:
+                extents[grp] = max(extents.get(grp, 0), int(v) + 1)
+    return extents
+
+
+def _replicate(df: DataFrame, k: int) -> DataFrame:
+    """K replicas via a 1-row-per-replica broadcast cross join — the
+    standard explode-free fan-out."""
+    reps = df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return df.crossJoin(F.broadcast(reps))
+
+
+def scale_table(
+    spark: SparkSession, src: str, table: str, k: int,
+    extents: dict[str, int],
+) -> DataFrame:
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    out = _replicate(df, k)
+    for col, grp in SHIFT_GROUPS[table].items():
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_rep") * F.lit(extents[grp])).cast(
+                df.schema[col].dataType
+            )
+        )
+    if table == "documents":
+        # tag every 3rd word with the replica id: any 5-word shingle
+        # overlaps >=1 tagged word, so cross-replica Jaccard collapses
+        # and near-dup work scales with the corpus instead of exploding
+        # into K-sized exact-dup clusters.
+        words = F.split(F.col("text"), " ")
+        mutated = F.transform(
+            words,
+            lambda w, i: F.when(
+                (i % 3 == 0) & (F.col("_rep") > 0),
+                F.concat(w, F.lit("~"), F.col("_rep").cast("string")),
+            ).otherwise(w),
+        )
+        out = out.withColumn("text", F.array_join(mutated, " "))
+        out = out.withColumn("n_chars", F.length("text"))
+    if table == "embeddings":
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x + F.col("_rep").cast("float") * F.lit(0.01)),
+            ),
+        )
+    return out.drop("_rep")
+
+
+def main() -> int:
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("make-scaled-sf")
+        .getOrCreate()
+    )
+    extents = _group_extents(spark, src)
+    print("shift extents:", extents)
+    for table in FIXED_TABLES:
+        shutil.copy(f"{src}/{table}.parquet", f"{dst}/{table}.parquet")
+    for table in SHIFT_GROUPS:
+        scaled = scale_table(spark, src, table, k, extents)
+        # one parquet FILE per table to mirror the driver fixtures'
+        # layout (load_table globs the path either way)
+        scaled.coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{table}.parquet"
+        )
+        print(f"{table}: x{k} written")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import os
+
+    os.makedirs(sys.argv[2], exist_ok=True)
+    raise SystemExit(main())

@@ -407,6 +407,16 @@ def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans are inlined at parse time), so the views can be dropped
     # immediately; the localCheckpoint RDDs keep the data alive for the
     # recursion itself and fall to GC with the returned frame.
+    # Spark guards runaway recursions with a 1M-row accumulation limit
+    # (spark.sql.cteRecursionRowLimit) — correct for unbounded graphs,
+    # but THIS recursion is structurally terminating (functional acyclic
+    # edge relation: every row belongs to exactly one finite chain), so
+    # total rows scale with the order count and trip the guard at ~1.5M
+    # orders (found by the 10× scaling study, SCALE.md). Lift the ROW
+    # guard; keep the LEVEL guard (rounds = longest chain, which data
+    # can't grow past pathology without indicating a real bug).
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit")) != -1:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     suffix = uuid.uuid4().hex
     edges_view = f"chain_edges_{suffix}"
     heads_view = f"chain_heads_{suffix}"
