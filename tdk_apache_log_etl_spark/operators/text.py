@@ -300,6 +300,73 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mixture_sample",
+    oracle="""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        mn AS (SELECT MIN(n) AS n_min FROM counts),
+        rates AS (
+          SELECT source,
+                 lpad(lower(to_hex(CAST(least(
+                     floor(sqrt(CAST(n_min AS DOUBLE) / n) * 16777216),
+                     16777215) AS BIGINT))), 6, '0') AS thr
+          FROM counts, mn
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE substring(md5(d.text), 1, 6) < r.thr
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture sampling (T=2): the multilingual-
+    training trick of flattening source proportions — target share
+    q_s ∝ p_s^(1/T) is materialized as a per-doc keep rate
+    r_s = sqrt(n_min/n_s) (smallest source keeps ~everything, large
+    sources are downsampled toward balance). Rates come from the corpus
+    itself in one tiny aggregate; membership is the same content-hash
+    threshold as mixture_sample_by_source, so the sample is deterministic
+    across engines, partitionings, and re-runs.
+
+    Numeric discipline for the cross-engine hash: T=2 keeps the rate
+    inside correctly-rounded IEEE territory (divide, sqrt, and a
+    power-of-two scale are all exact-or-correctly-rounded in BOTH
+    engines; an arbitrary pow() would differ in last-ULP and flip
+    boundary docs). For arbitrary T, compute the per-source thresholds
+    driver-side (the source list is bounded) and join them in as
+    literals. The 1-row n_min crossJoin is a broadcast scalar
+    (BNLJ_OK in tests/test_plan_hazards.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(
+                        F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+                        * 16777216
+                    ),
+                    F.lit(16777215),
+                )
+            )
+        ),
+        6,
+        "0",
+    )
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source", thr.alias("thr")
+    )
+    h6 = F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 6)
+    return (
+        docs.select("doc_id", "source", h6.alias("h6"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("h6") < F.col("thr"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "doc_repetition_scores",
     oracle="""
         WITH docs AS (

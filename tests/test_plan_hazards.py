@@ -28,6 +28,7 @@ BNLJ_OK = {
     "rolling_wau",             # 1-row day-bounds crossJoin
     "doc_distinctive_tokens",  # 1-row corpus-count crossJoin
     "token_commonness_scores",  # 1-row corpus-total crossJoin
+    "temperature_mixture_sample",  # 1-row min-source-count crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
