@@ -81,6 +81,17 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_centroid_by_label",
     "embedding_medoid_by_label",
+    # sketches / skew / CDC / sampling (round-3 additions — families the
+    # headline set didn't yet time)
+    "hll_user_rollup",
+    "cms_user_frequency",
+    "skew_salted_user_revenue",
+    "temperature_mixture_sample",
+    "merge_upsert_customers",
+    "scd2_user_event_history",
+    "asof_join_next_order",
+    "tpch_q8_market_share",
+    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -75,6 +75,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "--archive-dir", default=None,
         help="cleanSource=archive target for processed files",
     )
+
+    psk = sub.add_parser(
+        "sketch-rollup",
+        help="incrementally maintain the distinct-user HLL sketch table "
+        "from a log stream (replay-safe by union idempotence)",
+    )
+    psk.add_argument("log_dir")
+    psk.add_argument("table_path", help="sketch-table parquet path")
+    psk.add_argument("checkpoint_path")
     return p
 
 
@@ -175,6 +184,22 @@ def main(argv: list[str] | None = None) -> int:
             ).start()
             q.awaitTermination()
             print("ingest_stream_ok=1")
+        elif args.cmd == "sketch-rollup":
+            from .streaming.log_stream import read_log_stream
+            from .streaming.sketch_rollup import (
+                read_sketch_estimates,
+                write_sketch_rollup_stream,
+            )
+
+            parsed = read_log_stream(spark, args.log_dir)
+            q = write_sketch_rollup_stream(
+                parsed, args.table_path, args.checkpoint_path
+            ).start()
+            q.awaitTermination()
+            n = read_sketch_estimates(
+                spark, args.table_path, ["status_code", "date"]
+            ).count()
+            print(f"sketch_cells={n}")
         return 0
     finally:
         if owns_session:

@@ -99,6 +99,25 @@ def test_sketch_merge_is_replay_idempotent(spark, tmp_path):
     assert first == second
 
 
+def test_cli_sketch_rollup(spark, tmp_path, capsys):
+    from tdk_apache_log_etl_spark.__main__ import main
+
+    src = tmp_path / "cli_in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    rc = main(
+        [
+            "sketch-rollup",
+            str(src),
+            str(tmp_path / "cli_sketches"),
+            str(tmp_path / "cli_ckpt"),
+        ]
+    )
+    assert rc == 0
+    # LINES: status 200 (users 1..1) and 404 (user 2) on one date → 2 cells
+    assert "sketch_cells=2" in capsys.readouterr().out
+
+
 def test_dedup_stream_on_rocksdb_state_store(spark, tmp_path):
     # Same bounded-state dedup, but with state in RocksDB (disk-backed,
     # the at-scale provider) instead of the default in-memory HDFS-backed
