@@ -92,6 +92,11 @@ HEADLINE = [
     "asof_join_next_order",
     "tpch_q8_market_share",
     "tpch_q22_sales_opportunity",
+    # RAG chunking / tokenizer-training / log enrichment (round-3)
+    "doc_chunk_sliding",
+    "bpe_merge_candidates",
+    "ip_range_enrich_traffic",
+    "user_burst_rates",
 ]
 
 

@@ -15,4 +15,5 @@ from . import packing  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import hygiene  # noqa: F401,E402
+from . import chunking  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402

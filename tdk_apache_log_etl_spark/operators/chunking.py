@@ -1,0 +1,125 @@
+"""RAG-style document chunking and tokenizer-training primitives over the
+``documents`` table (SURVEY.md §2.6 LLM-pipeline pack).
+
+Both operators are pure narrow transformations — split / sequence / slice /
+transform higher-order functions, fully codegen'd, no shuffle before the
+final (tiny) aggregate — so they scale embarrassingly: at 100 TB every
+partition chunks its own documents with zero data movement, and the pair
+counter's only shuffle carries (pair, partial_count) rows after map-side
+combine, never document text.
+
+No reference citation: the reference (two pandas/boto3 scripts, SURVEY §2.1)
+has no text-corpus surface; these extend it per the extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+#: Sliding-window geometry: W tokens per chunk, stride S (overlap W-S).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), st AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             unnest(generate_series(1, greatest(len(tk), 1), {CHUNK_STRIDE}))
+               AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(
+             list_slice(tk, start, least(start + {CHUNK_TOKENS} - 1, n)), ' '
+           ) AS chunk_text,
+           CAST(least(start + {CHUNK_TOKENS} - 1, n) - start + 1 AS BIGINT)
+             AS n_tokens
+    FROM st
+    WHERE start = 1 OR start <= n - {CHUNK_TOKENS} + {CHUNK_STRIDE}
+"""
+
+
+@query("doc_chunk_sliding", oracle=_CHUNK_ORACLE)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks (W=32 tokens, stride 24) for
+    retrieval / context-window preparation.
+
+    Start positions 1, 1+S, 1+2S, … ; a start is kept iff it is the first
+    or the previous chunk did not already reach the document's end
+    (start <= n - W + S), so every token is covered exactly by the minimal
+    chunk set and the final chunk may be short. All of it is
+    sequence/filter/slice/posexplode — narrow, zero-shuffle, and the
+    chunker never materializes more than one document's token array per
+    row, so memory is bounded by the longest document, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    tk = F.split("text", " ")
+    docs = docs.select("doc_id", tk.alias("tk"), F.size(tk).alias("n"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(s)),
+        lambda st: (st == 1) | (st <= F.col("n") - w + s),
+    )
+    exploded = docs.select(
+        "doc_id", "tk", "n", F.explode(starts).alias("start")
+    )
+    end = F.least(F.col("start") + w - 1, F.col("n"))
+    return exploded.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / s).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice("tk", F.col("start"), end - F.col("start") + 1), " "
+        ).alias("chunk_text"),
+        (end - F.col("start") + 1).cast("long").alias("n_tokens"),
+    )
+
+
+_PAIR_ORACLE = """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+    ), idx AS (
+      SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks
+    ), pairs AS (
+      SELECT tk[i] || ' ' || tk[i + 1] AS pair FROM idx
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("bpe_merge_candidates", oracle=_PAIR_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: corpus-wide adjacent-token-pair counts,
+    top 20 (the pair a tokenizer trainer would merge next, repeated).
+
+    The pair list per document is built with a single indexed ``transform``
+    over the token array (codegen, no Python); the only shuffle is the
+    pair-count aggregate, which map-side-combines to at most |vocab|²
+    observed pairs per partition — at 100 TB the shuffle carries pair
+    strings and partial counts, never text. Top-20 with a deterministic
+    count-desc / pair-asc tie-break plans as TakeOrderedAndProject (no
+    global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1,"
+                " greatest(size(split(text, ' ')) - 1, 0)),"
+                " (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

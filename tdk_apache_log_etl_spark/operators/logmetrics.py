@@ -1087,3 +1087,132 @@ def session_window_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# IP-range (CIDR-style) enrichment: the classic log-analytics lookup — map
+# each request's IP into an owning block from a ranges dimension. The
+# scalable shape is interval bucketing: both sides get a coarse equi-key
+# (floor(idx / B)), ranges are exploded to every bucket they overlap, and
+# the join is a plain hash join on the bucket with the BETWEEN residual —
+# never a nested-loop scan of ranges per row. Here the exploded dimension
+# is 25 nation-derived blocks, so it broadcasts; at 100 TB with millions of
+# ranges the identical plan shuffles on the bucket key instead.
+# --------------------------------------------------------------------------
+
+#: Width of each nation-owned IP block over the 10.0.0.0/16 index space
+#: (third_octet*256 + fourth_octet ∈ [0, 65535]); 25 blocks cover
+#: [0, 65524], the tail straggler IPs match no block and are dropped by
+#: the inner join (a real property of registry lookups worth testing).
+_IP_BLOCK_WIDTH = 2621
+#: Interval-bucketing granularity for the equi-key.
+_IP_BUCKET = 4096
+
+
+@query(
+    "ip_range_enrich_traffic",
+    oracle=f"""
+        WITH ips AS (
+          SELECT (user_id % 256) * 256 + (event_id % 256) AS ip_idx,
+                 CASE WHEN event_type = 'view' THEN 0
+                      ELSE event_id * 10 END AS sz
+          FROM events
+        ), ranges AS (
+          SELECT n_name AS block_owner,
+                 n_nationkey * {_IP_BLOCK_WIDTH} AS lo,
+                 n_nationkey * {_IP_BLOCK_WIDTH} + {_IP_BLOCK_WIDTH} - 1 AS hi
+          FROM nation
+        )
+        SELECT block_owner,
+               CAST(COUNT(*) AS BIGINT) AS n_requests,
+               CAST(SUM(sz) AS BIGINT) AS total_bytes
+        FROM ips JOIN ranges ON ip_idx BETWEEN lo AND hi
+        GROUP BY block_owner
+    """,
+)
+def ip_range_enrich_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic per IP-range owner via an interval-bucketed range join.
+
+    The parsed CLF frame's ip_address is reduced to its /16-local index
+    (octet3*256 + octet4); the ranges dimension (nation-derived blocks
+    [k*W, k*W + W - 1]) is exploded to each bucket of width B it overlaps
+    (`sequence(lo div B, hi div B)` — at most ceil(W/B)+1 ≈ 2 rows per
+    range), and the join is bucket-equality plus the BETWEEN residual.
+    Catalyst plans a BroadcastHashJoin here (tiny dim); with an unbounded
+    ranges table the same query becomes a shuffled hash join on the bucket
+    key — either way no per-row range scan and no cartesian anywhere."""
+    parsed = _parsed_clf(spark, sf_dir)
+    octets = F.split(F.col("ip_address"), "\\.")
+    ips = parsed.select(
+        (
+            octets.getItem(2).cast("long") * 256 + octets.getItem(3).cast("long")
+        ).alias("ip_idx"),
+        F.coalesce(F.col("size"), F.lit(0)).alias("sz"),
+    ).withColumn("bucket", (F.col("ip_idx") / _IP_BUCKET).cast("long"))
+
+    nation = load_table(spark, sf_dir, "nation")
+    w = _IP_BLOCK_WIDTH
+    ranges = nation.select(
+        F.col("n_name").alias("block_owner"),
+        (F.col("n_nationkey").cast("long") * w).alias("lo"),
+        (F.col("n_nationkey").cast("long") * w + w - 1).alias("hi"),
+    ).select(
+        "block_owner",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / _IP_BUCKET).cast("long"),
+                (F.col("hi") / _IP_BUCKET).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+
+    # No broadcast hint: the exploded dim's size estimate (from the tiny
+    # nation parquet) lets Spark pick BroadcastHashJoin on its own here,
+    # and an unbounded registry-scale ranges table correctly degrades to a
+    # shuffled hash join instead of a pinned OOM.
+    joined = ips.join(
+        ranges,
+        (ips["bucket"] == ranges["bucket"])
+        & (F.col("ip_idx") >= F.col("lo"))
+        & (F.col("ip_idx") <= F.col("hi")),
+        "inner",
+    )
+    return joined.groupBy("block_owner").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("sz").alias("total_bytes"),
+    )
+
+
+@query(
+    "user_burst_rates",
+    oracle="""
+        WITH per_min AS (
+          SELECT user_id, date_trunc('minute', ts) AS minute,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               MAX(n) AS peak_per_minute,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               MAX(n) >= 5 AS burst_flag
+        FROM per_min GROUP BY user_id
+    """,
+)
+def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / bot heuristic: each user's peak events-per-minute and
+    a burst flag (peak >= 5). Two aggregations, but the second consumes
+    the first's (user_id, minute) partial — AQE coalesces the already-tiny
+    second exchange, and nothing wider than per-minute counts ever
+    shuffles. The 100 TB version is identical; the per-user state is two
+    longs."""
+    events = load_table(spark, sf_dir, "events")
+    per_min = events.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_minute"),
+        F.sum("n").alias("total_events"),
+        (F.max("n") >= 5).alias("burst_flag"),
+    )

@@ -1,0 +1,122 @@
+"""Properties of the RAG chunker, the BPE pair counter, and the
+interval-bucketed IP-range join beyond hash parity (which
+test_oracle_parity.py already enforces for all four queries)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+from tdk_apache_log_etl_spark.operators.chunking import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+)
+
+from .conftest import SF_DIR_SMOKE
+
+
+def _docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_chunks_cover_every_token_exactly(spark, tmp_path):
+    # 100 tokens, W=32, S=24 → starts 1,25,49,73 (97 pruned: 73's chunk
+    # already reaches token 100). Union of [start, start+len) must be
+    # exactly 1..n with overlap W-S between neighbors.
+    n = 100
+    sf = _docs(tmp_path, [" ".join(f"t{i}" for i in range(1, n + 1))])
+    rows = (
+        QUERIES["doc_chunk_sliding"](spark, sf)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_tokens
+        start = r.chunk_id * CHUNK_STRIDE + 1
+        covered.update(range(start, start + r.n_tokens))
+    assert covered == set(range(1, n + 1))
+    # neighbors overlap by exactly W - S tokens
+    for a, b in zip(rows, rows[1:]):
+        a_toks, b_toks = a.chunk_text.split(" "), b.chunk_text.split(" ")
+        assert a_toks[CHUNK_STRIDE:] == b_toks[: CHUNK_TOKENS - CHUNK_STRIDE]
+
+
+def test_short_doc_yields_single_exact_chunk(spark, tmp_path):
+    sf = _docs(tmp_path, ["alpha beta gamma"])
+    rows = QUERIES["doc_chunk_sliding"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "alpha beta gamma"
+    assert rows[0].n_tokens == 3
+
+
+def test_bpe_pair_counts_hand_checked(spark, tmp_path):
+    sf = _docs(tmp_path, ["a b a b c", "b a b"])
+    got = {
+        r.pair: r.n
+        for r in QUERIES["bpe_merge_candidates"](spark, sf).collect()
+    }
+    # doc1 pairs: (a b) (b a) (a b) (b c); doc2: (b a) (a b)
+    assert got == {"a b": 3, "b a": 2, "b c": 1}
+
+
+def test_chunker_plan_has_no_shuffle(spark):
+    # The chunker must stay narrow end-to-end: no Exchange node at all.
+    plan = (
+        QUERIES["doc_chunk_sliding"](spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ip_range_join_is_hash_not_nested_loop(spark):
+    # Interval bucketing must buy a hash join: BroadcastHashJoin on the
+    # bucket key with the BETWEEN residual, never BroadcastNestedLoopJoin.
+    plan = (
+        QUERIES["ip_range_enrich_traffic"](spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_ip_out_of_range_dropped(spark, tmp_path):
+    # 25 blocks of width 2621 cover idx 0..65524; plant one event whose
+    # ip_idx = 255*256 + 255 = 65535 (> 65524) → matches no block.
+    import datetime
+
+    pd.DataFrame(
+        {
+            "event_id": [255],
+            "ts": [datetime.datetime(2024, 1, 1)],
+            "user_id": [255],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {
+            "n_nationkey": list(range(25)),
+            "n_name": [f"N{i}" for i in range(25)],
+            "n_regionkey": [0] * 25,
+        }
+    ).to_parquet(tmp_path / "nation.parquet")
+    assert QUERIES["ip_range_enrich_traffic"](spark, str(tmp_path)).count() == 0

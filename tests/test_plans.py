@@ -109,7 +109,10 @@ def test_no_forced_broadcast_of_unbounded_dimension():
     allowed = {
         "nation", "region", "max_rev", "queries", "query_probes", "dim",
         # 1-row aggregates (global scalar-subquery results):
-        "threshold", "total", "bounds",
+        "threshold", "total", "bounds", "n_min",
+        # per-source keep-rate frame: one row per distinct `source` value
+        # (a by-contract-small label set, like dim)
+        "rates",
         # N_GROUPS-row prefix-sum offset frame (packing.py)
         "group_offsets",
     }
