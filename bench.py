@@ -97,6 +97,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "ip_range_enrich_traffic",
     "user_burst_rates",
+    "pagerank_part_graph",
 ]
 
 

@@ -16,4 +16,5 @@ from . import sketches  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import hygiene  # noqa: F401,E402
 from . import chunking  # noqa: F401,E402
+from . import graph  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402

@@ -1,0 +1,125 @@
+"""Iterative graph analytics done Spark-shaped: PageRank over the part
+co-occurrence graph (parts are connected when they appear in the same
+order), with EXACT cross-engine parity.
+
+Iterative algorithms are where naive Spark ports die at scale (lineage
+blow-up, re-computed inputs, float drift). The discipline here:
+
+- The edge relation is built once, persisted, and pre-partitioned on the
+  join key, so each of the K iterations joins against the SAME cached,
+  co-located frame — the fact self-join is paid exactly once.
+- The rank chain is linear (iteration k+1 reads only iteration k), so the
+  lazy plan stays a pipeline of K join+agg stages — no exponential lineage.
+- All arithmetic is scaled-integer with explicit floor division
+  (`(85 * rank) div (100 * outdeg)`): BIGINT sums are order-independent,
+  so the result is bit-identical across partitionings AND across engines —
+  the DuckDB oracle unrolls the same K steps as chained CTEs.
+
+Dangling-node mass is a non-issue by construction: co-occurrence edges are
+symmetric, so every node has outdegree >= 1.
+
+No reference citation: the reference (SURVEY §2.1, two pandas/boto3
+scripts) has no graph surface; extension per the §2.6 mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query, scoped_persist
+
+#: Fixed iteration count (unrolled identically in the SQL oracle).
+PR_ITERS = 5
+#: Rank scale: ranks live in units of 1e-9 (r0 = 1.0 → RANK_SCALE).
+RANK_SCALE = 10**9
+#: Damping factor 0.85 as a ratio (exact in integer arithmetic).
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _oracle() -> str:
+    base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # (1-d)·S
+    steps = [
+        f"""pr0 AS (
+          SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes
+        )"""
+    ]
+    for k in range(PR_ITERS):
+        steps.append(f"""pr{k + 1} AS (
+          SELECT n.node,
+                 CAST({base} + COALESCE(SUM(
+                   ({DAMP_NUM} * p.rank) // ({DAMP_DEN} * e.outdeg)
+                 ), 0) AS BIGINT) AS rank
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN pr{k} p ON p.node = e.src
+          GROUP BY n.node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM pairs GROUP BY src
+        ), edges AS (
+          SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM pairs
+        ), {", ".join(steps)}
+        SELECT node AS part_key, rank AS pagerank
+        FROM pr{PR_ITERS}
+    """
+
+
+@query("pagerank_part_graph", oracle=_oracle())
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=5 PageRank iterations over co-ordered parts; returns every node's
+    scaled-integer rank (units of 1e-9).
+
+    Edge build is basket-bounded (self-join on l_orderkey: Σ basket² rows,
+    linear in orders) and paid once behind scoped_persist, pre-partitioned
+    on src so every iteration's rank join is co-located — only the rank
+    frame (2 longs/node) moves per iteration. At 100 TB the identical loop
+    runs with the edge frame hash-partitioned across the cluster; the
+    per-iteration shuffle is O(|nodes|), never O(|edges|)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = scoped_persist(pairs.join(deg, "src").repartition("src"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = edges.join(
+            ranks, edges["src"] == ranks["node"]
+        ).select(
+            F.col("dst"),
+            F.expr(
+                f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
+            ).alias("contrib"),
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).groupBy("node").agg(
+            (F.lit(base) + F.coalesce(F.sum("contrib"), F.lit(0)))
+            .cast("long")
+            .alias("rank")
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"), F.col("rank").alias("pagerank")
+    )

@@ -1,0 +1,62 @@
+"""PageRank sanity on a planted graph + plan discipline (oracle parity at
+sf0.01 is already enforced by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+from tdk_apache_log_etl_spark.operators.graph import RANK_SCALE
+
+from .conftest import SF_DIR_SMOKE
+
+
+def _lineitem(tmp_path, orders):
+    # orders: list of part-key baskets; one synthetic lineitem row per part
+    rows = []
+    for okey, basket in enumerate(orders):
+        for i, part in enumerate(basket):
+            rows.append((okey, part, 1, i + 1))
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_hub_outranks_leaves(spark, tmp_path):
+    # Star through part 0: orders {0,1}, {0,2}, {0,3} → part 0 has three
+    # in-edges (each leaf's only neighbor), leaves one each from the hub.
+    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]])
+    ranks = {
+        r.part_key: r.pagerank
+        for r in QUERIES["pagerank_part_graph"](spark, sf).collect()
+    }
+    assert set(ranks) == {0, 1, 2, 3}
+    assert ranks[0] > ranks[1] == ranks[2] == ranks[3]
+    # total mass stays near N·S: floor-division loses < 1 unit per edge
+    # per iteration, never gains
+    assert sum(ranks.values()) <= 4 * RANK_SCALE
+
+
+def test_symmetric_pair_ranks_equal_fixed_point(spark, tmp_path):
+    # Two nodes, one mutual edge, outdeg 1 each: the iteration maps
+    # S -> 0.15S + 0.85S = S exactly, so ranks stay at the fixed point.
+    sf = _lineitem(tmp_path, [[7, 9]])
+    ranks = {
+        r.part_key: r.pagerank
+        for r in QUERIES["pagerank_part_graph"](spark, sf).collect()
+    }
+    assert ranks == {7: RANK_SCALE, 9: RANK_SCALE}
+
+
+def test_edges_built_once_via_cache(spark):
+    # The K iterations must reuse the persisted edge frame, not re-run the
+    # lineitem self-join per iteration: the plan shows InMemoryTableScan
+    # and exactly one in-memory relation build.
+    plan = (
+        QUERIES["pagerank_part_graph"](spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
