@@ -1,6 +1,6 @@
 """Iterative graph analytics done Spark-shaped: PageRank over the part
-co-occurrence graph (parts are connected when they appear in the same
-order), with EXACT cross-engine parity.
+co-occurrence graph (parts are connected when co-ordered at least
+MIN_COOCCUR times), with EXACT cross-engine parity.
 
 Iterative algorithms are where naive Spark ports die at scale (lineage
 blow-up, re-computed inputs, float drift). The discipline here:
@@ -36,6 +36,13 @@ PR_ITERS = 5
 RANK_SCALE = 10**9
 #: Damping factor 0.85 as a ratio (exact in integer arithmetic).
 DAMP_NUM, DAMP_DEN = 85, 100
+#: Keep only edges whose parts were co-ordered at least this many times.
+#: Raw co-occurrence is quadratically dense (every basket is a clique, so
+#: one-off pairings dominate: 2.39M raw vs 7.7k significant edges at
+#: sf0.1); thresholding keeps the graph's signal and makes iteration cost
+#: O(significant edges), the same pruning a production co-view/co-purchase
+#: graph applies before any ranking pass.
+MIN_COOCCUR = 2
 
 
 def _oracle() -> str:
@@ -58,9 +65,10 @@ def _oracle() -> str:
         )""")
     return f"""
         WITH pairs AS (
-          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
         ), deg AS (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
           FROM pairs GROUP BY src
@@ -76,7 +84,8 @@ def _oracle() -> str:
 
 @query("pagerank_part_graph", oracle=_oracle())
 def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=5 PageRank iterations over co-ordered parts; returns every node's
+    """K=5 PageRank iterations over the significant part co-occurrence
+    graph (parts co-ordered >= MIN_COOCCUR times); returns every node's
     scaled-integer rank (units of 1e-9).
 
     Edge build is basket-bounded (self-join on l_orderkey: Σ basket² rows,
@@ -93,10 +102,12 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_coorders"))
+        .where(F.col("n_coorders") >= MIN_COOCCUR)
+        .select("src", "dst")
     )
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = scoped_persist(pairs.join(deg, "src").repartition("src"))
@@ -113,12 +124,19 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
             ).alias("contrib"),
         )
+        # Aggregate per-dst BEFORE touching nodes: the O(|edges|) rows
+        # collapse map-side to O(|nodes|), and the nodes left join (for
+        # in-degree-0 nodes) then moves only two longs per node.
+        contrib_agg = contribs.groupBy("dst").agg(
+            F.sum("contrib").alias("incoming")
+        )
         ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
-        ).groupBy("node").agg(
-            (F.lit(base) + F.coalesce(F.sum("contrib"), F.lit(0)))
+            contrib_agg, nodes["node"] == contrib_agg["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("incoming"), F.lit(0)))
             .cast("long")
-            .alias("rank")
+            .alias("rank"),
         )
     return ranks.select(
         F.col("node").alias("part_key"), F.col("rank").alias("pagerank")

@@ -1143,12 +1143,26 @@ def ip_range_enrich_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — either way no per-row range scan and no cartesian anywhere."""
     parsed = _parsed_clf(spark, sf_dir)
     octets = F.split(F.col("ip_address"), "\\.")
+    # coalesce(-1) makes ip_idx (and so the bucket key) NON-NULLABLE.
+    # Without it, the inner join injects isnotnull(bucket) below the
+    # projections, and that filter inlines the whole regex-parse
+    # expression outside the projects' common-subexpression sharing —
+    # re-running the parse per row made this query ~40x slower at sf0.1.
+    # -1 is below every block's lo, so null-ip rows still match nothing.
     ips = parsed.select(
-        (
-            octets.getItem(2).cast("long") * 256 + octets.getItem(3).cast("long")
+        F.coalesce(
+            octets.getItem(2).cast("long") * 256
+            + octets.getItem(3).cast("long"),
+            F.lit(-1),
         ).alias("ip_idx"),
         F.coalesce(F.col("size"), F.lit(0)).alias("sz"),
-    ).withColumn("bucket", (F.col("ip_idx") / _IP_BUCKET).cast("long"))
+    ).withColumn(
+        # coalesce again: Divide is nullable in Catalyst's metadata even
+        # with a literal divisor, which would re-inject the giant
+        # isnotnull(bucket) filter the ip_idx coalesce just removed.
+        "bucket",
+        F.coalesce((F.col("ip_idx") / _IP_BUCKET).cast("long"), F.lit(-1)),
+    )
 
     nation = load_table(spark, sf_dir, "nation")
     w = _IP_BLOCK_WIDTH

@@ -95,6 +95,13 @@ def test_ip_range_join_is_hash_not_nested_loop(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+    # Regression guard: join-key nullability once injected an
+    # isnotnull(bucket) filter that inlined the whole regex parse outside
+    # the projects' subexpression sharing (~40x slowdown). The parse
+    # expression must appear only in Project nodes, never in a Filter.
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "regexp_replace" not in line
 
 
 def test_ip_out_of_range_dropped(spark, tmp_path):

@@ -24,9 +24,10 @@ def _lineitem(tmp_path, orders):
 
 
 def test_hub_outranks_leaves(spark, tmp_path):
-    # Star through part 0: orders {0,1}, {0,2}, {0,3} → part 0 has three
+    # Star through part 0: orders {0,1}, {0,2}, {0,3} (each placed twice —
+    # MIN_COOCCUR prunes single co-occurrences) → part 0 has three
     # in-edges (each leaf's only neighbor), leaves one each from the hub.
-    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]])
+    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]] * 2)
     ranks = {
         r.part_key: r.pagerank
         for r in QUERIES["pagerank_part_graph"](spark, sf).collect()
@@ -41,7 +42,7 @@ def test_hub_outranks_leaves(spark, tmp_path):
 def test_symmetric_pair_ranks_equal_fixed_point(spark, tmp_path):
     # Two nodes, one mutual edge, outdeg 1 each: the iteration maps
     # S -> 0.15S + 0.85S = S exactly, so ranks stay at the fixed point.
-    sf = _lineitem(tmp_path, [[7, 9]])
+    sf = _lineitem(tmp_path, [[7, 9]] * 2)
     ranks = {
         r.part_key: r.pagerank
         for r in QUERIES["pagerank_part_graph"](spark, sf).collect()
