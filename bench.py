@@ -98,6 +98,7 @@ HEADLINE = [
     "ip_range_enrich_traffic",
     "user_burst_rates",
     "pagerank_part_graph",
+    "triangle_count_part_graph",
 ]
 
 

@@ -50,6 +50,15 @@ def test_symmetric_pair_ranks_equal_fixed_point(spark, tmp_path):
     assert ranks == {7: RANK_SCALE, 9: RANK_SCALE}
 
 
+def test_triangle_count_planted(spark, tmp_path):
+    # Parts {1,2,3} form a triangle (basket ordered twice to clear
+    # MIN_COOCCUR); part 4 hangs off part 1 without closing anything.
+    sf = _lineitem(tmp_path, [[1, 2, 3], [1, 2, 3], [1, 4], [1, 4]])
+    row = QUERIES["triangle_count_part_graph"](spark, sf).collect()[0]
+    assert row.n_triangles == 1
+    assert row.n_edges == 4  # {1-2, 1-3, 2-3, 1-4} oriented low->high
+
+
 def test_edges_built_once_via_cache(spark):
     # The K iterations must reuse the persisted edge frame, not re-run the
     # lineitem self-join per iteration: the plan shows InMemoryTableScan

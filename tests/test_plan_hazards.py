@@ -29,6 +29,7 @@ BNLJ_OK = {
     "doc_distinctive_tokens",  # 1-row corpus-count crossJoin
     "token_commonness_scores",  # 1-row corpus-total crossJoin
     "temperature_mixture_sample",  # 1-row min-source-count crossJoin
+    "triangle_count_part_graph",  # two 1-row aggregates crossJoined
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
