@@ -108,12 +108,16 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = docs.select(
+    # Materialize the token array in its own projection FIRST: referencing
+    # split(text) inside the transform lambda would re-split the document
+    # once per element (quadratic per doc) — lambda bodies don't share
+    # subexpressions with the enclosing row.
+    toks = docs.select(F.split("text", " ").alias("tk"))
+    pairs = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1,"
-                " greatest(size(split(text, ' ')) - 1, 0)),"
-                " (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (t, i) -> concat(t, ' ', element_at(tk, i + 2)))"
             )
         ).alias("pair")
     )

@@ -1585,6 +1585,9 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+    # daily feeds BOTH the spine bounds and the join probe; without a
+    # persist the plan scans+aggregates orders twice.
+    daily = scoped_persist(daily)
     spine = daily.agg(
         F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
     ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num"))
@@ -1771,6 +1774,9 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled")
         )
     )
+    # same double-scan shape as daily_revenue_gapfilled: persist the tiny
+    # per-day frame so orders is aggregated once.
+    daily = scoped_persist(daily)
     spine = daily.agg(
         F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
     ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num"))
