@@ -99,6 +99,8 @@ HEADLINE = [
     "user_burst_rates",
     "pagerank_part_graph",
     "triangle_count_part_graph",
+    "orders_snapshot_diff",
+    "stratified_sample_events",
 ]
 
 

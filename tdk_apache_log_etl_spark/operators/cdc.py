@@ -187,3 +187,78 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(wv).cast("long").alias("version"),
     )
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle="""
+        WITH snap_a AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderdate < DATE '1996-01-01'
+        ), snap_b AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders
+          WHERE o_orderdate < DATE '1997-01-01'
+            AND (o_orderkey % 97 <> 0 OR o_orderdate >= DATE '1996-01-01')
+        )
+        SELECT
+          CASE WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderstatus <> b.o_orderstatus
+                 OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+               ELSE 'unchanged' END AS diff_kind,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+        GROUP BY 1
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff audit between two snapshots: classify every key as
+    added / removed / changed / unchanged and count each class — the
+    reconciliation report run after every backfill or migration.
+
+    The two snapshots are derived deterministically from orders (orders
+    before 1996; orders before 1997 minus every 97th pre-1996 key, with
+    every 89th price bumped by 1, so all four classes are non-empty). The diff is ONE full-outer shuffle join
+    on the key with a per-column comparison — the same single-shuffle
+    shape as merge_upsert, so a 100 TB reconciliation costs one co-
+    partitioned pass; the output is a 4-row scorecard, never row-level
+    driver traffic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    snap_a = orders.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    ).select(*cols)
+    snap_b = orders.where(
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        & (
+            (F.col("o_orderkey") % 97 != 0)
+            | (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        )
+    ).select(
+        F.col("o_orderkey").alias("b_o_orderkey"),
+        F.col("o_orderstatus").alias("b_o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_o_totalprice"),
+    )
+    j = snap_a.join(
+        snap_b, snap_a["o_orderkey"] == snap_b["b_o_orderkey"], "full_outer"
+    )
+    kind = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("b_o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o_orderstatus") != F.col("b_o_orderstatus"))
+            | (F.col("o_totalprice") != F.col("b_o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(kind.alias("diff_kind")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

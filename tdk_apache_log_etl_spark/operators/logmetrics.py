@@ -1230,3 +1230,49 @@ def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_events"),
         (F.max("n") >= 5).alias("burst_flag"),
     )
+
+
+#: Rows kept per stratum by the deterministic stratified sampler.
+_STRATUM_K = 50
+
+
+@query(
+    "stratified_sample_events",
+    oracle=f"""
+        SELECT event_type, event_id, CAST(rk AS BIGINT) AS sample_rank
+        FROM (
+          SELECT event_type, event_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                 ) AS rk
+          FROM events
+        ) t WHERE rk <= {_STRATUM_K}
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly K rows per event_type,
+    chosen by ranking on a content hash — the balanced-evaluation-set /
+    debugging-slice primitive. Unlike sampleBy() (rate-based, seed- and
+    partitioning-dependent), the hash order is a pure function of the
+    data, so the sample is reproducible across runs, partitionings, and
+    engines.
+
+    One shuffle on event_type; rank<=K collapses to WindowGroupLimit, so
+    each partition retains only K candidates pre-shuffle — at 100 TB the
+    exchange carries O(strata x K) rows after the per-partition prune,
+    not the corpus. For heavily-skewed strata the two-level refinement
+    (per-partition top-K, then global top-K of candidates) is exactly
+    what WindowGroupLimit already implements."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= _STRATUM_K)
+    )

@@ -385,3 +385,42 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # Optimizer coverage: with a selective filter on the dim side of a
+    # SHUFFLE join, Spark injects a runtime bloom filter
+    # (bloom_filter_agg on the dim key, BloomFilterMightContain on the
+    # fact side) so fact rows that cannot join are dropped before the
+    # exchange — at 100 TB this is the difference between shuffling the
+    # whole fact table and shuffling the ~matching slice. Thresholds are
+    # tuned down because the fixture is tiny; production defaults
+    # (10 MB creation side / 10 GB application side) express the same
+    # plan at real scale. Broadcast is disabled for the test because a
+    # broadcast join already prunes at the hash lookup — the bloom
+    # filter only pays for itself on shuffle joins.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    import pyspark.sql.functions as F
+
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_DIR_CORRECT}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR_CORRECT}/lineitem.parquet")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
