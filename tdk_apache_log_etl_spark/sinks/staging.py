@@ -286,3 +286,80 @@ def compact_staging(
         else:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     return len(part_dates)
+
+
+def expire_partitions(path: str, keep_after: str) -> list[str]:
+    """Retention expiry: drop whole date partitions strictly older than
+    ``keep_after`` (YYYY-MM-DD). Partition-level deletion is pure
+    metadata+directory work — no data is read, no job runs, cost is
+    O(expired partitions) regardless of table size, which is why
+    retention at 100 TB is always partition-grained (row-grained
+    retention is delete_user_rows below). Returns the expired dates."""
+    expired = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(path)
+        if e.startswith("date=") and e.split("=", 1)[1] < keep_after
+    )
+    for d in expired:
+        shutil.rmtree(os.path.join(path, f"date={d}"))
+    return expired
+
+
+def delete_user_rows(
+    spark: SparkSession, path: str, user_ids: list[int]
+) -> int:
+    """Row-level erasure (the GDPR/right-to-be-forgotten shape): remove
+    every staging row for the given user ids by rewriting ONLY the
+    partitions that contain them.
+
+    Two passes, both pruned: (1) a scan finds the affected dates —
+    the user_id IN filter is pushed to parquet, so row groups whose
+    min/max excludes the ids are never decoded; (2) those partitions
+    are rewritten through a NOT IN filter with dynamic partition
+    overwrite, leaving every other partition byte-identical (asserted
+    via mtime in tests). This is exactly what a table format's
+    row-level DELETE lowers to without deletion vectors; cost is
+    O(affected partitions), not table size. Returns the number of
+    partitions rewritten."""
+    ids = [int(u) for u in user_ids]
+    if not ids:
+        return 0
+    full = spark.read.schema(STAGING_SCHEMA).parquet(path)
+    dates = [
+        r.date
+        for r in full.where(F.col("user_id").isin(ids))
+        .select("date")
+        .distinct()
+        .collect()
+    ]
+    if not dates:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept = full.where(F.col("date").isin(dates)).where(
+            ~F.col("user_id").isin(ids) | F.col("user_id").isNull()
+        )
+        # Dynamic overwrite only replaces partitions PRESENT in the
+        # written frame: a date whose every row was erased writes
+        # nothing and would silently keep its old files — the one
+        # failure mode an erasure tool must not have. Find those dates
+        # BEFORE the rewrite (afterwards the cached file listing is
+        # stale), then drop their directories explicitly.
+        survivors = {
+            r.date for r in kept.select("date").distinct().collect()
+        }
+        (
+            kept.write.mode("overwrite")
+            .partitionBy("date")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
+        for d in set(dates) - survivors:
+            shutil.rmtree(os.path.join(path, f"date={d}"), ignore_errors=True)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    return len(dates)

@@ -1,0 +1,101 @@
+"""Partition retention expiry and row-level (GDPR) erasure: only affected
+partitions may be touched, and full-partition erasure must leave no files
+behind."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from tdk_apache_log_etl_spark.sinks.staging import (
+    delete_user_rows,
+    expire_partitions,
+    read_staging,
+    write_staging,
+)
+
+
+def _frame(spark, date, user_ids):
+    return spark.createDataFrame(
+        [(f"10.0.0.{u}", u) for u in user_ids], "ip_address string, user_id long"
+    ).select(
+        "ip_address",
+        F.lit(None).cast("double").alias("rfc_1413_identity"),
+        "user_id",
+        F.lit("2026-08-14T00:00:00").cast("timestamp_ntz").alias("time"),
+        F.lit(200).cast("long").alias("status_code"),
+        F.lit(10).cast("long").alias("size"),
+        F.lit(None).cast("string").alias("referer"),
+        F.lit("ua").alias("user_agent"),
+        F.lit("GET").alias("request_method"),
+        F.lit("/r").alias("request_resource"),
+        F.lit("HTTP/1.1").alias("request_protocol"),
+        F.lit(date).alias("date"),
+    )
+
+
+def _mtimes(path):
+    out = {}
+    for entry in os.listdir(path):
+        if entry.startswith("date="):
+            d = os.path.join(path, entry)
+            out[entry] = {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_expire_partitions_drops_only_older(spark, tmp_path):
+    path = str(tmp_path / "staging")
+    for d in ["2026-08-10", "2026-08-11", "2026-08-12"]:
+        write_staging(_frame(spark, d, [1, 2]), path)
+    expired = expire_partitions(path, keep_after="2026-08-12")
+    assert expired == ["2026-08-10", "2026-08-11"]
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("date=")
+    ) == ["date=2026-08-12"]
+    assert read_staging(spark, path).count() == 2
+
+
+def test_delete_user_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "staging")
+    write_staging(_frame(spark, "2026-08-10", [1, 2, 3]), path)
+    write_staging(_frame(spark, "2026-08-11", [4, 5]), path)
+    write_staging(_frame(spark, "2026-08-12", [1, 6]), path)
+    before = _mtimes(path)
+
+    n = delete_user_rows(spark, path, [1])
+    assert n == 2  # only the two partitions containing user 1
+
+    after = _mtimes(path)
+    # the untouched partition's files are byte-for-byte the same objects
+    assert after["date=2026-08-11"] == before["date=2026-08-11"]
+    assert after["date=2026-08-10"] != before["date=2026-08-10"]
+
+    remaining = read_staging(spark, path)
+    assert remaining.where(F.col("user_id") == 1).count() == 0
+    assert remaining.count() == 5  # 2+2+1 rows survive
+
+
+def test_delete_user_rows_removes_fully_erased_partition(spark, tmp_path):
+    # date=2026-08-11 contains ONLY the target user: dynamic overwrite
+    # writes nothing for it, so the directory must be removed explicitly
+    # — lingering files would be silent erasure failure.
+    path = str(tmp_path / "staging")
+    write_staging(_frame(spark, "2026-08-10", [1, 2]), path)
+    write_staging(_frame(spark, "2026-08-11", [7]), path)
+    delete_user_rows(spark, path, [7])
+    assert "date=2026-08-11" not in os.listdir(path)
+    assert read_staging(spark, path).count() == 2
+
+
+def test_delete_user_rows_noop_when_absent(spark, tmp_path):
+    path = str(tmp_path / "staging")
+    write_staging(_frame(spark, "2026-08-10", [1, 2]), path)
+    before = _mtimes(path)
+    assert delete_user_rows(spark, path, [999]) == 0
+    assert delete_user_rows(spark, path, []) == 0
+    assert _mtimes(path) == before
