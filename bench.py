@@ -101,6 +101,7 @@ HEADLINE = [
     "triangle_count_part_graph",
     "orders_snapshot_diff",
     "stratified_sample_events",
+    "embedding_quantize_int8",
 ]
 
 

@@ -630,3 +630,66 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_QUANT_ORACLE = """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             ) AS xi
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xi,
+             GREATEST(list_max(list_transform(xi, v -> abs(v))),
+                      CAST(1 AS BIGINT)) AS qscale
+      FROM s
+    )
+    SELECT vec_id, qscale,
+           list_transform(
+             xi,
+             v -> CAST(FLOOR(CAST(v * 127 AS DOUBLE) / qscale + 0.5) AS BIGINT)
+           ) AS q
+    FROM m
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4x storage/bandwidth
+    compression every large vector store applies before ANN serving
+    (float32 -> int8 with one scale per vector).
+
+    Components are first fixed-pointed (floor(x*1e6+0.5), exact in
+    BIGINT), the per-vector scale is the max |component| (floored at 1
+    for zero vectors), and each code is floor(v*127/scale + 0.5). The
+    only float op is one double division inside a fixed expression tree,
+    so codes are bit-identical across partitionings and engines — the
+    DuckDB oracle checks every code of every vector. Purely narrow
+    (transform/array_max lambdas, zero shuffle); at 100 TB each
+    partition quantizes independently and the output is 1/4 the input
+    bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    scaled = emb.select("vec_id", xi.alias("xi"))
+    withscale = scaled.select(
+        "vec_id",
+        "xi",
+        F.greatest(
+            F.array_max(F.transform("xi", lambda v: F.abs(v))),
+            F.lit(1).cast("long"),
+        ).alias("qscale"),
+    )
+    q = F.transform(
+        "xi",
+        lambda v: F.floor(
+            (v * 127).cast("double") / F.col("qscale") + F.lit(0.5)
+        ).cast("long"),
+    )
+    return withscale.select("vec_id", "qscale", q.alias("q"))
