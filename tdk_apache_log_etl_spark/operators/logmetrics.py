@@ -1109,6 +1109,69 @@ _IP_BLOCK_WIDTH = 2621
 _IP_BUCKET = 4096
 
 
+def with_ip_bucket(parsed: DataFrame) -> DataFrame:
+    """Project a parsed CLF frame (batch OR streaming — narrow ops only)
+    to its /16-local IP index (octet3*256 + octet4) plus the interval
+    bucket, keeping the byte size.
+
+    coalesce(-1) makes ip_idx (and so the bucket key) NON-NULLABLE.
+    Without it, an inner join injects isnotnull(bucket) below the
+    projections, and that filter inlines the whole regex-parse
+    expression outside the projects' common-subexpression sharing —
+    re-running the parse per row made the batch query ~40x slower at
+    sf0.1. -1 is below every block's lo, so null-ip rows match nothing.
+    The second coalesce exists because Divide is nullable in Catalyst's
+    metadata even with a literal divisor."""
+    octets = F.split(F.col("ip_address"), "\\.")
+    return parsed.select(
+        F.coalesce(
+            octets.getItem(2).cast("long") * 256
+            + octets.getItem(3).cast("long"),
+            F.lit(-1),
+        ).alias("ip_idx"),
+        F.coalesce(F.col("size"), F.lit(0)).alias("sz"),
+    ).withColumn(
+        "bucket",
+        F.coalesce((F.col("ip_idx") / _IP_BUCKET).cast("long"), F.lit(-1)),
+    )
+
+
+def bucketed_ip_ranges(nation: DataFrame) -> DataFrame:
+    """Nation-derived IP blocks [k*W, k*W + W - 1] exploded to each
+    bucket of width B they overlap (at most ceil(W/B)+1 ≈ 2 rows per
+    range) — the dimension side of the interval-bucketed range join."""
+    w = _IP_BLOCK_WIDTH
+    return nation.select(
+        F.col("n_name").alias("block_owner"),
+        (F.col("n_nationkey").cast("long") * w).alias("lo"),
+        (F.col("n_nationkey").cast("long") * w + w - 1).alias("hi"),
+    ).select(
+        "block_owner",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / _IP_BUCKET).cast("long"),
+                (F.col("hi") / _IP_BUCKET).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+
+
+def ip_range_join(ips: DataFrame, ranges: DataFrame) -> DataFrame:
+    """Bucket-equality hash join with the BETWEEN residual — never a
+    per-row range scan. No broadcast hint: a tiny dim broadcasts on its
+    size estimate; an unbounded registry-scale ranges table correctly
+    degrades to a shuffled hash join instead of a pinned OOM."""
+    return ips.join(
+        ranges,
+        (ips["bucket"] == ranges["bucket"])
+        & (ips["ip_idx"] >= ranges["lo"])
+        & (ips["ip_idx"] <= ranges["hi"]),
+        "inner",
+    )
+
+
 @query(
     "ip_range_enrich_traffic",
     oracle=f"""
@@ -1131,69 +1194,13 @@ _IP_BUCKET = 4096
     """,
 )
 def ip_range_enrich_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Traffic per IP-range owner via an interval-bucketed range join.
-
-    The parsed CLF frame's ip_address is reduced to its /16-local index
-    (octet3*256 + octet4); the ranges dimension (nation-derived blocks
-    [k*W, k*W + W - 1]) is exploded to each bucket of width B it overlaps
-    (`sequence(lo div B, hi div B)` — at most ceil(W/B)+1 ≈ 2 rows per
-    range), and the join is bucket-equality plus the BETWEEN residual.
-    Catalyst plans a BroadcastHashJoin here (tiny dim); with an unbounded
-    ranges table the same query becomes a shuffled hash join on the bucket
-    key — either way no per-row range scan and no cartesian anywhere."""
-    parsed = _parsed_clf(spark, sf_dir)
-    octets = F.split(F.col("ip_address"), "\\.")
-    # coalesce(-1) makes ip_idx (and so the bucket key) NON-NULLABLE.
-    # Without it, the inner join injects isnotnull(bucket) below the
-    # projections, and that filter inlines the whole regex-parse
-    # expression outside the projects' common-subexpression sharing —
-    # re-running the parse per row made this query ~40x slower at sf0.1.
-    # -1 is below every block's lo, so null-ip rows still match nothing.
-    ips = parsed.select(
-        F.coalesce(
-            octets.getItem(2).cast("long") * 256
-            + octets.getItem(3).cast("long"),
-            F.lit(-1),
-        ).alias("ip_idx"),
-        F.coalesce(F.col("size"), F.lit(0)).alias("sz"),
-    ).withColumn(
-        # coalesce again: Divide is nullable in Catalyst's metadata even
-        # with a literal divisor, which would re-inject the giant
-        # isnotnull(bucket) filter the ip_idx coalesce just removed.
-        "bucket",
-        F.coalesce((F.col("ip_idx") / _IP_BUCKET).cast("long"), F.lit(-1)),
-    )
-
-    nation = load_table(spark, sf_dir, "nation")
-    w = _IP_BLOCK_WIDTH
-    ranges = nation.select(
-        F.col("n_name").alias("block_owner"),
-        (F.col("n_nationkey").cast("long") * w).alias("lo"),
-        (F.col("n_nationkey").cast("long") * w + w - 1).alias("hi"),
-    ).select(
-        "block_owner",
-        "lo",
-        "hi",
-        F.explode(
-            F.sequence(
-                (F.col("lo") / _IP_BUCKET).cast("long"),
-                (F.col("hi") / _IP_BUCKET).cast("long"),
-            )
-        ).alias("bucket"),
-    )
-
-    # No broadcast hint: the exploded dim's size estimate (from the tiny
-    # nation parquet) lets Spark pick BroadcastHashJoin on its own here,
-    # and an unbounded registry-scale ranges table correctly degrades to a
-    # shuffled hash join instead of a pinned OOM.
-    joined = ips.join(
-        ranges,
-        (ips["bucket"] == ranges["bucket"])
-        & (F.col("ip_idx") >= F.col("lo"))
-        & (F.col("ip_idx") <= F.col("hi")),
-        "inner",
-    )
-    return joined.groupBy("block_owner").agg(
+    """Traffic per IP-range owner via an interval-bucketed range join
+    (see with_ip_bucket / bucketed_ip_ranges / ip_range_join — the same
+    three pieces run unchanged over a log STREAM in
+    streaming/log_stream.py:enrich_stream_ip_ranges)."""
+    ips = with_ip_bucket(_parsed_clf(spark, sf_dir))
+    ranges = bucketed_ip_ranges(load_table(spark, sf_dir, "nation"))
+    return ip_range_join(ips, ranges).groupBy("block_owner").agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.sum("sz").alias("total_bytes"),
     )

@@ -296,3 +296,25 @@ def write_windowed_topk_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def enrich_stream_ip_ranges(parsed: DataFrame, nation: DataFrame) -> DataFrame:
+    """Streaming twin of E27 (operators/logmetrics.py:
+    ip_range_enrich_traffic): map each micro-batch's request IPs into
+    their owning CIDR-style block via the SAME interval-bucketed range
+    join — with_ip_bucket / bucketed_ip_ranges / ip_range_join compose
+    identically over a stream because every piece is a narrow projection
+    plus a stream-static join (broadcast per trigger, no state store).
+    Emits one enriched row per request; aggregate downstream with
+    whatever window the consumer needs."""
+    from ..operators.logmetrics import (
+        bucketed_ip_ranges,
+        ip_range_join,
+        with_ip_bucket,
+    )
+
+    ips = with_ip_bucket(parsed)
+    ranges = bucketed_ip_ranges(nation)
+    return ip_range_join(ips, ranges).select(
+        "ip_idx", "sz", "block_owner"
+    )

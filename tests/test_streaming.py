@@ -411,3 +411,42 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     }
     assert (1, 404) in rows          # matched pair
     assert (3, None) in rows         # outer row, NULL-padded error side
+
+
+def test_stream_ip_range_enrichment(spark, tmp_path):
+    # E27's interval-bucketed range join running unchanged over a file
+    # stream: user 1's ip 10.0.0.1 -> idx 1 -> block N0 [0, 2620];
+    # 10.0.10.61 -> idx 2621 -> block N1 [2621, 5241].
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        enrich_stream_ip_ranges,
+        read_log_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text(
+        '10.0.0.1 - 1 [13/Aug/2026:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "ua"\n'
+        '10.0.10.61 - 2 [13/Aug/2026:10:00:01 +0000] "GET /b HTTP/1.1" 200 20 "-" "ua"\n'
+        '10.0.10.61 - 2 [13/Aug/2026:10:00:02 +0000] "GET /c HTTP/1.1" 200 30 "-" "ua"\n'
+    )
+    nation = spark.createDataFrame(
+        [(i, f"N{i}", 0) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    q = (
+        enrich_stream_ip_ranges(read_log_stream(spark, str(src)), nation)
+        .writeStream.format("memory")
+        .queryName("ip_enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ip"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT block_owner, count(*) n, sum(sz) b FROM ip_enriched GROUP BY 1"
+    ).collect()
+    assert {(r.block_owner, r.n, r.b) for r in rows} == {
+        ("N0", 1, 10),
+        ("N1", 2, 50),
+    }
