@@ -102,6 +102,7 @@ HEADLINE = [
     "orders_snapshot_diff",
     "stratified_sample_events",
     "embedding_quantize_int8",
+    "events_value_mad_outliers",
 ]
 
 

@@ -1283,3 +1283,74 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sample_rank") <= _STRATUM_K)
     )
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle="""
+        WITH med AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ), dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+          SELECT event_type, med,
+                 quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY event_type, med
+        )
+        SELECT d.event_type,
+               round(d.med, 6) AS median_value,
+               round(mad.mad, 6) AS mad_value,
+               CAST(COUNT(*) FILTER (
+                 WHERE d.adev > 3 * 1.4826 * mad.mad
+               ) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM dev d JOIN mad USING (event_type, med)
+        GROUP BY d.event_type, d.med, mad.mad
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — unlike
+    the 3-sigma rule (events_value_anomalies), MAD is immune to the
+    outliers it hunts, the estimator production monitoring actually
+    wants on heavy-tailed metrics.
+
+    Two exact-percentile aggregations on the same event_type key (the
+    second consumes the first's partitioning) plus a broadcast-back of
+    the per-type scalars — never a per-row window over the corpus. The
+    3*1.4826 sigma-equivalence threshold is one fixed double expression,
+    so counts are engine-exact; medians themselves ride the same
+    percentile/quantile_cont equivalence events_value_percentiles
+    already proves."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, ["event_type", "med"])
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad_value"),
+            "n_outliers",
+            "n_events",
+        )
+    )
