@@ -103,6 +103,12 @@ HEADLINE = [
     "stratified_sample_events",
     "embedding_quantize_int8",
     "events_value_mad_outliers",
+    "event_transition_matrix",
+    "user_activity_decay",
+    "session_path_topk",
+    "bfs_reach_part_graph",
+    "equidepth_price_histogram",
+    "inverted_index_postings",
 ]
 
 

@@ -203,3 +203,83 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     edge_count = oriented.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return triangles.crossJoin(edge_count)
+
+
+#: Multi-source BFS: seed set = nodes whose part key is divisible by
+#: SEED_MOD (deterministic, scales with the graph), expanded for a fixed
+#: number of rounds (unrolled identically in the SQL oracle).
+BFS_ROUNDS = 4
+SEED_MOD = 50
+
+
+def _bfs_oracle() -> str:
+    steps = [
+        f"""l0 AS (
+          SELECT node,
+                 CASE WHEN node % {SEED_MOD} = 0
+                      THEN CAST(0 AS BIGINT) END AS level
+          FROM nodes
+        )"""
+    ]
+    for k in range(BFS_ROUNDS):
+        steps.append(f"""l{k + 1} AS (
+          SELECT n.node, least(n.level, m.cand) AS level
+          FROM l{k} n LEFT JOIN (
+            SELECT p.dst AS node, MIN(l.level) + 1 AS cand
+            FROM pairs p JOIN l{k} l
+              ON l.node = p.src AND l.level IS NOT NULL
+            GROUP BY p.dst
+          ) m ON m.node = n.node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM pairs
+        ), {", ".join(steps)}
+        SELECT node AS part_key, level AS bfs_level
+        FROM l{BFS_ROUNDS} WHERE level IS NOT NULL
+    """
+
+
+@query("bfs_reach_part_graph", oracle=_bfs_oracle())
+def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels (hop distance to the nearest seed part)
+    over the significant co-occurrence graph — the reachability /
+    influence-radius primitive behind "related products within N hops".
+
+    Same iterative discipline as pagerank_part_graph: the persisted edge
+    relation is shared via scoped_persist, each of the K rounds joins the
+    frontier against it and min-combines, and the per-round shuffle
+    carries only (node, level) pairs — O(|nodes|) longs, never the edge
+    list. Levels propagate monotonically (least() keeps the smallest
+    non-NULL), so the K-round unrolling is exactly the oracle's chained
+    CTEs and the result is engine-exact integer arithmetic throughout.
+    Frontier-only joins (filtering to nodes whose level changed last
+    round) are the standard refinement when K grows; at K=4 the full
+    min-combine is one co-located join per round."""
+    pairs = significant_pairs(spark, sf_dir)
+    edges = scoped_persist(pairs.repartition("src"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    levels = nodes.select(
+        "node",
+        F.when(F.col("node") % SEED_MOD == 0, F.lit(0))
+        .cast("long")
+        .alias("level"),
+    )
+    for _ in range(BFS_ROUNDS):
+        frontier = (
+            edges.join(levels, edges["src"] == levels["node"])
+            .where(F.col("level").isNotNull())
+            .groupBy("dst")
+            .agg((F.min("level") + F.lit(1)).alias("cand"))
+        )
+        levels = levels.join(
+            frontier, levels["node"] == frontier["dst"], "left"
+        ).select("node", F.least(F.col("level"), F.col("cand")).alias("level"))
+    return levels.where(F.col("level").isNotNull()).select(
+        F.col("node").alias("part_key"), F.col("level").alias("bfs_level")
+    )

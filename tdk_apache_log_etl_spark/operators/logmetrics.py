@@ -1354,3 +1354,207 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ), trans AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_transitions,
+               n_transitions / CAST(SUM(n_transitions) OVER (
+                 PARTITION BY from_type) AS DOUBLE) AS p_transition
+        FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user event sequences — the
+    user-journey primitive behind "what do users do after X" / next-event
+    prediction baselines.
+
+    One shuffle on user_id for the lead() window, then the pair counts
+    collapse map-side to |event_type|² rows, so the probability window
+    runs over a frame bounded by the type vocabulary squared — never the
+    corpus. Probabilities are one BIGINT/BIGINT→DOUBLE division on
+    identical operands, hence engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+#: Exponential-decay scoring: reference date just past the fixture's event
+#: horizon, 7-day half-life, exponent capped so the 1<<k weight divisor
+#: stays inside BIGINT whatever the data's age.
+_DECAY_REF_DATE = "2024-02-01"
+_DECAY_HALF_LIFE_DAYS = 7
+_DECAY_MAX_K = 60
+
+
+@query(
+    "user_activity_decay",
+    oracle=f"""
+        WITH weighted AS (
+          SELECT user_id, ts,
+                 value / CAST(CAST(1 AS BIGINT) << least(
+                   greatest(date_diff('day', CAST(ts AS DATE),
+                                      DATE '{_DECAY_REF_DATE}'), 0)
+                   // {_DECAY_HALF_LIFE_DAYS}, {_DECAY_MAX_K}
+                 ) AS DOUBLE) AS w_value
+          FROM events
+        )
+        SELECT user_id,
+               {sql_dec_sum("w_value")} AS decayed_score,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(ts) AS DATE) AS last_seen
+        FROM weighted GROUP BY user_id
+    """,
+)
+def user_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay activity score (7-day half-life) —
+    the recency-weighted engagement metric feature stores serve.
+
+    The decay weight is 2^-floor(age/half_life): an integer exponent on a
+    power of two, so value*weight is an exact exponent shift (no exp/log,
+    no libm variance) and the per-row addend is bit-identical in every
+    engine; dec_sum then makes the per-user sum order-insensitive. One
+    hash aggregation on user_id — at 100 TB it's the same single
+    exchange, with the 1<<k divisor guarded into BIGINT range however
+    old the tail of the data is."""
+    events = load_table(spark, sf_dir, "events")
+    age_days = F.greatest(
+        F.datediff(F.lit(_DECAY_REF_DATE).cast("date"), F.to_date("ts")),
+        F.lit(0),
+    )
+    k = F.least(
+        F.floor(age_days / F.lit(_DECAY_HALF_LIFE_DAYS)),
+        F.lit(_DECAY_MAX_K),
+    ).cast("int")
+    weighted = events.select("user_id", "ts", "value", k.alias("k")).select(
+        "user_id",
+        "ts",
+        (
+            F.col("value")
+            / F.expr("shiftleft(CAST(1 AS BIGINT), k)").cast("double")
+        ).alias("w_value"),
+    )
+    return weighted.groupBy("user_id").agg(
+        dec_sum(F.col("w_value")).alias("decayed_score"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.to_date("ts")).alias("last_seen"),
+    )
+
+
+#: Session paths keep the first N event types of each session.
+_PATH_PREFIX_LEN = 5
+_PATH_TOPK = 10
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE
+                   WHEN ts - LAG(ts) OVER w <= INTERVAL {SESSION_GAP_SECONDS} SECOND
+                   THEN 0 ELSE 1
+                 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        ), ranked AS (
+          SELECT user_id, session_id, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM sessions
+        ), paths AS (
+          SELECT user_id, session_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= {_PATH_PREFIX_LEN}
+          GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most common session paths (the first 5 event types of each
+    gap-based session, joined with '>') — the journey-mining summary
+    behind funnel discovery.
+
+    Composes the sessionize_gap machinery: one user_id shuffle serves the
+    lag window, the cumulative session-id window, AND the per-session
+    row_number — three window stages over one partitioning. The rn<=N
+    prune bounds every session's contribution before the path strings
+    shuffle, path counts collapse map-side, and the final top-K is
+    TakeOrderedAndProject with a deterministic (count, path) tie-break.
+    collect_list is order-unstable under parallel merge, so the path is
+    rebuilt from an array_sort over (rn, event_type) structs — the same
+    total order the oracle's ORDER BY rn string_agg uses."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap <= F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS"), 0
+    ).otherwise(1)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .where(F.col("rn") <= _PATH_PREFIX_LEN)
+    )
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -1855,3 +1855,66 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"), dec_sum(F.col("v")).alias("total")
     )
+
+
+#: Equi-depth histogram: 10 buckets bounded by the 9 interior deciles.
+_EQUIDEPTH_QS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "equidepth_price_histogram",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT quantile_cont(l_extendedprice,
+                               {_EQUIDEPTH_QS}) AS qs
+          FROM lineitem
+        ), bucketed AS (
+          SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bucket,
+                 l.l_extendedprice AS price
+          FROM lineitem l, bounds b
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(price) AS min_price,
+               MAX(price) AS max_price
+        FROM bucketed GROUP BY bucket
+    """,
+)
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of l_extendedprice — the optimizer-
+    statistics / data-profiling primitive that equal-width histograms
+    (events_value_histogram) can't replace on skewed distributions.
+
+    A global ntile() would be a single-task sort at 100 TB; instead the 9
+    decile boundaries come from one exact-percentile aggregate (1 row),
+    broadcast back over the fact via a bounded crossJoin, and each row's
+    bucket is how many boundaries lie strictly below it — the identical
+    closed-form comparison the oracle's list_filter computes, so bucket
+    assignment is engine-exact (ties at a boundary go to the lower bucket
+    in both). Two scans of the same pruned column, no global sort, and
+    the exactness of percentile↔quantile_cont is already proven by
+    events_value_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(q) for q in _EQUIDEPTH_QS]),
+        ).alias("qs")
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        F.aggregate(
+            F.filter(
+                F.col("qs"), lambda q: F.col("l_extendedprice") > q
+            ),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )

@@ -775,3 +775,68 @@ def token_commonness_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t").cast("double")
         ).alias("commonness"),
     )
+
+
+#: Inverted-index postings keep the first N document ids per token.
+_POSTINGS_SAMPLE = 3
+#: ...and only tokens appearing in at least this many documents.
+_POSTINGS_MIN_DF = 5
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH tf AS (
+          SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ) WHERE token <> '' GROUP BY token, doc_id
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               (list_sort(list(doc_id)))[1:{_POSTINGS_SAMPLE}] AS sample_docs
+        FROM tf GROUP BY token
+        HAVING COUNT(*) >= {_POSTINGS_MIN_DF}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build: per token, document frequency,
+    total term frequency, and a bounded sorted sample of posting doc ids
+    — the search/retrieval-side artifact of a corpus (BM25 statistics
+    and posting lists start exactly here).
+
+    tokenize → explode → (token, doc_id) count collapses map-side before
+    the one shuffle on token; per-token state after that is two longs
+    plus a SAMPLE-bounded array (collect_list is applied AFTER the
+    per-doc collapse and truncated by slice, so no posting list is
+    unbounded driver- or executor-side). array_sort makes the sample
+    deterministic under parallel merge — the same first-N-by-id the
+    oracle's list_sort slice yields. At 100 TB the token key is Zipfian;
+    the df>=MIN threshold shown here trims the long tail, and the
+    standard upgrade for the head (stop-word-sized postings) is the same
+    salting split skew_salted_user_revenue demonstrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")),
+                1,
+                _POSTINGS_SAMPLE,
+            ).alias("sample_docs"),
+        )
+        .where(F.col("doc_freq") >= _POSTINGS_MIN_DF)
+    )

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "token_commonness_scores",  # 1-row corpus-total crossJoin
     "temperature_mixture_sample",  # 1-row min-source-count crossJoin
     "triangle_count_part_graph",  # two 1-row aggregates crossJoined
+    "equidepth_price_histogram",  # 1-row decile-bounds crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
