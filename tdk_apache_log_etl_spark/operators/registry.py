@@ -30,7 +30,11 @@ ORACLES: dict[str, str] = {}
 #: and evict least-recently-used beyond a small cap so total cached
 #: storage stays bounded however many queries the session runs.
 _SCOPED_CACHES: dict[object, DataFrame] = {}
-_MAX_SCOPED_CACHES = 4
+#: Raised 4 → 6 in round 3: the graph family (shared edge relation),
+#: distributed-quantile selection, and the dedup/similarity pipelines now
+#: all hold scoped frames; at 4 the LRU thrashed between back-to-back
+#: bench queries. Still bounded — six sf-scale intermediates, not facts.
+_MAX_SCOPED_CACHES = 6
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

@@ -41,6 +41,8 @@ GLOBAL_WINDOW_OK = {
     "ntile_customer_quartiles",  # pre-aggregated per-customer, then 4-tile
     "pack_token_offsets",        # N_GROUPS-row group-offset frame
     "pack_sequences_greedy",     # oracle-side only; Spark side has none
+    "equidepth_price_histogram",  # prefix-sum over the P-row (32) per-
+                                  # range-partition count frame
 }
 
 
