@@ -1,0 +1,173 @@
+"""Planted-fixture sanity for the round-3 journey/profiling operators
+(E34–E39). Oracle parity at sf0.01 is already enforced by
+test_oracle_parity.py; these tests pin the SEMANTICS on data where the
+expected answer is hand-computable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from tdk_apache_log_etl_spark.operators import QUERIES
+
+
+def _events(tmp_path, rows):
+    # rows: (event_id, ts, user_id, event_type, value)
+    pd.DataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _lineitem_baskets(tmp_path, orders):
+    rows = []
+    for okey, basket in enumerate(orders):
+        for i, part in enumerate(basket):
+            rows.append((okey, part, 1, i + 1))
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_bfs_levels_on_planted_path(spark, tmp_path):
+    # Path 0—10—20—30 (each pair co-ordered twice to clear MIN_COOCCUR);
+    # 0 is the only seed (node % 50 == 0). Separate component {7,9} has
+    # no seed and must be absent from the result.
+    sf = _lineitem_baskets(
+        tmp_path,
+        [[0, 10], [0, 10], [10, 20], [10, 20], [20, 30], [20, 30],
+         [7, 9], [7, 9]],
+    )
+    levels = {
+        r.part_key: r.bfs_level
+        for r in QUERIES["bfs_reach_part_graph"](spark, sf).collect()
+    }
+    assert levels == {0: 0, 10: 1, 20: 2, 30: 3}
+
+
+def test_transition_matrix_planted(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    sf = _events(
+        tmp_path,
+        [
+            (1, t0, 1, "A", 1.0),
+            (2, t0 + m, 1, "B", 1.0),
+            (3, t0 + 2 * m, 1, "A", 1.0),
+            (4, t0 + 3 * m, 1, "B", 1.0),
+            (5, t0 + 4 * m, 1, "C", 1.0),
+        ],
+    )
+    rows = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+        for r in QUERIES["event_transition_matrix"](spark, sf).collect()
+    }
+    assert rows == {
+        ("A", "B"): (2, 1.0),
+        ("B", "A"): (1, 0.5),
+        ("B", "C"): (1, 0.5),
+    }
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    from .conftest import SF_DIR_SMOKE
+
+    df = QUERIES["event_transition_matrix"](spark, SF_DIR_SMOKE)
+    sums = (
+        df.groupBy("from_type").sum("p_transition").collect()
+    )
+    for r in sums:
+        assert abs(r[1] - 1.0) < 1e-9, r
+
+
+def test_decay_weights_are_exact_halvings(spark, tmp_path):
+    # Reference date 2024-02-01: an event ON the reference date weighs 1,
+    # one exactly 7 days earlier weighs exactly 0.5 (one binary exponent
+    # shift, no libm) -> score 10 + 8*0.5 = 14.0 with no float slop.
+    sf = _events(
+        tmp_path,
+        [
+            (1, dt.datetime(2024, 2, 1, 0, 0, 0), 1, "x", 10.0),
+            (2, dt.datetime(2024, 1, 25, 12, 0, 0), 1, "x", 8.0),
+        ],
+    )
+    row = QUERIES["user_activity_decay"](spark, sf).collect()[0]
+    assert row.decayed_score == 14.0
+    assert row.n_events == 2
+    assert row.last_seen == dt.date(2024, 2, 1)
+
+
+def test_session_paths_prefix_and_split(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (i, t0 + i * m, 1, ty, 1.0)
+        for i, ty in enumerate(["a", "b", "c", "d", "e", "f"])
+    ]
+    # second session, > 30 min after the first ends
+    rows += [
+        (10, t0 + dt.timedelta(hours=2), 1, "a", 1.0),
+        (11, t0 + dt.timedelta(hours=2) + m, 1, "b", 1.0),
+    ]
+    sf = _events(tmp_path, rows)
+    paths = {
+        r.path: r.n_sessions
+        for r in QUERIES["session_path_topk"](spark, sf).collect()
+    }
+    # first session truncated to its first 5 events; 'f' never appears
+    assert paths == {"a>b>c>d>e": 1, "a>b": 1}
+
+
+def test_equidepth_buckets_uniform_on_planted_values(spark, tmp_path):
+    # Values 1..100: every decile bucket holds exactly 10 rows and the
+    # buckets partition the range in order.
+    pd.DataFrame(
+        {"l_extendedprice": [float(i) for i in range(1, 101)]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = sorted(
+        QUERIES["equidepth_price_histogram"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(10))
+    assert all(r.n_rows == 10 for r in rows)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_price < hi.min_price
+
+
+def test_distributed_quantiles_match_local_sort(spark, tmp_path):
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.relational import (
+        _distributed_quantiles,
+    )
+
+    rng = [float(x) for x in range(17, 1217, 3)]  # 400 values
+    pd.DataFrame({"l_extendedprice": rng}).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    df = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+    qs = [0.25, 0.5, 0.75]
+    got = _distributed_quantiles(df, "l_extendedprice", qs).collect()[0][0]
+    expected = list(np.quantile(sorted(rng), qs))  # linear interpolation
+    assert got == expected
+
+
+def test_inverted_index_postings_planted(spark, tmp_path):
+    # 'zzz' appears in 6 docs (>= df threshold 5), twice in doc 5;
+    # every other token is unique to its doc and must be filtered out.
+    rows = [
+        (i, f"zzz filler{i}", "en", "src0", 10) for i in range(5)
+    ] + [(5, "zzz zzz filler5", "en", "src0", 14)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["inverted_index_postings"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.token == "zzz"
+    assert r.doc_freq == 6
+    assert r.total_tf == 7
+    assert r.sample_docs == [0, 1, 2]
