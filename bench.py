@@ -109,6 +109,9 @@ HEADLINE = [
     "bfs_reach_part_graph",
     "equidepth_price_histogram",
     "inverted_index_postings",
+    "bm25_doc_ranking",
+    "token_cooccurrence_lift",
+    "weighted_sample_events",
 ]
 
 

@@ -1558,3 +1558,73 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+#: Priority sampling (Duffield/Lund/Thorup): keep the K highest-priority
+#: rows per stratum, priority = weight / uniform(0,1].
+_WSAMPLE_K = 30
+#: Knuth multiplicative hash → deterministic uniform in (0, 1] with
+#: 2^20 resolution; pure integer arithmetic, identical in every engine.
+_WSAMPLE_HASH_MULT = 2654435761
+_WSAMPLE_HASH_MOD = 1 << 20
+
+
+@query(
+    "weighted_sample_events",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT event_type, event_id, value,
+                 value / (CAST((event_id * {_WSAMPLE_HASH_MULT})
+                               % {_WSAMPLE_HASH_MOD} + 1 AS DOUBLE)
+                          / {_WSAMPLE_HASH_MOD}) AS priority
+          FROM events
+        )
+        SELECT event_type, event_id, value,
+               CAST(rk AS BIGINT) AS sample_rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY priority DESC, event_id
+                 ) AS rk
+          FROM keyed
+        ) t WHERE rk <= {_WSAMPLE_K}
+    """,
+)
+def weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (priority) sampling: K rows per event_type
+    with inclusion probability proportional to `value` — the
+    importance-sampling primitive for building weighted eval slices
+    (Duffield/Lund/Thorup priority sampling, u derived from a
+    multiplicative hash of the row id instead of a RNG).
+
+    Unlike rate-based sampleBy(fractions, seed), the sample is a pure
+    function of the data: u = (Knuth-hash(event_id)+1)/2^20 is exact
+    integer arithmetic, priority = value/u is one double division on
+    identical operands, so the chosen rows are identical across runs,
+    partitionings, and engines. rank≤K collapses to WindowGroupLimit —
+    each partition prunes to K candidates before the event_type
+    exchange, exactly the stratified_sample_events plan shape."""
+    events = load_table(spark, sf_dir, "events")
+    u = (
+        (F.col("event_id") * F.lit(_WSAMPLE_HASH_MULT))
+        % F.lit(_WSAMPLE_HASH_MOD)
+        + F.lit(1)
+    ).cast("double") / F.lit(_WSAMPLE_HASH_MOD)
+    keyed = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("value") / u).alias("priority"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("priority"), "event_id"
+    )
+    return (
+        keyed.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= _WSAMPLE_K)
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
-from .registry import query
+from .registry import query, scoped_persist
 
 #: Tiny per-language marker-word lists for the n-gram/stopword language-ID
 #: heuristic. Shared between the Spark expression and the DuckDB oracle so
@@ -839,4 +839,202 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_docs"),
         )
         .where(F.col("doc_freq") >= _POSTINGS_MIN_DF)
+    )
+
+
+#: BM25 ranking: fixed query term set, standard k1/b, top-N result.
+_BM25_TERMS = ["join", "hash", "scan"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+#: Per-addend fixed-point scale for the order-insensitive score sum
+#: (scores are O(1); 1e-7 resolution leaves ties to the doc_id break).
+_BM25_SCALE = 10**7
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), doclen AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+          FROM toks WHERE token <> '' GROUP BY doc_id
+        ), corpus AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len
+          FROM doclen
+        ), tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+          GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ), scored AS (
+          SELECT tf.doc_id,
+                 (CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
+                   / (CAST(df.df AS DOUBLE) + 0.5)
+                 * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1})
+                   / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * ({1 - _BM25_B}
+                      + {_BM25_B} * (CAST(d.dl AS DOUBLE)
+                        / (CAST(c.total_len AS DOUBLE) / c.n_docs))))
+                 AS addend
+          FROM tf
+          JOIN df USING (token)
+          JOIN doclen d USING (doc_id)
+          CROSS JOIN corpus c
+        )
+        SELECT doc_id, {sql_dec_sum("addend", _BM25_SCALE)} AS bm25_score
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_score DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N documents by BM25 relevance for a fixed query term set — the
+    retrieval-side ranking that consumes inverted_index_postings'
+    statistics (Robertson/Spärck Jones BM25, rational idf form).
+
+    The raw idf (N-df+0.5)/(df+0.5) is kept UN-logged: log() routes
+    through libm, whose last-ulp behavior differs across engines, while
+    the rational form is pure +,*,/ on identical operands — engine-exact
+    — and is monotone in the standard idf, so the RANKING is the
+    textbook one. tf rows exist only for the |terms| query tokens (the
+    IN-filter prunes before any shuffle), corpus stats ride one 1-row
+    crossJoin, per-doc scores sum ≤|terms| addends through dec_sum
+    (order-insensitive), and the top-N is TakeOrderedAndProject with a
+    doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        toks.where(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", (idf * tfc).alias("addend"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(dec_sum(F.col("addend"), _BM25_SCALE).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(_BM25_TOPN)
+    )
+
+
+#: Co-occurrence lift: pairs among the top-M document-frequency tokens,
+#: kept when they share at least MIN_DF_AB documents.
+_LIFT_TOP_TOKENS = 30
+_LIFT_MIN_DF_AB = 5
+
+
+@query(
+    "token_cooccurrence_lift",
+    oracle=f"""
+        WITH incidence AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ) WHERE token <> ''
+        ), df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+          FROM incidence GROUP BY token
+        ), top_tokens AS (
+          SELECT token, df FROM df ORDER BY df DESC, token
+          LIMIT {_LIFT_TOP_TOKENS}
+        ), inc_top AS (
+          SELECT i.doc_id, i.token, t.df
+          FROM incidence i JOIN top_tokens t USING (token)
+        ), n AS (
+          SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM incidence
+        ), pairs AS (
+          SELECT a.token AS token_a, b.token AS token_b,
+                 a.df AS df_a, b.df AS df_b,
+                 CAST(COUNT(*) AS BIGINT) AS df_ab
+          FROM inc_top a JOIN inc_top b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT token_a, token_b, df_ab,
+               CAST(n.n_docs * df_ab AS DOUBLE)
+                 / CAST(df_a * df_b AS DOUBLE) AS lift
+        FROM pairs CROSS JOIN n
+        WHERE df_ab >= {_LIFT_MIN_DF_AB}
+    """,
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence lift (the PMI ratio before the
+    log): lift = N·df(a,b) / (df(a)·df(b)) for pairs among the top-M
+    most frequent tokens — the association-mining statistic behind
+    related-term discovery and market-basket lift.
+
+    The quadratic hazard (vocabulary² pairs) is bounded by construction:
+    only the top-M tokens by document frequency (one small
+    TakeOrderedAndProject, broadcast) enter the self-join, so the pair
+    space is ≤M²/2 per doc however large the corpus or vocabulary.
+    Both integer products in the lift fit BIGINT and the single
+    DOUBLE division is on identical operands — engine-exact; the log
+    that would make this true PMI is deliberately NOT applied (libm
+    last-ulp variance), and lift is monotone in PMI."""
+    docs = load_table(spark, sf_dir, "documents")
+    incidence = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    df = incidence.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top_tokens = df.orderBy(F.desc("df"), "token").limit(_LIFT_TOP_TOKENS)
+    inc_top = incidence.join(F.broadcast(top_tokens), "token")
+    n = incidence.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a = inc_top.alias("a")
+    b = inc_top.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= _LIFT_MIN_DF_AB)
+    )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "token_a",
+        "token_b",
+        "df_ab",
+        (
+            (F.col("n_docs") * F.col("df_ab")).cast("double")
+            / (F.col("df_a") * F.col("df_b")).cast("double")
+        ).alias("lift"),
     )

@@ -171,3 +171,61 @@ def test_inverted_index_postings_planted(spark, tmp_path):
     assert r.doc_freq == 6
     assert r.total_tf == 7
     assert r.sample_docs == [0, 1, 2]
+
+
+def _documents(tmp_path, texts):
+    pd.DataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_bm25_ranks_matching_docs_only(spark, tmp_path):
+    # Only docs containing query terms (join/hash/scan) are scored; the
+    # doc with more matching terms outranks the single-term doc of the
+    # same length.
+    sf = _documents(
+        tmp_path,
+        [
+            "join hash scan pad",   # 3 query terms
+            "join pad pad pad",     # 1 query term
+            "pad pad pad pad",      # 0 -> absent
+        ] + ["filler word soup here"] * 5,
+    )
+    rows = QUERIES["bm25_doc_ranking"](spark, sf).collect()
+    ids = [r.doc_id for r in rows]
+    assert 2 not in ids and 3 not in ids
+    scores = {r.doc_id: r.bm25_score for r in rows}
+    assert scores[0] > scores[1] > 0
+
+
+def test_cooccurrence_lift_planted(spark, tmp_path):
+    # 'x' and 'y' always co-occur (df_a=df_b=df_ab=6): lift = N*6/36.
+    # 'x' and 'z' never co-occur -> absent.
+    sf = _documents(
+        tmp_path,
+        ["x y"] * 6 + ["z w"] * 6,
+    )
+    rows = {
+        (r.token_a, r.token_b): (r.df_ab, r.lift)
+        for r in QUERIES["token_cooccurrence_lift"](spark, sf).collect()
+    }
+    assert rows == {
+        ("x", "y"): (6, 12 * 6 / 36.0),
+        ("w", "z"): (6, 12 * 6 / 36.0),
+    }
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, tmp_path):
+    # One row's weight dwarfs the rest: it must always be sampled, and
+    # the sample is exactly K rows per stratum (here fewer rows than K,
+    # so all rows appear, heavy one ranked first).
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    rows = [(i, t0, 1, "t", 1.0) for i in range(10)]
+    rows.append((99, t0, 1, "t", 1e9))
+    sf = _events(tmp_path, rows)
+    got = QUERIES["weighted_sample_events"](spark, sf).collect()
+    assert len(got) == 11
+    first = min(got, key=lambda r: r.sample_rank)
+    assert first.event_id == 99 and first.sample_rank == 1

@@ -31,6 +31,8 @@ BNLJ_OK = {
     "temperature_mixture_sample",  # 1-row min-source-count crossJoin
     "triangle_count_part_graph",  # two 1-row aggregates crossJoined
     "equidepth_price_histogram",  # 1-row decile-bounds crossJoin
+    "bm25_doc_ranking",          # 1-row corpus-stats crossJoin
+    "token_cooccurrence_lift",   # 1-row doc-count crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
