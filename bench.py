@@ -112,6 +112,7 @@ HEADLINE = [
     "bm25_doc_ranking",
     "token_cooccurrence_lift",
     "weighted_sample_events",
+    "dedup_events_debounce",
 ]
 
 

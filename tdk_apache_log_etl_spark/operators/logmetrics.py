@@ -1628,3 +1628,53 @@ def weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sample_rank") <= _WSAMPLE_K)
     )
+
+
+#: Debounce window: an event is suppressed when the SAME (user, type)
+#: fired within this many seconds before it.
+_DEBOUNCE_SECONDS = 120
+
+
+@query(
+    "dedup_events_debounce",
+    oracle=f"""
+        WITH lagged AS (
+          SELECT event_id, user_id, event_type, ts,
+                 LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) AS prev_ts
+          FROM events
+        )
+        SELECT event_id, user_id, event_type
+        FROM lagged
+        WHERE prev_ts IS NULL
+           OR ts - prev_ts > INTERVAL {_DEBOUNCE_SECONDS} SECOND
+    """,
+)
+def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event deduplication (debounce): drop an event when the
+    same (user, event_type) fired within the suppression window before
+    it — double-click / retry-storm suppression, the time-aware dedup
+    exact-hash dedup can't express.
+
+    One lag() over the (user_id, event_type) partitioning — a single
+    shuffle, per-key state of one timestamp. Semantics are
+    predecessor-based (each event within W of its immediate predecessor
+    is dropped, the debounce convention), not kept-anchor-based (which
+    is sequential per key, the applyInPandas shape pack_sequences_greedy
+    demonstrates). The streaming twin is dropDuplicatesWithinWatermark /
+    the TTL'd first-seen dedup in streaming/transform_state.py."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        events.withColumn("prev_ts", prev_ts)
+        .where(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {_DEBOUNCE_SECONDS} SECONDS")
+            )
+        )
+        .select("event_id", "user_id", "event_type")
+    )

@@ -76,3 +76,74 @@ def running_user_profiles(parsed: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce — the stream twin of operators/logmetrics.py
+# dedup_events_debounce (predecessor-based suppression), with the
+# last-seen timestamp as explicit per-key state.
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_SECONDS = 120
+DEBOUNCE_STATE_SCHEMA = "last_epoch long"
+DEBOUNCE_OUTPUT_SCHEMA = (
+    "user_id long, request_method string, time string"
+)
+DEBOUNCE_IDLE_TIMEOUT_MS = 60 * 60 * 1000
+
+
+def _debounce_key(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Emit only events that fired more than DEBOUNCE_SECONDS after their
+    immediate predecessor for this (user, method) key; the predecessor
+    timestamp is the ONLY state (one long per active key)."""
+    user_id, method = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last = state.get[0] if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.dropna(subset=["time"]).sort_values("time")
+    kept = []
+    for ts in batch["time"]:
+        epoch = int(ts.value // 1_000_000_000)
+        if last is None or epoch - last > DEBOUNCE_SECONDS:
+            kept.append(ts)
+        last = epoch  # predecessor-based: every event advances the anchor
+    if last is not None:
+        state.update((last,))
+    state.setTimeoutDuration(DEBOUNCE_IDLE_TIMEOUT_MS)
+    if kept:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(kept),
+                "request_method": [method] * len(kept),
+                "time": [t.strftime("%Y-%m-%d %H:%M:%S") for t in kept],
+            }
+        )
+
+
+def debounce_stream(parsed: DataFrame) -> DataFrame:
+    """Streaming debounce over the parsed CLF stream: suppress repeats of
+    the same (user, request_method) within DEBOUNCE_SECONDS of their
+    predecessor — identical semantics to the batch
+    ``dedup_events_debounce`` operator, state bounded at one timestamp
+    per ACTIVE key (idle keys evicted after an hour).
+
+    dropDuplicatesWithinWatermark dedups exact keys within a watermark
+    but cannot express "within W of the PREVIOUS occurrence" (a rolling
+    anchor); this is precisely the applyInPandasWithState contract."""
+    return (
+        parsed.filter(parsed["user_id"].isNotNull())
+        .groupBy("user_id", "request_method")
+        .applyInPandasWithState(
+            _debounce_key,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -450,3 +450,48 @@ def test_stream_ip_range_enrichment(spark, tmp_path):
         ("N0", 1, 10),
         ("N1", 2, 50),
     }
+
+
+def test_debounce_stream_suppresses_rapid_repeats(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.stateful import debounce_stream
+
+    # user 7: GETs at 10:00:00, :30, :01:00 (both within 120 s of their
+    # predecessor -> suppressed), then 10:10:00 (kept); one POST at
+    # 10:00:10 is a different key and survives.
+    def line(hms, method):
+        return (
+            f'10.0.0.1 - 7 [13/Aug/2026:{hms} +0000] '
+            f'"{method} /a HTTP/1.1" 200 10 "-" "ua"'
+        )
+
+    lines = [
+        line("10:00:00", "GET"),
+        line("10:00:30", "GET"),
+        line("10:01:00", "GET"),
+        line("10:10:00", "GET"),
+        line("10:00:10", "POST"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(lines) + "\n")
+
+    parsed = read_log_stream(spark, str(src))
+    q = (
+        debounce_stream(parsed)
+        .writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-debounce"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT request_method, time FROM debounced ORDER BY time"
+    ).collect()
+    got = [(r.request_method, r.time) for r in rows]
+    assert got == [
+        ("GET", "2026-08-13 10:00:00"),
+        ("POST", "2026-08-13 10:00:10"),
+        ("GET", "2026-08-13 10:10:00"),
+    ]
