@@ -113,6 +113,8 @@ HEADLINE = [
     "token_cooccurrence_lift",
     "weighted_sample_events",
     "dedup_events_debounce",
+    "user_daily_value_locf",
+    "benford_value_audit",
 ]
 
 

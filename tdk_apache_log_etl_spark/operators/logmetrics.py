@@ -1678,3 +1678,103 @@ def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type")
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d), materialized as
+#: literals ONCE here so both engines consume identical doubles and the
+#: operator itself never calls libm log.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@query(
+    "benford_value_audit",
+    oracle=f"""
+        WITH digits AS (
+          SELECT CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]')
+                      AS BIGINT) AS digit
+          FROM events WHERE value > 0
+        ), counts AS (
+          SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values
+          FROM digits GROUP BY digit
+        ), expected AS (
+          SELECT CAST(digit AS BIGINT) AS digit,
+                 CAST(expected_p AS DOUBLE) AS expected_p
+          FROM (VALUES
+            {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())}
+          ) AS t(digit, expected_p)
+        )
+        SELECT e.digit, COALESCE(c.n_values, 0) AS n_values, e.expected_p,
+               (CAST(COALESCE(c.n_values, 0) AS DOUBLE)
+                  - e.expected_p * CAST(n.total AS DOUBLE))
+               * (CAST(COALESCE(c.n_values, 0) AS DOUBLE)
+                  - e.expected_p * CAST(n.total AS DOUBLE))
+               / (e.expected_p * CAST(n.total AS DOUBLE)) AS chi2_term
+        FROM expected e
+        LEFT JOIN counts c USING (digit)
+        CROSS JOIN (SELECT CAST(SUM(n_values) AS BIGINT) AS total
+                    FROM counts) n
+    """,
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of the value column —
+    the fraud/fabrication screen accountants run on financial columns,
+    here as a per-digit chi-square contribution table (9 rows at any
+    corpus size).
+
+    The Benford probabilities are baked as literals (log10 evaluated
+    once, at authoring time), so the operator is pure count + fixed
+    double arithmetic — engine-exact, no libm at query time. The digit
+    histogram collapses map-side to ≤9 rows; everything after the one
+    tiny aggregation is arithmetic on a 9-row frame (the corpus total is
+    a 1-row crossJoin of the already-aggregated counts, not a rescan).
+    chi2 terms use explicit x*x, not power()."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.where(F.col("value") > 0)
+        .select(
+            F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit long, expected_p double"
+    )
+    total = counts.agg(F.sum("n_values").alias("total"))
+    joined = (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_values"), F.lit(0).cast("long")).alias(
+                "n_values"
+            ),
+            "expected_p",
+            "total",
+        )
+    )
+    dev = (
+        F.col("n_values").cast("double")
+        - F.col("expected_p") * F.col("total").cast("double")
+    )
+    return joined.select(
+        "digit",
+        "n_values",
+        "expected_p",
+        (
+            dev * dev / (F.col("expected_p") * F.col("total").cast("double"))
+        ).alias("chi2_term"),
+    )

@@ -429,3 +429,94 @@ def order_chains_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(edges_view)
         spark.catalog.dropTempView(heads_view)
+
+
+@query(
+    "user_daily_value_locf",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        ), last_daily AS (
+          SELECT user_id, day, value FROM daily WHERE rn = 1
+        ), bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM events
+        ), spine AS (
+          SELECT u.user_id, s.day
+          FROM (SELECT DISTINCT user_id FROM events) u,
+               (SELECT unnest(generate_series(d0, d1,
+                              INTERVAL 1 DAY))::DATE AS day
+                FROM bounds) s
+        )
+        SELECT sp.user_id, sp.day,
+               LAST_VALUE(ld.value IGNORE NULLS) OVER (
+                 PARTITION BY sp.user_id ORDER BY sp.day
+                 ROWS UNBOUNDED PRECEDING
+               ) AS value_filled,
+               ld.value IS NOT NULL AS observed
+        FROM spine sp LEFT JOIN last_daily ld
+          ON ld.user_id = sp.user_id AND ld.day = sp.day
+    """,
+)
+def user_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with last-observation-carried-forward —
+    the feature-store primitive that turns an irregular event stream
+    into a dense per-key daily panel (gap days inherit the most recent
+    observed value; days before a user's first observation stay NULL).
+
+    Differs from the GLOBAL spines (daily_revenue_gapfilled /
+    _interpolated): the spine here is per-key. Fan-out is bounded by
+    construction — the corpus collapses to one row per (user, day)
+    BEFORE the spine join, day bounds ride a 1-row crossJoin (same
+    shape as rolling_wau), each user explodes into at most |days| rows,
+    and the LOCF window runs over |days|-bounded per-user frames on the
+    same user partitioning the spine join just produced. All values are
+    carried, never recomputed — engine-exact by construction."""
+    events = load_table(spark, sf_dir, "events")
+    daily_w = Window.partitionBy(
+        "user_id", F.to_date("ts")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    last_daily = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "value",
+            F.row_number().over(daily_w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    locf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(last_daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("value", ignorenulls=True).over(locf).alias(
+                "value_filled"
+            ),
+            F.col("value").isNotNull().alias("observed"),
+        )
+    )

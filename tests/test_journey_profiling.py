@@ -229,3 +229,47 @@ def test_weighted_sample_prefers_heavy_rows(spark, tmp_path):
     assert len(got) == 11
     first = min(got, key=lambda r: r.sample_rank)
     assert first.event_id == 99 and first.sample_rank == 1
+
+
+def test_locf_fills_gap_days_per_user(spark, tmp_path):
+    sf = _events(
+        tmp_path,
+        [
+            (1, dt.datetime(2024, 1, 1, 9), 1, "x", 5.0),
+            (2, dt.datetime(2024, 1, 1, 18), 1, "x", 7.0),  # day's last
+            (3, dt.datetime(2024, 1, 3, 9), 1, "x", 2.0),
+            (4, dt.datetime(2024, 1, 4, 9), 2, "x", 9.0),   # sets d1 bound
+        ],
+    )
+    rows = {
+        (r.user_id, r.day.isoformat()): (r.value_filled, r.observed)
+        for r in QUERIES["user_daily_value_locf"](spark, sf).collect()
+    }
+    assert rows[(1, "2024-01-01")] == (7.0, True)
+    assert rows[(1, "2024-01-02")] == (7.0, False)   # gap inherits
+    assert rows[(1, "2024-01-03")] == (2.0, True)
+    assert rows[(1, "2024-01-04")] == (2.0, False)
+    assert rows[(2, "2024-01-01")] == (None, False)  # before first obs
+    assert rows[(2, "2024-01-04")] == (9.0, True)
+    assert len(rows) == 8  # 2 users x 4 spine days
+
+
+def test_benford_digit_counts_and_chi2(spark, tmp_path):
+    from tdk_apache_log_etl_spark.operators.logmetrics import _BENFORD_P
+
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    vals = [1.5, 10.2, 0.19, 2.5]  # first digits 1, 1, 1, 2
+    sf = _events(
+        tmp_path, [(i, t0, 1, "x", v) for i, v in enumerate(vals)]
+    )
+    rows = {
+        r.digit: r for r in QUERIES["benford_value_audit"](spark, sf).collect()
+    }
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1].n_values == 3 and rows[2].n_values == 1
+    assert all(rows[d].n_values == 0 for d in range(3, 10))
+    n = 4
+    for d in (1, 9):
+        exp = _BENFORD_P[d] * n
+        dev = rows[d].n_values - exp
+        assert rows[d].chi2_term == dev * dev / exp

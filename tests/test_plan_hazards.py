@@ -33,6 +33,8 @@ BNLJ_OK = {
     "equidepth_price_histogram",  # 1-row decile-bounds crossJoin
     "bm25_doc_ranking",          # 1-row corpus-stats crossJoin
     "token_cooccurrence_lift",   # 1-row doc-count crossJoin
+    "user_daily_value_locf",     # 1-row day-bounds crossJoin (spine)
+    "benford_value_audit",       # 1-row total over the 9-row digit frame
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
