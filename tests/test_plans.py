@@ -424,3 +424,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_weighted_sample_plans_window_group_limit(spark):
+    # rank<=K must prune per-partition before the stratum exchange
+    plan = _plan(QUERIES["weighted_sample_events"](spark, SF_DIR_CORRECT))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_topn_is_take_ordered(spark):
+    plan = _plan(QUERIES["bm25_doc_ranking"](spark, SF_DIR_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cooccurrence_top_tokens_are_broadcast(spark):
+    # the top-M token set must broadcast into the incidence self-join —
+    # a shuffled pair join over the raw vocabulary would be the
+    # quadratic plan this operator exists to avoid
+    plan = _plan(QUERIES["token_cooccurrence_lift"](spark, SF_DIR_CORRECT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_transition_counts_have_partial_aggregate(spark):
+    # the |types|^2 pair counts must collapse map-side (partial_count)
+    # before any exchange
+    plan = _plan(QUERIES["event_transition_matrix"](spark, SF_DIR_CORRECT))
+    assert "partial_count" in plan
+
+
+def test_locf_spine_bounds_are_broadcast(spark):
+    # day bounds ride a broadcast, and the LOCF window must NOT add a
+    # second exchange on top of the spine join's user partitioning
+    df = QUERIES["user_daily_value_locf"](spark, SF_DIR_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 2, plan[:2000]
