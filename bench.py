@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_events_debounce",
     "user_daily_value_locf",
     "benford_value_audit",
+    "user_favorite_event_type",
+    "props_key_histogram",
 ]
 
 

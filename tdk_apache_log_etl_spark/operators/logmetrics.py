@@ -1778,3 +1778,72 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev / (F.col("expected_p") * F.col("total").cast("double"))
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "user_favorite_event_type",
+    oracle="""
+        WITH counts AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS favorite_type, n AS n_events
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, event_type
+                 ) AS rk
+          FROM counts
+        ) t WHERE rk = 1
+    """,
+)
+def user_favorite_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — per-group mode with a DETERMINISTIC
+    tie-break (highest count, then lexicographic type). Spark's and
+    DuckDB's built-in mode() both pick arbitrarily on ties, which is a
+    cross-engine and cross-run hazard; the explicit rank form is the
+    reproducible version. Counts collapse map-side to |users|×|types|
+    rows before the rank window; rk=1 plans as WindowGroupLimit."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("favorite_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "props_key_histogram",
+    oracle="""
+        SELECT k AS prop_key, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events, unnest(json_keys(props)) AS t(k)
+        GROUP BY k
+    """,
+)
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the semi-structured props column: how often
+    each JSON key appears — the profiling step before deciding what to
+    shred into typed columns (variant_props_extract is the follow-on).
+
+    from_json to map<string,string> + map_keys stays entirely native
+    (no UDF); key counts collapse map-side to the tiny key vocabulary
+    before the one exchange."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.explode(
+                F.map_keys(
+                    F.from_json("props", "map<string,string>")
+                )
+            ).alias("prop_key")
+        )
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
