@@ -273,3 +273,48 @@ def test_benford_digit_counts_and_chi2(spark, tmp_path):
         exp = _BENFORD_P[d] * n
         dev = rows[d].n_values - exp
         assert rows[d].chi2_term == dev * dev / exp
+
+
+def test_favorite_type_tie_breaks_lexicographically(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    # user 1: 2x "view", 2x "click" -> tie broken to "click";
+    # user 2: clear winner "purchase"
+    sf = _events(
+        tmp_path,
+        [
+            (1, t0, 1, "view", 1.0),
+            (2, t0, 1, "view", 1.0),
+            (3, t0, 1, "click", 1.0),
+            (4, t0, 1, "click", 1.0),
+            (5, t0, 2, "purchase", 1.0),
+            (6, t0, 2, "view", 1.0),
+            (7, t0, 2, "purchase", 1.0),
+        ],
+    )
+    rows = {
+        r.user_id: (r.favorite_type, r.n_events)
+        for r in QUERIES["user_favorite_event_type"](spark, sf).collect()
+    }
+    assert rows == {1: ("click", 2), 2: ("purchase", 2)}
+
+
+def test_props_key_histogram_counts_keys(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "x", 1.0),
+        (2, t0, 1, "x", 1.0),
+        (3, t0, 1, "x", 1.0),
+    ]
+    pd.DataFrame(
+        [
+            (1, t0, 1, "x", 1.0, '{"a": 1, "b": 2}'),
+            (2, t0, 1, "x", 1.0, '{"a": 3}'),
+            (3, t0, 1, "x", 1.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.prop_key: r.n_events
+        for r in QUERIES["props_key_histogram"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"a": 2, "b": 1}
