@@ -117,6 +117,7 @@ HEADLINE = [
     "benford_value_audit",
     "user_favorite_event_type",
     "props_key_histogram",
+    "nation_revenue_share_in_region",
 ]
 
 

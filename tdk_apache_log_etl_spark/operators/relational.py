@@ -1999,3 +1999,72 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
     )
+
+
+@query(
+    "nation_revenue_share_in_region",
+    oracle="""
+        WITH rev AS (
+          SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                 CAST(SUM(CAST(FLOOR(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5
+                 ) AS BIGINT)) AS BIGINT) AS rev_scaled
+          FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY r.r_name, n.n_name
+        )
+        SELECT region_name, nation_name,
+               CAST(rev_scaled AS DOUBLE) / 10000 AS revenue,
+               CAST(rev_scaled AS DOUBLE)
+                 / CAST(SUM(rev_scaled) OVER (
+                     PARTITION BY region_name) AS DOUBLE) AS region_share
+        FROM rev
+    """,
+)
+def nation_revenue_share_in_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the classic OLAP percent-of-total reporting shape.
+
+    The share window sums the SCALED-INTEGER revenue (exact BIGINT
+    addition, order-independent), not the double — a window-sum of
+    doubles over the region frame would be merge-order-dependent, the
+    exact nondeterminism dec_sum exists to kill. One double division at
+    the end on identical operands → engine-exact. The window frame is
+    nations-per-region (≤25 rows) on the aggregate output, never the
+    fact table."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), nation.n_nationkey == customer.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.sum(
+                F.floor(revenue * 10000 + F.lit(0.5)).cast("long")
+            ).alias("rev_scaled")
+        )
+    )
+    w = Window.partitionBy("region_name")
+    return rev.select(
+        "region_name",
+        "nation_name",
+        (F.col("rev_scaled").cast("double") / 10000).alias("revenue"),
+        (
+            F.col("rev_scaled").cast("double")
+            / F.sum("rev_scaled").over(w).cast("double")
+        ).alias("region_share"),
+    )
