@@ -118,6 +118,8 @@ HEADLINE = [
     "user_favorite_event_type",
     "props_key_histogram",
     "nation_revenue_share_in_region",
+    "purchase_attribution_last_touch",
+    "orders_month_over_month",
 ]
 
 

@@ -1847,3 +1847,57 @@ def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "purchase_attribution_last_touch",
+    oracle="""
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAST_VALUE(
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS
+                 ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS touch_type
+          FROM events
+        )
+        SELECT COALESCE(touch_type, '(none)') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM tagged WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def purchase_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the most recent
+    preceding NON-purchase event of the same user — the marketing-
+    attribution primitive (first purchase with no prior touch lands in
+    '(none)').
+
+    One user_id shuffle serves the ignore-nulls last_value window; the
+    window frame excludes the current row so back-to-back purchases
+    don't attribute to each other. The attribution counts collapse
+    map-side to the tiny event-type vocabulary."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch_type", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("(none)")).alias(
+                "touch_type"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

@@ -2068,3 +2068,48 @@ def nation_revenue_share_in_region(
             / F.sum("rev_scaled").over(w).cast("double")
         ).alias("region_share"),
     )
+
+
+@query(
+    "orders_month_over_month",
+    oracle="""
+        WITH monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(month AS DATE) AS month, n_orders,
+               LAG(n_orders) OVER (ORDER BY month) AS prev_orders,
+               CAST(n_orders - LAG(n_orders) OVER (ORDER BY month)
+                    AS DOUBLE)
+                 / CAST(LAG(n_orders) OVER (ORDER BY month) AS DOUBLE)
+                 AS mom_change
+        FROM monthly
+    """,
+)
+def orders_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order growth — the reporting delta every BI
+    surface needs (count, previous month, fractional change; first
+    month's change is NULL).
+
+    The lag window is GLOBAL but runs over the monthly aggregate (one
+    row per month — dozens of rows at any fact volume), never the fact
+    table; this is the same pre-aggregated-global-window pattern as
+    moving_avg_daily_revenue (waived in the hazard sweep with the
+    boundedness argument). The change ratio is one BIGINT→DOUBLE
+    division pair on identical operands — engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders").over(w)
+    return monthly.select(
+        F.col("month").cast("date").alias("month"),
+        "n_orders",
+        prev.alias("prev_orders"),
+        (
+            (F.col("n_orders") - prev).cast("double")
+            / prev.cast("double")
+        ).alias("mom_change"),
+    )

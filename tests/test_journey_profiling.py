@@ -318,3 +318,59 @@ def test_props_key_histogram_counts_keys(spark, tmp_path):
         for r in QUERIES["props_key_histogram"](spark, str(tmp_path)).collect()
     }
     assert got == {"a": 2, "b": 1}
+
+
+def test_last_touch_attribution_planted(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    sf = _events(
+        tmp_path,
+        [
+            (1, t0, 1, "view", 1.0),
+            (2, t0 + m, 1, "purchase", 1.0),        # -> view
+            (3, t0 + 2 * m, 1, "purchase", 1.0),    # -> still view,
+                                                    #    not the purchase
+            (4, t0, 2, "purchase", 1.0),            # no prior -> (none)
+            (5, t0 + m, 2, "click", 1.0),
+            (6, t0 + 2 * m, 2, "purchase", 1.0),    # -> click
+        ],
+    )
+    got = {
+        r.touch_type: r.n_purchases
+        for r in QUERIES["purchase_attribution_last_touch"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {"view": 2, "(none)": 1, "click": 1}
+
+
+def test_month_over_month_change(spark, tmp_path):
+    rows = []
+    # 10 orders in Jan, 15 in Feb, 12 in Mar
+    oid = 0
+    for month, n in ((1, 10), (2, 15), (3, 12)):
+        for _ in range(n):
+            rows.append(
+                (oid, 1, "O", 10.0, dt.datetime(2024, month, 5), "1-URGENT")
+            )
+            oid += 1
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    # the driver fixture stores o_orderdate as timestamp[ms]; plain
+    # pandas would write TIMESTAMP(NANOS), which Spark 4 rejects
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    got = {
+        r.month.isoformat(): (r.n_orders, r.prev_orders, r.mom_change)
+        for r in QUERIES["orders_month_over_month"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["2024-01-01"] == (10, None, None)
+    assert got["2024-02-01"] == (15, 10, 0.5)
+    assert got["2024-03-01"] == (12, 15, (12 - 15) / 15)

@@ -47,6 +47,7 @@ GLOBAL_WINDOW_OK = {
     "pack_sequences_greedy",     # oracle-side only; Spark side has none
     "equidepth_price_histogram",  # prefix-sum over the P-row (32) per-
                                   # range-partition count frame
+    "orders_month_over_month",   # lag over the one-row-per-month frame
 }
 
 
