@@ -120,6 +120,7 @@ HEADLINE = [
     "nation_revenue_share_in_region",
     "purchase_attribution_last_touch",
     "orders_month_over_month",
+    "referential_integrity_audit",
 ]
 
 

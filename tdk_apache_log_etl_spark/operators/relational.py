@@ -2113,3 +2113,79 @@ def orders_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             / prev.cast("double")
         ).alias("mom_change"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'dup_order_keys' AS check_name,
+               CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orphan_lineitems',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orphan_orders',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'null_order_keys',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey IS NULL
+    """,
+)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity scorecard: duplicate primary
+    keys, orphaned foreign keys (lineitem→orders, orders→customer), and
+    NULL keys — the contract checks a warehouse runs before promoting a
+    load (complements the single-table dq_audit).
+
+    Each orphan check is a LEFT ANTI join on the key (Spark plans the
+    NOT EXISTS the same way); duplicate-PK counts aggregate the key
+    frame, not the facts. Four 1-row aggregates union into a fixed
+    4-row scorecard at any volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(
+            F.lit("dup_order_keys").alias("check_name"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    orphan_li = (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+        )
+        .agg(
+            F.lit("orphan_lineitems").alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    orphan_orders = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        )
+        .agg(
+            F.lit("orphan_orders").alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    null_keys = orders.where(F.col("o_orderkey").isNull()).agg(
+        F.lit("null_order_keys").alias("check_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    return dup_pk.unionAll(orphan_li).unionAll(orphan_orders).unionAll(
+        null_keys
+    )

@@ -374,3 +374,40 @@ def test_month_over_month_change(spark, tmp_path):
     assert got["2024-01-01"] == (10, None, None)
     assert got["2024-02-01"] == (15, 10, 0.5)
     assert got["2024-03-01"] == (12, 15, (12 - 15) / 15)
+
+
+def test_referential_integrity_flags_planted_violations(spark, tmp_path):
+    orders = pd.DataFrame(
+        [
+            (1, 100, "O", 1.0, dt.datetime(2024, 1, 5), "x"),
+            (1, 100, "O", 1.0, dt.datetime(2024, 1, 5), "x"),  # dup PK
+            (2, 999, "O", 1.0, dt.datetime(2024, 1, 5), "x"),  # orphan cust
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+    orders.to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [(100, "c", 0, 0.0, "SEG")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        [(1, 10, 1, 1), (7, 10, 1, 1)],  # orderkey 7 is orphaned
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.check_name: r.n_violations
+        for r in QUERIES["referential_integrity_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "dup_order_keys": 1,
+        "orphan_lineitems": 1,
+        "orphan_orders": 1,
+        "null_order_keys": 0,
+    }
