@@ -121,6 +121,7 @@ HEADLINE = [
     "purchase_attribution_last_touch",
     "orders_month_over_month",
     "referential_integrity_audit",
+    "embedding_dimension_stats",
 ]
 
 

@@ -693,3 +693,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     return withscale.select("vec_id", "qscale", q.alias("q"))
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle=f"""
+        WITH flat AS (
+          SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               {sql_dec_sum("x")} / COUNT(*) AS mean_value,
+               MIN(x) AS min_value,
+               MAX(x) AS max_value
+        FROM flat GROUP BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column (count,
+    mean, min, max per coordinate) — the normalization/whitening prep
+    step every vector pipeline runs before standardizing features.
+
+    posexplode fans each vector into |dim| rows, but the per-dimension
+    aggregate collapses map-side to |dim| partials per task before the
+    one exchange — the shuffle carries O(tasks × dims) rows, never the
+    exploded corpus. float→double element casts are exact; the mean
+    uses the dec_sum fixed-point discipline so it is partitioning- and
+    engine-independent. Dimensions are 1-based to match SQL
+    generate_subscripts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        (dec_sum(F.col("x")) / F.count(F.lit(1))).alias("mean_value"),
+        F.min("x").alias("min_value"),
+        F.max("x").alias("max_value"),
+    )
