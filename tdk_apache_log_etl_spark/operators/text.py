@@ -918,7 +918,7 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term_df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
@@ -932,7 +932,7 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(F.broadcast(term_df), "token")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", (idf * tfc).alias("addend"))

@@ -115,6 +115,17 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "rates",
         # N_GROUPS-row prefix-sum offset frame (packing.py)
         "group_offsets",
+        # distributed-quantile selection (relational.py): P-row
+        # per-range-partition offsets and the 2·|qs|-row target ranks
+        "offsets", "targets", "n_total",
+        # bm25 (text.py): |terms|-row document frequencies and the 1-row
+        # corpus stats
+        "corpus", "term_df",
+        # co-occurrence lift (text.py): the top-M token set and the
+        # 1-row doc count
+        "top_tokens", "n",
+        # benford (logmetrics.py): the fixed 9-row expectation table
+        "expected",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
