@@ -122,6 +122,8 @@ HEADLINE = [
     "orders_month_over_month",
     "referential_integrity_audit",
     "embedding_dimension_stats",
+    "session_bounce_rate",
+    "time_to_first_purchase",
 ]
 
 

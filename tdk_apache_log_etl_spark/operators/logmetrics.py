@@ -1901,3 +1901,122 @@ def purchase_attribution_last_touch(
         )
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@query(
+    "session_bounce_rate",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE
+                   WHEN ts - LAG(ts) OVER w <= INTERVAL {SESSION_GAP_SECONDS} SECOND
+                   THEN 0 ELSE 1
+                 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+                 AS n_bounces,
+               CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        FROM per_session
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: the share of gap-based sessions containing exactly
+    one event — the single most-watched engagement metric on any
+    analytics dashboard.
+
+    Reuses the sessionize_gap machinery (one user_id shuffle for both
+    windows), collapses to per-session counts, then to a 1-row global
+    summary — the final aggregate's input is session-count-sized, and
+    the rate is one BIGINT→DOUBLE division pair on identical operands."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap <= F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS"), 0
+    ).otherwise(1)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_session = (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+@query(
+    "time_to_first_purchase",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(ts) AS first_seen,
+                 MIN(ts) FILTER (WHERE event_type = 'purchase')
+                   AS first_purchase
+          FROM events GROUP BY user_id
+        ), durations AS (
+          -- floor(epoch(interval)) = ELAPSED whole seconds, matching
+          -- Spark's timestampdiff; date_diff('second', ...) would count
+          -- second-BOUNDARY crossings instead (off by one when the
+          -- fractional parts wrap)
+          SELECT user_id,
+                 CAST(FLOOR(epoch(first_purchase - first_seen))
+                      AS BIGINT) AS secs
+          FROM firsts WHERE first_purchase IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               quantile_cont(secs, 0.5) AS median_secs,
+               MIN(secs) AS min_secs, MAX(secs) AS max_secs
+        FROM durations
+    """,
+)
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: seconds from each user's first event to their
+    first purchase (converted users only), summarized as count / median
+    / min / max — the activation metric growth teams track.
+
+    One hash aggregation computes both firsts per user (a conditional
+    MIN rides the same pass — no second scan, no join); the summary
+    runs over the users-sized duration frame. Integer second diffs keep
+    the median on the proven percentile↔quantile_cont equivalence."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    # timestampdiff is pure calendar arithmetic — unlike unix_timestamp,
+    # it cannot shift by an hour when the two instants straddle a DST
+    # transition under a non-UTC session timezone
+    durations = firsts.where(F.col("first_purchase").isNotNull()).select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, first_seen, first_purchase)"
+        ).alias("secs"),
+    )
+    return durations.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("secs", F.lit(0.5)).alias("median_secs"),
+        F.min("secs").alias("min_secs"),
+        F.max("secs").alias("max_secs"),
+    )
