@@ -124,6 +124,7 @@ HEADLINE = [
     "embedding_dimension_stats",
     "session_bounce_rate",
     "time_to_first_purchase",
+    "user_novelty_curve",
 ]
 
 

@@ -2020,3 +2020,57 @@ def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs").alias("min_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@query(
+    "user_novelty_curve",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, ts, event_id, event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) = 1 AS is_first
+          FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS distinct_types_so_far
+        FROM firsts
+    """,
+)
+def user_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user: after each event, how many
+    DISTINCT event types the user has touched so far — the novelty /
+    feature-adoption curve product analytics plots, and the windowed
+    form of COUNT(DISTINCT) OVER, which neither engine supports
+    directly.
+
+    The standard rewrite: flag each (user, type)'s first occurrence with
+    one row_number window, then a cumulative sum of flags over the
+    user's timeline. Both windows hash-partition on user_id — one
+    exchange serves them (the second adds only a sort key change), and
+    per-row state is one flag, never a distinct-set."""
+    events = load_table(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.row_number().over(first_w) == 1).alias("is_first"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .over(cum_w)
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )

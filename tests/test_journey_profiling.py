@@ -1,5 +1,5 @@
 """Planted-fixture sanity for the round-3 journey/profiling/reporting
-operators (E34–E52). Oracle parity at sf0.01 is already enforced by
+operators (E34–E54). Oracle parity at sf0.01 is already enforced by
 test_oracle_parity.py; these tests pin the SEMANTICS on data where the
 expected answer is hand-computable."""
 
@@ -411,3 +411,23 @@ def test_referential_integrity_flags_planted_violations(spark, tmp_path):
         "orphan_orders": 1,
         "null_order_keys": 0,
     }
+
+
+def test_novelty_curve_planted(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    sf = _events(
+        tmp_path,
+        [
+            (1, t0, 1, "a", 1.0),          # new -> 1
+            (2, t0 + m, 1, "a", 1.0),      # seen -> 1
+            (3, t0 + 2 * m, 1, "b", 1.0),  # new -> 2
+            (4, t0 + 3 * m, 1, "a", 1.0),  # seen -> 2
+            (5, t0 + 4 * m, 1, "c", 1.0),  # new -> 3
+        ],
+    )
+    got = {
+        r.event_id: r.distinct_types_so_far
+        for r in QUERIES["user_novelty_curve"](spark, sf).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
