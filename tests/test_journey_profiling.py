@@ -138,7 +138,9 @@ def test_equidepth_buckets_uniform_on_planted_values(spark, tmp_path):
 
 
 def test_distributed_quantiles_match_local_sort(spark, tmp_path):
-    import numpy as np
+    # expected uses the quantile_cont formula lo + (hi-lo)*frac — the
+    # oracle's form (numpy's _lerp differs in the last ulp for t>=0.5)
+    import math
 
     from tdk_apache_log_etl_spark.operators.relational import (
         _distributed_quantiles,
@@ -151,7 +153,12 @@ def test_distributed_quantiles_match_local_sort(spark, tmp_path):
     df = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
     qs = [0.25, 0.5, 0.75]
     got = _distributed_quantiles(df, "l_extendedprice", qs).collect()[0][0]
-    expected = list(np.quantile(sorted(rng), qs))  # linear interpolation
+    a = sorted(rng)
+    expected = []
+    for q in qs:
+        pos = q * float(len(a) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        expected.append(a[lo] + (a[hi] - a[lo]) * (pos - math.floor(pos)))
     assert got == expected
 
 

@@ -156,3 +156,50 @@ def test_dec_sum_is_partitioning_invariant(spark, values):
         df.repartition(16).agg(dec_sum(df.v).alias("s")).collect()[0].s
     )
     assert one == many and repr(one) == repr(many)
+
+
+# ---------------------------------------------------------------------------
+# distributed selection: exact quantiles for ANY value multiset
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_distributed_quantiles_equal_numpy_for_any_multiset(spark, values):
+    # range-partitioned selection must reproduce quantile_cont's simple
+    # interpolation lo + (hi-lo)*frac bit-for-bit on arbitrary multisets
+    # (duplicates, negatives, singletons, heavy ties). NB: numpy's
+    # _lerp is NOT the comparison target — it switches to
+    # hi - (hi-lo)*(1-t) at t>=0.5 for extra accuracy, which differs in
+    # the last ulp; DuckDB (the oracle) uses the simple form.
+    import math
+
+    from tdk_apache_log_etl_spark.operators.relational import (
+        _distributed_quantiles,
+    )
+
+    qs = [0.1, 0.5, 0.9]
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = _distributed_quantiles(df, "v", qs).collect()[0][0]
+    a = sorted(float(v) for v in values)
+    expected = []
+    for q in qs:
+        pos = q * float(len(a) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        expected.append(a[lo] + (a[hi] - a[lo]) * (pos - math.floor(pos)))
+    assert got == expected
