@@ -125,6 +125,7 @@ HEADLINE = [
     "session_bounce_rate",
     "time_to_first_purchase",
     "user_novelty_curve",
+    "view_to_purchase_within_hour",
 ]
 
 

@@ -2074,3 +2074,78 @@ def user_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_types_so_far"),
     )
+
+
+#: A purchase "converts from a view" when the user's most recent prior
+#: view happened at most this many seconds before it.
+_VIEW_CONV_WINDOW_S = 3600
+
+
+@query(
+    "view_to_purchase_within_hour",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT user_id, ts, event_type,
+                 LAST_VALUE(
+                   CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS
+                 ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS last_view_ts
+          FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(*) FILTER (
+                 WHERE last_view_ts IS NOT NULL
+                   AND FLOOR(epoch(ts - last_view_ts))
+                         <= {_VIEW_CONV_WINDOW_S}
+               ) AS BIGINT) AS n_within_hour,
+               CAST(COUNT(*) FILTER (
+                 WHERE last_view_ts IS NOT NULL
+                   AND FLOOR(epoch(ts - last_view_ts))
+                         <= {_VIEW_CONV_WINDOW_S}
+               ) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS share_within_hour
+        FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def view_to_purchase_within_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-constrained funnel: what share of purchases happen within an
+    hour of the user's most recent view — the windowed A→B conversion
+    every growth dashboard tracks (funnel_conversion's ordered funnel
+    has no time constraint; this is the complementary shape).
+
+    One ignore-nulls last_value window carries the most recent view
+    timestamp along the user's timeline (current-row-exclusive frame, so
+    a purchase can't satisfy itself); the Δ comparison uses the same
+    elapsed-whole-seconds semantics time_to_first_purchase pins
+    (timestampdiff ↔ floor(epoch(interval))). No self-join, no range
+    join — per-row state in the window is one timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = events.select(
+        "event_type",
+        F.col("ts"),
+        last_view.alias("last_view_ts"),
+    ).where(F.col("event_type") == "purchase")
+    within = F.col("last_view_ts").isNotNull() & (
+        F.expr("timestampdiff(SECOND, last_view_ts, ts)")
+        <= _VIEW_CONV_WINDOW_S
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(within, 1)).alias("n_within_hour"),
+        (
+            F.count(F.when(within, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("share_within_hour"),
+    )
