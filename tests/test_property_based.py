@@ -203,3 +203,38 @@ def test_distributed_quantiles_equal_numpy_for_any_multiset(spark, values):
         lo, hi = math.floor(pos), math.ceil(pos)
         expected.append(a[lo] + (a[hi] - a[lo]) * (pos - math.floor(pos)))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# CLF parser: total function over ARBITRARY input — parse or quarantine,
+# never throw (the reference hard-fails the whole file on one bad line,
+# sree-etl-tdk-lambda.py:214-218; ours must degrade row-wise)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            # printable-ish chars incl. quotes/brackets/backslashes that
+            # stress the regex, no newlines (one line per row by contract)
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\n\r"
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_clf_parser_never_throws_on_garbage(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_clf_lines(df).collect()  # must not raise
+    assert len(out) == len(lines)  # row-wise degradation, no data loss
+    # every row is either fully parsed (9-way split) or quarantined
+    for r in out:
+        assert (r._corrupt is None) or isinstance(r._corrupt, str)
