@@ -66,3 +66,88 @@ def merge_daily_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.max("max_v_scaled").alias("max_v_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEQUENCE aggregate: transition-matrix maintenance.
+#
+# Unlike the additive rollup above, next-event transition counts
+# (operators/logmetrics.py event_transition_matrix) are NOT decomposable
+# by simple addition: concatenating two batches creates one extra
+# transition per user at the seam (their last event of batch 1 -> their
+# first event of batch 2). The exact incremental form therefore carries
+# per-user BOUNDARY state (first/last event type) alongside the counts:
+#
+#   trans(A ++ B) == trans(A) + trans(B) + seam_pairs(state(A), state(B))
+#
+# Contract: batches are time-ordered and append-only (every event in the
+# delta is later than every event of the same user in the existing state)
+# — the same contract micro-batch streaming provides. Cost of a merge is
+# O(|type vocabulary|^2 + |active users|), never a fact rescan.
+# ---------------------------------------------------------------------------
+
+
+def transition_state(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Compute (transition_counts, per-user boundary state) for a batch.
+
+    counts: (from_type, to_type, n) — within-batch transitions only.
+    state:  (user_id, first_type, last_type) by (ts, event_id) order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    order_key = F.struct("ts", "event_id")
+    state = events.groupBy("user_id").agg(
+        F.min_by("event_type", order_key).alias("first_type"),
+        F.max_by("event_type", order_key).alias("last_type"),
+    )
+    return counts, state
+
+
+def merge_transition_state(
+    old_counts: DataFrame,
+    old_state: DataFrame,
+    delta_counts: DataFrame,
+    delta_state: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a later batch's (counts, state) into the maintained pair.
+
+    The seam join touches only users present in BOTH sides (inner join
+    on the user-sized state frames); counts union at vocabulary² size.
+    Result is bit-identical to recomputing over the concatenated facts
+    (asserted in tests/test_incremental.py)."""
+    seam = (
+        old_state.alias("o")
+        .join(delta_state.alias("d"), "user_id")
+        .groupBy(
+            F.col("o.last_type").alias("from_type"),
+            F.col("d.first_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = (
+        old_counts.unionByName(delta_counts)
+        .unionByName(seam)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    state = (
+        old_state.alias("o")
+        .join(delta_state.alias("d"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce(F.col("o.first_type"), F.col("d.first_type")).alias(
+                "first_type"
+            ),
+            F.coalesce(F.col("d.last_type"), F.col("o.last_type")).alias(
+                "last_type"
+            ),
+        )
+    )
+    return counts, state

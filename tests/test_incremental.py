@@ -62,3 +62,72 @@ def test_merge_cost_is_rollup_sized(spark):
         .toString()
     )
     assert "parquet" not in plan.lower()
+
+
+def test_transition_merge_equals_direct_recompute(spark):
+    # Split the fixture's events at a mid-month seam; maintaining the
+    # transition matrix incrementally (batch counts + per-user boundary
+    # seam pairs) must reproduce the direct full recompute EXACTLY.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.incremental import (
+        merge_transition_state,
+        transition_state,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_SMOKE
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    cut = "2024-01-15"
+    a = events.where(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
+    b = events.where(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
+    assert a.count() > 0 and b.count() > 0
+
+    ca, sa = transition_state(a)
+    cb, sb = transition_state(b)
+    merged_counts, merged_state = merge_transition_state(ca, sa, cb, sb)
+
+    direct_counts, direct_state = transition_state(events)
+    got = {
+        (r.from_type, r.to_type): r.n for r in merged_counts.collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n for r in direct_counts.collect()
+    }
+    assert got == want
+    got_state = {
+        r.user_id: (r.first_type, r.last_type)
+        for r in merged_state.collect()
+    }
+    want_state = {
+        r.user_id: (r.first_type, r.last_type)
+        for r in direct_state.collect()
+    }
+    assert got_state == want_state
+
+
+def test_transition_merge_plan_never_rescans_facts(spark):
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.incremental import (
+        merge_transition_state,
+        transition_state,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_SMOKE
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    c, s = transition_state(events)
+    # materialize the maintained pair (the stored rollup tables)
+    c = spark.createDataFrame(c.collect(), c.schema)
+    s = spark.createDataFrame(s.collect(), s.schema)
+    delta = events.limit(0)
+    dc, ds = transition_state(delta)
+    dc = spark.createDataFrame(dc.collect(), dc.schema)
+    ds = spark.createDataFrame(ds.collect(), ds.schema)
+    mc, ms = merge_transition_state(c, s, dc, ds)
+    for df in (mc, ms):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" not in plan.lower()  # no fact-table scan
