@@ -126,6 +126,7 @@ HEADLINE = [
     "time_to_first_purchase",
     "user_novelty_curve",
     "view_to_purchase_within_hour",
+    "transition_matrix_incremental",
 ]
 
 

@@ -18,3 +18,4 @@ from . import hygiene  # noqa: F401,E402
 from . import chunking  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
+from . import incremental  # noqa: F401,E402

@@ -151,3 +151,41 @@ def merge_transition_state(
         )
     )
     return counts, state
+
+
+def _register() -> None:
+    """Driver-checked query: maintain the transition matrix over a
+    mid-month seam split and return the merged counts. The DuckDB oracle
+    computes the DIRECT full recompute — so the driver's hash comparison
+    IS the merge==recompute equivalence proof, independently verified."""
+    from ..sources.tables import load_table
+    from .registry import query
+
+    @query(
+        "transition_matrix_incremental",
+        oracle="""
+            WITH pairs AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        """,
+    )
+    def transition_matrix_incremental(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        cut = F.lit("2024-01-15").cast("timestamp_ntz")
+        a = events.where(F.col("ts") < cut)
+        b = events.where(F.col("ts") >= cut)
+        ca, sa = transition_state(a)
+        cb, sb = transition_state(b)
+        counts, _state = merge_transition_state(ca, sa, cb, sb)
+        return counts
+
+    _ = transition_matrix_incremental  # registered via decorator
+
+
+_register()
