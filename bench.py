@@ -127,6 +127,8 @@ HEADLINE = [
     "user_novelty_curve",
     "view_to_purchase_within_hour",
     "transition_matrix_incremental",
+    "top3_orders_per_segment_with_ties",
+    "brand_qty_weighted_avg_price",
 ]
 
 

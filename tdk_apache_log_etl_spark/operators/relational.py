@@ -2189,3 +2189,81 @@ def referential_integrity_audit(
     return dup_pk.unionAll(orphan_li).unionAll(orphan_orders).unionAll(
         null_keys
     )
+
+
+@query(
+    "top3_orders_per_segment_with_ties",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(rk AS BIGINT) AS price_rank
+        FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 RANK() OVER (
+                   PARTITION BY c_mktsegment ORDER BY o_totalprice DESC
+                 ) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
+    """,
+)
+def top3_orders_per_segment_with_ties(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITH TIES top-k: rank() ≤ k admits every order tied at the
+    boundary price — the ANSI FETCH FIRST ... WITH TIES semantics, vs
+    top3_orders_per_segment's exactly-k row_number form. Because ties
+    are INCLUDED rather than broken, the result set is deterministic
+    without any tie-break column; rank() ≤ k still plans as
+    WindowGroupLimit (rank is group-limit-eligible alongside
+    row_number)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("price_rank"),
+        )
+        .where(F.col("price_rank") <= 3)
+    )
+
+
+@query(
+    "brand_qty_weighted_avg_price",
+    oracle=f"""
+        SELECT p.p_brand,
+               {sql_dec_sum("l.l_extendedprice * l.l_quantity")}
+                 / SUM(l.l_quantity) AS wavg_price,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def brand_qty_weighted_avg_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted average price per brand — the weighted mean
+    every pricing report needs, where a plain AVG over-weights small
+    orders.
+
+    Numerator rides dec_sum (fixed-point, order-independent);
+    denominator Σqty is a sum of small integral doubles — every partial
+    is exact, so it too is order-independent — and the single division
+    runs on identical operands in both engines. Part is broadcast-sized
+    here; at registry scale the join shuffles on partkey once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, part["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            (
+                dec_sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("wavg_price"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
