@@ -129,6 +129,7 @@ HEADLINE = [
     "transition_matrix_incremental",
     "top3_orders_per_segment_with_ties",
     "brand_qty_weighted_avg_price",
+    "bmp_feature_extract",
 ]
 
 

@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio libraries, so the DECODE step is stubbed —
-``decode_image_real`` raises NotImplementedError unless PIL is importable —
-but everything Spark-side is real and tested: the binary column plumbing,
-the mapInPandas schema/batch shape, deterministic fake feature extraction,
-and the partitioning story (binary payloads stay distributed; only derived
-scalar metadata is ever aggregated).
+The container has no image/audio libraries, so the general-format DECODE
+step is import-gated — ``decode_image_real`` raises NotImplementedError
+unless PIL is importable — but uncompressed 24-bit BMP needs no library
+at all: ``encode_bmp``/``decode_bmp`` below are a pure struct/numpy
+codec, and ``bmp_feature_extract`` runs the REAL bytes→pixels→features
+path in this container, oracle-checked. Everything Spark-side is real
+and tested either way: the binary column plumbing, the mapInPandas
+schema/batch shape, and the partitioning story (binary payloads stay
+distributed; only derived scalar metadata is ever aggregated).
 
 At 100 TB: binary payloads dominate bytes → keep them in their own parquet
 column (never in shuffle keys), size spark.sql.files.maxPartitionBytes so a
@@ -265,3 +268,181 @@ def media_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").alias("n_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode, no libraries: uncompressed 24-bit BMP.
+#
+# The PIL path above stays import-gated (the container ships no image
+# libs), but BMP needs none — the format is a 54-byte header plus raw
+# BGR rows, bottom-up, each row padded to 4 bytes. Implementing the
+# codec in pure struct/numpy makes the decode step of the multimodal
+# pipeline REAL in this environment: actual bytes are parsed, actual
+# pixels are averaged, and the whole path is oracle-checked because the
+# synthetic pixel pattern has a closed form DuckDB can also compute.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up, 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype="uint8")
+    h, w, _ = arr.shape
+    row_size = (3 * w + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + image_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        # RGB -> BGR byte order
+        rows.append(arr[y, :, ::-1].tobytes() + pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    array. Pure struct/numpy — validates magic, bit depth, and
+    compression; handles bottom-up row order and row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    row_size = (3 * w + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype="uint8", count=row_size * abs(h), offset=data_offset
+    ).reshape(abs(h), row_size)
+    rows = raw[:, : 3 * w].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 8 + (doc_id // 8) % 8
+
+
+def make_synthetic_bmp(doc_id: int) -> bytes:
+    """Deterministic test-pattern BMP for a document id: pixel (x, y)
+    has value (7x + 13y + doc_id) mod 256 in all three channels — a
+    pattern whose mean DuckDB can recompute exactly."""
+    import numpy as np
+
+    w, h = _bmp_dims(doc_id)
+    x = np.arange(w, dtype="int64")[None, :]
+    y = np.arange(h, dtype="int64")[:, None]
+    v = ((7 * x + 13 * y + doc_id) % 256).astype("uint8")
+    return encode_bmp(np.repeat(v[:, :, None], 3, axis=2))
+
+
+@query(
+    "bmp_feature_extract",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 8 AS INT) AS width,
+                 CAST(8 + (doc_id // 8) % 8 AS INT) AS height
+          FROM documents
+        ), px AS (
+          SELECT doc_id, width, height,
+                 unnest(range(width * height)) AS i
+          FROM dims
+        )
+        SELECT doc_id,
+               CAST(54 + height * (((3 * width + 3) // 4) * 4) AS INT)
+                 AS n_bytes,
+               width, height, CAST(3 AS INT) AS channels,
+               CAST(SUM((7 * (i % width) + 13 * (i // width) + doc_id)
+                        % 256) AS DOUBLE)
+                 / (width * height) / 255 AS mean_intensity
+        FROM px GROUP BY doc_id, width, height
+    """,
+)
+def bmp_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with zero external libraries: each
+    document gets a deterministic synthetic BMP (bytes built by
+    encode_bmp), the mapInPandas stage parses the actual BMP headers and
+    pixel rows back (decode_bmp — padding, bottom-up order, BGR), and
+    the features come from the decoded pixels. The DuckDB oracle
+    recomputes the expected mean from the pattern's closed form, so the
+    driver's hash gate checks the full encode→decode→feature path —
+    this is the multimodal pipeline with the decode step NOT stubbed.
+
+    Scale shape is identical to extract_image_features: payloads stay
+    in their partition, Arrow batches feed the decoder, only scalar
+    features ever shuffle. Intensity = integer pixel sum (exact in
+    float64) / n / 255 — engine-exact division chain."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_intensity": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                payload = make_synthetic_bmp(int(doc_id))
+                arr = decode_bmp(payload)
+                h, w, c = arr.shape
+                out["n_bytes"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_intensity"].append(
+                    float(int(arr.sum(dtype="int64"))) / (w * h * c) / 255
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images_bmp(images: DataFrame, target=RESIZE_TARGET) -> DataFrame:
+    """REAL resize for BMP payloads: decode_bmp → numpy nearest-neighbor
+    resample → encode_bmp, same contract as resize_images (bounded
+    output payloads). No external libraries."""
+    import pandas as pd
+
+    w_t, h_t = target
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                arr = decode_bmp(bytes(p))
+                h, w, _ = arr.shape
+                ys = (np.arange(h_t) * h) // h_t
+                xs = (np.arange(w_t) * w) // w_t
+                payloads.append(encode_bmp(arr[ys][:, xs]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w_t,
+                    "height": h_t,
+                    "payload": payloads,
+                }
+            )
+
+    return images.mapInPandas(_resize, RESIZE_SCHEMA)

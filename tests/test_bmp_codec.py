@@ -1,0 +1,87 @@
+"""Pure-numpy BMP codec tests — REAL image decode with no external
+libraries, so unlike test_multimodal_real.py (PIL-gated) these run in
+THIS container unconditionally."""
+
+from __future__ import annotations
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy BMP codec — REAL decode with no external libraries, so these
+# run in THIS container (no importorskip).
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_pixel_exact_with_padding():
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(42)
+    # widths 1..6 exercise every row-padding remainder (3w mod 4)
+    for w in range(1, 7):
+        for h in (1, 3, 5):
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+            assert (decode_bmp(encode_bmp(arr)) == arr).all(), (w, h)
+
+
+def test_bmp_decoder_rejects_non_bmp_and_unsupported():
+    import pytest
+
+    from tdk_apache_log_etl_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNG----------------------------------------------")
+
+
+def test_bmp_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        decode_bmp,
+        encode_bmp,
+        resize_images_bmp,
+    )
+
+    # a 2x2 checkerboard upscaled keeps only the four source colors in
+    # their quadrants under nearest-neighbor
+    arr = np.zeros((2, 2, 3), dtype="uint8")
+    arr[0, 0] = (255, 0, 0)
+    arr[0, 1] = (0, 255, 0)
+    arr[1, 0] = (0, 0, 255)
+    arr[1, 1] = (255, 255, 255)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr)))], "doc_id long, payload binary"
+    )
+    out = resize_images_bmp(df).collect()[0]
+    w, h = RESIZE_TARGET
+    assert (out.width, out.height) == (w, h)
+    resized = decode_bmp(bytes(out.payload))
+    assert resized.shape == (h, w, 3)
+    assert tuple(resized[0, 0]) == (255, 0, 0)
+    assert tuple(resized[0, w - 1]) == (0, 255, 0)
+    assert tuple(resized[h - 1, 0]) == (0, 0, 255)
+    assert tuple(resized[h - 1, w - 1]) == (255, 255, 255)
+
+
+def test_bmp_feature_extract_matches_direct_computation(spark):
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_bmp,
+        make_synthetic_bmp,
+    )
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    from .conftest import SF_DIR_SMOKE
+
+    rows = QUERIES["bmp_feature_extract"](spark, SF_DIR_SMOKE).limit(20).collect()
+    assert rows
+    for r in rows:
+        arr = decode_bmp(make_synthetic_bmp(r.doc_id))
+        h, w, c = arr.shape
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.mean_intensity == float(int(arr.sum(dtype="int64"))) / (
+            w * h * c
+        ) / 255

@@ -51,3 +51,4 @@ def test_real_decode_same_contract_as_stub(spark):
     assert rows[1].mean_intensity == pytest.approx(1.0)
     assert rows[2].mean_intensity == pytest.approx(0.0)
     assert 0.0 < rows[3].mean_intensity < 1.0
+
