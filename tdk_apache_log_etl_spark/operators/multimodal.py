@@ -350,6 +350,42 @@ def make_synthetic_bmp(doc_id: int) -> bytes:
     return encode_bmp(np.repeat(v[:, :, None], 3, axis=2))
 
 
+def _bmp_feats_batches(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": [],
+            "width": [],
+            "height": [],
+            "channels": [],
+            "mean_intensity": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            payload = make_synthetic_bmp(int(doc_id))
+            arr = decode_bmp(payload)
+            h, w, c = arr.shape
+            out["n_bytes"].append(len(payload))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["mean_intensity"].append(
+                float(int(arr.sum(dtype="int64"))) / (w * h * c) / 255
+            )
+        yield pd.DataFrame(out)
+
+
+def extract_bmp_features(ids: DataFrame) -> DataFrame:
+    """The REAL BMP bytes→pixels→features mapper over a (doc_id) frame.
+    mapInPandas is batch/stream-agnostic: the SAME function serves the
+    oracle-checked batch query (bmp_feature_extract) and a readStream
+    source unchanged (tests/test_streaming.py:
+    test_streaming_bmp_feature_extract) — the multimodal feature
+    pipeline needs no separate streaming implementation."""
+    return ids.mapInPandas(_bmp_feats_batches, IMAGE_FEATURE_SCHEMA)
+
+
 @query(
     "bmp_feature_extract",
     oracle="""
@@ -387,34 +423,8 @@ def bmp_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     in their partition, Arrow batches feed the decoder, only scalar
     features ever shuffle. Intensity = integer pixel sum (exact in
     float64) / n / 255 — engine-exact division chain."""
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [],
-                "width": [],
-                "height": [],
-                "channels": [],
-                "mean_intensity": [],
-            }
-            for doc_id in pdf["doc_id"]:
-                payload = make_synthetic_bmp(int(doc_id))
-                arr = decode_bmp(payload)
-                h, w, c = arr.shape
-                out["n_bytes"].append(len(payload))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["mean_intensity"].append(
-                    float(int(arr.sum(dtype="int64"))) / (w * h * c) / 255
-                )
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
+    return extract_bmp_features(docs)
 
 
 def resize_images_bmp(images: DataFrame, target=RESIZE_TARGET) -> DataFrame:

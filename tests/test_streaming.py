@@ -495,3 +495,45 @@ def test_debounce_stream_suppresses_rapid_repeats(spark, tmp_path):
         ("POST", "2026-08-13 10:00:10"),
         ("GET", "2026-08-13 10:10:00"),
     ]
+
+
+def test_streaming_bmp_feature_extract(spark, tmp_path):
+    # The SAME mapInPandas mapper that backs the oracle-checked batch
+    # query runs unchanged over a readStream source: real BMP bytes are
+    # decoded per micro-batch and only scalar features reach the sink.
+    import json
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_bmp,
+        extract_bmp_features,
+        make_synthetic_bmp,
+    )
+
+    src = tmp_path / "ids"
+    src.mkdir()
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i}) for i in range(12)) + "\n"
+    )
+    ids = (
+        spark.readStream.schema("doc_id long")
+        .json(str(src))
+    )
+    q = (
+        extract_bmp_features(ids)
+        .writeStream.format("memory")
+        .queryName("bmp_stream_feats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-bmp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bmp_stream_feats").collect()
+    assert len(rows) == 12
+    for r in rows:
+        arr = decode_bmp(make_synthetic_bmp(r.doc_id))
+        h, w, c = arr.shape
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.mean_intensity == float(int(arr.sum(dtype="int64"))) / (
+            w * h * c
+        ) / 255
