@@ -130,6 +130,7 @@ HEADLINE = [
     "top3_orders_per_segment_with_ties",
     "brand_qty_weighted_avg_price",
     "bmp_feature_extract",
+    "wav_feature_extract",
 ]
 
 

@@ -456,3 +456,162 @@ def resize_images_bmp(images: DataFrame, target=RESIZE_TARGET) -> DataFrame:
             )
 
     return images.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode, no libraries: 16-bit PCM WAV (RIFF).
+#
+# Same move as the BMP codec: canonical WAV is a 44-byte RIFF/fmt/data
+# header plus little-endian PCM samples — pure struct/numpy territory.
+# Audio features (duration, mean-square energy, zero crossings) come
+# from actually-decoded samples, and the synthetic waveform has a
+# closed form the DuckDB oracle recomputes, so the driver's hash gate
+# checks the full bytes→samples→features path.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, sample_rate int, n_samples int, "
+    "duration_ms int, mean_square double, zero_crossings long"
+)
+
+
+def encode_wav(samples, rate: int = WAV_RATE) -> bytes:
+    """Encode an int16 sample array as a mono 16-bit PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes):
+    """Parse a mono 16-bit PCM WAV into (rate, int16 sample array).
+    Validates RIFF/WAVE magic, PCM format code, and walks chunks to the
+    data section (so extra chunks don't break it)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if fmt_code != 1:
+                raise ValueError(f"unsupported WAV format code {fmt_code}")
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise ValueError(
+                    f"unsupported WAV (bits={bits}, channels={channels})"
+                )
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                    offset=body)
+            return rate, samples
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV data chunk not found")
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 256 + doc_id % 256
+
+
+def make_synthetic_wav(doc_id: int) -> bytes:
+    """Deterministic test waveform: sample i = ((37·i + doc_id) mod
+    2048) − 1024 — integer-valued, closed-form recomputable in SQL."""
+    import numpy as np
+
+    n = _wav_n_samples(doc_id)
+    i = np.arange(n, dtype="int64")
+    return encode_wav(((37 * i + doc_id) % 2048) - 1024)
+
+
+def _wav_feats_batches(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": [],
+            "sample_rate": [],
+            "n_samples": [],
+            "duration_ms": [],
+            "mean_square": [],
+            "zero_crossings": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            payload = make_synthetic_wav(int(doc_id))
+            rate, s = decode_wav(payload)
+            s64 = s.astype("int64")
+            n = len(s)
+            out["n_bytes"].append(len(payload))
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            out["duration_ms"].append(n * 1000 // rate)
+            out["mean_square"].append(
+                float(int((s64 * s64).sum())) / n
+            )
+            out["zero_crossings"].append(
+                int(((s64[:-1] >= 0) != (s64[1:] >= 0)).sum())
+            )
+        yield pd.DataFrame(out)
+
+
+def extract_wav_features(ids: DataFrame) -> DataFrame:
+    """REAL WAV bytes→samples→features mapper over a (doc_id) frame —
+    batch/stream-agnostic like extract_bmp_features."""
+    return ids.mapInPandas(_wav_feats_batches, AUDIO_FEATURE_SCHEMA)
+
+
+@query(
+    "wav_feature_extract",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, CAST(256 + doc_id % 256 AS INT) AS n
+          FROM documents
+        ), smp AS (
+          SELECT doc_id, n, unnest(range(n)) AS i
+          FROM dims
+        ), vals AS (
+          SELECT doc_id, n, i,
+                 (37 * i + doc_id) % 2048 - 1024 AS s
+          FROM smp
+        )
+        SELECT v.doc_id,
+               CAST(44 + 2 * v.n AS INT) AS n_bytes,
+               CAST({WAV_RATE} AS INT) AS sample_rate,
+               v.n AS n_samples,
+               CAST(v.n * 1000 // {WAV_RATE} AS INT) AS duration_ms,
+               CAST(SUM(v.s * v.s) AS DOUBLE) / v.n AS mean_square,
+               CAST(COUNT(*) FILTER (
+                 WHERE v.i < v.n - 1 AND (v.s >= 0) <>
+                   ((37 * (v.i + 1) + v.doc_id) % 2048 - 1024 >= 0)
+               ) AS BIGINT) AS zero_crossings
+        FROM vals v GROUP BY v.doc_id, v.n
+    """,
+)
+def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end with zero external libraries: each
+    document gets a deterministic synthetic 16-bit PCM WAV, the
+    mapInPandas stage walks the actual RIFF chunks back to samples
+    (decode_wav), and duration / mean-square energy / zero-crossing
+    features come from the decoded PCM. The oracle recomputes the
+    waveform's closed form, so the driver hash-checks the whole
+    encode→decode→feature path — the audio twin of
+    bmp_feature_extract. Integer sample sums are exact; the one double
+    division is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_wav_features(docs)

@@ -85,3 +85,80 @@ def test_bmp_feature_extract_matches_direct_computation(spark):
         assert r.mean_intensity == float(int(arr.sum(dtype="int64"))) / (
             w * h * c
         ) / 255
+
+
+# ---------------------------------------------------------------------------
+# WAV codec — same library-free discipline for audio.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_sample_exact():
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 255, 1024):
+        samples = rng.integers(-32768, 32768, size=n, dtype="int16")
+        rate, back = decode_wav(encode_wav(samples, rate=16000))
+        assert rate == 16000
+        assert (back == samples).all()
+
+
+def test_wav_decoder_walks_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.arange(-5, 5, dtype="int16")
+    raw = encode_wav(samples)
+    # splice a LIST chunk (odd size -> exercises word alignment) between
+    # fmt and data
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    spliced = raw[:36] + extra + raw[36:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    rate, back = decode_wav(spliced)
+    assert (back == samples).all()
+
+
+def test_wav_decoder_rejects_non_wav():
+    import pytest
+
+    from tdk_apache_log_etl_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"OggS" + b"\x00" * 64)
+
+
+def test_wav_feature_extract_matches_direct_computation(spark):
+    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_wav,
+        make_synthetic_wav,
+    )
+
+    from .conftest import SF_DIR_SMOKE
+
+    rows = (
+        QUERIES["wav_feature_extract"](spark, SF_DIR_SMOKE).limit(20).collect()
+    )
+    assert rows
+    for r in rows:
+        rate, s = decode_wav(make_synthetic_wav(r.doc_id))
+        s64 = s.astype("int64")
+        assert r.sample_rate == rate
+        assert r.n_samples == len(s)
+        assert r.mean_square == float(int((s64 * s64).sum())) / len(s)
+        assert r.zero_crossings == int(
+            ((s64[:-1] >= 0) != (s64[1:] >= 0)).sum()
+        )
