@@ -131,6 +131,7 @@ HEADLINE = [
     "brand_qty_weighted_avg_price",
     "bmp_feature_extract",
     "wav_feature_extract",
+    "y4m_frame_sample",
 ]
 
 

@@ -615,3 +615,167 @@ def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is engine-exact."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return extract_wav_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# REAL video container parse, no libraries: YUV4MPEG2 (Y4M), mono.
+#
+# Y4M is the canonical uncompressed video interchange format: one ASCII
+# header line, then `FRAME\n`-prefixed raw planes. Parsing it is pure
+# bytes work, which makes the frame-sampling operator REAL — the
+# sampler seeks actual frame offsets and averages actual pixels, with a
+# closed-form synthetic pattern for the oracle. Completes the modality
+# trio: BMP (image), WAV (audio), Y4M (video).
+# ---------------------------------------------------------------------------
+
+Y4M_W, Y4M_H = 8, 6
+Y4M_FRAME_STRIDE = 2
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, width int, height int, "
+    "mean_intensity double"
+)
+
+
+def encode_y4m(frames, fps=(25, 1)) -> bytes:
+    """Encode an (n, h, w) uint8 array as mono YUV4MPEG2."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype="uint8")
+    n, h, w = arr.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    parts = [head.encode("ascii")]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(arr[f].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """Parse mono YUV4MPEG2 into (width, height, (num, den) fps,
+    (n, h, w) uint8 frames). Walks real FRAME markers; validates the
+    stream signature and colorspace."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    mono = False
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = tok[1:].split(":")
+            fps = (int(num), int(den))
+        elif tok.startswith("C"):
+            mono = tok[1:] == "mono"
+    if not mono:
+        raise ValueError("unsupported Y4M colorspace (mono only)")
+    frame_bytes = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        pos += 6
+        frames.append(
+            np.frombuffer(payload, dtype="uint8", count=frame_bytes,
+                          offset=pos).reshape(h, w)
+        )
+        pos += frame_bytes
+    return w, h, fps, np.stack(frames)
+
+
+def _y4m_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 6
+
+
+def make_synthetic_y4m(doc_id: int) -> bytes:
+    """Deterministic test clip: pixel (x, y) of frame f has value
+    (x + 2y + 31f + doc_id) mod 256 — closed-form for the oracle."""
+    import numpy as np
+
+    n = _y4m_n_frames(doc_id)
+    f = np.arange(n, dtype="int64")[:, None, None]
+    y = np.arange(Y4M_H, dtype="int64")[None, :, None]
+    x = np.arange(Y4M_W, dtype="int64")[None, None, :]
+    return encode_y4m(((x + 2 * y + 31 * f + doc_id) % 256).astype("uint8"))
+
+
+def _y4m_sample_batches(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "n_frames": [],
+            "frame_idx": [],
+            "width": [],
+            "height": [],
+            "mean_intensity": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            payload = make_synthetic_y4m(int(doc_id))
+            w, h, _fps, frames = decode_y4m(payload)
+            n = len(frames)
+            for idx in range(0, n, Y4M_FRAME_STRIDE):
+                arr = frames[idx].astype("int64")
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(n)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_intensity"].append(
+                    float(int(arr.sum())) / (w * h) / 255
+                )
+        yield pd.DataFrame(rows)
+
+
+def sample_y4m_frames(ids: DataFrame) -> DataFrame:
+    """REAL frame sampling over a (doc_id) frame: parse the Y4M
+    container, seek every STRIDE-th frame, average its actual pixels.
+    Batch/stream-agnostic mapInPandas like the BMP/WAV mappers."""
+    return ids.mapInPandas(_y4m_sample_batches, VIDEO_FRAME_SCHEMA)
+
+
+@query(
+    "y4m_frame_sample",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS n_frames
+          FROM documents
+        ), fr AS (
+          SELECT doc_id, n_frames,
+                 unnest(range(0, n_frames, {Y4M_FRAME_STRIDE})) AS f
+          FROM dims
+        ), px AS (
+          SELECT doc_id, n_frames, f,
+                 unnest(range({Y4M_W * Y4M_H})) AS i
+          FROM fr
+        )
+        SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+               CAST({Y4M_W} AS INT) AS width,
+               CAST({Y4M_H} AS INT) AS height,
+               CAST(SUM((i % {Y4M_W} + 2 * (i // {Y4M_W}) + 31 * f + doc_id)
+                        % 256) AS DOUBLE)
+                 / {Y4M_W * Y4M_H} / 255 AS mean_intensity
+        FROM px GROUP BY doc_id, n_frames, f
+    """,
+)
+def y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end with zero external
+    libraries: synthetic Y4M clips are parsed frame-marker by
+    frame-marker (decode_y4m), every 2nd frame's pixels are averaged,
+    and the DuckDB oracle recomputes the expected means from the pixel
+    pattern's closed form — the video member of the real-decode trio
+    (BMP image, WAV audio, Y4M video), replacing media_frame_sample's
+    metadata-only fan-out with actual frame extraction. The 1→k frame
+    fan-out happens inside the Arrow batch (k ≤ 4 here; bounded by the
+    sampling stride at any clip length), and only scalar features ever
+    leave the mapper."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_y4m_frames(docs)

@@ -162,3 +162,60 @@ def test_wav_feature_extract_matches_direct_computation(spark):
         assert r.zero_crossings == int(
             ((s64[:-1] >= 0) != (s64[1:] >= 0)).sum()
         )
+
+
+# ---------------------------------------------------------------------------
+# Y4M codec — the video member of the library-free trio.
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_frame_exact():
+    import numpy as np
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 4, 7), dtype="uint8")
+    w, h, fps, back = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (w, h, fps) == (7, 4, (30, 1))
+    assert (back == frames).all()
+
+
+def test_y4m_rejects_bad_marker_and_signature():
+    import numpy as np
+    import pytest
+
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx\n" + b"\x00" * 32)
+    raw = bytearray(encode_y4m(np.zeros((2, 2, 2), dtype="uint8")))
+    nl = bytes(raw).index(b"\n")
+    raw[nl + 1 : nl + 6] = b"FRAMX"  # corrupt the first frame marker
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        decode_y4m(bytes(raw))
+
+
+def test_y4m_frame_sampler_strides_and_averages(spark):
+    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        Y4M_FRAME_STRIDE,
+        decode_y4m,
+        make_synthetic_y4m,
+    )
+
+    from .conftest import SF_DIR_SMOKE
+
+    rows = QUERIES["y4m_frame_sample"](spark, SF_DIR_SMOKE).limit(40).collect()
+    assert rows
+    for r in rows:
+        assert r.frame_idx % Y4M_FRAME_STRIDE == 0
+        w, h, _fps, frames = decode_y4m(make_synthetic_y4m(r.doc_id))
+        arr = frames[r.frame_idx].astype("int64")
+        assert r.mean_intensity == float(int(arr.sum())) / (w * h) / 255
