@@ -132,6 +132,7 @@ HEADLINE = [
     "bmp_feature_extract",
     "wav_feature_extract",
     "y4m_frame_sample",
+    "price_quartiles_disc",
 ]
 
 

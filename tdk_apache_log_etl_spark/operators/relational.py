@@ -1861,6 +1861,39 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EQUIDEPTH_QS = [i / 10 for i in range(1, 10)]
 
 
+def _global_ranks(df: DataFrame, colname: str):
+    """Distributed global ranking of one column: returns (ranked frame
+    with (v, grank) where grank is the 0-based global order statistic
+    index, and a 1-row n_total frame). Range-repartition → P parallel
+    local sorts → prefix-summed offsets; the building block both the
+    interpolated (_distributed_quantiles) and discrete
+    (price_quartiles_disc) selection paths share."""
+    ranked_local = scoped_persist(
+        df.repartitionByRange(32, colname)
+        .select(F.col(colname).alias("v"), F.spark_partition_id().alias("pid"))
+        .select(
+            "v",
+            "pid",
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("v"))
+            .alias("lrank"),
+        )
+    )
+    counts = ranked_local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+    )
+    n_total = counts.agg(F.sum("cnt").alias("n"))
+    ranked = ranked_local.join(F.broadcast(offsets), "pid").select(
+        "v", (F.col("off") + F.col("lrank") - 1).alias("grank")
+    )
+    return ranked, n_total
+
+
 def _distributed_quantiles(df: DataFrame, colname: str, qs: list) -> DataFrame:
     """Exact interpolated quantiles of ``df[colname]`` as ONE 1-row frame
     with an array column ``qs`` — computed by distributed selection, never
@@ -1885,32 +1918,7 @@ def _distributed_quantiles(df: DataFrame, colname: str, qs: list) -> DataFrame:
     Ties are immaterial: rank assignment among equal values is arbitrary,
     but the k-th smallest VALUE is unique."""
     spark = df.sparkSession
-    # Persisted: both the per-partition counts and the rank join consume
-    # this frame; without the persist the range shuffle + local sorts
-    # run twice.
-    ranked_local = scoped_persist(
-        df.repartitionByRange(32, colname)
-        .select(F.col(colname).alias("v"), F.spark_partition_id().alias("pid"))
-        .select(
-            "v",
-            "pid",
-            F.row_number()
-            .over(Window.partitionBy("pid").orderBy("v"))
-            .alias("lrank"),
-        )
-    )
-    counts = ranked_local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    woff = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-    )
-    n_total = counts.agg(F.sum("cnt").alias("n"))
-    ranked = ranked_local.join(F.broadcast(offsets), "pid").select(
-        "v", (F.col("off") + F.col("lrank") - 1).alias("grank")
-    )
+    ranked, n_total = _global_ranks(df, colname)
     targets = (
         spark.range(1)
         .select(F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
@@ -2267,3 +2275,47 @@ def brand_qty_weighted_avg_price(
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+#: Discrete quantiles: actual data values (order statistics), never
+#: interpolated — quantile_disc / PERCENTILE_DISC semantics.
+_DISC_QS = [0.25, 0.5, 0.75]
+
+
+@query(
+    "price_quartiles_disc",
+    oracle=f"""
+        SELECT CAST(q AS DOUBLE) AS q, v AS price FROM (
+          SELECT unnest({_DISC_QS}) AS q,
+                 unnest(quantile_disc(l_extendedprice, {_DISC_QS})) AS v
+          FROM lineitem
+        )
+    """,
+)
+def price_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC quartiles of l_extendedprice: the returned values
+    are ACTUAL data points (the order statistic at 0-based index
+    ceil(q·n)−1 — DuckDB's quantile_disc convention, probed and pinned),
+    which matters when the column is money or a code where an
+    interpolated phantom value is meaningless.
+
+    Runs on the shared _global_ranks distributed selection (range
+    repartition + parallel local sorts + offset prefix-sum) — Spark has
+    no percentile_disc aggregate, and its exact percentile would be the
+    single-task sort _distributed_quantiles exists to avoid. The 3
+    target ranks are broadcast; output is 3 rows at any volume."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    spark_ = li.sparkSession
+    ranked, n_total = _global_ranks(li, "l_extendedprice")
+    targets = (
+        spark_.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in _DISC_QS])).alias("q"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "q",
+            (F.ceil(F.col("q") * F.col("n")) - 1).alias("target_rank"),
+        )
+    )
+    return ranked.join(
+        F.broadcast(targets), ranked["grank"] == targets["target_rank"]
+    ).select("q", F.col("v").alias("price"))

@@ -438,3 +438,18 @@ def test_novelty_curve_planted(spark, tmp_path):
         for r in QUERIES["user_novelty_curve"](spark, sf).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+
+
+def test_disc_quartiles_are_actual_data_values(spark, tmp_path):
+    # 1..100: quantile_disc picks order statistics (25, 50, 75), never
+    # interpolated values
+    pd.DataFrame(
+        {"l_extendedprice": [float(i) for i in range(1, 101)]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.q: r.price
+        for r in QUERIES["price_quartiles_disc"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0}

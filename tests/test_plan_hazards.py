@@ -31,6 +31,7 @@ BNLJ_OK = {
     "temperature_mixture_sample",  # 1-row min-source-count crossJoin
     "triangle_count_part_graph",  # two 1-row aggregates crossJoined
     "equidepth_price_histogram",  # 1-row decile-bounds crossJoin
+    "price_quartiles_disc",      # 1-row n_total crossJoin (target ranks)
     "bm25_doc_ranking",          # 1-row corpus-stats crossJoin
     "token_cooccurrence_lift",   # 1-row doc-count crossJoin
     "user_daily_value_locf",     # 1-row day-bounds crossJoin (spine)
@@ -47,6 +48,7 @@ GLOBAL_WINDOW_OK = {
     "pack_sequences_greedy",     # oracle-side only; Spark side has none
     "equidepth_price_histogram",  # prefix-sum over the P-row (32) per-
                                   # range-partition count frame
+    "price_quartiles_disc",      # same _global_ranks P-row prefix-sum
     "orders_month_over_month",   # lag over the one-row-per-month frame
 }
 
