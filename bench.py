@@ -133,6 +133,7 @@ HEADLINE = [
     "wav_feature_extract",
     "y4m_frame_sample",
     "price_quartiles_disc",
+    "daily_rollup_incremental",
 ]
 
 

@@ -189,3 +189,38 @@ def _register() -> None:
 
 
 _register()
+
+
+def _register_daily() -> None:
+    """Driver-checked query for the ADDITIVE rollup: maintain the daily
+    rollup across a mid-month seam via merge_daily_rollup; the oracle is
+    the direct full aggregation, so the hash gate proves
+    merge == recompute for the decomposable-aggregate path too."""
+    from ..sources.tables import load_table
+    from .registry import query
+
+    @query(
+        "daily_rollup_incremental",
+        oracle=f"""
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * {_SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_v_scaled,
+                   CAST(MIN(CAST(FLOOR(value * {_SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_v_scaled,
+                   CAST(MAX(CAST(FLOOR(value * {_SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_v_scaled
+            FROM events GROUP BY 1
+        """,
+    )
+    def daily_rollup_incremental(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        cut = F.lit("2024-01-15").cast("timestamp_ntz")
+        existing = daily_rollup(events.where(F.col("ts") < cut))
+        delta = daily_rollup(events.where(F.col("ts") >= cut))
+        return merge_daily_rollup(existing, delta)
+
+    _ = daily_rollup_incremental
+
+
+_register_daily()
