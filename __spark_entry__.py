@@ -67,6 +67,8 @@ def oracle_sql() -> dict[str, str]:
     events_value_percentiles_approx, hll_user_rollup,
     cms_user_frequency, ann_recall_eval) are genuinely
     non-SQL-expressible (LSH/sketches/iterative k-means/stubs) →
-    driver's rows-only check.
+    driver's rows-only check. The REAL media decode paths
+    (bmp_feature_extract, wav_feature_extract, y4m_frame_sample) ARE
+    oracle-backed via closed-form pixel/sample patterns.
     """
     return {k: ORACLES[k] for k in _sampling_order(ORACLES)}

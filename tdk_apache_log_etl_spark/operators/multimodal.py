@@ -155,8 +155,9 @@ def extract_image_features_real(images: DataFrame) -> DataFrame:
 @query("image_feature_extract")  # rows-only: stubbed decode, no SQL oracle
 def image_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-multimodal: binary payload → mapInPandas → typed features. Payloads
-    synthesized from documents.text; decode stubbed (see
-    extract_image_features)."""
+    synthesized from documents.text; decode stubbed here (see
+    extract_image_features) — the REAL, oracle-checked decode lives in
+    bmp_feature_extract (E59) / wav_feature_extract (E60)."""
     docs = load_table(spark, sf_dir, "documents")
     images = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -168,9 +169,10 @@ def image_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-multimodal: frame sampling plumbing — given per-asset metadata
     (duration derived deterministically from the payload), emit one row per
-    sampled frame offset via native sequence+explode. The decode of actual
-    frames is the stubbed step; the fan-out (1 asset → k frame rows) is the
-    real distributed pattern (explode, not driver loops)."""
+    sampled frame offset via native sequence+explode; the fan-out (1 asset
+    → k frame rows) is the real distributed pattern (explode, not driver
+    loops). For REAL container parsing + pixel averaging see
+    y4m_frame_sample (E61), which is oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     duration_s = (F.crc32(F.col("text").cast("binary")) % 30 + 1).cast("int")
     frames = docs.select(

@@ -1,5 +1,5 @@
 """Planted-fixture sanity for the round-3 journey/profiling/reporting
-operators (E34–E54). Oracle parity at sf0.01 is already enforced by
+operators (E34–E62). Oracle parity at sf0.01 is already enforced by
 test_oracle_parity.py; these tests pin the SEMANTICS on data where the
 expected answer is hand-computable."""
 
