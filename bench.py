@@ -134,6 +134,14 @@ HEADLINE = [
     "y4m_frame_sample",
     "price_quartiles_disc",
     "daily_rollup_incremental",
+    # robust / time-series stats + vector prep (round-4 additions)
+    "customer_rolling_30d_revenue",
+    "winsorized_value_stats",
+    "dow_seasonal_anomalies",
+    "events_cusum_changepoint",
+    "customer_spend_cume_dist",
+    "embedding_covariance_topk",
+    "hard_negative_pairs",
 ]
 
 

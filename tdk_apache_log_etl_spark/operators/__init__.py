@@ -19,3 +19,4 @@ from . import chunking  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
 from . import incremental  # noqa: F401,E402
+from . import robuststats  # noqa: F401,E402

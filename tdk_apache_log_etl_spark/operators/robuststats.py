@@ -1,0 +1,392 @@
+"""Robust / time-series statistics pack (SURVEY.md §2.6 E63–E67).
+
+The reference's analytics stop at three COUNT aggregates
+(sree-etl-tdk-glue-job.py:52-63); a production log/metrics engine also
+needs the robust-statistics layer — windowed RANGE frames, winsorized
+means, seasonal-baseline anomaly flags, CUSUM changepoint detection, and
+distribution-position scoring. Every operator here is pure DataFrame API
+(whole-stage codegen, no UDFs) and follows the repo's exact-parity rules
+(operators/numeric.py): money/value sums are fixed-point BIGINTs so every
+windowed or grouped sum is order-insensitive and bit-identical to the
+DuckDB oracle at any parallelism.
+
+Scale notes (100 TB):
+  * RANGE-frame windows shuffle once on the partition key; frames are
+    bounded by the 30-day range, never by partition row count.
+  * Winsorization joins a per-group bound frame (|groups| rows) back to
+    facts — broadcast, no second shuffle of the fact table.
+  * Seasonal/CUSUM operators aggregate facts down to |group|×|days| rows
+    FIRST; all window work happens on the collapsed frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .numeric import SCALE, dec_sum, sql_dec_sum
+from .registry import query
+
+#: Fixed epoch for integer day indexes (any date at/before the data works;
+#: both engines compute the identical datediff).
+_EPOCH = "1992-01-01"
+
+
+# --------------------------------------------------------------------------
+# E63: true RANGE-frame rolling window (event-time, not row-count, frames)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_rolling_30d_revenue",
+    oracle=f"""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE))
+                   AS day_idx,
+                 CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT) AS sc
+          FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(sc) OVER (
+                 PARTITION BY o_custkey ORDER BY day_idx
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / {SCALE} AS revenue_30d
+        FROM o
+    """,
+)
+def customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E63: per-customer trailing-30-day revenue at each order, via a true
+    RANGE frame over an integer day index — the frame is defined by event
+    time (orders 31+ days old fall out) rather than row count, which a
+    ROWS frame cannot express when order density varies.
+
+    Scale: one shuffle on o_custkey; each frame holds at most 31 days of
+    one customer's orders regardless of total data size. The windowed sum
+    runs over fixed-point BIGINTs, so the result is identical under any
+    intra-frame tie order (same-day orders are RANGE peers in both
+    engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_idx = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit(_EPOCH))
+    )
+    sc = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day_idx.alias("day_idx"),
+            sc.alias("sc"),
+        )
+        .withColumn(
+            "revenue_30d", F.sum("sc").over(w).cast("double") / SCALE
+        )
+        .select("o_orderkey", "o_custkey", "revenue_30d")
+    )
+
+
+# --------------------------------------------------------------------------
+# E64: winsorized mean (robust aggregate after exact-percentile clipping)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_value_stats",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        bounds AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM e GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               {sql_dec_sum("e.value")} / COUNT(*) AS raw_mean,
+               {sql_dec_sum("LEAST(GREATEST(e.value, b.lo), b.hi)")}
+                 / COUNT(*) AS winsor_mean
+        FROM e JOIN bounds b ON e.event_type = b.event_type
+        GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E64: winsorized mean — clip each group's values at its exact
+    p05/p95, then average. The standard robust-mean step before feeding
+    noisy metrics into downstream models; a plain mean is one corrupt
+    sensor away from garbage.
+
+    Two aggregations over one fact scan: the bounds frame is |groups|
+    rows, broadcast back onto the facts (no second fact shuffle). The
+    clip (least/greatest) runs on bit-identical percentile doubles
+    (percentile ≡ quantile_cont, proven by events_value_percentiles) and
+    the means use the fixed-point trick, so parity is exact. At 100 TB
+    swap the exact percentile for approx_percentile's mergeable sketch
+    (same shape as events_value_percentiles_approx)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    p = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = events.groupBy("event_type").agg(
+        F.get(p, 0).alias("lo"), F.get(p, 1).alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (dec_sum(F.col("value")) / F.count(F.lit(1))).alias("raw_mean"),
+            (dec_sum(clipped) / F.count(F.lit(1))).alias("winsor_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E65: seasonal-baseline anomaly detection (day-of-week residuals)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dow_seasonal_anomalies",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT)) AS sc
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        base AS (
+          SELECT event_type, dayofweek(d) AS dow,
+                 SUM(sc) AS tot, COUNT(*) AS nd
+          FROM daily GROUP BY event_type, dayofweek(d)
+        ),
+        scored AS (
+          SELECT daily.event_type, daily.d,
+                 CAST(daily.sc AS DOUBLE) / {SCALE} AS daily_total,
+                 CAST(base.tot AS DOUBLE) / base.nd / {SCALE} AS dow_mean
+          FROM daily
+          JOIN base ON daily.event_type = base.event_type
+                   AND dayofweek(daily.d) = base.dow
+        ),
+        resid AS (
+          SELECT event_type, d, daily_total, dow_mean,
+                 daily_total - dow_mean AS residual
+          FROM scored
+        )
+        SELECT event_type, d, daily_total, dow_mean, residual,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY abs(residual) DESC, d
+               ) AS INTEGER) AS rnk
+        FROM resid
+        QUALIFY rnk <= 3
+    """,
+)
+def dow_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E65: seasonal anomaly detection — compare each day's total against
+    its day-of-week baseline (weekends legitimately differ from weekdays;
+    a global mean would flag every Saturday). Report the top-3
+    largest-|residual| days per event type.
+
+    The fact table collapses to |types|×|days| rows in the FIRST
+    aggregation; the baseline frame is ≤ |types|×7 rows (broadcast); the
+    ranking window runs on the collapsed frame only. Day-of-week mapping:
+    Spark ``dayofweek``−1 ≡ DuckDB ``dayofweek`` (0=Sunday). All sums are
+    fixed-point BIGINTs; residual doubles come from identical operands in
+    both engines, so ordering and values hash-match."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * SCALE + F.lit(0.5)).cast("long")
+        ).alias("sc")
+    )
+    dow = (F.dayofweek("d") - 1).alias("dow")
+    base = daily.groupBy("event_type", dow).agg(
+        F.sum("sc").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    scored = (
+        daily.withColumn("dow", F.dayofweek("d") - 1)
+        .join(F.broadcast(base), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            (F.col("sc").cast("double") / SCALE).alias("daily_total"),
+            (
+                F.col("tot").cast("double") / F.col("nd") / SCALE
+            ).alias("dow_mean"),
+        )
+        .withColumn("residual", F.col("daily_total") - F.col("dow_mean"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual")).desc(), F.asc("d")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# E66: CUSUM changepoint detection (integer-exact cumulative deviations)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT)) AS sc
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        cum AS (
+          SELECT event_type, d, sc,
+                 SUM(sc) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS prefix,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY d
+                 ) AS BIGINT) AS k,
+                 SUM(sc) OVER (PARTITION BY event_type) AS tot,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM daily
+        ),
+        cusum AS (
+          SELECT event_type, d,
+                 nd * prefix - k * tot AS cusum_scaled, nd
+          FROM cum
+        )
+        SELECT event_type, d AS change_date,
+               CAST(cusum_scaled AS DOUBLE) / nd / {SCALE} AS cusum
+        FROM cusum
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY abs(cusum_scaled) DESC, d
+        ) = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E66: CUSUM changepoint detection — the day where the cumulative
+    deviation of daily totals from the series mean peaks, the classic
+    level-shift detector for metrics streams.
+
+    The naive form accumulates x_i − mean in floats (order-dependent,
+    engine-dependent: DuckDB's segment-tree window sums add in a
+    different order than Spark's running fold). Instead the deviation
+    sum is multiplied through by n: nd·prefix_k − k·total, every term an
+    exact BIGINT — bit-identical whatever order either engine's window
+    machinery adds in. Facts collapse to |types|×|days| rows before any
+    window; the final division normalizes back to value units."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * SCALE + F.lit(0.5)).cast("long")
+        ).alias("sc")
+    )
+    ordered = Window.partitionBy("event_type").orderBy("d")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("sc").over(running).alias("prefix"),
+        F.row_number().over(ordered).cast("long").alias("k"),
+        F.sum("sc").over(whole).alias("tot"),
+        F.count(F.lit(1)).over(whole).alias("nd"),
+    )
+    cusum = cum.select(
+        "event_type",
+        "d",
+        (F.col("nd") * F.col("prefix") - F.col("k") * F.col("tot")).alias(
+            "cusum_scaled"
+        ),
+        "nd",
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("d")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_date"),
+            (
+                F.col("cusum_scaled").cast("double") / F.col("nd") / SCALE
+            ).alias("cusum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E67: distribution-position scoring (cume_dist / percent_rank)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_spend_cume_dist",
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5) AS BIGINT))
+                   AS sc
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(s.sc AS DOUBLE) / {SCALE} AS spend,
+               round(cume_dist() OVER (
+                 PARTITION BY c.c_mktsegment ORDER BY s.sc
+               ), 6) AS spend_cume_dist,
+               round(percent_rank() OVER (
+                 PARTITION BY c.c_mktsegment ORDER BY s.sc
+               ), 6) AS spend_pct_rank
+        FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+    """,
+)
+def customer_spend_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E67: where does each customer sit in their segment's spend
+    distribution — cume_dist (fraction of peers at-or-below) and
+    percent_rank. The standard feature for percentile-bucketed cohorts.
+
+    Spend is aggregated to one BIGINT per customer first (exact ties →
+    deterministic peer groups in both engines); the window then runs on
+    the |customers| aggregate, not the order facts. Both functions are
+    rank-count ratios — one double division of identical integers per
+    row — rounded to 6 places only as belt-and-braces."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+        ).alias("sc")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("sc")
+    return (
+        spend.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            spend["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("sc").cast("double") / SCALE).alias("spend"),
+            F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+            F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        )
+    )

@@ -736,3 +736,214 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_value"),
         F.max("x").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# E68: covariance matrix (PCA / whitening prep) over the embedding column
+# --------------------------------------------------------------------------
+
+#: Fixed-point scales for covariance terms: element values are O(0.3), so
+#: products are O(0.1) — 1e8 on products / 1e6 on elements keeps 4+ digits
+#: past the noise floor while the summed BIGINTs stay far from overflow
+#: (n·1e7 ≈ 1e12 even at 100 TB corpus row counts the driver would shard).
+_COV_PSCALE = 100_000_000
+_COV_XSCALE = 1_000_000
+
+
+@query(
+    "embedding_covariance_topk",
+    oracle=f"""
+        WITH flat AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1 AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        terms AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(FLOOR(a.x * b.x * {_COV_PSCALE} + 0.5) AS BIGINT) AS t
+          FROM flat a JOIN flat b
+            ON a.vec_id = b.vec_id AND a.i < b.i
+        ),
+        agg AS (
+          SELECT i, j, SUM(t) AS sxy, COUNT(*) AS n
+          FROM terms GROUP BY i, j
+        ),
+        stats AS (
+          SELECT i,
+                 SUM(CAST(FLOOR(x * {_COV_XSCALE} + 0.5) AS BIGINT)) AS sx,
+                 COUNT(*) AS n
+          FROM flat GROUP BY i
+        ),
+        cov AS (
+          SELECT a.i, a.j,
+                 CAST(a.sxy AS DOUBLE) / {_COV_PSCALE} / a.n
+                 - (CAST(si.sx AS DOUBLE) / {_COV_XSCALE} / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / {_COV_XSCALE} / sj.n) AS cov
+          FROM agg a
+          JOIN stats si ON si.i = a.i
+          JOIN stats sj ON sj.i = a.j
+        )
+        SELECT i, j, cov FROM cov
+        ORDER BY abs(cov) DESC, i, j LIMIT 20
+    """,
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E68: top-|covariance| coordinate pairs of the embedding corpus —
+    the input to PCA / whitening / redundant-dimension pruning before
+    training on the vectors.
+
+    No self-join of the corpus: each row expands its own d(d−1)/2 upper-
+    triangle products via nested array ``transform`` (codegen), and the
+    (i,j) hash aggregate collapses them map-side — the shuffle carries
+    O(tasks × d²) partial rows, never the n·d² expansion. Means come from
+    a separate |d|-row posexplode aggregate (same map-side collapse).
+    Every sum is a fixed-point BIGINT; cov = E[xy] − E[x]E[y] divides
+    identical integers in a pinned order, so the doubles and the
+    top-20-by-|cov| order hash-match DuckDB exactly. At 100 TB d² partials
+    (~2k rows for d=64) per task is the only state — this is the textbook
+    one-pass distributed covariance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    d = F.size("embedding")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), d - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, d - 1),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        F.floor(
+                            F.get(e, i) * F.get(e, j) * _COV_PSCALE
+                            + F.lit(0.5)
+                        )
+                        .cast("long")
+                        .alias("t"),
+                    ),
+                ),
+            )
+        )
+    )
+    agg = (
+        emb.select(pairs.alias("p"))
+        .select("p.i", "p.j", "p.t")
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    stats = (
+        emb.select(F.posexplode(e).alias("i", "x"))
+        .groupBy(F.col("i").cast("int").alias("i"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * _COV_XSCALE + F.lit(0.5)).cast("long")
+            ).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    si = stats.select(
+        F.col("i").alias("si_i"), F.col("sx").alias("si_sx"),
+        F.col("n").alias("si_n"),
+    )
+    sj = stats.select(
+        F.col("i").alias("sj_i"), F.col("sx").alias("sj_sx"),
+        F.col("n").alias("sj_n"),
+    )
+    cov = (
+        agg.join(F.broadcast(si), agg["i"] == si["si_i"])
+        .join(F.broadcast(sj), agg["j"] == sj["sj_i"])
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy").cast("double") / _COV_PSCALE / F.col("n")
+                - (
+                    F.col("si_sx").cast("double")
+                    / _COV_XSCALE
+                    / F.col("si_n")
+                )
+                * (
+                    F.col("sj_sx").cast("double")
+                    / _COV_XSCALE
+                    / F.col("sj_n")
+                )
+            ).alias("cov"),
+        )
+    )
+    return cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(20)
+
+
+# --------------------------------------------------------------------------
+# E69: hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_pairs",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS qnorm
+          FROM embeddings WHERE vec_id < {TOPK_N_QUERIES}
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, label AS clabel, embedding AS ce,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS cnorm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 {_sql_dot("q.qe", "c.ce")} / (q.qnorm * c.cnorm) AS cosine
+          FROM q, c
+          WHERE c.clabel <> q.qlabel
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {TOPK_K}
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E69: hard-negative mining — for each query vector, the most-similar
+    corpus vectors carrying a DIFFERENT label. These near-miss negatives
+    are what contrastive losses (triplet / InfoNCE) need; random negatives
+    are too easy to teach anything.
+
+    Identical scale shape to cosine_topk_bruteforce (broadcast query set,
+    one corpus scan, per-query top-k window) plus the label-mismatch
+    predicate evaluated before scoring. The at-scale path composes with
+    ann_ivf_topk's inverted lists — mine within the query's probe cells,
+    then filter labels; label disagreement on near neighbors also flags
+    probable mislabels (dataset QA)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        e.alias("ce"),
+        norm.alias("cnorm"),
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        e.alias("qe"),
+        norm.alias("qnorm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("clabel") != F.col("qlabel")
+    ).withColumn(
+        "cosine",
+        dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

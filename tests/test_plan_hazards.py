@@ -36,6 +36,7 @@ BNLJ_OK = {
     "token_cooccurrence_lift",   # 1-row doc-count crossJoin
     "user_daily_value_locf",     # 1-row day-bounds crossJoin (spine)
     "benford_value_audit",       # 1-row total over the 9-row digit frame
+    "hard_negative_pairs",       # bounded TOPK_N_QUERIES query set broadcast
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
