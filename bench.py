@@ -142,6 +142,9 @@ HEADLINE = [
     "customer_spend_cume_dist",
     "embedding_covariance_topk",
     "hard_negative_pairs",
+    "join_view_incremental",
+    "custkey_orders_except_all",
+    "doc_oov_rate",
 ]
 
 

@@ -224,3 +224,172 @@ def _register_daily() -> None:
 
 
 _register_daily()
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-VIEW maintenance (two-sided deltas).
+#
+# The rollup above maintains a single-table aggregate; real marts maintain
+# aggregates over JOINS (revenue by nation = orders ⋈ customer). The naive
+# incremental form  ΔV = agg(ΔA ⋈ B) + agg(A ⋈ ΔB)  still rescans the fact
+# table A when a dimension row arrives late. The classic fix (deferred-view
+# maintenance with auxiliary aggregates) is to maintain, alongside the view,
+# the per-join-key partial aggregate of the facts:
+#
+#   R       : o_custkey -> (n_orders, sum_scaled)      (fact partials)
+#   V       : nationkey -> (n_orders, sum_scaled)      (the join view)
+#
+#   on ΔA (new orders):     V += agg(ΔA ⋈ B_new);  R += partials(ΔA)
+#   on ΔB (late customers): V += R ⋈ ΔB            (NO fact rescan)
+#
+# Correctness quadrants: A_old⋈B_old is V_old; ΔA⋈(B_old ∪ ΔB) is the first
+# term; A_old⋈ΔB is the second (R rows for B_old keys join nothing because
+# dimension keys arrive exactly once — append-only dimension contract).
+# Every metric is an exact integer, so merge order is irrelevant and the
+# maintained view is bit-identical to a full recompute — which is exactly
+# what the registered query's DuckDB oracle verifies.
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_nation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Direct (non-incremental) form of the join view: revenue and order
+    count per customer nation. Used to seed state and as the recompute
+    baseline in tests."""
+    return (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * _SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("sc"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("sc").alias("sum_scaled"),
+        )
+    )
+
+
+def orders_by_customer(orders: DataFrame) -> DataFrame:
+    """The auxiliary fact partials R: per-custkey order count and exact
+    scaled revenue. |customers|-sized, join-key-partitioned — this is what
+    makes late-dimension merges fact-rescan-free."""
+    return (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * _SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("sc"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("sc").alias("sum_scaled"),
+        )
+    )
+
+
+def merge_join_view(
+    view_old: DataFrame,
+    orders_agg_old: DataFrame,
+    delta_orders: DataFrame,
+    customer_new: DataFrame,
+    delta_customer: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold an order delta AND a late-arriving customer delta into the
+    maintained (view, fact-partials) pair.
+
+    Cost: agg(ΔA) ⋈ dimension + R ⋈ ΔB + a view-sized re-aggregate. The
+    historical fact table never appears in the plan (asserted in
+    tests/test_incremental.py); the returned pair is bit-identical to
+    rebuilding from the concatenated inputs."""
+    delta_partials = orders_by_customer(delta_orders)
+    dv_orders = (
+        delta_partials.join(
+            customer_new.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+    dv_customers = (
+        orders_agg_old.join(
+            F.broadcast(delta_customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+    view_new = (
+        view_old.unionByName(dv_orders)
+        .unionByName(dv_customers)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+    orders_agg_new = (
+        orders_agg_old.unionByName(delta_partials)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+    return view_new, orders_agg_new
+
+
+def _register_join_view() -> None:
+    """Driver-checked query: maintain revenue-by-nation across BOTH an
+    order seam (orders from 1996 on arrive as the delta) and a
+    late-arriving dimension slice (every 10th customer key is absent when
+    the view is seeded). The oracle recomputes the join view directly
+    from the full tables — the hash gate is the merge==recompute proof."""
+    from ..sources.tables import load_table
+    from .registry import query
+
+    @query(
+        "join_view_incremental",
+        oracle=f"""
+            SELECT c.c_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * {_SCALE} + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / {_SCALE} AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+    )
+    def join_view_incremental(spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        seam = F.lit("1996-01-01").cast(
+            orders.schema["o_orderdate"].dataType
+        )
+        a_old = orders.where(F.col("o_orderdate") < seam)
+        da = orders.where(F.col("o_orderdate") >= seam)
+        b_old = customer.where(F.col("c_custkey") % 10 != 0)
+        db = customer.where(F.col("c_custkey") % 10 == 0)
+        v_old = revenue_by_nation(a_old, b_old)
+        r_old = orders_by_customer(a_old)
+        v_new, _r_new = merge_join_view(v_old, r_old, da, customer, db)
+        return v_new.select(
+            "nationkey",
+            "n_orders",
+            (F.col("sum_scaled").cast("double") / _SCALE).alias("revenue"),
+        )
+
+    _ = join_view_incremental
+
+
+_register_join_view()

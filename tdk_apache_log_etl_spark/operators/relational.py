@@ -358,6 +358,65 @@ def except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "custkey_orders_except_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def custkey_orders_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op with BAG semantics: EXCEPT ALL keeps multiplicity — a
+    customer with five 1995 orders and two 1996 orders survives three
+    times (their year-over-year order deficit), where plain EXCEPT would
+    drop them entirely. Spark plans ``exceptAll`` as a counted
+    aggregate + generate, one shuffle on the compared row — no sort, no
+    per-row matching, scale-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= _ts(orders, "o_orderdate", "1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts(orders, "o_orderdate", "1996-01-01 00:00:00"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= _ts(orders, "o_orderdate", "1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts(orders, "o_orderdate", "1997-01-01 00:00:00"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.exceptAll(y96)
+
+
+@query(
+    "custkey_orders_intersect_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def custkey_orders_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag INTERSECT ALL: each customer appears min(#1995 orders,
+    #1996 orders) times — the retained year-over-year order volume.
+    Same counted-aggregate physical shape as exceptAll."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= _ts(orders, "o_orderdate", "1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts(orders, "o_orderdate", "1996-01-01 00:00:00"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= _ts(orders, "o_orderdate", "1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts(orders, "o_orderdate", "1997-01-01 00:00:00"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersectAll(y96)
+
+
+@query(
     "distinct_mktsegments",
     oracle="SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
 )

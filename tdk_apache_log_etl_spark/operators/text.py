@@ -1038,3 +1038,74 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("df_a") * F.col("df_b")).cast("double")
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# E72: out-of-vocabulary rate vs a frequency-truncated vocab
+# --------------------------------------------------------------------------
+
+#: Deliberately small so the fixture corpus (tiny synthetic vocabulary)
+#: produces non-trivial OOV mass; production would use the tokenizer's
+#: real vocab size.
+OOV_VOCAB_K = 10
+
+
+@query(
+    "doc_oov_rate",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks
+            GROUP BY tok ORDER BY c DESC, tok LIMIT {OOV_VOCAB_K}
+          )
+        ),
+        flags AS (
+          SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM flags GROUP BY doc_id
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E72: per-document out-of-vocabulary rate against the corpus's
+    top-K token vocabulary — the tokenizer-coverage metric that decides
+    whether a vocab truncation is safe (high-OOV docs degrade into
+    <unk>-soup when trained on).
+
+    The vocab is a TakeOrderedAndProject over the token aggregate
+    (deterministic count-desc/token-asc tie-break), broadcast back onto
+    the exploded tokens; the per-doc aggregate collapses map-side. Two
+    scans of documents (one to build the vocab, one to score) — at
+    100 TB the vocab frame would be persisted/reused across scoring
+    runs, exactly like the IVF centroids."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flags = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

@@ -131,3 +131,71 @@ def test_transition_merge_plan_never_rescans_facts(spark):
     for df in (mc, ms):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "parquet" not in plan.lower()  # no fact-table scan
+
+
+def test_join_view_merge_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.incremental import (
+        merge_join_view,
+        orders_by_customer,
+        revenue_by_nation,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR_CORRECT, "orders")
+    customer = load_table(spark, SF_DIR_CORRECT, "customer")
+    seam = F.lit("1996-01-01").cast(orders.schema["o_orderdate"].dataType)
+    a_old = orders.where(F.col("o_orderdate") < seam)
+    da = orders.where(F.col("o_orderdate") >= seam)
+    b_old = customer.where(F.col("c_custkey") % 10 != 0)
+    db = customer.where(F.col("c_custkey") % 10 == 0)
+    assert da.count() > 0 and db.count() > 0
+
+    v_new, r_new = merge_join_view(
+        revenue_by_nation(a_old, b_old),
+        orders_by_customer(a_old),
+        da,
+        customer,
+        db,
+    )
+    assert _rows(v_new) == _rows(revenue_by_nation(orders, customer))
+    # the maintained fact partials must also equal a from-scratch rebuild
+    assert _rows(r_new) == _rows(orders_by_customer(orders))
+
+
+def test_join_view_merge_never_rescans_old_facts(spark, tmp_path):
+    # Scale proof: with state materialized and the delta arriving as its
+    # own batch, the merge plan may scan the DELTA batch and the customer
+    # dimension — but never the historical orders fact table.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.incremental import (
+        merge_join_view,
+        orders_by_customer,
+        revenue_by_nation,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR_CORRECT, "orders")
+    customer = load_table(spark, SF_DIR_CORRECT, "customer")
+    seam = F.lit("1996-01-01").cast(orders.schema["o_orderdate"].dataType)
+    a_old = orders.where(F.col("o_orderdate") < seam)
+    delta_path = str(tmp_path / "delta_orders.parquet")
+    orders.where(F.col("o_orderdate") >= seam).write.parquet(delta_path)
+    da = spark.read.parquet(delta_path)
+    db = customer.where(F.col("c_custkey") % 10 == 0)
+
+    v_old = revenue_by_nation(
+        a_old, customer.where(F.col("c_custkey") % 10 != 0)
+    ).localCheckpoint()
+    r_old = orders_by_customer(a_old).localCheckpoint()
+    v_new, _ = merge_join_view(v_old, r_old, da, customer, db)
+    plan = v_new._jdf.queryExecution().executedPlan().toString()
+    scanned = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
+    assert not any(
+        "testdata" in ln for ln in scanned
+    ), f"merge rescanned historical facts: {scanned}"
+    # the delta batch and the dimension ARE scanned (paths are truncated
+    # in the rendered plan, so count scans rather than match full paths)
+    assert plan.count("Scan parquet") >= 2
