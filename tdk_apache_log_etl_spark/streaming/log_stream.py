@@ -318,3 +318,41 @@ def enrich_stream_ip_ranges(parsed: DataFrame, nation: DataFrame) -> DataFrame:
     return ip_range_join(ips, ranges).select(
         "ip_idx", "sz", "block_owner"
     )
+
+
+def sliding_error_rate(
+    events: DataFrame,
+    ts_col: str = "time",
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windows — the third member of the window
+    trio next to tumbling (windowed_event_counts) and session
+    (session_window_counts): each event lands in window/slide
+    overlapping windows, giving a smoothed error-rate monitor that a
+    tumbling window would chop at arbitrary boundaries.
+
+    State per key is window/slide live windows, still bounded by the
+    watermark. The error rate divides two exact counts (deterministic).
+    NTZ→LTZ cast as in windowed_event_counts."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.count(F.when(F.col("status_code") >= 500, 1)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_requests",
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double") / F.col("n_requests"), 6
+            ).alias("error_rate"),
+        )
+    )

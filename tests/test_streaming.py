@@ -537,3 +537,34 @@ def test_streaming_bmp_feature_extract(spark, tmp_path):
         assert r.mean_intensity == float(int(arr.sum(dtype="int64"))) / (
             w * h * c
         ) / 255
+
+
+def test_sliding_window_error_rate(spark, tmp_path):
+    from tdk_apache_log_etl_spark.streaming.log_stream import (
+        sliding_error_rate,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "2026-08-13.log").write_text("\n".join(LINES) + "\n")
+    ckpt = str(tmp_path / "ckpt-slide")
+
+    parsed = read_log_stream(spark, str(src))
+    rates = sliding_error_rate(parsed)
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("slide_rates")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM slide_rates").collect()
+    # overlapping windows: every event is counted window/slide = 2 times
+    assert sum(r.n_requests for r in rows) == 2 * len(LINES)
+    for r in rows:
+        assert 0.0 <= r.error_rate <= 1.0
+        assert r.n_errors <= r.n_requests
+        # window length is the full 10-minute duration, starts 5 min apart
+        assert (r.window_end - r.window_start).total_seconds() == 600
