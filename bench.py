@@ -145,6 +145,9 @@ HEADLINE = [
     "join_view_incremental",
     "custkey_orders_except_all",
     "doc_oov_rate",
+    "k_anonymity_audit",
+    "user_time_weighted_value",
+    "cdc_apply_with_deletes",
 ]
 
 

@@ -262,3 +262,124 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(kind.alias("diff_kind")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# E75: CDC apply with delete tombstones
+# ---------------------------------------------------------------------------
+
+
+def apply_cdc(
+    base: DataFrame, changes: DataFrame, key: str, payload: list[str]
+) -> DataFrame:
+    """Engine-level MERGE with DELETE: the change batch carries an
+    ``op`` column ('upsert' | 'delete'); matched deletes remove the base
+    row, matched upserts update per column (NULL = leave unchanged),
+    unmatched upserts insert, unmatched deletes are no-ops (idempotent
+    replay of an already-applied tombstone). Same single full-outer
+    shuffle as merge_upsert — this is what MERGE INTO ... WHEN MATCHED
+    AND op='delete' THEN DELETE lowers to."""
+    b = base.select(key, *payload)
+    c = changes.select(
+        F.col(key).alias(f"_c_{key}"),
+        F.col("op").alias("_c_op"),
+        *[F.col(p).alias(f"_c_{p}") for p in payload],
+    )
+    joined = b.join(c, b[key] == c[f"_c_{key}"], "full_outer")
+    return (
+        joined
+        # tombstones: drop matched-delete rows AND unmatched-delete no-ops
+        .filter(
+            F.col("_c_op").isNull() | (F.col("_c_op") != F.lit("delete"))
+        )
+        .select(
+            F.coalesce(b[key], c[f"_c_{key}"]).alias(key),
+            *[
+                F.coalesce(c[f"_c_{p}"], b[p]).alias(p)
+                for p in payload
+            ],
+            F.when(b[key].isNull(), F.lit("insert"))
+            .when(c[f"_c_{key}"].isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+        )
+    )
+
+
+@query(
+    "cdc_apply_with_deletes",
+    oracle=f"""
+        WITH latest AS (
+          SELECT o_custkey, o_orderpriority,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+                 ) AS rn
+          FROM orders
+        ),
+        changes AS (
+          SELECT o_custkey AS c_custkey,
+                 CASE WHEN o_custkey % 7 = 0 THEN 'delete'
+                      ELSE 'upsert' END AS op,
+                 CAST(NULL AS VARCHAR) AS c_name,
+                 o_orderpriority AS c_mktsegment
+          FROM latest WHERE rn = 1
+          UNION ALL
+          SELECT o_custkey + {INSERT_KEY_OFFSET}, 'upsert',
+                 'NEW-' || CAST(o_custkey AS VARCHAR),
+                 o_orderpriority
+          FROM latest WHERE rn = 1
+        ),
+        merged AS (
+          SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+                 COALESCE(c.c_name, b.c_name) AS c_name,
+                 COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+                 CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                      WHEN c.c_custkey IS NULL THEN 'keep'
+                      ELSE 'update' END AS op,
+                 c.op AS change_op
+          FROM customer b FULL OUTER JOIN changes c USING (c_custkey)
+        )
+        SELECT c_custkey, c_name, c_mktsegment, op
+        FROM merged
+        WHERE change_op IS NULL OR change_op <> 'delete'
+    """,
+)
+def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E75: MERGE with tombstones over a deterministic change batch:
+    every 7th active customer's latest change is a DELETE, the rest
+    re-segment (update); offset-key rows arrive as inserts; order-less
+    customers pass through. The oracle replays the same batch in SQL, so
+    the hash gate checks delete/update/insert routing value-by-value."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority")
+    )
+    updates = latest.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_custkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    inserts = latest.select(
+        (F.col("o_custkey") + INSERT_KEY_OFFSET).alias("c_custkey"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("NEW-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return apply_cdc(
+        customer,
+        updates.unionByName(inserts),
+        "c_custkey",
+        ["c_name", "c_mktsegment"],
+    )

@@ -164,3 +164,58 @@ def log_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("user_pseudo"),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# E73: k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+#: Minimum acceptable equivalence-class size for the quasi-identifier set.
+K_ANONYMITY_THRESHOLD = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+        SELECT c_nationkey AS nationkey,
+               c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                        ELSE 'nonneg' END) AS BIGINT)
+                 AS l_diversity,
+               CAST(CASE WHEN COUNT(*) < {K_ANONYMITY_THRESHOLD}
+                         THEN 1 ELSE 0 END AS INTEGER) AS below_k
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E73: re-identification risk audit before releasing a dataset —
+    the size of every quasi-identifier equivalence class (here
+    nation × market segment) plus its l-diversity over a sensitive
+    attribute (account-balance sign). Classes below k are the rows an
+    attacker can single out; l=1 classes leak the sensitive value even
+    at large k (homogeneity attack). One hash aggregate over the QI
+    key; the distinct-count rides the same shuffle (its domain is 2
+    values, so the partial aggregate stays tiny). At 100 TB widen the
+    QI set and the same single-aggregate shape holds."""
+    customer = load_table(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(
+        F.lit("nonneg")
+    )
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(sens).alias("l_diversity"),
+        )
+        .withColumn(
+            "below_k",
+            F.when(
+                F.col("group_size") < K_ANONYMITY_THRESHOLD, 1
+            ).otherwise(0).cast("int"),
+        )
+    )

@@ -520,3 +520,78 @@ def user_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNotNull().alias("observed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E74: time-weighted average over validity intervals
+# ---------------------------------------------------------------------------
+
+#: 2-decimal fixed point for the weighted products: value_scaled ×
+#: microsecond durations stay far below BIGINT range (≤ ~1e4 × month-span
+#: ≈ 2.7e16 per user) where the standard 4-decimal scale would run within
+#: 4× of overflow.
+_TW_VSCALE = 100
+
+
+@query(
+    "user_time_weighted_value",
+    oracle=f"""
+        WITH seg AS (
+          SELECT user_id,
+                 CAST(FLOOR(value * {_TW_VSCALE} + 0.5) AS BIGINT)
+                   AS v_scaled,
+                 date_diff('microsecond', ts,
+                           LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS dur_us
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(SUM(v_scaled * dur_us) AS DOUBLE) / SUM(dur_us)
+                 / {_TW_VSCALE} AS tw_avg_value,
+               CAST(SUM(dur_us) AS BIGINT) AS active_us,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals
+        FROM seg
+        WHERE dur_us IS NOT NULL AND dur_us > 0
+        GROUP BY user_id
+    """,
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E74: time-weighted mean of a stepwise metric — each reading is
+    valid until the user's next reading, so its weight is the interval
+    length, not 1. The plain AVG the reference could compute
+    over-weights bursts of rapid readings; the time-weighted form is
+    the standard for billing meters / utilization / sensor gauges.
+
+    One lead() window and the final aggregate share a single user_id
+    shuffle. Weights are exact integer MICROSECONDS (both engines count
+    whole microseconds — no per-engine second-truncation convention to
+    pin) and values are fixed-point, so every product and sum is an
+    exact BIGINT; zero-length intervals (duplicate timestamps) drop in
+    both engines."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        F.floor(F.col("value") * _TW_VSCALE + F.lit(0.5))
+        .cast("long")
+        .alias("v_scaled"),
+        F.timestamp_diff(
+            "MICROSECOND", F.col("ts"), F.lead("ts").over(w)
+        ).alias("dur_us"),
+    )
+    return (
+        seg.filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("v_scaled") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us")
+                / _TW_VSCALE
+            ).alias("tw_avg_value"),
+            F.sum("dur_us").cast("long").alias("active_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
