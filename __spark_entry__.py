@@ -65,8 +65,10 @@ def oracle_sql() -> dict[str, str]:
     embedding_cosine_neardup, image_feature_extract, image_resize,
     media_frame_sample, clf_user_count_approx,
     events_value_percentiles_approx, hll_user_rollup,
-    cms_user_frequency, ann_recall_eval) are genuinely
-    non-SQL-expressible (LSH/sketches/iterative k-means/stubs) →
+    cms_user_frequency, ann_recall_eval, bpe_train_merges) are genuinely
+    non-SQL-expressible (LSH/sketches/iterative k-means/iterative
+    BPE/stubs; bpe_train_merges is instead pinned against a pure-Python
+    reference implementation in tests/test_chunking.py) →
     driver's rows-only check. The REAL media decode paths
     (bmp_feature_extract, wav_feature_extract, y4m_frame_sample) ARE
     oracle-backed via closed-form pixel/sample patterns.

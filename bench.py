@@ -148,6 +148,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "user_time_weighted_value",
     "cdc_apply_with_deletes",
+    "bpe_train_merges",
 ]
 
 

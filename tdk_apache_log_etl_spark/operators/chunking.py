@@ -127,3 +127,92 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+#: Merge rounds for the iterative trainer — enough to exercise the loop
+#: (real training runs thousands; the shape per round is identical).
+BPE_TRAIN_ROUNDS = 5
+
+
+def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataFrame:
+    """Rewrite every token array, replacing adjacent (a, b) with the
+    merged token, greedy left-to-right and non-overlapping (standard BPE
+    apply order: in 'a a a' with pair (a,a) the first two merge, the
+    third survives). Expressed as a left fold over the array — the
+    merged token differs from ``a``, so a freshly-merged element can
+    never be the left half of another merge in the same round. Pure
+    narrow transformation: each partition rewrites its own documents."""
+    return toks.select(
+        F.aggregate(
+            F.col("tk"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (t == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        ).alias("tk")
+    )
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed BPE-style tokenizer training: N rounds of
+    (count adjacent pairs) → (pick the most frequent pair, count-desc /
+    pair-asc tie-break) → (rewrite the corpus merging that pair), over
+    word-level sequences. Returns the learned merge table
+    (round, left, right, n_occurrences) — the artifact a tokenizer
+    trainer ships.
+
+    Scale shape per round: the pair count is the same map-side-combined
+    aggregate as bpe_merge_candidates (shuffle carries pair partials,
+    never text); ONLY the single winning pair row crosses to the driver
+    (TakeOrderedAndProject limit 1); the rewrite is a narrow per-
+    partition fold. Rounds chain through persist()/unpersist() so each
+    round reads the previous round's materialized corpus, not a
+    re-derivation from round 0 — lineage stays O(1) per round, the
+    at-scale requirement for thousands of merge rounds.
+
+    Deliberately oracle-free (data-dependent iteration is not
+    single-SQL-expressible); correctness is pinned against a pure-Python
+    reference implementation on a planted fixture in
+    tests/test_chunking.py, and determinism comes from the explicit
+    tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("tk")).persist()
+    results = []
+    prev = toks
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = prev.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> struct(t AS l,"
+                    " element_at(tk, i + 2) AS r))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merged = f"{a}▁{b}"  # U+2581: sentencepiece-style joiner
+        results.append((rnd, a, b, n))
+        nxt = _merge_pair_in_arrays(prev, a, b, merged).persist()
+        nxt.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        results, "round int, left string, right string, n_occurrences long"
+    )

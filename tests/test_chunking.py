@@ -127,3 +127,87 @@ def test_ip_out_of_range_dropped(spark, tmp_path):
         }
     ).to_parquet(tmp_path / "nation.parquet")
     assert QUERIES["ip_range_enrich_traffic"](spark, str(tmp_path)).count() == 0
+
+
+def _py_bpe_reference(texts, rounds):
+    from collections import Counter
+
+    seqs = [t.split(" ") for t in texts]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        if not c:
+            break
+        (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((rnd, a, b, n))
+        merged = f"{a}▁{b}"
+        nxt = []
+        for s in seqs:
+            out = []
+            for t in s:
+                if out and out[-1] == a and t == b:
+                    out[-1] = merged
+                else:
+                    out.append(t)
+            nxt.append(out)
+        seqs = [s for s in nxt]
+    return merges
+
+
+def test_bpe_train_matches_reference_on_planted_fixture(spark, tmp_path):
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    texts = [
+        "x y x y x y z",     # (x,y) dominates; overlapping "y x" chains
+        "a a a a",           # overlap semantics: 4 a's -> two (a,a) merges
+        "x y w a a",
+        "w w w",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = [
+        (r["round"], r["left"], r["right"], r["n_occurrences"])
+        for r in QUERIES["bpe_train_merges"](spark, str(tmp_path)).collect()
+    ]
+    want = _py_bpe_reference(texts, 5)
+    assert got == want
+    # the planted corpus must actually exercise the greedy-overlap rule
+    assert any(left == "a" and right == "a" for _, left, right, _ in want)
+
+
+def test_bpe_train_matches_reference_on_fixture_corpus(spark):
+    import duckdb
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    from .conftest import SF_DIR_CORRECT
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR_CORRECT}/documents.parquet' "
+            "ORDER BY doc_id"
+        ).fetchall()
+    ]
+    got = [
+        (r["round"], r["left"], r["right"], r["n_occurrences"])
+        for r in QUERIES["bpe_train_merges"](
+            spark, SF_DIR_CORRECT
+        ).collect()
+    ]
+    assert got == _py_bpe_reference(texts, 5)
