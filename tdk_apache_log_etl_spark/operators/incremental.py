@@ -320,8 +320,10 @@ def merge_join_view(
         )
     )
     dv_customers = (
+        # no broadcast hint: a dimension backfill can be arbitrarily large
+        # (it grows with SF); AQE picks broadcast when the delta is small
         orders_agg_old.join(
-            F.broadcast(delta_customer.select("c_custkey", "c_nationkey")),
+            delta_customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(F.col("c_nationkey").alias("nationkey"))

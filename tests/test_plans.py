@@ -126,6 +126,12 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "top_tokens", "n",
         # benford (logmetrics.py): the fixed 9-row expectation table
         "expected",
+        # dow baseline (robuststats.py): ≤ |event types| × 7 rows
+        "base",
+        # covariance per-dimension stats (similarity.py): |dims| rows each
+        "si", "sj",
+        # OOV vocabulary (text.py): top-K rows by contract
+        "vocab",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
