@@ -149,6 +149,16 @@ HEADLINE = [
     "user_time_weighted_value",
     "cdc_apply_with_deletes",
     "bpe_train_merges",
+    # growth / concentration / experimentation (round-3 continuation)
+    "user_growth_accounting",
+    "user_longest_streak",
+    "journey_pattern_counts",
+    "peak_decline_by_type",
+    "pareto_abc_brands",
+    "region_revenue_concentration",
+    "user_activity_gini",
+    "ab_conversion_ztest",
+    "daily_counts_autocorr",
 ]
 
 

@@ -20,3 +20,5 @@ from . import graph  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
 from . import incremental  # noqa: F401,E402
 from . import robuststats  # noqa: F401,E402
+from . import growth  # noqa: F401,E402
+from . import concentration  # noqa: F401,E402

@@ -1,0 +1,416 @@
+"""Concentration / inequality / experimentation pack (SURVEY.md §2.6
+E82–E86).
+
+The reference reports raw per-user counts (sree-etl-tdk-glue-job.py:55-60)
+and stops; the analytical layer a revenue/traffic engine needs on top of
+those counts is *distributional*: which sellers concentrate the revenue
+(Pareto/ABC, concentration ratios), how unequal user activity is (Gini),
+whether an experiment moved conversion (two-proportion z-test), and how
+self-correlated the traffic series is (lag-1 autocorrelation).
+
+Exactness strategy (operators/numeric.py): every statistic here reduces
+to integer sums (counts, ranks, fixed-point money) combined by a FIXED
+tree of IEEE double operations at the very end — so Spark and DuckDB
+produce identical bits at any parallelism; no libm (no log/exp), no
+order-dependent float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .numeric import SCALE
+from .registry import query
+from .relational import _global_ranks
+
+
+# --------------------------------------------------------------------------
+# E82: Pareto / ABC classification (cumulative-share banding)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_abc_brands",
+    oracle=f"""
+        WITH b AS (
+          SELECT p.p_brand,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                        * {SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sc
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand
+        ),
+        w AS (
+          SELECT p_brand, sc,
+                 CAST(SUM(sc) OVER (
+                   ORDER BY sc DESC, p_brand
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum,
+                 CAST(SUM(sc) OVER () AS BIGINT) AS total
+          FROM b
+        )
+        SELECT p_brand,
+               CAST(sc AS DOUBLE) / {SCALE} AS revenue,
+               CAST(cum AS DOUBLE) / total  AS cum_share,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM w
+    """,
+)
+def pareto_abc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E82: ABC (Pareto) inventory classification — brands ranked by
+    revenue; the cumulative-share band assigns class A to the head that
+    carries 80% of revenue, B to the next 15%, C to the tail. The class
+    boundary test runs in the *scaled-integer* domain
+    (cum·100 ≤ total·80), so banding is exact — no float threshold can
+    flip a brand between engines.
+
+    Scale: the fact table collapses to one row per brand before any
+    window; the cumulative window is global but over the |brands| frame
+    (bounded vocabulary, 25 here — the GLOBAL_WINDOW_OK waiver documents
+    this), and the revenue join is a fact→dimension equi-join AQE sizes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sc_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(sc_row).alias("sc"))
+    )
+    wcum = Window.orderBy(F.desc("sc"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    w = b.select(
+        "p_brand",
+        "sc",
+        F.sum("sc").over(wcum).alias("cum"),
+        F.sum("sc").over(wtot).alias("total"),
+    )
+    return w.select(
+        "p_brand",
+        (F.col("sc").cast("double") / SCALE).alias("revenue"),
+        (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E83: concentration ratios (CR1 / CR4) per market
+# --------------------------------------------------------------------------
+
+
+@query(
+    "region_revenue_concentration",
+    oracle=f"""
+        WITH nat AS (
+          SELECT r.r_name, n.n_name,
+                 CAST(SUM(CAST(FLOOR(o.o_totalprice * {SCALE} + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sc
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          JOIN region r   ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name, n.n_name
+        ),
+        rk AS (
+          SELECT r_name, sc,
+                 row_number() OVER (
+                   PARTITION BY r_name ORDER BY sc DESC, n_name) AS rnk
+          FROM nat
+        )
+        SELECT r_name,
+               count(*) AS n_nations,
+               CAST(SUM(CASE WHEN rnk = 1 THEN sc ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(sc) AS BIGINT) AS top1_share,
+               CAST(SUM(CASE WHEN rnk <= 4 THEN sc ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(sc) AS BIGINT) AS top4_share
+        FROM rk GROUP BY r_name
+    """,
+)
+def region_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E83: market-concentration ratios — the share of each region's
+    order revenue carried by its largest (CR1) and four largest (CR4)
+    nations. The antitrust-style alternative to HHI that needs no
+    squared shares: sums of fixed-point BIGINTs and ONE double division
+    per output column keep it engine-exact (an HHI's per-share float
+    squares would accumulate in engine-dependent order).
+
+    Scale: facts collapse to the |nations| frame first (25 rows); the
+    ranking window partitions by region over ≤|nations-per-region| rows;
+    dimension joins broadcast. Ties in nation revenue break on n_name —
+    deterministic in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sc_row = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(sc_row).alias("sc"))
+    )
+    wrk = Window.partitionBy("r_name").orderBy(F.desc("sc"), F.asc("n_name"))
+    rk = nat.select(
+        "r_name", "sc", F.row_number().over(wrk).alias("rnk")
+    )
+    return rk.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        (
+            F.sum(F.when(F.col("rnk") == 1, F.col("sc")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("sc")
+        ).alias("top1_share"),
+        (
+            F.sum(F.when(F.col("rnk") <= 4, F.col("sc")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("sc")
+        ).alias("top4_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E84: Gini coefficient of user activity (distributed, no single-task sort)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ),
+        r AS (
+          SELECT cnt,
+                 CAST(row_number() OVER (ORDER BY cnt) AS BIGINT) AS rk
+          FROM c
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT)       AS n_users,
+                 CAST(sum(cnt) AS BIGINT)       AS total_events,
+                 CAST(sum(rk * cnt) AS BIGINT)  AS a
+          FROM r
+        )
+        SELECT n_users, total_events,
+               CAST(2 * a - (n_users + 1) * total_events AS DOUBLE)
+                 / (n_users * total_events) AS gini
+        FROM s
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E84: Gini coefficient of per-user event counts — the standard
+    inequality summary ("how bot-heavy / whale-heavy is this traffic?").
+    Uses the rank formulation G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    ascending-sorted counts: every term is an exact BIGINT, one final
+    double division — engine-exact. Tie order among equal counts cannot
+    change Σi·xᵢ (swapping ranks between equal values is a no-op), so
+    the arbitrary tie-break inside the sort is harmless.
+
+    Scale: the global ordering does NOT use a single-task sort — it
+    rides the shared ``_global_ranks`` distributed selection
+    (range-repartition → 32 parallel local sorts → P-row prefix-summed
+    offsets, the same machinery as the exact-quantile queries). The
+    1-row n_total frame joins back via broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "cnt"
+    )
+    ranked, n_total = _global_ranks(counts, "cnt")
+    s = ranked.agg(
+        F.sum((F.col("grank") + 1) * F.col("v")).alias("a"),
+        F.sum("v").alias("total_events"),
+    ).crossJoin(F.broadcast(n_total))
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("total_events"),
+        (
+            (2 * F.col("a") - (F.col("n") + 1) * F.col("total_events")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("total_events"))
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E85: two-proportion z-test (A/B conversion experiment readout)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY user_id
+        ),
+        coh AS (
+          SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(conv) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+                   AS conv_a,
+                 CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(conv) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+                   AS conv_b
+          FROM per_user
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / NULLIF(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b), 0.0) AS z2
+        FROM coh
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85: two-proportion z-test between two deterministic cohorts
+    (user_id parity stands in for the experiment assignment hash): did
+    cohort A convert (≥1 purchase) at a different rate than cohort B?
+    Reports the squared z statistic (≡ the 1-df chi-square), built from
+    the four exact BIGINTs (n_a, conv_a, n_b, conv_b) through a FIXED
+    tree of IEEE double ops — identical bits in both engines; NULL when
+    the pooled rate is degenerate (0 or 1) instead of a divide-by-zero.
+
+    Scale: one per-user aggregate (map-side combinable max), then a
+    4-number global reduce. Nothing wider than one row leaves the
+    executors."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    is_a = F.col("user_id") % 2 == 0
+    coh = per_user.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.sum(F.when(is_a, F.col("conv"))).alias("conv_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(~is_a, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    denom = pooled * (1 - pooled) * (
+        F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+    )
+    return coh.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) * (p_a - p_b) / F.nullif(denom, F.lit(0.0))).alias("z2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E86: lag-1 autocorrelation of the daily traffic series (rational r²)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_counts_autocorr",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+          FROM events GROUP BY event_type, day
+        ),
+        pairs AS (
+          SELECT event_type, cnt AS x,
+                 lead(cnt) OVER (PARTITION BY event_type ORDER BY day) AS y,
+                 lead(day) OVER (PARTITION BY event_type ORDER BY day)
+                   AS next_day,
+                 day
+          FROM daily
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT)    AS n,
+                 CAST(sum(x) AS BIGINT)      AS sx,
+                 CAST(sum(y) AS BIGINT)      AS sy,
+                 CAST(sum(x * y) AS BIGINT)  AS sxy,
+                 CAST(sum(x * x) AS BIGINT)  AS sxx,
+                 CAST(sum(y * y) AS BIGINT)  AS syy
+          FROM pairs WHERE next_day = day + 1
+          GROUP BY event_type
+        )
+        SELECT event_type, n AS n_pairs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE), 0.0) AS autocorr_r2
+        FROM s
+    """,
+)
+def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: lag-1 autocorrelation of each event type's daily-count
+    series, reported as r² in its RATIONAL form
+    (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) — every moment
+    is an exact BIGINT over consecutive-calendar-day pairs, and only the
+    final squares/division run in double (fixed tree → engine-exact; a
+    textbook corr() would sqrt and accumulate floats in engine order).
+    High r² means today's traffic predicts tomorrow's — the signal a
+    capacity planner wants from exactly these logs.
+
+    Scale: facts collapse to |types| × |days| first; the lead() window
+    and the moment reduce share the event_type partitioning. Gap days
+    break pairs (next_day = day+1 filter) so holes in the series never
+    fabricate correlation. Degenerate (constant) series yield NULL via
+    NULLIF, not a divide error."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        "day",
+        F.col("cnt").alias("x"),
+        F.lead("cnt").over(w).alias("y"),
+        F.lead("day").over(w).alias("next_day"),
+    ).where(F.col("next_day") == F.date_add("day", 1))
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (num * num / F.nullif(dx * dy, F.lit(0.0))).alias("autocorr_r2"),
+    )

@@ -1,0 +1,313 @@
+"""Growth / journey-mining pack (SURVEY.md §2.6 E78–E81).
+
+The reference's entire user analytics is three COUNT aggregates over one
+day of logs (sree-etl-tdk-glue-job.py:52-63); a production product-
+analytics engine also answers the *longitudinal* questions over the same
+events: who is new / retained / resurrected / churned each week (growth
+accounting), how long users' activity streaks run (gaps-and-islands),
+which journey shapes sessions take (MATCH_RECOGNIZE-style sequence
+regexes), and how far traffic has fallen from its historical peak.
+
+Everything here is pure DataFrame API over the collapsed (user, period)
+or (type, day) frames — the fact table is aggregated down FIRST, so all
+window work happens on frames bounded by |users|×|weeks| or
+|types|×|days|, never on raw events. All outputs are integer counts or
+exact divisions of BIGINTs, so results are bit-identical to the DuckDB
+oracle at any parallelism (operators/numeric.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+#: Journey paths are capped at the first N events per user: the collect
+#: is bounded per key no matter how active one user is (the 100 TB
+#: guard — an unbounded collect_list is a per-key OOM waiting for a bot).
+_PATH_CAP = 100
+
+
+# --------------------------------------------------------------------------
+# E78: weekly growth accounting (new / retained / resurrected / churned)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_growth_accounting",
+    oracle="""
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, week,
+                 lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+                 lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+          FROM weeks
+        ),
+        cls AS (
+          SELECT week,
+                 CASE WHEN prev_w IS NULL THEN 'new'
+                      WHEN prev_w = week - 7 THEN 'retained'
+                      ELSE 'resurrected' END AS cls
+          FROM m
+          UNION ALL
+          SELECT week + 7 AS week, 'churned' AS cls
+          FROM m
+          WHERE next_w IS NULL OR next_w > week + 7
+        )
+        SELECT week,
+               count(*) FILTER (WHERE cls = 'new')         AS n_new,
+               count(*) FILTER (WHERE cls = 'retained')    AS n_retained,
+               count(*) FILTER (WHERE cls = 'resurrected') AS n_resurrected,
+               count(*) FILTER (WHERE cls = 'churned')     AS n_churned
+        FROM cls GROUP BY week
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E78: weekly growth accounting — every active user-week classified
+    as new (first week ever), retained (also active the prior week), or
+    resurrected (active before, but not the prior week); a churn event is
+    booked to week w+1 for each user active in w but not w+1 (so the four
+    series satisfy the growth-accounting identity
+    active_w = new_w + retained_w + resurrected_w and
+    active_{w+1} = active_w - churned_{w+1} + new_{w+1} + resurrected_{w+1}).
+
+    The reference can only report a single day's distinct-user count
+    (sree-etl-tdk-glue-job.py:52); this is the standard DAU/WAU
+    accounting layer products build over exactly such logs.
+
+    Scale: events collapse to DISTINCT (user, week) first — the window
+    and everything after run on a frame bounded by |users| × |weeks|.
+    One shuffle on user_id (lag and lead share the partitioning), one
+    reduce by week. The churn branch books weeks one past the last
+    activity, which may extend past the corpus end — deliberate, and
+    mirrored exactly by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    marked = weeks.select(
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+    )
+    cls = marked.select(
+        "week",
+        F.when(F.col("prev_w").isNull(), F.lit("new"))
+        .when(F.col("prev_w") == F.date_sub("week", 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("cls"),
+    )
+    churn = marked.where(
+        F.col("next_w").isNull() | (F.col("next_w") > F.date_add("week", 7))
+    ).select(F.date_add("week", 7).alias("week"), F.lit("churned").alias("cls"))
+    return (
+        cls.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.count(F.when(F.col("cls") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("cls") == "retained", 1)).alias("n_retained"),
+            F.count(F.when(F.col("cls") == "resurrected", 1)).alias(
+                "n_resurrected"
+            ),
+            F.count(F.when(F.col("cls") == "churned", 1)).alias("n_churned"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E79: longest consecutive-day activity streaks (gaps and islands)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_longest_streak",
+    oracle="""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        grp AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+          FROM days
+        ),
+        streaks AS (
+          SELECT user_id, anchor, count(*) AS len
+          FROM grp GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               max(len)                 AS longest_streak,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               count(*)                 AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E79: per-user longest run of consecutive active days — the classic
+    gaps-and-islands rewrite: on the deduped (user, day) frame,
+    day − row_number() is constant within a consecutive run, so one
+    group-by on that anchor yields streak lengths without any self-join
+    or iterative pass.
+
+    Scale: facts collapse to DISTINCT (user, day) first (bounded by
+    |users| × |days|); the row_number window, the anchor group-by, and
+    the final per-user reduce all share the user_id partitioning — one
+    shuffle total. Counts are BIGINTs; no floats anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E80: sequence-pattern matching over journey strings (MATCH_RECOGNIZE-ish)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "journey_pattern_counts",
+    oracle=f"""
+        WITH r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        p AS (
+          SELECT user_id,
+                 '>' || string_agg(event_type, '>' ORDER BY rn) || '>' AS path
+          FROM r WHERE rn <= {_PATH_CAP} GROUP BY user_id
+        )
+        SELECT
+          count(*) AS n_users,
+          count(*) FILTER (WHERE regexp_matches(path, '>view>purchase>'))
+            AS n_direct_conversion,
+          count(*) FILTER (WHERE regexp_matches(path, '>view>([^>]+>)*purchase>'))
+            AS n_eventual_conversion,
+          count(*) FILTER (WHERE regexp_matches(path, '^>signup>'))
+            AS n_signup_first,
+          count(*) FILTER (WHERE regexp_matches(path, '>error>error>'))
+            AS n_repeated_error
+        FROM p
+    """,
+)
+def journey_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E80: MATCH_RECOGNIZE-style sequence mining without MATCH_RECOGNIZE
+    (neither Spark nor DuckDB ships it): each user's first-_PATH_CAP (100)
+    events become one delimited journey string ('>view>click>…>') in
+    deterministic (ts, event_id) order, and row-pattern predicates become
+    ordinary regexes over that string — adjacency is '>a>b>', "eventually
+    followed by" is '>a>([^>]+>)*b>', anchors express "first event".
+
+    Scale: the per-user collect is capped at _PATH_CAP events (window
+    row_number → filter BEFORE the collect), so per-key state is bounded
+    no matter how active a single key is; the row_number window and the
+    group-by share one user_id shuffle. Regexes stay in the POSIX-common
+    subset (literals, [^>] classes, *) so Java and RE2 semantics agree.
+    Output is one row of exact BIGINT counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _PATH_CAP)
+    paths = r.groupBy("user_id").agg(
+        F.concat(
+            F.lit(">"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ),
+            F.lit(">"),
+        ).alias("path")
+    )
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("path").rlike(">view>purchase>"), 1)).alias(
+            "n_direct_conversion"
+        ),
+        F.count(
+            F.when(F.col("path").rlike(">view>([^>]+>)*purchase>"), 1)
+        ).alias("n_eventual_conversion"),
+        F.count(F.when(F.col("path").rlike("^>signup>"), 1)).alias(
+            "n_signup_first"
+        ),
+        F.count(F.when(F.col("path").rlike(">error>error>"), 1)).alias(
+            "n_repeated_error"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E81: decline-from-peak traffic monitoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "peak_decline_by_type",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+          FROM events GROUP BY event_type, day
+        ),
+        runmax AS (
+          SELECT event_type, day, cnt,
+                 max(cnt) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS peak_so_far
+          FROM daily
+        )
+        SELECT event_type,
+               max(cnt)                 AS peak_daily,
+               max(peak_so_far - cnt)   AS max_decline,
+               count(*)                 AS n_days
+        FROM runmax GROUP BY event_type
+    """,
+)
+def peak_decline_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E81: deepest drop below the historical peak, per event type — the
+    drawdown statistic ops dashboards alarm on ("traffic is N below its
+    best day so far"). A plain min-vs-max comparison misses ordering: the
+    decline must be measured against the *running* maximum, never a later
+    peak.
+
+    Scale: facts collapse to the |types| × |days| daily frame first; the
+    running-max window and the final reduce share the event_type
+    partitioning. Everything is BIGINT counts — engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = daily.withColumn("peak_so_far", F.max("cnt").over(w))
+    return runmax.groupBy("event_type").agg(
+        F.max("cnt").alias("peak_daily"),
+        F.max(F.col("peak_so_far") - F.col("cnt")).alias("max_decline"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -1,0 +1,269 @@
+"""Planted-fixture semantics pins for the growth / journey pack
+(operators/growth.py) and the concentration pack
+(operators/concentration.py): tiny hand-built events tables where every
+classification is known by construction, checked BOTH directly and
+through the DuckDB oracle (so the fixture also exercises the parity
+harness on edge shapes the synthetic corpus may not hit)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+from .parity import compare
+
+
+def _write_events(tmp_path, rows):
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _t(day, hour=12):
+    # Monday 2026-08-03 anchors week 1; day is an offset in days.
+    return dt.datetime(2026, 8, 3, hour) + dt.timedelta(days=day)
+
+
+def test_growth_accounting_classes_planted(spark, tmp_path):
+    # u1: weeks 0 and 1  -> new@w0, retained@w1, churned@w2
+    # u2: weeks 0 and 2  -> new@w0, churned@w1, resurrected@w2, churned@w3
+    rows = [
+        (1, _t(0), 1, "view", 1.0, "{}"),
+        (2, _t(7), 1, "view", 1.0, "{}"),
+        (3, _t(1), 2, "view", 1.0, "{}"),
+        (4, _t(14), 2, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r["week"].isoformat(): r
+        for r in (
+            row.asDict()
+            for row in QUERIES["user_growth_accounting"](spark, sf).collect()
+        )
+    }
+    w0, w1, w2, w3 = (
+        "2026-08-03",
+        "2026-08-10",
+        "2026-08-17",
+        "2026-08-24",
+    )
+    assert out[w0]["n_new"] == 2 and out[w0]["n_churned"] == 0
+    assert out[w1]["n_retained"] == 1 and out[w1]["n_churned"] == 1
+    assert out[w2]["n_resurrected"] == 1 and out[w2]["n_churned"] == 1
+    assert out[w3]["n_churned"] == 1  # u2's final churn, past corpus end
+    ok, detail = compare(
+        spark,
+        "user_growth_accounting",
+        QUERIES["user_growth_accounting"],
+        ORACLES["user_growth_accounting"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_longest_streak_planted(spark, tmp_path):
+    # u1 active days 0,1,2 and 4,5 -> longest 3, 5 active days, 2 streaks.
+    # Two events on day 0 must not double-count the day.
+    rows = [
+        (1, _t(0, 9), 1, "view", 1.0, "{}"),
+        (2, _t(0, 18), 1, "view", 1.0, "{}"),
+        (3, _t(1), 1, "view", 1.0, "{}"),
+        (4, _t(2), 1, "view", 1.0, "{}"),
+        (5, _t(4), 1, "view", 1.0, "{}"),
+        (6, _t(5), 1, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["user_longest_streak"](spark, sf).collect()
+    assert (r.longest_streak, r.n_active_days, r.n_streaks) == (3, 5, 2)
+    ok, detail = compare(
+        spark,
+        "user_longest_streak",
+        QUERIES["user_longest_streak"],
+        ORACLES["user_longest_streak"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_journey_patterns_planted(spark, tmp_path):
+    # u1: signup>view>purchase -> signup_first + eventual (NOT direct:
+    #     view and purchase are not adjacent? they are adjacent here ->
+    #     direct too). Make u1 signup>view>click>purchase instead.
+    # u2: view>purchase        -> direct + eventual
+    # u3: error>error          -> repeated_error
+    rows = [
+        (1, _t(0, 9), 1, "signup", 1.0, "{}"),
+        (2, _t(0, 10), 1, "view", 1.0, "{}"),
+        (3, _t(0, 11), 1, "click", 1.0, "{}"),
+        (4, _t(0, 12), 1, "purchase", 1.0, "{}"),
+        (5, _t(0, 9), 2, "view", 1.0, "{}"),
+        (6, _t(0, 10), 2, "purchase", 1.0, "{}"),
+        (7, _t(0, 9), 3, "error", 1.0, "{}"),
+        (8, _t(0, 10), 3, "error", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["journey_pattern_counts"](spark, sf).collect()
+    assert r.n_users == 3
+    assert r.n_direct_conversion == 1  # u2 only
+    assert r.n_eventual_conversion == 2  # u1 and u2
+    assert r.n_signup_first == 1
+    assert r.n_repeated_error == 1
+    ok, detail = compare(
+        spark,
+        "journey_pattern_counts",
+        QUERIES["journey_pattern_counts"],
+        ORACLES["journey_pattern_counts"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_journey_tiebreak_same_timestamp(spark, tmp_path):
+    # Two events with the IDENTICAL timestamp: order must come from
+    # event_id (the deterministic tie-break), in both engines.
+    ts = _t(0)
+    rows = [
+        (2, ts, 1, "purchase", 1.0, "{}"),
+        (1, ts, 1, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["journey_pattern_counts"](spark, sf).collect()
+    assert r.n_direct_conversion == 1  # view(id=1) precedes purchase(id=2)
+    ok, detail = compare(
+        spark,
+        "journey_pattern_counts",
+        QUERIES["journey_pattern_counts"],
+        ORACLES["journey_pattern_counts"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_peak_decline_running_max_planted(spark, tmp_path):
+    # Daily counts 3,1,5,2: the decline is measured against the RUNNING
+    # peak — day1: 3-1=2, day3: 5-2=3 → max_decline 3 (never 5-1=4,
+    # which would compare day1 against a peak that hadn't happened yet).
+    rows = []
+    eid = 0
+    for day, cnt in [(0, 3), (1, 1), (2, 5), (3, 2)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, _t(day, 9 + eid % 8), 1, "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["peak_decline_by_type"](spark, sf).collect()
+    assert (r.peak_daily, r.max_decline, r.n_days) == (5, 3, 4)
+    ok, detail = compare(
+        spark,
+        "peak_decline_by_type",
+        QUERIES["peak_decline_by_type"],
+        ORACLES["peak_decline_by_type"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_autocorr_gap_days_break_pairs(spark, tmp_path):
+    # Days 0,1,2 then 4,5 (day 3 missing): pairs are (0,1),(1,2),(4,5)
+    # only — the gap must not pair day 2 with day 4.
+    rows = []
+    eid = 0
+    for day, cnt in [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, _t(day, 9 + eid % 8), 1, "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["daily_counts_autocorr"](spark, sf).collect()
+    assert r.n_pairs == 3
+    # x=[1,2,5], y=[2,3,6]: exactly linear (y = x+1) → r² = 1.
+    assert r.autocorr_r2 == pytest.approx(1.0)
+    ok, detail = compare(
+        spark,
+        "daily_counts_autocorr",
+        QUERIES["daily_counts_autocorr"],
+        ORACLES["daily_counts_autocorr"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_autocorr_constant_series_null(spark, tmp_path):
+    # A constant series has zero variance → NULL r², not a divide error.
+    rows = []
+    eid = 0
+    for day in range(3):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, _t(day, 9 + eid % 8), 1, "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["daily_counts_autocorr"](spark, sf).collect()
+    assert r.n_pairs == 2 and r.autocorr_r2 is None
+    ok, detail = compare(
+        spark,
+        "daily_counts_autocorr",
+        QUERIES["daily_counts_autocorr"],
+        ORACLES["daily_counts_autocorr"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_gini_extremes_planted(spark, tmp_path):
+    # Perfect equality (every user the same count) → gini = 0 exactly...
+    rows = []
+    eid = 0
+    for u in range(4):
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, _t(0, 9 + eid % 8), u, "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["user_activity_gini"](spark, sf).collect()
+    assert (r.n_users, r.total_events) == (4, 12)
+    assert r.gini == pytest.approx(0.0)
+    # ...and a single dominant user pushes it toward (n-1)/n.
+    rows += [
+        (100 + i, _t(1, 9 + i % 8), 9, "view", 1.0, "{}") for i in range(88)
+    ]
+    sf2_dir = tmp_path / "skewed"
+    sf2_dir.mkdir()
+    sf2 = _write_events(sf2_dir, rows)
+    [r2] = QUERIES["user_activity_gini"](spark, sf2).collect()
+    assert r2.gini > 0.6
+    ok, detail = compare(
+        spark,
+        "user_activity_gini",
+        QUERIES["user_activity_gini"],
+        ORACLES["user_activity_gini"],
+        sf2,
+    )
+    assert ok, detail
+
+
+def test_ab_ztest_known_counts(spark, tmp_path):
+    # Cohort A (even ids): 2 users, 1 converts. Cohort B (odd): 2 users,
+    # both convert. Verify the four exact counts and the closed-form z².
+    rows = [
+        (1, _t(0, 9), 0, "purchase", 1.0, "{}"),
+        (2, _t(0, 9), 2, "view", 1.0, "{}"),
+        (3, _t(0, 9), 1, "purchase", 1.0, "{}"),
+        (4, _t(0, 9), 3, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["ab_conversion_ztest"](spark, sf).collect()
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (2, 1, 2, 2)
+    p = 3 / 4
+    expected = (0.5 - 1.0) ** 2 / (p * (1 - p) * (1 / 2 + 1 / 2))
+    assert r.z2 == pytest.approx(expected)
+    ok, detail = compare(
+        spark,
+        "ab_conversion_ztest",
+        QUERIES["ab_conversion_ztest"],
+        ORACLES["ab_conversion_ztest"],
+        sf,
+    )
+    assert ok, detail

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "user_daily_value_locf",     # 1-row day-bounds crossJoin (spine)
     "benford_value_audit",       # 1-row total over the 9-row digit frame
     "hard_negative_pairs",       # bounded TOPK_N_QUERIES query set broadcast
+    "user_activity_gini",        # 1-row n_total crossJoin (rank formula)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -51,6 +52,10 @@ GLOBAL_WINDOW_OK = {
                                   # range-partition count frame
     "price_quartiles_disc",      # same _global_ranks P-row prefix-sum
     "orders_month_over_month",   # lag over the one-row-per-month frame
+    "pareto_abc_brands",         # cumulative window over the |brands|
+                                 # frame (bounded vocabulary, 25 rows)
+    "user_activity_gini",        # same _global_ranks P-row prefix-sum
+                                 # as price_quartiles_disc
 }
 
 

@@ -518,17 +518,35 @@ def test_streaming_bmp_feature_extract(spark, tmp_path):
         spark.readStream.schema("doc_id long")
         .json(str(src))
     )
-    q = (
-        extract_bmp_features(ids)
-        .writeStream.format("memory")
-        .queryName("bmp_stream_feats")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt-bmp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM bmp_stream_feats").collect()
+    # One retry on a fresh checkpoint: under full-suite load the Python
+    # workers backing the streaming mapInPandas can be killed by resource
+    # contention, failing the query spuriously. A deterministic decode
+    # regression fails BOTH attempts, so the retry costs no coverage.
+    from pyspark.errors import StreamingQueryException
+
+    qname = "bmp_stream_feats"
+    for attempt in range(2):
+        qname = f"bmp_stream_feats{attempt}"
+        q = (
+            extract_bmp_features(ids)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt-bmp{attempt}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(240)
+            if finished:
+                break
+            q.stop()
+        except StreamingQueryException:
+            if attempt == 1:
+                raise
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
     assert len(rows) == 12
     for r in rows:
         arr = decode_bmp(make_synthetic_bmp(r.doc_id))
