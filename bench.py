@@ -159,6 +159,9 @@ HEADLINE = [
     "user_activity_gini",
     "ab_conversion_ztest",
     "daily_counts_autocorr",
+    "supplier_weighted_median_price",
+    "doc_simpson_diversity",
+    "brand_revenue_top5_other",
 ]
 
 

@@ -414,3 +414,76 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (num * num / F.nullif(dx * dy, F.lit(0.0))).alias("autocorr_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# E89: top-N + OTHER reporting rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_revenue_top5_other",
+    oracle=f"""
+        WITH b AS (
+          SELECT p.p_brand,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                        * {SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sc
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand
+        ),
+        rk AS (
+          SELECT p_brand, sc,
+                 row_number() OVER (ORDER BY sc DESC, p_brand) AS rnk
+          FROM b
+        )
+        SELECT CASE WHEN rnk <= 5 THEN p_brand ELSE 'OTHER' END AS brand_group,
+               CAST(SUM(sc) AS DOUBLE) / {SCALE} AS revenue,
+               count(*) AS n_brands,
+               CAST(min(rnk) AS BIGINT) AS best_rank
+        FROM rk
+        GROUP BY CASE WHEN rnk <= 5 THEN p_brand ELSE 'OTHER' END
+    """,
+)
+def brand_revenue_top5_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89: the universal reporting rollup — the top-5 brands by revenue
+    named individually, everything else collapsed into one 'OTHER' row
+    (so the report always has ≤6 rows and the shares still sum to 100%).
+    Subtly NOT a top-k query: the tail is aggregated, not discarded, so
+    a LIMIT/TakeOrderedAndProject alone cannot express it — it is a
+    rank-then-regroup.
+
+    Scale: facts collapse to the |brands| vocabulary frame before the
+    ranking window (bounded, 25 rows — GLOBAL_WINDOW_OK waiver), and the
+    regroup runs on the same frame. Revenue stays fixed-point BIGINT
+    until the single final division; the (sc desc, brand) tie-break
+    makes the top-5 cut deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sc_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(sc_row).alias("sc"))
+    )
+    rk = b.select(
+        "p_brand",
+        "sc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sc"), F.asc("p_brand")))
+        .alias("rnk"),
+    )
+    grouped = rk.select(
+        F.when(F.col("rnk") <= 5, F.col("p_brand"))
+        .otherwise("OTHER")
+        .alias("brand_group"),
+        "sc",
+        "rnk",
+    )
+    return grouped.groupBy("brand_group").agg(
+        (F.sum("sc").cast("double") / SCALE).alias("revenue"),
+        F.count(F.lit(1)).alias("n_brands"),
+        F.min("rnk").cast("long").alias("best_rank"),
+    )

@@ -390,3 +390,83 @@ def customer_spend_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E87: weighted median (cumulative-weight order statistic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "supplier_weighted_median_price",
+    oracle="""
+        WITH li AS (
+          SELECT l_suppkey, l_extendedprice,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS wq,
+                 l_orderkey, l_linenumber
+          FROM lineitem
+        ),
+        cum AS (
+          SELECT l_suppkey, l_extendedprice, wq,
+                 CAST(SUM(wq) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cw,
+                 CAST(SUM(wq) OVER (PARTITION BY l_suppkey) AS BIGINT) AS tot
+          FROM li
+        )
+        SELECT l_suppkey,
+               MIN(l_extendedprice) FILTER (WHERE 2 * cw >= tot)
+                 AS weighted_median_price,
+               CAST(MIN(tot) AS DOUBLE) / 100 AS total_quantity
+        FROM cum GROUP BY l_suppkey
+    """,
+)
+def supplier_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E87: quantity-weighted median line price per supplier — the
+    order statistic where half the *shipped quantity* (not half the
+    rows) lies at or below the price; a plain median over-weights
+    small lots exactly the way a plain average over-weights small
+    orders (brand_qty_weighted_avg_price's motivation, E58).
+
+    Weighted quantiles have no built-in in either engine: the rewrite
+    is a cumulative fixed-point weight window in a fully deterministic
+    order (price, orderkey, linenumber — so equal prices accumulate in
+    the same order everywhere) and MIN(price) over rows where
+    2·cum ≥ total, an exact integer comparison. The selected value is
+    raw data, never interpolated — engine-exact by construction.
+
+    Scale: both windows and the final reduce share ONE l_suppkey
+    exchange; per-partition size is facts/|suppliers|, which stays
+    constant as both grow with SF (contrast a returnflag partitioning:
+    3 groups would concentrate the corpus into 3 tasks)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_suppkey")
+    cum = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum("wq").over(wcum).alias("cw"),
+        F.sum("wq").over(wtot).alias("tot"),
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tot"), F.col("l_extendedprice"))
+        ).alias("weighted_median_price"),
+        (F.min("tot").cast("double") / 100).alias("total_quantity"),
+    )

@@ -1109,3 +1109,71 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oov").cast("double") / F.count(F.lit(1)), 6
         ).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# E88: Simpson lexical diversity (rational — no entropy/log needed)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_simpson_diversity",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, tok
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT)            AS n_tokens,
+                 CAST(count(*) AS BIGINT)           AS n_distinct,
+                 CAST(sum(tf * (tf - 1)) AS BIGINT) AS rep
+          FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               1 - CAST(rep AS DOUBLE)
+                 / NULLIF(n_tokens * (n_tokens - 1), 0) AS simpson_diversity
+        FROM s
+    """,
+)
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88: per-document lexical diversity as the UNBIASED Simpson index
+    1 − Σtf(tf−1)/(n(n−1)) — the probability two tokens drawn without
+    replacement differ. The standard diversity signal (like entropy)
+    but fully RATIONAL: every term is an exact BIGINT and the single
+    double division is engine-exact, where a Shannon entropy would sum
+    libm logs in engine-dependent order. Low diversity = repetitive/
+    boilerplate text — the same family of quality signal as the Gopher
+    repetition rules (doc_repetition_scores), on a 0-1 scale.
+
+    Scale: explode → (doc, token) tf collapse (map-side combinable) →
+    per-doc reduce sharing the doc_id key; nothing wider than the per-doc
+    vocabulary crosses a shuffle. Single-token docs yield NULL via
+    NULLIF, not a divide error."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("tf") * (F.col("tf") - 1)).alias("rep"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            1
+            - F.col("rep").cast("double")
+            / F.nullif(
+                F.col("n_tokens") * (F.col("n_tokens") - 1), F.lit(0)
+            )
+        ).alias("simpson_diversity"),
+    )

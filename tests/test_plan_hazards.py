@@ -54,6 +54,7 @@ GLOBAL_WINDOW_OK = {
     "orders_month_over_month",   # lag over the one-row-per-month frame
     "pareto_abc_brands",         # cumulative window over the |brands|
                                  # frame (bounded vocabulary, 25 rows)
+    "brand_revenue_top5_other",  # rank window over the same |brands| frame
     "user_activity_gini",        # same _global_ranks P-row prefix-sum
                                  # as price_quartiles_disc
 }
