@@ -111,6 +111,8 @@ HEADLINE = [
     "user_activity_decay",
     "session_path_topk",
     "equidepth_price_histogram",
+    # adjacent: shares the _global_ranks scoped-persisted ranked frame
+    "price_quartiles_disc",
     "inverted_index_postings",
     "bm25_doc_ranking",
     "token_cooccurrence_lift",
@@ -135,7 +137,6 @@ HEADLINE = [
     "bmp_feature_extract",
     "wav_feature_extract",
     "y4m_frame_sample",
-    "price_quartiles_disc",
     "daily_rollup_incremental",
     # robust / time-series stats + vector prep (round-4 additions)
     "customer_rolling_30d_revenue",
@@ -165,6 +166,9 @@ HEADLINE = [
     "supplier_weighted_median_price",
     "doc_simpson_diversity",
     "brand_revenue_top5_other",
+    "key_skew_audit",
+    "whale_revenue_share",
+    "brand_rank_delta_month",
 ]
 
 

@@ -487,3 +487,228 @@ def brand_revenue_top5_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_brands"),
         F.min("rnk").cast("long").alias("best_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# E91: per-key skew audit (the "find my hot keys" diagnostic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_audit",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id
+        ),
+        q AS (
+          SELECT quantile_cont(CAST(cnt AS DOUBLE), [0.5, 0.9, 0.99]) AS qs
+          FROM c
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 CAST(max(cnt) AS BIGINT) AS max_rows
+          FROM c
+        )
+        SELECT s.n_keys, s.total_rows, s.max_rows,
+               q.qs[1] AS p50, q.qs[2] AS p90, q.qs[3] AS p99,
+               CAST(s.max_rows AS DOUBLE) * s.n_keys / s.total_rows
+                 AS imbalance
+        FROM s, q
+    """,
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E91: the operational skew diagnostic — the per-key row-count
+    distribution (p50/p90/p99/max) plus the imbalance ratio
+    max/avg = max·n/total, the number that predicts whether a groupBy or
+    join on this key needs salting (skew.salted_join) or AQE skew
+    splitting BEFORE the job ever runs at scale. The reference has no
+    notion of this; at 100 TB it is the first query run on any new key.
+
+    Scale: facts collapse to the per-key count frame; the quantiles ride
+    the shared ``_distributed_quantiles`` selection (range repartition +
+    32 local sorts — never a single-task global percentile), and the two
+    1-row frames (quantile array, count stats) broadcast-crossJoin into
+    the single output row. The imbalance division is a fixed
+    double-op tree over exact BIGINTs — engine-exact."""
+    from .relational import _distributed_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    q = _distributed_quantiles(
+        counts.select(F.col("cnt").cast("double").alias("cnt")),
+        "cnt",
+        [0.5, 0.9, 0.99],
+    )
+    s = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_rows"),
+    )
+    return s.crossJoin(F.broadcast(q)).select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        F.element_at("qs", 1).alias("p50"),
+        F.element_at("qs", 2).alias("p90"),
+        F.element_at("qs", 3).alias("p99"),
+        (
+            F.col("max_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("total_rows")
+        ).alias("imbalance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E92: whale share (revenue share of the top 1% of customers)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "whale_revenue_share",
+    oracle=f"""
+        WITH c AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sc
+          FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+          SELECT sc, CAST(row_number() OVER (ORDER BY sc) - 1 AS BIGINT)
+                   AS grank
+          FROM c
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        s AS (
+          SELECT n.n AS n_customers,
+                 GREATEST(1, CAST(CEIL(n.n / 100.0) AS BIGINT)) AS k,
+                 CAST(sum(r.sc) AS BIGINT) AS total,
+                 CAST(sum(CASE WHEN r.grank >=
+                     n.n - GREATEST(1, CAST(CEIL(n.n / 100.0) AS BIGINT))
+                   THEN r.sc ELSE 0 END) AS BIGINT) AS top_sum
+          FROM r, n GROUP BY n.n
+        )
+        SELECT n_customers, k AS top1pct_n,
+               CAST(total AS DOUBLE) / {SCALE} AS total_revenue,
+               CAST(top_sum AS DOUBLE) / total AS top1pct_share
+        FROM s
+    """,
+)
+def whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92: the whale metric — what fraction of total order revenue the
+    top 1% of customers carry (k = max(1, ⌈n/100⌉)). The concentration
+    complement to the Gini coefficient: one number, directly actionable
+    ("how exposed is revenue to a handful of accounts?").
+
+    The top-k cut CANNOT be a TakeOrderedAndProject: k is data-dependent
+    (1% of a count known only at runtime), and LIMIT takes literals — so
+    the cut is a rank threshold over the shared ``_global_ranks``
+    distributed selection (grank ≥ n−k), with n and k riding broadcast
+    1-row frames. Ties at the boundary pick arbitrary rows among EQUAL
+    revenues — the share is invariant to that choice. All sums are
+    fixed-point BIGINTs; two final double divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    sc_row = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    c = orders.groupBy("o_custkey").agg(F.sum(sc_row).alias("sc")).select("sc")
+    ranked, n_total = _global_ranks(c, "sc")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n") / F.lit(100.0)).cast("long"),
+    )
+    s = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select("v", "grank", "n", k.alias("k"))
+        .groupBy("n", "k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.sum(
+                F.when(F.col("grank") >= F.col("n") - F.col("k"), F.col("v"))
+                .otherwise(0)
+            ).alias("top_sum"),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("k").alias("top1pct_n"),
+        (F.col("total").cast("double") / SCALE).alias("total_revenue"),
+        (F.col("top_sum").cast("double") / F.col("total")).alias(
+            "top1pct_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E93: rank-movement report (market-share movers month over month)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_rank_delta_month",
+    oracle=f"""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+                 p.p_brand,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                        * {SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sc
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY month, p.p_brand
+        ),
+        rk AS (
+          SELECT month, p_brand,
+                 CAST(row_number() OVER (
+                   PARTITION BY month ORDER BY sc DESC, p_brand
+                 ) AS BIGINT) AS rnk
+          FROM m
+        )
+        SELECT month, p_brand, rnk,
+               lag(rnk) OVER (PARTITION BY p_brand ORDER BY month)
+                 AS prev_rank,
+               lag(rnk) OVER (PARTITION BY p_brand ORDER BY month) - rnk
+                 AS rank_delta
+        FROM rk
+    """,
+)
+def brand_rank_delta_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E93: month-over-month revenue-rank movement per brand — the
+    "biggest movers" report (positive delta = climbed the league table).
+    Rank deltas need TWO window orientations — rank WITHIN each month,
+    then lag ALONG each brand's month series — which is why no single
+    window or group-by expresses it.
+
+    Scale: facts collapse to the |months|×|brands| frame first (~2,100
+    rows at any SF); both windows run on that collapsed frame with
+    bounded partitions (≤|brands| rows per month, ≤|months| rows per
+    brand). The lag is over the brand's PRESENT months (a brand absent
+    one month compares to its last ranked month — mirrored exactly in
+    the oracle). Ranks tie-break on brand name — deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sc_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    m = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            "p_brand",
+        )
+        .agg(F.sum(sc_row).alias("sc"))
+    )
+    wrank = Window.partitionBy("month").orderBy(F.desc("sc"), F.asc("p_brand"))
+    rk = m.select(
+        "month",
+        "p_brand",
+        F.row_number().over(wrank).cast("long").alias("rnk"),
+    )
+    wlag = Window.partitionBy("p_brand").orderBy("month")
+    prev = F.lag("rnk").over(wlag)
+    return rk.select(
+        "month",
+        "p_brand",
+        "rnk",
+        prev.alias("prev_rank"),
+        (prev - F.col("rnk")).alias("rank_delta"),
+    )

@@ -119,3 +119,124 @@ def test_simpson_diversity_closed_form(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_key_skew_audit_closed_form(spark, tmp_path):
+    # Counts [1,1,1,7]: p50=1, p90=1+0.7*6=5.2, p99=1+0.97*6=6.82,
+    # imbalance = 7*4/10 = 2.8.
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for u, cnt in [(1, 1), (2, 1), (3, 1), (4, 7)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2026, 8, 3, 9 + eid % 8), u, "view",
+                 1.0, "{}")
+            )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["key_skew_audit"](spark, str(tmp_path)).collect()
+    assert (r.n_keys, r.total_rows, r.max_rows) == (4, 10, 7)
+    assert r.p50 == pytest.approx(1.0)
+    assert r.p90 == pytest.approx(5.2)
+    assert r.p99 == pytest.approx(6.82)
+    assert r.imbalance == pytest.approx(2.8)
+    ok, detail = compare(
+        spark,
+        "key_skew_audit",
+        QUERIES["key_skew_audit"],
+        ORACLES["key_skew_audit"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_whale_share_single_dominant_customer(spark, tmp_path):
+    # 99 customers spend 100 each, one whale spends 10,000:
+    # k = ceil(100/100) = 1 and the whale carries 10000/19900 of revenue.
+    import datetime as dt
+
+    rows = [
+        (i, i, "O", 100.0, dt.datetime(2026, 1, 1), "1-URGENT")
+        for i in range(99)
+    ]
+    rows.append((99, 99, "O", 10000.0, dt.datetime(2026, 1, 1), "1-URGENT"))
+    pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    ).to_parquet(tmp_path / "orders.parquet")
+    [r] = QUERIES["whale_revenue_share"](spark, str(tmp_path)).collect()
+    assert (r.n_customers, r.top1pct_n) == (100, 1)
+    assert r.total_revenue == pytest.approx(19900.0)
+    assert r.top1pct_share == pytest.approx(10000 / 19900)
+    ok, detail = compare(
+        spark,
+        "whale_revenue_share",
+        QUERIES["whale_revenue_share"],
+        ORACLES["whale_revenue_share"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_brand_rank_delta_swap(spark, tmp_path):
+    # Two brands swap ranks between two months: A 1→2 (delta −1),
+    # B 2→1 (delta +1); first month has NULL prev_rank/delta.
+    import datetime as dt
+
+    li_rows = [
+        # (orderkey, partkey, suppkey, linenumber, qty, price, discount, shipdate)
+        (1, 0, 1, 1, 1.0, 700.0, 0.0, dt.datetime(2026, 1, 5)),
+        (2, 1, 1, 1, 1.0, 300.0, 0.0, dt.datetime(2026, 1, 6)),
+        (3, 0, 1, 1, 1.0, 300.0, 0.0, dt.datetime(2026, 2, 5)),
+        (4, 1, 1, 1, 1.0, 700.0, 0.0, dt.datetime(2026, 2, 6)),
+    ]
+    li = pd.DataFrame(
+        li_rows,
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    # match the fixture's ms precision (a ns column would read as BIGINT
+    # under the session-wide nanosAsLong conf the events loader sets)
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[ms]")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {"p_partkey": [0, 1], "p_brand": ["A", "B"]}
+    ).to_parquet(tmp_path / "part.parquet")
+    out = {
+        (r.p_brand, r.month.isoformat()): r
+        for r in QUERIES["brand_rank_delta_month"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("A", "2026-01-01")].rnk == 1
+    assert out[("A", "2026-01-01")].prev_rank is None
+    assert out[("A", "2026-02-01")].rank_delta == -1
+    assert out[("B", "2026-02-01")].rank_delta == 1
+    ok, detail = compare(
+        spark,
+        "brand_rank_delta_month",
+        QUERIES["brand_rank_delta_month"],
+        ORACLES["brand_rank_delta_month"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -38,6 +38,8 @@ BNLJ_OK = {
     "benford_value_audit",       # 1-row total over the 9-row digit frame
     "hard_negative_pairs",       # bounded TOPK_N_QUERIES query set broadcast
     "user_activity_gini",        # 1-row n_total crossJoin (rank formula)
+    "key_skew_audit",            # two 1-row frames (quantiles, stats)
+    "whale_revenue_share",       # 1-row n_total crossJoin (rank cut)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -57,6 +59,8 @@ GLOBAL_WINDOW_OK = {
     "brand_revenue_top5_other",  # rank window over the same |brands| frame
     "user_activity_gini",        # same _global_ranks P-row prefix-sum
                                  # as price_quartiles_disc
+    "key_skew_audit",            # _distributed_quantiles P-row prefix-sum
+    "whale_revenue_share",       # _global_ranks P-row prefix-sum
 }
 
 

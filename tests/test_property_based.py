@@ -238,3 +238,110 @@ def test_clf_parser_never_throws_on_garbage(spark, lines):
     # every row is either fully parsed (9-way split) or quarantined
     for r in out:
         assert (r._corrupt is None) or isinstance(r._corrupt, str)
+
+
+# ---------------------------------------------------------------------------
+# growth accounting / streaks: structural identities for ARBITRARY
+# activity sets (pure-python reference recomputation per example)
+# ---------------------------------------------------------------------------
+
+_activity = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 27)),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _events_frame(pairs):
+    base = datetime.datetime(2026, 8, 3, 12)  # a Monday: day//7 == week idx
+    return pd.DataFrame(
+        [
+            (i, base + datetime.timedelta(days=d), u, "view", 1.0, "{}")
+            for i, (u, d) in enumerate(pairs)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(_activity)
+def test_growth_accounting_identities(spark, pairs):
+    import tempfile
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    with tempfile.TemporaryDirectory() as td:
+        _events_frame(pairs).to_parquet(td + "/events.parquet")
+        out = QUERIES["user_growth_accounting"](spark, td).collect()
+    user_weeks = {(u, d // 7) for u, d in pairs}
+    users = {u for u, _ in user_weeks}
+    # runs of consecutive active weeks, per user
+    runs = 0
+    for u in users:
+        ws = sorted(w for x, w in user_weeks if x == u)
+        runs += sum(
+            1 for i, w in enumerate(ws) if i == 0 or w != ws[i - 1] + 1
+        )
+    tot = {
+        k: sum(getattr(r, k) for r in out)
+        for k in ("n_new", "n_retained", "n_resurrected", "n_churned")
+    }
+    # every user is new exactly once; every activity run starts with a
+    # new/resurrected row and ends with exactly one churn booking
+    assert tot["n_new"] == len(users)
+    assert tot["n_new"] + tot["n_resurrected"] == runs
+    assert tot["n_churned"] == runs
+    # weekly balance: active = new + retained + resurrected
+    base_day = datetime.date(2026, 8, 3)
+    active = {}
+    for u, w in user_weeks:
+        active[w] = active.get(w, 0) + 1
+    for r in out:
+        widx = (r.week - base_day).days // 7
+        assert r.n_new + r.n_retained + r.n_resurrected == active.get(
+            widx, 0
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(_activity)
+def test_longest_streak_matches_python_reference(spark, pairs):
+    import tempfile
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    with tempfile.TemporaryDirectory() as td:
+        _events_frame(pairs).to_parquet(td + "/events.parquet")
+        out = {
+            r.user_id: r
+            for r in QUERIES["user_longest_streak"](spark, td).collect()
+        }
+    user_days = {(u, d) for u, d in pairs}
+    for u in {x for x, _ in user_days}:
+        ds = sorted(d for x, d in user_days if x == u)
+        streaks, cur = [], 1
+        for i in range(1, len(ds)):
+            if ds[i] == ds[i - 1] + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        r = out[u]
+        assert r.n_active_days == len(ds)
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
