@@ -169,6 +169,8 @@ HEADLINE = [
     "key_skew_audit",
     "whale_revenue_share",
     "brand_rank_delta_month",
+    "slo_burn_rate",
+    "cohort_ltv_curve",
 ]
 
 

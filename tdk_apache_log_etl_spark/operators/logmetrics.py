@@ -2149,3 +2149,209 @@ def view_to_purchase_within_hour(
             / F.count(F.lit(1)).cast("double")
         ).alias("share_within_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# E94: multi-window SLO burn-rate alerting (SRE error budgets)
+# --------------------------------------------------------------------------
+
+#: Error budget: 1% of events may be errors. Burn rate = observed error
+#: ratio / budget. The fast/slow thresholds are the SRE-book pairing for
+#: a 1h spike window confirmed by a 6h sustain window.
+SLO_BUDGET = 0.01
+BURN_FAST = 14.4
+BURN_SLOW = 6.0
+
+
+@query(
+    "slo_burn_rate",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 CAST(datediff('hour', TIMESTAMP '1992-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS hour_idx,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS n_errors
+          FROM events GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT hour, n_events, n_errors,
+                 CAST(SUM(n_events) OVER w6 AS BIGINT) AS n_events_6h,
+                 CAST(SUM(n_errors) OVER w6 AS BIGINT) AS n_errors_6h
+          FROM hourly
+          WINDOW w6 AS (ORDER BY hour_idx
+                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT hour, n_events, n_errors,
+               CAST(n_errors AS DOUBLE) / n_events / {SLO_BUDGET}
+                 AS burn_1h,
+               CAST(n_errors_6h AS DOUBLE) / n_events_6h / {SLO_BUDGET}
+                 AS burn_6h,
+               (CAST(n_errors AS DOUBLE) / n_events / {SLO_BUDGET}
+                  > {BURN_FAST}
+                AND CAST(n_errors_6h AS DOUBLE) / n_events_6h / {SLO_BUDGET}
+                  > {BURN_SLOW}) AS alert
+        FROM win
+    """,
+)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94: multi-window error-budget burn-rate alerting — the SRE
+    error-budget alarm over exactly the reference's log shape (its only
+    error signal is a raw count, sree-etl-tdk-glue-job.py:63). A burn
+    rate is the observed error ratio divided by the budget; the alert
+    fires only when the fast window (1h > 14.4×) AND the slow window
+    (6h > 6×) both burn — the standard pairing that suppresses
+    one-spike noise without missing sustained incidents.
+
+    The 6h window is a RANGE frame over an integer epoch-hour index, so
+    hours with zero traffic correctly shrink the window (a ROWS frame
+    would silently stretch 6 rows across a gap). Counts stay BIGINT
+    until two fixed double divisions per column — engine-exact, and the
+    boolean alert compares identical doubles in both engines.
+
+    Scale: facts collapse to one row per hour first; the window is a
+    single global ordering over that bounded |hours| frame (waived —
+    hours grow with calendar time, not data volume; partition by day at
+    multi-year scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias(
+            "n_errors"
+        ),
+    ).withColumn(
+        # hour index via tz-free timestamp arithmetic: unix_timestamp
+        # would render the NTZ hour through the SESSION timezone, and a
+        # DST transition inside the data would warp the RANGE frame.
+        "hour_idx",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP'1992-01-01 00:00:00', hour)"
+        ).cast("long"),
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, Window.currentRow)
+    win = hourly.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w6).alias("n_events_6h"),
+        F.sum("n_errors").over(w6).alias("n_errors_6h"),
+    )
+    burn_1h = (
+        F.col("n_errors").cast("double") / F.col("n_events") / SLO_BUDGET
+    )
+    burn_6h = (
+        F.col("n_errors_6h").cast("double")
+        / F.col("n_events_6h")
+        / SLO_BUDGET
+    )
+    return win.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        burn_1h.alias("burn_1h"),
+        burn_6h.alias("burn_6h"),
+        ((burn_1h > BURN_FAST) & (burn_6h > BURN_SLOW)).alias("alert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E95: cohort LTV curve (cumulative revenue per signup cohort)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH first_seen AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+          FROM first_seen GROUP BY cohort_week
+        ),
+        rev AS (
+          SELECT f.cohort_week,
+                 CAST(datediff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                   AS BIGINT) AS week_offset,
+                 CAST(SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sc
+          FROM events e JOIN first_seen f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_week, week_offset,
+                 CAST(SUM(sc) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_sc
+          FROM rev
+        )
+        SELECT c.cohort_week, c.week_offset, s.n_users,
+               CAST(c.cum_sc AS DOUBLE) / 10000 AS cum_revenue,
+               CAST(c.cum_sc AS DOUBLE) / 10000 / s.n_users
+                 AS ltv_per_user
+        FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95: cohort lifetime-value curves — cumulative purchase revenue
+    per signup cohort (first-seen week) by week offset, normalized per
+    cohort user. The money twin of retention_cohorts (which counts
+    activity): the curve whose flattening point tells you when a
+    cohort's value saturates, and whose per-user normalization makes
+    cohorts of different sizes comparable.
+
+    Scale: one user_id shuffle computes first-seen weeks AND aligns the
+    purchase join (same key); revenue then collapses to the
+    |cohorts| × |offsets| grid before the cumulative window (partitioned
+    by cohort, ≤|weeks| rows per partition). Fixed-point revenue keeps
+    the cumulative sums and both final divisions engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    sc_row = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    rev = (
+        purchases.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(sc_row).alias("sc"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_sc", F.sum("sc").over(wcum))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (F.col("cum_sc").cast("double") / 10000).alias("cum_revenue"),
+        (F.col("cum_sc").cast("double") / 10000 / F.col("n_users")).alias(
+            "ltv_per_user"
+        ),
+    )

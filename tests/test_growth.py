@@ -267,3 +267,91 @@ def test_ab_ztest_known_counts(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_slo_burn_rate_alert_planted(spark, tmp_path):
+    # Hour 0: 100 events, 1 error  -> burn_1h = 1.0 (inside budget).
+    # Hour 1: 100 events, 20 errors -> burn_1h = 20 > 14.4, and the 6h
+    # window (21/200)/0.01 = 10.5 > 6 -> ALERT.
+    # Hour 5 after a 3-hour silence: the RANGE frame must still include
+    # hours 0-1 (5-5=0 .. 5), not stretch 6 ROWS across the gap.
+    rows = []
+    eid = 0
+
+    def add(hour, n, n_err):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2026, 8, 3, hour, i % 60),
+                    1,
+                    "error" if i < n_err else "view",
+                    1.0,
+                    "{}",
+                )
+            )
+
+    add(0, 100, 1)
+    add(1, 100, 20)
+    add(5, 100, 0)
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r["hour"].hour: r
+        for r in (
+            row.asDict()
+            for row in QUERIES["slo_burn_rate"](spark, sf).collect()
+        )
+    }
+    assert out[0]["burn_1h"] == pytest.approx(1.0)
+    assert out[0]["alert"] is False
+    assert out[1]["burn_1h"] == pytest.approx(20.0)
+    assert out[1]["burn_6h"] == pytest.approx((21 / 200) / 0.01)
+    assert out[1]["alert"] is True
+    # hour 5's 6h RANGE window covers hours 0..5 -> 21 errors / 300
+    assert out[5]["burn_6h"] == pytest.approx((21 / 300) / 0.01)
+    assert out[5]["alert"] is False
+    ok, detail = compare(
+        spark,
+        "slo_burn_rate",
+        QUERIES["slo_burn_rate"],
+        ORACLES["slo_burn_rate"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    # Cohort A (week 0): two users; purchases of 10 at offset 0 and 30
+    # at offset 1 -> cum 10, 40; per-user 5, 20.
+    # Cohort B (week 1): one user; purchase of 8 at its offset 0.
+    # Non-purchase events must not contribute revenue.
+    rows = [
+        (1, _t(0, 9), 1, "purchase", 10.0, "{}"),
+        (2, _t(0, 10), 2, "view", 999.0, "{}"),       # cohort A, no revenue
+        (3, _t(8, 9), 1, "purchase", 30.0, "{}"),     # offset 1
+        (4, _t(7, 9), 3, "signup", 1.0, "{}"),        # cohort B first-seen
+        (5, _t(9, 9), 3, "purchase", 8.0, "{}"),      # cohort B offset 0
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r.cohort_week.isoformat(), r.week_offset): r
+        for r in QUERIES["cohort_ltv_curve"](spark, sf).collect()
+    }
+    a0 = out[("2026-08-03", 0)]
+    a1 = out[("2026-08-03", 1)]
+    b0 = out[("2026-08-10", 0)]
+    assert a0.n_users == 2 and a0.cum_revenue == pytest.approx(10.0)
+    assert a0.ltv_per_user == pytest.approx(5.0)
+    assert a1.cum_revenue == pytest.approx(40.0)
+    assert a1.ltv_per_user == pytest.approx(20.0)
+    assert b0.n_users == 1 and b0.cum_revenue == pytest.approx(8.0)
+    ok, detail = compare(
+        spark,
+        "cohort_ltv_curve",
+        QUERIES["cohort_ltv_curve"],
+        ORACLES["cohort_ltv_curve"],
+        sf,
+    )
+    assert ok, detail

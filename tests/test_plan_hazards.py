@@ -61,6 +61,8 @@ GLOBAL_WINDOW_OK = {
                                  # as price_quartiles_disc
     "key_skew_audit",            # _distributed_quantiles P-row prefix-sum
     "whale_revenue_share",       # _global_ranks P-row prefix-sum
+    "slo_burn_rate",             # 6h RANGE frame over the one-row-per-hour
+                                 # frame (grows with calendar, not volume)
 }
 
 
