@@ -171,6 +171,8 @@ HEADLINE = [
     "brand_rank_delta_month",
     "slo_burn_rate",
     "cohort_ltv_curve",
+    "rolling_purchase_error_corr",
+    "event_gap_log_histogram",
 ]
 
 

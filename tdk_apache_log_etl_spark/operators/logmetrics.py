@@ -2355,3 +2355,70 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E97: log2-bucketed inter-event gap histogram (latency-histogram shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_gap_log_histogram",
+    oracle="""
+        WITH gaps AS (
+          -- floor(epoch(interval)) = ELAPSED whole seconds, matching
+          -- Spark's timestampdiff (the repo's pinned convention;
+          -- datediff('second') would count boundary crossings)
+          SELECT event_type,
+                 CAST(FLOOR(epoch(ts -
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 )) AS BIGINT) AS gap_s
+          FROM events
+        ),
+        b AS (
+          SELECT event_type,
+                 CAST(length(printf('%b', gap_s)) - 1 AS BIGINT) AS bucket,
+                 gap_s
+          FROM gaps WHERE gap_s >= 1
+        )
+        SELECT event_type, bucket,
+               count(*) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        FROM b GROUP BY event_type, bucket
+    """,
+)
+def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97: histogram of inter-event gaps in power-of-two second buckets
+    (bucket k holds 2^k ≤ gap < 2^(k+1)) per event type — the classic
+    latency-histogram shape (HdrHistogram/Prometheus buckets) applied to
+    user think-time. The bucket index is the gap's BINARY LENGTH minus
+    one (Spark ``bin()``, DuckDB ``printf('%b')``) — pure integer
+    string-length arithmetic, so bucket edges are exact in both engines,
+    where floor(log2(x)) through libm could misplace values adjacent to
+    powers of two. Sub-second gaps (including simultaneous events) are
+    excluded by the gap ≥ 1 s guard.
+
+    Scale: one lag() shuffle on user_id; the aggregate collapses
+    map-side to |types| × ~40 buckets. Output is vocabulary-bounded at
+    any data size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .select(
+            "event_type",
+            F.expr("timestampdiff(SECOND, prev_ts, ts)").alias("gap_s"),
+        )
+        .where(F.col("gap_s") >= 1)
+    )
+    b = gaps.select(
+        "event_type",
+        (F.length(F.bin("gap_s")) - 1).cast("long").alias("bucket"),
+        "gap_s",
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

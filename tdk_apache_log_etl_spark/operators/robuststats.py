@@ -470,3 +470,92 @@ def supplier_weighted_median_price(
         ).alias("weighted_median_price"),
         (F.min("tot").cast("double") / 100).alias("total_quantity"),
     )
+
+
+# --------------------------------------------------------------------------
+# E96: rolling cross-correlation of two traffic series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_purchase_error_corr",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS day_idx,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS x,
+                 CAST(count(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT day,
+                 CAST(COUNT(*) OVER w AS BIGINT)      AS n,
+                 CAST(SUM(x) OVER w AS BIGINT)        AS sx,
+                 CAST(SUM(y) OVER w AS BIGINT)        AS sy,
+                 CAST(SUM(x * y) OVER w AS BIGINT)    AS sxy,
+                 CAST(SUM(x * x) OVER w AS BIGINT)    AS sxx,
+                 CAST(SUM(y * y) OVER w AS BIGINT)    AS syy
+          FROM daily
+          WINDOW w AS (ORDER BY day_idx
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT day, n AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                 AS rolling_r
+        FROM win
+    """,
+)
+def rolling_purchase_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96: 7-day rolling Pearson correlation between the purchase and
+    error daily-count series — the ops/business joint signal ("are
+    errors eating conversions this week?"). Joint windowed statistics
+    need SIX windowed moment sums sharing one frame; expressing the
+    correlation over them keeps every accumulation a BIGINT, with only
+    the final num/sqrt(dx·dy) in double (sqrt is correctly-rounded
+    IEEE — deterministic on identical operands, the same discipline as
+    the anomaly z-scores). Degenerate windows (either series constant)
+    yield NULL via NULLIF rather than ±inf.
+
+    Scale: facts collapse to one row per day with both series as
+    columns of the SAME row (a single conditional-count aggregate — no
+    self-join of two filtered frames); the RANGE frame runs over the
+    day index so calendar gaps shrink the window. The window is global
+    but over the one-row-per-day frame (waived, same argument as
+    moving_avg_daily_revenue)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("y"),
+    ).withColumn(
+        "day_idx",
+        F.datediff(F.col("day"), F.to_date(F.lit(_EPOCH))).cast("long"),
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return win.select(
+        "day",
+        F.col("n").alias("n_days"),
+        (num / F.nullif(F.sqrt(dx * dy), F.lit(0.0))).alias("rolling_r"),
+    )

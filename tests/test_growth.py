@@ -355,3 +355,80 @@ def test_cohort_ltv_planted(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_rolling_corr_perfect_and_degenerate(spark, tmp_path):
+    # Days 0-2: purchases 1,2,3 and errors 2,4,6 (errors = 2x purchases)
+    # -> rolling_r = +1 by day 2. Days 10-12 (fresh window after the
+    # gap): constant purchases, varying errors -> zero variance in x ->
+    # NULL.
+    rows = []
+    eid = 0
+
+    def add(day, n_purch, n_err):
+        nonlocal eid
+        for i in range(n_purch):
+            eid += 1
+            rows.append((eid, _t(day, 9 + i % 8), 1, "purchase", 1.0, "{}"))
+        for i in range(n_err):
+            eid += 1
+            rows.append((eid, _t(day, 9 + i % 8), 1, "error", 1.0, "{}"))
+
+    for day, (p, e) in zip([0, 1, 2], [(1, 2), (2, 4), (3, 6)]):
+        add(day, p, e)
+    for day, (p, e) in zip([10, 11, 12], [(2, 1), (2, 5), (2, 3)]):
+        add(day, p, e)
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r.day - dt.date(2026, 8, 3)).days: r
+        for r in QUERIES["rolling_purchase_error_corr"](spark, sf).collect()
+    }
+    assert out[2].n_days == 3
+    assert out[2].rolling_r == pytest.approx(1.0)
+    assert out[12].n_days == 3  # 7-day RANGE window excludes days 0-2
+    assert out[12].rolling_r is None  # constant purchase series
+    ok, detail = compare(
+        spark,
+        "rolling_purchase_error_corr",
+        QUERIES["rolling_purchase_error_corr"],
+        ORACLES["rolling_purchase_error_corr"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_event_gap_log_buckets_planted(spark, tmp_path):
+    # Gaps of 1s, 3s, 4s, 7s, 8s for one user ->
+    # buckets 0:[1], 1:[3], 2:[4,7], 3:[8]. A 0-second gap (same
+    # timestamp) and a sub-second wrap (0.9s elapsed across a second
+    # boundary) are both excluded by the ELAPSED >= 1 s rule — pinning
+    # timestampdiff (elapsed) over boundary-crossing semantics.
+    base = dt.datetime(2026, 8, 3, 9, 0, 0)
+    offs = [0.0, 1.0, 4.0, 8.0, 15.0, 23.0]  # gaps 1,3,4,7,8
+    rows = [
+        (i, base + dt.timedelta(seconds=o), 1, "view", 1.0, "{}")
+        for i, o in enumerate(offs)
+    ]
+    # sub-second boundary wrap: 9:10:00.900 -> 9:10:01.100 (0.2s elapsed,
+    # crosses the :01 boundary); must NOT appear as a 1s gap
+    rows.append(
+        (100, dt.datetime(2026, 8, 3, 9, 10, 0, 900000), 2, "view", 1.0, "{}")
+    )
+    rows.append(
+        (101, dt.datetime(2026, 8, 3, 9, 10, 1, 100000), 2, "view", 1.0, "{}")
+    )
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r.bucket: r
+        for r in QUERIES["event_gap_log_histogram"](spark, sf).collect()
+    }
+    assert {b: out[b].n_gaps for b in sorted(out)} == {0: 1, 1: 1, 2: 2, 3: 1}
+    assert (out[2].min_gap_s, out[2].max_gap_s) == (4, 7)
+    ok, detail = compare(
+        spark,
+        "event_gap_log_histogram",
+        QUERIES["event_gap_log_histogram"],
+        ORACLES["event_gap_log_histogram"],
+        sf,
+    )
+    assert ok, detail

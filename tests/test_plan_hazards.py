@@ -63,6 +63,8 @@ GLOBAL_WINDOW_OK = {
     "whale_revenue_share",       # _global_ranks P-row prefix-sum
     "slo_burn_rate",             # 6h RANGE frame over the one-row-per-hour
                                  # frame (grows with calendar, not volume)
+    "rolling_purchase_error_corr",  # 7d RANGE frame over the
+                                    # one-row-per-day frame
 }
 
 
