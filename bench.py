@@ -173,6 +173,8 @@ HEADLINE = [
     "cohort_ltv_curve",
     "rolling_purchase_error_corr",
     "event_gap_log_histogram",
+    "order_ship_lag_stats",
+    "segment_migration_matrix",
 ]
 
 

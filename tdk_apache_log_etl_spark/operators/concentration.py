@@ -712,3 +712,87 @@ def brand_rank_delta_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_rank"),
         (prev - F.col("rnk")).alias("rank_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# E99: segment-migration matrix (RFM-tier transitions between periods)
+# --------------------------------------------------------------------------
+
+#: Period pivot for the two spend snapshots (orders span 1995-2001 in
+#: the fixtures; planted tests control their own dates).
+SEGMENT_PIVOT = "1998-07-01"
+
+
+@query(
+    "segment_migration_matrix",
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(o_orderdate AS DATE) < DATE '{SEGMENT_PIVOT}'
+                   AS is_p1,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {{scale}} + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sc
+          FROM orders
+          GROUP BY o_custkey, CAST(o_orderdate AS DATE) < DATE '{SEGMENT_PIVOT}'
+        ),
+        tiled AS (
+          SELECT o_custkey, is_p1,
+                 ntile(4) OVER (PARTITION BY is_p1 ORDER BY sc, o_custkey)
+                   AS tile
+          FROM spend
+        ),
+        p1 AS (SELECT o_custkey, tile FROM tiled WHERE is_p1),
+        p2 AS (SELECT o_custkey, tile FROM tiled WHERE NOT is_p1)
+        SELECT coalesce('T' || CAST(p1.tile AS VARCHAR), 'none')
+                 AS seg_from,
+               coalesce('T' || CAST(p2.tile AS VARCHAR), 'none')
+                 AS seg_to,
+               count(*) AS n_customers
+        FROM p1 FULL OUTER JOIN p2 ON p1.o_custkey = p2.o_custkey
+        GROUP BY 1, 2
+    """.replace("{scale}", str(SCALE)),
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99: customer segment-migration matrix — spend quartile (T1 low …
+    T4 high) in the period before SEGMENT_PIVOT crossed with the
+    quartile after it, plus 'none' rows for customers active in only
+    one period. The classification-transition report behind "are our
+    top-tier customers downgrading?" — a cross-tab of two
+    INDEPENDENTLY-computed rankings, which no single window expresses.
+
+    ntile ties are broken by (spend, custkey) — a UNIQUE order, so tile
+    assignment is deterministic in both engines (ntile on a non-unique
+    order would be an engine-dependent coin flip at the boundaries).
+
+    Scale: orders collapse to ≤2 rows per customer; the quartile
+    windows run over the per-customer aggregate partitioned by period
+    (the ntile_customer_quartiles waiver argument), and the full-outer
+    self-alignment joins on the customer key. Output is a ≤5×5 grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    sc_row = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    spend = orders.groupBy(
+        "o_custkey",
+        (
+            F.col("o_orderdate").cast("date")
+            < F.to_date(F.lit(SEGMENT_PIVOT))
+        ).alias("is_p1"),
+    ).agg(F.sum(sc_row).alias("sc"))
+    w = Window.partitionBy("is_p1").orderBy("sc", "o_custkey")
+    tiled = spend.select(
+        "o_custkey", "is_p1", F.ntile(4).over(w).alias("tile")
+    )
+    p1 = tiled.where(F.col("is_p1")).select(
+        F.col("o_custkey").alias("k1"), F.col("tile").alias("t1")
+    )
+    p2 = tiled.where(~F.col("is_p1")).select(
+        F.col("o_custkey").alias("k2"), F.col("tile").alias("t2")
+    )
+    joined = p1.join(p2, p1.k1 == p2.k2, "full_outer")
+    return joined.groupBy(
+        F.coalesce(
+            F.concat(F.lit("T"), F.col("t1").cast("string")), F.lit("none")
+        ).alias("seg_from"),
+        F.coalesce(
+            F.concat(F.lit("T"), F.col("t2").cast("string")), F.lit("none")
+        ).alias("seg_to"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

@@ -595,3 +595,91 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E98: order-fulfillment lag (counting percentiles on a bounded domain)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_ship_lag_stats",
+    oracle="""
+        WITH lags AS (
+          SELECT o.o_orderpriority,
+                 CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(min(l.l_shipdate) AS DATE)) AS BIGINT)
+                   AS lag_days
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(lag_days) AS DOUBLE) / count(*) AS avg_lag_days,
+               CAST(quantile_disc(lag_days, 0.5) AS BIGINT)  AS p50_lag,
+               CAST(quantile_disc(lag_days, 0.95) AS BIGINT) AS p95_lag
+        FROM lags GROUP BY o_orderpriority
+    """,
+)
+def order_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98: days from order placement to FIRST shipment, summarized per
+    priority class (n, mean, p50, p95) — the fulfillment-SLA readout.
+    The percentiles are EXACT but never buffer per-group values: lag is
+    an integer-day domain, so the distribution collapses to
+    (priority, lag_days) counts and the order statistics come from a
+    cumulative-count window over that bounded frame — p50 is the least
+    lag with 2·cum ≥ n, p95 the least with 20·cum ≥ 19·n (integer
+    comparisons ≡ the quantile_disc ceil(q·n)−1 convention, so the
+    oracle can use quantile_disc directly). This counting-percentile
+    pattern is the scale answer wherever the metric's domain is small
+    even though the row count isn't.
+
+    Scale: one orderkey join collapse (min shipdate rides the same
+    aggregate), then the frame is |priorities| × |lag domain| — a few
+    hundred rows at any corpus size. The mean is an exact BIGINT sum
+    over one double division."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lags = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("first_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    dist = lags.groupBy("o_orderpriority", "lag_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("o_orderpriority")
+    cum = dist.select(
+        "o_orderpriority",
+        "lag_days",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        (
+            F.sum(F.col("lag_days") * F.col("cnt")).cast("double")
+            / F.max("n")
+        ).alias("avg_lag_days"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("lag_days"))
+        ).alias("p50_lag"),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("lag_days"))
+        ).alias("p95_lag"),
+    )

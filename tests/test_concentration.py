@@ -240,3 +240,98 @@ def test_brand_rank_delta_swap(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_order_ship_lag_counting_percentiles(spark, tmp_path):
+    # One priority, lags [1,2,3,10] (first-ship = earliest lineitem):
+    # p50 = 2 (2*cum >= n first holds there), p95 = 10, avg = 4.0.
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    orders = pd.DataFrame(
+        [(k, k, "O", 10.0, base, "1-URGENT") for k in range(4)],
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li_rows = []
+    for k, lag in zip(range(4), [1, 2, 3, 10]):
+        # two lineitems per order; the LATER one must not define the lag
+        li_rows.append((k, 1, 1, 1, 1.0, 10.0, 0.0,
+                        base + dt.timedelta(days=lag)))
+        li_rows.append((k, 1, 1, 2, 1.0, 10.0, 0.0,
+                        base + dt.timedelta(days=lag + 30)))
+    li = pd.DataFrame(
+        li_rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[ms]")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    [r] = QUERIES["order_ship_lag_stats"](spark, str(tmp_path)).collect()
+    assert (r.n_orders, r.p50_lag, r.p95_lag) == (4, 2, 10)
+    assert r.avg_lag_days == pytest.approx(4.0)
+    ok, detail = compare(
+        spark,
+        "order_ship_lag_stats",
+        QUERIES["order_ship_lag_stats"],
+        ORACLES["order_ship_lag_stats"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_segment_migration_moves_and_none(spark, tmp_path):
+    # Period 1: customers 1-4 with ascending spend -> tiles T1..T4.
+    # Period 2: customer 4 crashes to the bottom, customer 1 disappears,
+    # customer 5 appears. Expect T4->T1, T1->none, none->T4 (cust 5 is
+    # p2's top spender among {2,3,4,5}? spends: c4=10, c2=200, c3=300,
+    # c5=400 -> tiles c4=T1, c2=T2, c3=T3, c5=T4).
+    import datetime as dt
+
+    p1d = dt.datetime(1997, 1, 1)
+    p2d = dt.datetime(1999, 1, 1)
+    rows = []
+    ok_ = 0
+    for c, spend in [(1, 100.0), (2, 200.0), (3, 300.0), (4, 400.0)]:
+        ok_ += 1
+        rows.append((ok_, c, "O", spend, p1d, "1-URGENT"))
+    for c, spend in [(4, 10.0), (2, 200.0), (3, 300.0), (5, 400.0)]:
+        ok_ += 1
+        rows.append((ok_, c, "O", spend, p2d, "1-URGENT"))
+    orders = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+    orders.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        (r.seg_from, r.seg_to): r.n_customers
+        for r in QUERIES["segment_migration_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("T4", "T1")] == 1      # customer 4 crashed
+    assert out[("T1", "none")] == 1    # customer 1 left
+    assert out[("none", "T4")] == 1    # customer 5 arrived on top
+    assert out[("T2", "T2")] == 1 and out[("T3", "T3")] == 1
+    ok, detail = compare(
+        spark,
+        "segment_migration_matrix",
+        QUERIES["segment_migration_matrix"],
+        ORACLES["segment_migration_matrix"],
+        str(tmp_path),
+    )
+    assert ok, detail
