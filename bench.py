@@ -103,6 +103,7 @@ HEADLINE = [
     # persisted edge relation is still in the scoped LRU cache (measured
     # 5.4 s -> edge-cache-warm when 7 unrelated queries sat in between)
     "bfs_reach_part_graph",
+    "lpa_communities_part_graph",
     "orders_snapshot_diff",
     "stratified_sample_events",
     "embedding_quantize_int8",

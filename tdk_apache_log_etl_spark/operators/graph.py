@@ -24,7 +24,7 @@ scripts) has no graph surface; extension per the §2.6 mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -296,4 +296,103 @@ def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("node", F.least(F.col("level"), F.col("cand")).alias("level"))
     return levels.where(F.col("level").isNotNull()).select(
         F.col("node").alias("part_key"), F.col("level").alias("bfs_level")
+    )
+
+
+# --------------------------------------------------------------------------
+# E100: label-propagation community detection
+# --------------------------------------------------------------------------
+
+#: Synchronous label-propagation rounds (unrolled identically in SQL).
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    steps = [
+        f"""lp0 AS (
+          SELECT node, CAST(node AS BIGINT) AS label FROM nodes
+        )"""
+    ]
+    for k in range(LPA_ROUNDS):
+        steps.append(f"""votes{k} AS (
+          SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+          FROM edges e JOIN lp{k} l ON e.src = l.node
+          GROUP BY e.dst, l.label
+        ), pick{k} AS (
+          SELECT node, label,
+                 row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, label
+                 ) AS rn
+          FROM votes{k}
+        ), lp{k + 1} AS (
+          SELECT n.node, CAST(COALESCE(p.label, n.node) AS BIGINT) AS label
+          FROM lp{k} n LEFT JOIN (SELECT node, label FROM pick{k}
+                                  WHERE rn = 1) p
+            ON n.node = p.node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), edges AS (SELECT src, dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM pairs),
+        {", ".join(steps)}
+        SELECT label AS community, count(*) AS n_members
+        FROM lp{LPA_ROUNDS} GROUP BY label
+    """
+
+
+@query("lpa_communities_part_graph", oracle=_lpa_oracle())
+def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100: community detection by synchronous label propagation over
+    the significant co-occurrence graph — LPA_ROUNDS rounds of "adopt
+    the most common neighbor label", the near-linear-time community
+    algorithm co-purchase graphs actually use. Completes the iterative
+    graph pack (PageRank ranks, triangles cluster, BFS reaches, LPA
+    partitions).
+
+    Determinism is the hard part: classic LPA breaks vote ties randomly,
+    which can never hash-match an oracle. Here ties break by (count
+    DESC, label ASC) — a total order — and rounds are synchronous, so
+    the fixed-point after K rounds is a pure function of the graph,
+    unrolled identically in the SQL oracle. Isolated-in-round nodes
+    (no incoming votes) keep their own id via the left join.
+
+    Scale: same discipline as PageRank/BFS — the persisted,
+    src-partitioned edge relation is shared via scoped_persist; each
+    round shuffles (node, label) longs only, collapsed map-side to the
+    per-node label vocabulary; labels localCheckpoint per round (the
+    frame is referenced by both the vote join and the carry-through left
+    join — the same 2^K lazy-plan hazard BFS hit). Output is
+    |communities| rows."""
+    edges = partitioned_edges(spark, sf_dir).select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").cast("long").alias("label"))
+    for _ in range(LPA_ROUNDS):
+        labels = labels.localCheckpoint(eager=True)
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("vnode").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        picked = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vnode", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(
+            picked, labels["node"] == picked["vnode"], "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("new_label"), F.col("node").cast("long")).alias(
+                "label"
+            ),
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
     )

@@ -70,3 +70,15 @@ def test_edges_built_once_via_cache(spark):
         .toString()
     )
     assert "InMemoryTableScan" in plan
+
+
+def test_lpa_clique_converges_to_one_community(spark, tmp_path):
+    # A 3-clique {1,2,3} (two identical baskets clear MIN_COOCCUR) plus
+    # an isolated pair {4,5}. The clique must end in ONE community; the
+    # pair oscillates bipartitely under synchronous LPA (a known
+    # artifact) but deterministically — 5 nodes total, sizes [1,1,3].
+    sf = _lineitem(tmp_path, [[1, 2, 3], [1, 2, 3], [4, 5], [4, 5]])
+    out = QUERIES["lpa_communities_part_graph"](spark, sf).collect()
+    sizes = sorted(r.n_members for r in out)
+    assert sum(sizes) == 5
+    assert sizes == [1, 1, 3]
