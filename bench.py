@@ -176,6 +176,7 @@ HEADLINE = [
     "event_gap_log_histogram",
     "order_ship_lag_stats",
     "segment_migration_matrix",
+    "funnel_chain_within_deadlines",
 ]
 
 

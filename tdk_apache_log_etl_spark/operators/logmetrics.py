@@ -2422,3 +2422,125 @@ def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# E101: multi-stage time-constrained funnel (chained carry windows)
+# --------------------------------------------------------------------------
+
+#: Stage deadlines: view→click within 30 min, click→purchase within 60.
+_FUNNEL_V2C_S = 1800
+_FUNNEL_C2P_S = 3600
+
+
+@query(
+    "funnel_chain_within_deadlines",
+    oracle=f"""
+        WITH carried AS (
+          SELECT user_id, event_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS last_view_ts
+          FROM events
+        ),
+        qualified AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN event_type = 'click'
+                       AND last_view_ts IS NOT NULL
+                       AND CAST(FLOOR(epoch(ts - last_view_ts)) AS BIGINT)
+                           <= {_FUNNEL_V2C_S}
+                      THEN ts END AS qual_click_ts
+          FROM carried
+        ),
+        chained AS (
+          SELECT user_id, ts, event_type,
+                 last_value(qual_click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS last_qual_click_ts
+          FROM qualified
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(*) FILTER (WHERE last_qual_click_ts IS NOT NULL)
+                 AS BIGINT) AS n_after_any_chain,
+               CAST(count(*) FILTER (
+                 WHERE last_qual_click_ts IS NOT NULL
+                   AND CAST(FLOOR(epoch(ts - last_qual_click_ts)) AS BIGINT)
+                       <= {_FUNNEL_C2P_S}) AS BIGINT) AS n_full_chain
+        FROM chained WHERE event_type = 'purchase'
+    """,
+)
+def funnel_chain_within_deadlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E101: three-stage funnel with PER-STAGE deadlines — purchases
+    preceded by a click that itself came within 30 min of a view, with
+    the purchase within 60 min of that click. Per-stage time constraints
+    are what plain funnels (funnel_conversion) and single-carry funnels
+    (view_to_purchase_within_hour) can't express: the middle stage must
+    be *qualified* (its own deadline met) before it can qualify the next.
+
+    The rewrite is CHAINED carry windows: carry the last view timestamp,
+    mark clicks whose view is fresh, then carry the last QUALIFIED click
+    — two window layers over the SAME (user, ts, event_id) ordering, so
+    Catalyst plans them on one exchange. No self-join, no range join,
+    per-row state = two timestamps. Deadlines use the repo's pinned
+    elapsed-whole-seconds semantics (timestampdiff ↔ floor(epoch)).
+
+    Scale: one user_id shuffle; the final reduce is a 3-number row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), True
+        )
+        .over(w)
+        .alias("last_view_ts"),
+    )
+    qualified = carried.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view_ts").isNotNull()
+            & (
+                F.expr("timestampdiff(SECOND, last_view_ts, ts)")
+                <= _FUNNEL_V2C_S
+            ),
+            F.col("ts"),
+        ).alias("qual_click_ts"),
+    )
+    chained = qualified.select(
+        "ts",
+        "event_type",
+        F.last("qual_click_ts", True).over(w).alias("last_qual_click_ts"),
+    )
+    purchases = chained.where(F.col("event_type") == "purchase")
+    return purchases.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(F.col("last_qual_click_ts").isNotNull(), 1)).alias(
+            "n_after_any_chain"
+        ),
+        F.count(
+            F.when(
+                F.col("last_qual_click_ts").isNotNull()
+                & (
+                    F.expr(
+                        "timestampdiff(SECOND, last_qual_click_ts, ts)"
+                    )
+                    <= _FUNNEL_C2P_S
+                ),
+                1,
+            )
+        ).alias("n_full_chain"),
+    )

@@ -432,3 +432,39 @@ def test_event_gap_log_buckets_planted(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_funnel_chain_deadlines_planted(spark, tmp_path):
+    # u1: view@0 -> click@10min (fresh) -> purchase@40min (30min after
+    #     click)                      => full chain.
+    # u2: view@0 -> click@45min (view STALE, >30min) -> purchase@50min
+    #                                 => no qualified chain at all.
+    # u3: view@0 -> click@5min (fresh) -> purchase@5h (click too old)
+    #                                 => chain exists, deadline missed.
+    base = dt.datetime(2026, 8, 3, 9, 0, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(10), 1, "click", 1.0, "{}"),
+        (3, at(40), 1, "purchase", 1.0, "{}"),
+        (4, at(0), 2, "view", 1.0, "{}"),
+        (5, at(45), 2, "click", 1.0, "{}"),
+        (6, at(50), 2, "purchase", 1.0, "{}"),
+        (7, at(0), 3, "view", 1.0, "{}"),
+        (8, at(5), 3, "click", 1.0, "{}"),
+        (9, at(300), 3, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["funnel_chain_within_deadlines"](spark, sf).collect()
+    assert (r.n_purchases, r.n_after_any_chain, r.n_full_chain) == (3, 2, 1)
+    ok, detail = compare(
+        spark,
+        "funnel_chain_within_deadlines",
+        QUERIES["funnel_chain_within_deadlines"],
+        ORACLES["funnel_chain_within_deadlines"],
+        sf,
+    )
+    assert ok, detail
