@@ -132,6 +132,11 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "si", "sj",
         # OOV vocabulary (text.py): top-K rows by contract
         "vocab",
+        # key-skew audit (concentration.py): the 1-row quantile array
+        "q",
+        # cohort LTV (logmetrics.py): one row per first-seen week —
+        # grows with calendar time, not data volume (like months)
+        "sizes",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
