@@ -177,6 +177,7 @@ HEADLINE = [
     "order_ship_lag_stats",
     "segment_migration_matrix",
     "funnel_chain_within_deadlines",
+    "resource_canonical_traffic",
 ]
 
 

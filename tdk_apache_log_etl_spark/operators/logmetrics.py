@@ -2544,3 +2544,75 @@ def funnel_chain_within_deadlines(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("n_full_chain"),
     )
+
+
+# --------------------------------------------------------------------------
+# E102: URL canonicalization (tracking-param strip + case/slash folding)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "resource_canonical_traffic",
+    oracle="""
+        WITH raw AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN '/Products/'
+                      ELSE '/products/' END
+              || CAST(event_id % 20 AS VARCHAR)
+              || CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END
+              || CASE WHEN event_id % 3 = 0
+                      THEN '?utm_source=mail&uid=' || CAST(user_id AS VARCHAR)
+                      ELSE '' END AS url
+          FROM events
+        ),
+        canon AS (
+          SELECT url,
+                 regexp_replace(lower(split_part(url, '?', 1)), '/+$', '')
+                   AS canonical
+          FROM raw
+        )
+        SELECT canonical,
+               count(*) AS n_requests,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        FROM canon GROUP BY canonical
+    """,
+)
+def resource_canonical_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E102: URL canonicalization — the step every access-log pipeline
+    needs before counting "page" traffic: the same resource arrives with
+    tracking query-strings, mixed path case, and trailing slashes, and
+    naive per-URL counts (the reference's per-resource aggregate,
+    sree-etl-tdk-glue-job.py:55-59) fragment across those variants. The
+    canonical form strips everything after '?', lowercases, and trims
+    trailing slashes — each raw URL synthesized deterministically from
+    events columns IDENTICALLY in both engines, so the variant-collapse
+    ratio (n_raw_variants per canonical) is hash-checked end to end.
+
+    Scale: a pure narrow projection (regexp_replace/lower/split in
+    whole-stage codegen) followed by one hash aggregate; the distinct
+    count rides the same exchange as the group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("/Products/")).otherwise(
+            F.lit("/products/")
+        ),
+        (F.col("event_id") % 20).cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=mail&uid="),
+                F.col("user_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    raw = ev.select(url.alias("url"))
+    canon = raw.select(
+        "url",
+        F.regexp_replace(
+            F.lower(F.substring_index(F.col("url"), "?", 1)), "/+$", ""
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("url").alias("n_raw_variants"),
+    )
