@@ -2215,14 +2215,30 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours grow with calendar time, not data volume; partition by day at
     multi-year scale)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    hourly = hourly_error_counts(ev)
+    return burn_from_hourly(hourly)
+
+
+def hourly_error_counts(events: DataFrame) -> DataFrame:
+    """(hour, n_events, n_errors) — the additive hourly state the burn
+    computation reads; shared with the streaming maintainer
+    (streaming/slo_stream.py), where each micro-batch produces this
+    exact frame for its own rows and merges by summation."""
+    return events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias(
             "n_errors"
         ),
-    ).withColumn(
+    )
+
+
+def burn_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Multi-window burn rates + alert over an (hour, n_events,
+    n_errors) frame — the batch query and the streaming state reader
+    share this exact computation."""
+    hourly = hourly.withColumn(
         # hour index via tz-free timestamp arithmetic: unix_timestamp
         # would render the NTZ hour through the SESSION timezone, and a
         # DST transition inside the data would warp the RANGE frame.
