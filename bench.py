@@ -178,6 +178,7 @@ HEADLINE = [
     "segment_migration_matrix",
     "funnel_chain_within_deadlines",
     "resource_canonical_traffic",
+    "token_distribution_drift",
 ]
 
 

@@ -1177,3 +1177,87 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simpson_diversity"),
     )
+
+
+# --------------------------------------------------------------------------
+# E104: corpus drift — total-variation distance between token distributions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_distribution_drift",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id % 2 AS grp,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        c AS (
+          SELECT tok,
+                 CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS c1,
+                 CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS c2
+          FROM toks GROUP BY tok
+        ),
+        n AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS vocab_union
+          FROM c
+        )
+        SELECT n.n1 AS n_tokens_a, n.n2 AS n_tokens_b, n.vocab_union,
+               CAST(sum(abs(c.c1 * n.n2 - c.c2 * n.n1)) AS DOUBLE)
+                 / (2.0 * n.n1 * n.n2) AS tvd
+        FROM c, n
+        GROUP BY n.n1, n.n2, n.vocab_union
+    """,
+)
+def token_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E104: dataset-shift detection — the total-variation distance
+    TVD = ½·Σ|p_t − q_t| between the token distributions of two corpus
+    slices (even vs odd doc ids standing in for before/after ingests).
+    The drift alarm a training-data pipeline runs before a new crawl
+    batch joins the mix. TVD instead of KL/Jensen-Shannon is a
+    determinism choice: |c1·n2 − c2·n1| keeps every per-token term an
+    exact BIGINT (KL's logs would accumulate libm floats in engine
+    order), with ONE double division at the end — engine-exact.
+    Absent-from-one-side tokens contribute their full mass, so new
+    vocabulary is drift, as it should be.
+
+    Scale: explode collapses map-side to the vocabulary; both slice
+    counts ride ONE aggregate (conditional counts, no self-join); the
+    totals are a 1-row broadcast crossJoin. At extreme corpus sizes the
+    BIGINT product c·n approaches overflow (c·n ≤ n², n ≈ 2^31 tokens
+    per slice is the safe bound) — switch the numerator to DECIMAL(38,0)
+    past that; documented, not silent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.explode(_tokens()).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("c1"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("vocab_union"),
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2", "vocab_union")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("num")
+        )
+        .select(
+            F.col("n1").alias("n_tokens_a"),
+            F.col("n2").alias("n_tokens_b"),
+            "vocab_union",
+            (
+                F.col("num").cast("double")
+                / (2.0 * F.col("n1") * F.col("n2"))
+            ).alias("tvd"),
+        )
+    )

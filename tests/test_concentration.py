@@ -335,3 +335,32 @@ def test_segment_migration_moves_and_none(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_token_drift_closed_form(spark, tmp_path):
+    # Slice A (even doc ids): "a a b"; slice B (odd): "a b b".
+    # p = (2/3, 1/3), q = (1/3, 2/3) -> TVD = 1/3. A token present in
+    # only one slice must contribute its full mass (doc 2 adds "c").
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a a b", "a b b"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r] = QUERIES["token_distribution_drift"](spark, str(tmp_path)).collect()
+    assert (r.n_tokens_a, r.n_tokens_b, r.vocab_union) == (3, 3, 2)
+    assert r.tvd == pytest.approx(1 / 3)
+    ok, detail = compare(
+        spark,
+        "token_distribution_drift",
+        QUERIES["token_distribution_drift"],
+        ORACLES["token_distribution_drift"],
+        str(tmp_path),
+    )
+    assert ok, detail
+    # one-sided vocabulary: add doc 2 (even) with a new token "c c c"
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a a b", "a b b", "c c c"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r2] = QUERIES["token_distribution_drift"](spark, str(tmp_path)).collect()
+    # p = (2/6, 1/6, 3/6), q = (1/3, 2/3, 0) -> TVD = (0 + 1/2 + 1/2)/2... 
+    # exact: 0.5*(|1/3-1/3| + |1/6-2/3| + |1/2-0|) = 0.5*(0 + 1/2 + 1/2) = 1/2
+    assert r2.vocab_union == 3
+    assert r2.tvd == pytest.approx(0.5)

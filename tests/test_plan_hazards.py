@@ -40,6 +40,7 @@ BNLJ_OK = {
     "user_activity_gini",        # 1-row n_total crossJoin (rank formula)
     "key_skew_audit",            # two 1-row frames (quantiles, stats)
     "whale_revenue_share",       # 1-row n_total crossJoin (rank cut)
+    "token_distribution_drift",  # 1-row slice-totals crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
