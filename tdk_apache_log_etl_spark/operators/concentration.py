@@ -532,10 +532,15 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frames (quantile array, count stats) broadcast-crossJoin into
     the single output row. The imbalance division is a fixed
     double-op tree over exact BIGINTs — engine-exact."""
+    from .registry import scoped_persist
     from .relational import _distributed_quantiles
 
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: BOTH the quantile selection and the stats aggregate read
+    # this frame — without it the events aggregate runs twice
+    counts = scoped_persist(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     q = _distributed_quantiles(
         counts.select(F.col("cnt").cast("double").alias("cnt")),
         "cnt",
