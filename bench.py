@@ -179,6 +179,7 @@ HEADLINE = [
     "funnel_chain_within_deadlines",
     "resource_canonical_traffic",
     "token_distribution_drift",
+    "dq_expectations_events",
 ]
 
 

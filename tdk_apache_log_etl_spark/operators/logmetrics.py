@@ -2632,3 +2632,95 @@ def resource_canonical_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct("url").alias("n_raw_variants"),
     )
+
+
+# --------------------------------------------------------------------------
+# E105: declarative data-quality rule suite (one-pass expectation runner)
+# --------------------------------------------------------------------------
+
+#: (rule_name, violation predicate SQL, max tolerated violation rate).
+#: One entry per expectation; BOTH engines evaluate the identical
+#: predicate strings, and the whole suite runs in ONE aggregation pass.
+DQ_RULES: tuple[tuple[str, str, float], ...] = (
+    ("event_id_not_null", "event_id IS NULL", 0.0),
+    ("ts_not_null", "ts IS NULL", 0.0),
+    ("known_event_type",
+     "event_type NOT IN ('view','click','purchase','signup','error')", 0.0),
+    ("value_non_negative", "value IS NOT NULL AND value < 0", 0.0),
+    ("value_mostly_present", "value IS NULL", 0.5),
+    ("props_parses_as_json", "try_parse_json(props) IS NULL", 0.0),
+)
+
+
+@query(
+    "dq_expectations_events",
+    oracle="""
+        WITH agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows, {conds}
+          FROM events
+        )
+        SELECT u.rule_name, agg.n_rows, u.n_violations,
+               CAST(u.n_violations AS DOUBLE) / agg.n_rows
+                 AS violation_rate,
+               CAST(u.n_violations AS DOUBLE) / agg.n_rows <= u.threshold
+                 AS passed
+        FROM agg, (
+          {unions}
+        ) u
+    """.format(
+        conds=", ".join(
+            f"CAST(count(*) FILTER (WHERE {pred.replace('try_parse_json(props) IS NULL', 'NOT json_valid(props)')}) AS BIGINT) AS v{i}"
+            for i, (_, pred, _) in enumerate(DQ_RULES)
+        ),
+        unions=" UNION ALL ".join(
+            f"SELECT '{name}' AS rule_name, v{i} AS n_violations, "
+            f"CAST({thr} AS DOUBLE) AS threshold FROM agg"
+            for i, (name, _, thr) in enumerate(DQ_RULES)
+        ),
+    ),
+)
+def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E105: a declarative expectation suite (the Great-Expectations /
+    dbt-test shape) executed as ONE aggregation pass: every rule is a
+    violation predicate + tolerated rate, all rules fold into a single
+    multi-conditional-count aggregate (one scan however many rules),
+    and the per-rule scorecard is unpivoted from that 1-row result.
+    Generalizes dq_audit's fixed checks into a rule TABLE — adding an
+    expectation is one tuple, not new plumbing.
+
+    Engine note: the JSON-validity predicate is `try_parse_json IS NULL`
+    in Spark and `NOT json_valid` in DuckDB — same semantics, mapped at
+    authoring time; every other predicate string is shared verbatim.
+
+    Scale: one scan, map-side combined counts, |rules|-row output. The
+    rate division is exact-BIGINT / exact-BIGINT — deterministic, so
+    the boolean verdicts can't flap between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.expr(pred), 1)).alias(f"v{i}")
+            for i, (_, pred, _) in enumerate(DQ_RULES)
+        ],
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule_name"),
+                F.col(f"v{i}").alias("n_violations"),
+                F.lit(thr).cast("double").alias("threshold"),
+            )
+            for i, (name, _, thr) in enumerate(DQ_RULES)
+        ]
+    )
+    exploded = agg.select(
+        "n_rows", F.explode(rules).alias("r")
+    ).select("n_rows", "r.rule_name", "r.n_violations", "r.threshold")
+    rate = F.col("n_violations").cast("double") / F.col("n_rows")
+    return exploded.select(
+        "rule_name",
+        "n_rows",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= F.col("threshold")).alias("passed"),
+    )

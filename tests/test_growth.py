@@ -468,3 +468,40 @@ def test_funnel_chain_deadlines_planted(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_dq_expectations_planted_violations(spark, tmp_path):
+    # 10 rows: one NULL ts, one unknown type, one negative value, one
+    # broken JSON, six NULL values (60% > the 50% tolerance). Every rule
+    # must report its exact violation count and verdict.
+    base = dt.datetime(2026, 8, 3, 9)
+    rows = [
+        (1, None, 1, "view", 1.0, "{}"),              # ts NULL
+        (2, base, 1, "teleport", 1.0, "{}"),          # unknown type
+        (3, base, 1, "view", -5.0, "{}"),             # negative value
+        (4, base, 1, "view", 1.0, "{not json"),       # broken JSON
+    ] + [
+        (5 + i, base, 1, "view", None, "{}") for i in range(6)  # NULL value
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r.rule_name: r
+        for r in QUERIES["dq_expectations_events"](spark, sf).collect()
+    }
+    assert out["event_id_not_null"].n_violations == 0
+    assert out["event_id_not_null"].passed is True
+    assert out["ts_not_null"].n_violations == 1
+    assert out["ts_not_null"].passed is False
+    assert out["known_event_type"].n_violations == 1
+    assert out["value_non_negative"].n_violations == 1
+    assert out["props_parses_as_json"].n_violations == 1
+    assert out["value_mostly_present"].n_violations == 6
+    assert out["value_mostly_present"].passed is False  # 0.6 > 0.5
+    ok, detail = compare(
+        spark,
+        "dq_expectations_events",
+        QUERIES["dq_expectations_events"],
+        ORACLES["dq_expectations_events"],
+        sf,
+    )
+    assert ok, detail
