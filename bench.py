@@ -180,6 +180,7 @@ HEADLINE = [
     "resource_canonical_traffic",
     "token_distribution_drift",
     "dq_expectations_events",
+    "growth_accounting_incremental",
 ]
 
 

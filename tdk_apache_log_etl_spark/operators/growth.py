@@ -88,16 +88,30 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity, which may extend past the corpus end — deliberate, and
     mirrored exactly by the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    weeks = ev.select(
+    return weekly_class_counts(classify_weeks(growth_weeks(ev)))
+
+
+def growth_weeks(events: DataFrame) -> DataFrame:
+    """The maintained growth state: DISTINCT (user_id, week) activity
+    pairs — everything growth accounting needs, at |users|×|weeks|."""
+    return events.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
     ).distinct()
+
+
+def classify_weeks(weeks: DataFrame) -> DataFrame:
+    """(user_id, week, cls) rows — new/retained/resurrected per active
+    user-week plus the churn bookings at w+1. Shared by the batch query
+    and the incremental maintainer."""
     w = Window.partitionBy("user_id").orderBy("week")
     marked = weeks.select(
+        "user_id",
         "week",
         F.lag("week").over(w).alias("prev_w"),
         F.lead("week").over(w).alias("next_w"),
     )
     cls = marked.select(
+        "user_id",
         "week",
         F.when(F.col("prev_w").isNull(), F.lit("new"))
         .when(F.col("prev_w") == F.date_sub("week", 7), F.lit("retained"))
@@ -106,19 +120,91 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     churn = marked.where(
         F.col("next_w").isNull() | (F.col("next_w") > F.date_add("week", 7))
-    ).select(F.date_add("week", 7).alias("week"), F.lit("churned").alias("cls"))
-    return (
-        cls.unionByName(churn)
-        .groupBy("week")
-        .agg(
-            F.count(F.when(F.col("cls") == "new", 1)).alias("n_new"),
-            F.count(F.when(F.col("cls") == "retained", 1)).alias("n_retained"),
-            F.count(F.when(F.col("cls") == "resurrected", 1)).alias(
-                "n_resurrected"
-            ),
-            F.count(F.when(F.col("cls") == "churned", 1)).alias("n_churned"),
-        )
+    ).select(
+        "user_id",
+        F.date_add("week", 7).alias("week"),
+        F.lit("churned").alias("cls"),
     )
+    return cls.unionByName(churn)
+
+
+def weekly_class_counts(class_rows: DataFrame) -> DataFrame:
+    """Fold (user_id, week, cls) rows to the weekly scorecard."""
+    return class_rows.groupBy("week").agg(
+        F.count(F.when(F.col("cls") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("cls") == "retained", 1)).alias("n_retained"),
+        F.count(F.when(F.col("cls") == "resurrected", 1)).alias(
+            "n_resurrected"
+        ),
+        F.count(F.when(F.col("cls") == "churned", 1)).alias("n_churned"),
+    )
+
+
+def merge_growth_state(
+    state_weeks: DataFrame,
+    state_class_rows: DataFrame,
+    delta_events: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """E106: fold a delta batch into maintained growth-accounting state
+    WITHOUT rescanning history and WITHOUT re-classifying untouched
+    users.
+
+    Growth classes are not additively decomposable — a user's new delta
+    week can flip an old week from 'churn-after' to 'retained-before',
+    so per-week counts can't just merge by addition. But the
+    classification is PER-USER: only users present in the delta can
+    change. The merge therefore:
+
+      1. unions the delta's (user, week) pairs into the state (distinct),
+      2. anti-joins the kept class rows (users NOT in the delta pass
+         through untouched — never re-shuffled through a window),
+      3. re-classifies ONLY the affected users' merged week sets.
+
+    Cost: O(|delta| + |affected users' weeks| + |state|-passthrough);
+    the events history is never read — the merge consumes only the two
+    state frames and the delta, and the pass-through/recompute split is
+    structure-asserted in tests (LeftAnti carries untouched users around
+    the window, LeftSemi feeds only affected users into it). Returns
+    (merged_weeks, merged_class_rows); weekly_class_counts folds the
+    rows to the scorecard."""
+    delta_weeks = growth_weeks(delta_events)
+    affected = delta_weeks.select("user_id").distinct()
+    merged_weeks = state_weeks.unionByName(delta_weeks).distinct()
+    kept = state_class_rows.join(affected, "user_id", "left_anti")
+    recomputed = classify_weeks(
+        merged_weeks.join(affected, "user_id", "left_semi")
+    )
+    return merged_weeks, kept.unionByName(recomputed)
+
+
+def _register_incremental() -> None:
+    """Driver-checked query: maintain growth accounting across a
+    mid-month seam; the oracle is the DIRECT full recompute, so the
+    driver's hash gate is the merge == recompute equivalence proof for
+    a NON-decomposable, window-classified aggregate (the seam case that
+    breaks additive merging: a user active in both halves must flip
+    from churned@seam to retained)."""
+    from .registry import ORACLES, query
+
+    @query(
+        "growth_accounting_incremental",
+        # identical oracle as the batch query: the direct recompute
+        oracle=ORACLES["user_growth_accounting"],
+    )
+    def growth_accounting_incremental(spark: SparkSession, sf_dir: str):
+        ev = load_table(spark, sf_dir, "events")
+        cut = F.lit("2024-01-15").cast("timestamp_ntz")
+        a = ev.where(F.col("ts") < cut)
+        b = ev.where(F.col("ts") >= cut)
+        state_weeks = growth_weeks(a)
+        state_rows = classify_weeks(state_weeks)
+        _weeks, rows = merge_growth_state(state_weeks, state_rows, b)
+        return weekly_class_counts(rows)
+
+    _ = growth_accounting_incremental
+
+
+_register_incremental()
 
 
 # --------------------------------------------------------------------------

@@ -505,3 +505,56 @@ def test_dq_expectations_planted_violations(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_growth_incremental_merge_equals_recompute(spark, tmp_path):
+    # The seam case that breaks additive merging: u1 is active in BOTH
+    # halves, so the state (half A alone) books a churn at the seam that
+    # the merge must RETRACT and replace with 'retained'. u2 exists only
+    # in A (must pass through untouched), u3 only in B (new user).
+    from tdk_apache_log_etl_spark.operators.growth import (
+        classify_weeks,
+        growth_weeks,
+        merge_growth_state,
+        weekly_class_counts,
+    )
+
+    a_rows = [
+        (1, _t(0), 1, "view", 1.0, "{}"),
+        (2, _t(1), 2, "view", 1.0, "{}"),
+    ]
+    b_rows = [
+        (3, _t(7), 1, "view", 1.0, "{}"),
+        (4, _t(8), 3, "view", 1.0, "{}"),
+    ]
+    all_dir = tmp_path / "all"
+    all_dir.mkdir()
+    _write_events(all_dir, a_rows + b_rows)
+    a_dir = tmp_path / "a"
+    a_dir.mkdir()
+    _write_events(a_dir, a_rows)
+    b_dir = tmp_path / "b"
+    b_dir.mkdir()
+    _write_events(b_dir, b_rows)
+
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    state_weeks = growth_weeks(load_table(spark, str(a_dir), "events"))
+    state_rows = classify_weeks(state_weeks).localCheckpoint()
+    state_weeks = state_weeks.localCheckpoint()
+    delta = load_table(spark, str(b_dir), "events")
+    _w, merged_rows = merge_growth_state(state_weeks, state_rows, delta)
+    merged = weekly_class_counts(merged_rows)
+    direct = QUERIES["user_growth_accounting"](spark, str(all_dir))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # u1's A-side churn@w1 was retracted (w1 has a retained, no churn
+    # from u1; u2's churn@w1 remains)
+    by_week = {r.week.isoformat(): r for r in merged.collect()}
+    assert by_week["2026-08-10"].n_retained == 1
+    assert by_week["2026-08-10"].n_churned == 1  # u2 only
+    # structure: untouched users bypass the window via LeftAnti; only
+    # affected users (LeftSemi) are re-classified
+    plan = merged_rows._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
