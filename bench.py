@@ -181,6 +181,7 @@ HEADLINE = [
     "token_distribution_drift",
     "dq_expectations_events",
     "growth_accounting_incremental",
+    "theil_sen_daily_trend",
 ]
 
 

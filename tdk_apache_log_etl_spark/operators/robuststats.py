@@ -559,3 +559,98 @@ def rolling_purchase_error_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (num / F.nullif(F.sqrt(dx * dy), F.lit(0.0))).alias("rolling_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# E107: Theil–Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(datediff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                   AS BIGINT) AS x,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+          SELECT a.event_type,
+                 CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope,
+                 a.x AS x1, b.x AS x2
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.x < b.x
+        ),
+        ranked AS (
+          SELECT event_type, slope,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY slope, x1, x2
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM slopes
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_pairs,
+               max(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+                 AS theil_sen_slope
+        FROM ranked GROUP BY event_type
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E107: Theil–Sen estimator of each event type's daily-count trend —
+    the MEDIAN of all pairwise slopes, the robust-regression complement
+    to the OLS fit (events_value_trend): up to ~29% of the days can be
+    arbitrarily corrupted (an outage, a bot flood) without moving the
+    slope, where least squares chases every outlier.
+
+    Exactness: each pairwise slope is ONE double division of exact
+    BIGINTs (identical operands → identical doubles in both engines), so
+    the (slope, x1, x2) sort order — x-pair tie-break for duplicate
+    slope values — and the lower-middle median pick (rn = (n+1) div 2,
+    the quantile_disc convention) are fully deterministic.
+
+    Scale: the pair space is |days|² per type — CALENDAR-bounded, not
+    data-bounded (900 pairs for a month, 133k for a year; facts collapse
+    to the daily frame before the self-join). For decades-long series,
+    window the daily frame to the analysis horizon first; the fact
+    table is never self-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit(_EPOCH)))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope")
+            )
+        ).alias("theil_sen_slope"),
+    )

@@ -558,3 +558,27 @@ def test_growth_incremental_merge_equals_recompute(spark, tmp_path):
     # affected users (LeftSemi) are re-classified
     plan = merged_rows._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    # Daily counts 10,11,12,13,100: a perfect slope-1 trend with one
+    # blown-out final day. The median pairwise slope stays 1.0 (6 of 10
+    # pairs have slope exactly 1); least squares would report ~17.
+    rows = []
+    eid = 0
+    for day, cnt in [(0, 10), (1, 11), (2, 12), (3, 13), (4, 100)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, _t(day, 9 + eid % 8), 1, "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["theil_sen_daily_trend"](spark, sf).collect()
+    assert r.n_pairs == 10
+    assert r.theil_sen_slope == pytest.approx(1.0)
+    ok, detail = compare(
+        spark,
+        "theil_sen_daily_trend",
+        QUERIES["theil_sen_daily_trend"],
+        ORACLES["theil_sen_daily_trend"],
+        sf,
+    )
+    assert ok, detail
