@@ -182,6 +182,7 @@ HEADLINE = [
     "dq_expectations_events",
     "growth_accounting_incremental",
     "theil_sen_daily_trend",
+    "capped_sessions_per_user",
 ]
 
 

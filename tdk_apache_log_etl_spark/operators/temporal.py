@@ -683,3 +683,120 @@ def order_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("lag_days"))
         ).alias("p95_lag"),
     )
+
+
+# --------------------------------------------------------------------------
+# E108: capped sessionization (gap OR max-duration split)
+# --------------------------------------------------------------------------
+
+#: Session breaks on >30 min inactivity OR when the session's total
+#: duration would exceed 4 h (the cap product-analytics tools apply so a
+#: long-polling bot can't produce a week-long "session").
+SESSION_GAP_S = 1800
+SESSION_CAP_S = 4 * 3600
+
+_CAPPED_SCHEMA = (
+    "user_id long, n_events long, n_sessions long, "
+    "n_gap_splits long, n_cap_splits long"
+)
+
+
+def _capped_sessions_group(pdf):
+    """Per-user sequential walk: one pass, O(1) state (session start +
+    previous ts). Gap is checked before cap — precedence mirrored in
+    the recursive oracle."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    # normalize to ns explicitly: Arrow may hand the column over as us
+    ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+    n_sessions, n_gap, n_cap = 1, 0, 0
+    sstart = prev = ns[0]
+    for t in ns[1:]:
+        gap_s = (t - prev) // 1_000_000_000
+        dur_s = (t - sstart) // 1_000_000_000
+        if gap_s > SESSION_GAP_S:
+            n_sessions += 1
+            n_gap += 1
+            sstart = t
+        elif dur_s > SESSION_CAP_S:
+            n_sessions += 1
+            n_cap += 1
+            sstart = t
+        prev = t
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "n_sessions": [n_sessions],
+            "n_gap_splits": [n_gap],
+            "n_cap_splits": [n_cap],
+        }
+    )
+
+
+@query(
+    "capped_sessions_per_user",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        walk AS (
+          SELECT user_id, ts, rn, 1 AS sid, ts AS sstart,
+                 CAST(NULL AS VARCHAR) AS reason
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.ts, e.rn,
+                 CASE WHEN CAST(FLOOR(epoch(e.ts - w.ts)) AS BIGINT)
+                           > {SESSION_GAP_S}
+                       OR CAST(FLOOR(epoch(e.ts - w.sstart)) AS BIGINT)
+                           > {SESSION_CAP_S}
+                      THEN w.sid + 1 ELSE w.sid END,
+                 CASE WHEN CAST(FLOOR(epoch(e.ts - w.ts)) AS BIGINT)
+                           > {SESSION_GAP_S}
+                       OR CAST(FLOOR(epoch(e.ts - w.sstart)) AS BIGINT)
+                           > {SESSION_CAP_S}
+                      THEN e.ts ELSE w.sstart END,
+                 CASE WHEN CAST(FLOOR(epoch(e.ts - w.ts)) AS BIGINT)
+                           > {SESSION_GAP_S} THEN 'gap'
+                      WHEN CAST(FLOOR(epoch(e.ts - w.sstart)) AS BIGINT)
+                           > {SESSION_CAP_S} THEN 'cap' END
+          FROM walk w JOIN ev e
+            ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(sid) AS BIGINT) AS n_sessions,
+               CAST(count(*) FILTER (WHERE reason = 'gap') AS BIGINT)
+                 AS n_gap_splits,
+               CAST(count(*) FILTER (WHERE reason = 'cap') AS BIGINT)
+                 AS n_cap_splits
+        FROM walk GROUP BY user_id
+    """,
+)
+def capped_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E108: dual-condition sessionization — a session ends on >30 min
+    inactivity OR when it has run 4 hours total. The duration cap is
+    what separates this from sessionize_gap (E5): the cap compares
+    against the SESSION START, which itself depends on every earlier
+    split decision — a genuine sequential recurrence no window/lag
+    rewrite expresses (the gap-sum trick works precisely because gap
+    splits don't look at session state).
+
+    Implementation is the repo's sanctioned escape hatch for inherently
+    sequential per-key logic (same as greedy packing): an Arrow-batched
+    ``applyInPandas`` walk with O(1) state per user, users processed in
+    parallel, ONE row returned per user so the shuffle after the walk
+    carries |users| rows. The DuckDB oracle replays the identical
+    recurrence as a recursive CTE (rounds = max events per user), with
+    the repo's pinned elapsed-whole-seconds semantics and gap-before-cap
+    precedence — so even the stateful path is hash-checked."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _capped_sessions_group, _CAPPED_SCHEMA
+    )

@@ -582,3 +582,55 @@ def test_theil_sen_ignores_outlier_day(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_capped_sessions_gap_and_cap_splits(spark, tmp_path):
+    # u1: two events 10 min apart, then a 45-min silence (gap split),
+    # then an event every 20 min for 5+ hours: no gap ever fires again,
+    # but the 4-hour duration cap must split the marathon session.
+    base = dt.datetime(2026, 8, 3, 8, 0, 0)
+    times = [0, 10, 55]                      # session 1: 0,10 | gap -> s2
+    times += [55 + 20 * k for k in range(1, 16)]  # every 20 min to +355
+    rows = [
+        (i, base + dt.timedelta(minutes=m), 1, "view", 1.0, "{}")
+        for i, m in enumerate(times)
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["capped_sessions_per_user"](spark, sf).collect()
+    # session 2 starts at 55 min; first event past the 240-min cap is at
+    # 55+260=315 min (260 > 240) -> cap split -> session 3
+    assert (r.n_sessions, r.n_gap_splits, r.n_cap_splits) == (3, 1, 1)
+    assert r.n_events == len(times)
+    ok, detail = compare(
+        spark,
+        "capped_sessions_per_user",
+        QUERIES["capped_sessions_per_user"],
+        ORACLES["capped_sessions_per_user"],
+        sf,
+    )
+    assert ok, detail
+
+
+def test_capped_sessions_boundary_is_strict(spark, tmp_path):
+    # Events every EXACTLY 30 min from 0 to 240 min: no gap ever
+    # exceeds 30 min (strict >), and at the 240-min event the session
+    # duration is exactly the cap — still ONE session. The next event
+    # at 270 min (gap 30, duration 270 > 240) splits on the CAP, not
+    # the gap.
+    base = dt.datetime(2026, 8, 3, 8, 0, 0)
+    times = list(range(0, 241, 30)) + [270]
+    rows = [
+        (i, base + dt.timedelta(minutes=m), 1, "view", 1.0, "{}")
+        for i, m in enumerate(times)
+    ]
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["capped_sessions_per_user"](spark, sf).collect()
+    assert (r.n_sessions, r.n_gap_splits, r.n_cap_splits) == (2, 0, 1)
+    ok, detail = compare(
+        spark,
+        "capped_sessions_per_user",
+        QUERIES["capped_sessions_per_user"],
+        ORACLES["capped_sessions_per_user"],
+        sf,
+    )
+    assert ok, detail
