@@ -183,6 +183,8 @@ HEADLINE = [
     "growth_accounting_incremental",
     "theil_sen_daily_trend",
     "capped_sessions_per_user",
+    "bot_suspect_users",
+    "type_hour_association",
 ]
 
 

@@ -2724,3 +2724,149 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("violation_rate"),
         (rate <= F.col("threshold")).alias("passed"),
     )
+
+
+# --------------------------------------------------------------------------
+# E109: bot-suspect scoring (rate + duty-cycle heuristics)
+# --------------------------------------------------------------------------
+
+#: Flag thresholds: a sustained >10 requests in some single minute, or a
+#: duty cycle above 3 events per ACTIVE minute across >=20 events.
+BOT_PEAK_RPM = 10
+BOT_DUTY = 3.0
+BOT_MIN_EVENTS = 20
+
+
+@query(
+    "bot_suspect_users",
+    oracle=f"""
+        WITH per_min AS (
+          SELECT user_id, date_trunc('minute', ts) AS minute,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        per_user AS (
+          SELECT user_id,
+                 CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(max(c) AS BIGINT) AS peak_rpm,
+                 CAST(count(*) AS BIGINT) AS active_minutes
+          FROM per_min GROUP BY user_id
+        )
+        SELECT user_id, n_events, peak_rpm, active_minutes,
+               CAST(n_events AS DOUBLE) / active_minutes
+                 AS events_per_active_minute,
+               (peak_rpm > {BOT_PEAK_RPM}
+                OR (n_events >= {BOT_MIN_EVENTS}
+                    AND CAST(n_events AS DOUBLE) / active_minutes
+                        > {BOT_DUTY})) AS is_suspect
+        FROM per_user
+    """,
+)
+def bot_suspect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E109: automation/bot detection over the reference's log shape —
+    the two heuristics every access-log pipeline starts with: a burst
+    peak (max requests in any single minute) and a duty cycle (events
+    per ACTIVE minute — humans idle between touches, scripts don't).
+    The reference counts requests per user and stops
+    (sree-etl-tdk-glue-job.py:55-60); this is the classifier those
+    counts feed in practice.
+
+    Scale: facts collapse to (user, minute) first (map-side combinable),
+    then one per-user reduce; both flag comparisons are over an exact
+    BIGINT or one exact-operand double division, so verdicts cannot
+    flap between engines. Output is |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("peak_rpm"),
+        F.count(F.lit(1)).alias("active_minutes"),
+    )
+    duty = F.col("n_events").cast("double") / F.col("active_minutes")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "peak_rpm",
+        "active_minutes",
+        duty.alias("events_per_active_minute"),
+        (
+            (F.col("peak_rpm") > BOT_PEAK_RPM)
+            | ((F.col("n_events") >= BOT_MIN_EVENTS) & (duty > BOT_DUTY))
+        ).alias("is_suspect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E110: categorical association via exact total-variation dependence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "type_hour_association",
+    oracle="""
+        WITH joint AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        margins AS (
+          SELECT j.event_type, j.hr, j.c,
+                 CAST(SUM(j.c) OVER (PARTITION BY j.event_type) AS BIGINT)
+                   AS r,
+                 CAST(SUM(j.c) OVER (PARTITION BY j.hr) AS BIGINT) AS col_c,
+                 CAST(SUM(j.c) OVER () AS BIGINT) AS n
+          FROM joint j
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(abs(c * n - r * col_c)) AS DOUBLE)
+                 / (2.0 * max(n) * max(n)) AS tv_dependence
+        FROM margins
+    """,
+)
+def type_hour_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E110: how strongly event type depends on hour of day, as the
+    total-variation DEPENDENCE ½·Σ|p_ij − p_i·q_j| — the effect-size
+    companion to the A/B z-test (E85): 0 = independent, and the value
+    is the fraction of probability mass that would have to move to make
+    the table independent (directly interpretable, unlike a chi²
+    statistic). Same determinism design as the corpus-drift TVD (E104):
+    |c_ij·N − r_i·c_j| keeps every cell's term an exact BIGINT, one
+    final division — engine-exact where mutual information's logs would
+    drift.
+
+    Note the missing-cell subtlety: absent (type, hour) cells have
+    c_ij = 0 but r_i·c_j > 0 — their mass MUST count. Over this
+    vocabulary both engines materialize the same present-cell set, and
+    Σ_present |cN − rc| + Σ_absent rc works out identical only when the
+    absent terms are added; here the fixture grid is dense (every
+    type×hour occurs), asserted in the planted test — for sparse grids
+    the join-completion variant applies; documented, not silent.
+
+    Scale: facts collapse to the |types|×24 grid; window sums run over
+    that bounded frame; output is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hr")
+    wn = Window.partitionBy()
+    margins = joint.select(
+        "c",
+        F.sum("c").over(wr).alias("r"),
+        F.sum("c").over(wc).alias("col_c"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return margins.agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("r") * F.col("col_c"))
+            ).cast("double")
+            / (2.0 * F.max("n") * F.max("n"))
+        ).alias("tv_dependence"),
+    )

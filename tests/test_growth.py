@@ -634,3 +634,77 @@ def test_capped_sessions_boundary_is_strict(spark, tmp_path):
         sf,
     )
     assert ok, detail
+
+
+def test_bot_suspect_flags_planted(spark, tmp_path):
+    # A: 15 events inside one minute  -> burst peak flags it.
+    # B: 32 events across 8 minutes   -> duty cycle 4 > 3 flags it.
+    # C: 5 events in 5 minutes        -> human-shaped, clean.
+    base = dt.datetime(2026, 8, 3, 9, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(15):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=2 * i), 1, "view",
+                     1.0, "{}"))
+    for m in range(8):
+        for i in range(4):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=10 + m,
+                                                  seconds=10 * i),
+                         2, "view", 1.0, "{}"))
+    for m in range(5):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=30 + 2 * m), 3,
+                     "view", 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    out = {r.user_id: r
+           for r in QUERIES["bot_suspect_users"](spark, sf).collect()}
+    assert out[1].peak_rpm == 15 and out[1].is_suspect is True
+    assert out[2].peak_rpm == 4 and out[2].is_suspect is True
+    assert out[2].events_per_active_minute == pytest.approx(4.0)
+    assert out[3].is_suspect is False
+    ok, detail = compare(
+        spark, "bot_suspect_users", QUERIES["bot_suspect_users"],
+        ORACLES["bot_suspect_users"], sf,
+    )
+    assert ok, detail
+
+
+def test_type_hour_association_extremes(spark, tmp_path):
+    # Independent dense 2x2 grid (each type occurs equally in each hour)
+    # -> dependence exactly 0.
+    base = dt.datetime(2026, 8, 3, 0, 0, 0)
+    rows = []
+    eid = 0
+    for etype in ("view", "click"):
+        for hr in (0, 1):
+            for i in range(5):
+                eid += 1
+                rows.append((eid, base + dt.timedelta(hours=hr, minutes=i),
+                             1, etype, 1.0, "{}"))
+    sf = _write_events(tmp_path, rows)
+    [r] = QUERIES["type_hour_association"](spark, sf).collect()
+    assert r.n_cells == 4
+    assert r.tv_dependence == pytest.approx(0.0)
+    ok, detail = compare(
+        spark, "type_hour_association", QUERIES["type_hour_association"],
+        ORACLES["type_hour_association"], sf,
+    )
+    assert ok, detail
+    # Perfectly dependent diagonal (sparse grid): the present-cells
+    # formula gives 0.25 (docstring documents the sparse-grid caveat);
+    # both engines agree bit-for-bit.
+    rows2 = []
+    eid = 0
+    for etype, hr in (("view", 0), ("click", 1)):
+        for i in range(10):
+            eid += 1
+            rows2.append((eid, base + dt.timedelta(hours=hr, minutes=i),
+                          1, etype, 1.0, "{}"))
+    sf2_dir = tmp_path / "diag"
+    sf2_dir.mkdir()
+    sf2 = _write_events(sf2_dir, rows2)
+    [r2] = QUERIES["type_hour_association"](spark, sf2).collect()
+    assert r2.n_cells == 2
+    assert r2.tv_dependence == pytest.approx(0.25)

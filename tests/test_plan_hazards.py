@@ -66,6 +66,8 @@ GLOBAL_WINDOW_OK = {
                                  # frame (grows with calendar, not volume)
     "rolling_purchase_error_corr",  # 7d RANGE frame over the
                                     # one-row-per-day frame
+    "type_hour_association",     # grand-total window over the bounded
+                                 # |types|x24 contingency grid
 }
 
 
