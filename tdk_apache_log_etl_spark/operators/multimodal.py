@@ -6,11 +6,13 @@ The container has no image/audio libraries, so the general-format DECODE
 step is import-gated — ``decode_image_real`` raises NotImplementedError
 unless PIL is importable — but uncompressed 24-bit BMP needs no library
 at all: ``encode_bmp``/``decode_bmp`` below are a pure struct/numpy
-codec, and ``bmp_feature_extract`` runs the REAL bytes→pixels→features
-path in this container, oracle-checked. Everything Spark-side is real
-and tested either way: the binary column plumbing, the mapInPandas
-schema/batch shape, and the partitioning story (binary payloads stay
-distributed; only derived scalar metadata is ever aggregated).
+codec, and EVERY registered query in this module runs a real
+bytes→pixels→features path in this container, oracle-checked against a
+closed-form pixel pattern (no fake decodes remain — the former
+sha256-stub mappers were retired in round 4 once the codecs landed).
+The binary column plumbing, mapInPandas schema/batch shape, and the
+partitioning story (binary payloads stay distributed; only derived
+scalar metadata is ever aggregated) are tested throughout.
 
 At 100 TB: binary payloads dominate bytes → keep them in their own parquet
 column (never in shuffle keys), size spark.sql.files.maxPartitionBytes so a
@@ -22,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,39 +62,40 @@ IMAGE_FEATURE_SCHEMA = (
 
 
 def extract_image_features(images: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over (doc_id, payload binary).
-
-    The decode is a STUB: a real pipeline would replace ``_fake_decode``
-    with PIL/libvips/ffmpeg. Deterministic fake: dimensions and intensity
-    derive from the payload's sha256, so outputs are stable across runs and
-    engines. The Spark-side contract (Arrow batches in, typed rows out,
-    1:1 per input row) is the real, tested part.
-    """
-    import hashlib
-
+    """REAL mapInPandas feature extraction over (doc_id, payload binary):
+    each payload is parsed as an uncompressed 24-bit BMP (decode_bmp
+    below — pure struct/numpy, no libraries) and features come from the
+    decoded pixels. Unlike ``extract_bmp_features`` (which regenerates
+    the payload from doc_id inside the mapper), this path carries the
+    actual binary column through the plan — the opaque-blob contract a
+    multimodal corpus needs: payloads stay in their partition, Arrow
+    batches feed the decoder, only scalar features ever shuffle. For
+    general formats (PNG/JPEG) swap in extract_image_features_real
+    (PIL-gated, identical schema)."""
     import pandas as pd
-
-    def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-        d = hashlib.sha256(payload).digest()
-        width = 64 + d[0] * 4
-        height = 64 + d[1] * 4
-        channels = 3
-        mean_intensity = d[2] / 255.0
-        return width, height, channels, mean_intensity
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "channels": [d[2] for d in decoded],
-                    "mean_intensity": [d[3] for d in decoded],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_intensity": [],
+            }
+            for p in pdf["payload"]:
+                payload = bytes(p)
+                arr = decode_bmp(payload)
+                h, w, c = arr.shape
+                out["n_bytes"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_intensity"].append(
+                    float(int(arr.sum(dtype="int64"))) / (w * h * c) / 255
+                )
+            yield pd.DataFrame(out)
 
     return images.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
 
@@ -152,29 +156,76 @@ def extract_image_features_real(images: DataFrame) -> DataFrame:
     return images.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
 
 
-@query("image_feature_extract")  # rows-only: stubbed decode, no SQL oracle
+def synthesize_bmp_payloads(ids: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload binary): deterministic test-pattern
+    BMPs built by the real encoder (make_synthetic_bmp). Arrow-batched;
+    stands in for reading a blob column from parquet."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _mk(ids_: pd.Series) -> pd.Series:
+        return ids_.map(lambda i: make_synthetic_bmp(int(i)))
+
+    return ids.select("doc_id", _mk("doc_id").alias("payload"))
+
+
+@query(
+    "image_feature_extract",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 8 AS INT) AS width,
+                 CAST(8 + (doc_id // 8) % 8 AS INT) AS height
+          FROM documents
+        ), px AS (
+          SELECT doc_id, width, height,
+                 unnest(range(width * height)) AS i
+          FROM dims
+        )
+        SELECT doc_id,
+               CAST(54 + height * (((3 * width + 3) // 4) * 4) AS INT)
+                 AS n_bytes,
+               width, height, CAST(3 AS INT) AS channels,
+               CAST(SUM((7 * (i % width) + 13 * (i // width) + doc_id)
+                        % 256) AS DOUBLE)
+                 / (width * height) / 255 AS mean_intensity
+        FROM px GROUP BY doc_id, width, height
+    """,
+)
 def image_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E-multimodal: binary payload → mapInPandas → typed features. Payloads
-    synthesized from documents.text; decode stubbed here (see
-    extract_image_features) — the REAL, oracle-checked decode lives in
-    bmp_feature_extract (E59) / wav_feature_extract (E60)."""
-    docs = load_table(spark, sf_dir, "documents")
-    images = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return extract_image_features(images)
+    """E-multimodal: binary payload column → mapInPandas → typed features,
+    with a REAL decode (BMP codec, no libraries). Payloads are built by
+    the real encoder and travel through the plan as an opaque binary
+    column; extract_image_features parses the actual bytes back. The
+    oracle recomputes the expected features from the pattern's closed
+    form, so the driver hash-checks the encode→blob-column→decode→feature
+    path. See bmp_feature_extract (E59) for the regenerate-in-mapper
+    variant and extract_image_features_real for PIL-backed formats."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_image_features(synthesize_bmp_payloads(docs))
 
 
-@query("media_frame_sample")  # rows-only
+@query(
+    "media_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 30 + 1 AS INT) AS duration_s,
+               CAST(unnest(range(0, doc_id % 30 + 1, 5)) AS INT)
+                 AS frame_offset_s
+        FROM documents
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E-multimodal: frame sampling plumbing — given per-asset metadata
-    (duration derived deterministically from the payload), emit one row per
-    sampled frame offset via native sequence+explode; the fan-out (1 asset
-    → k frame rows) is the real distributed pattern (explode, not driver
-    loops). For REAL container parsing + pixel averaging see
-    y4m_frame_sample (E61), which is oracle-checked."""
+    """E-multimodal: frame-sampling planner stage — given per-asset
+    metadata (duration; here a deterministic function of doc_id standing
+    in for a parsed container header), emit one row per sampled frame
+    offset via native sequence+explode. The fan-out (1 asset → k frame
+    rows) is the real distributed pattern: explode on executors, never
+    driver loops, so a 100 TB video corpus plans its frame extraction as
+    ordinary rows. For REAL container parsing + pixel averaging see
+    y4m_frame_sample (E61)."""
     docs = load_table(spark, sf_dir, "documents")
-    duration_s = (F.crc32(F.col("text").cast("binary")) % 30 + 1).cast("int")
+    duration_s = (F.col("doc_id") % 30 + 1).cast("int")
     frames = docs.select(
         "doc_id",
         duration_s.alias("duration_s"),
@@ -189,53 +240,45 @@ RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
 RESIZE_TARGET = (32, 32)
 
 
-def resize_images(images: DataFrame, target=RESIZE_TARGET) -> DataFrame:
-    """mapInPandas resize plumbing: (doc_id, payload) → (doc_id, w, h,
-    resized payload). The pixel resample is the stubbed step (real:
-    PIL.Image.resize); the stub emits a deterministic fixed-size payload
-    (sha256-seeded) so schema, batch shape, and byte budget are real. The
-    contract that matters at scale: output payload size is BOUNDED
-    (target w*h*3), so downstream stages can size partitions statically
-    even when input images vary wildly."""
-    import hashlib
-
-    import pandas as pd
-
-    w, h = target
-    out_len = w * h * 3
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for p in pdf["payload"]:
-                seed = hashlib.sha256(p).digest()
-                reps = out_len // len(seed) + 1
-                payloads.append((seed * reps)[:out_len])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": w,
-                    "height": h,
-                    "payload": payloads,
-                }
-            )
-
-    return images.mapInPandas(_resize, RESIZE_SCHEMA)
-
-
-@query("image_resize")  # rows-only: stubbed resample, no SQL oracle
+@query(
+    "image_resize",
+    oracle="""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 8 AS BIGINT) AS w,
+                 CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS h
+          FROM documents
+        ), px AS (
+          SELECT doc_id, w, h, unnest(range(32 * 32)) AS i
+          FROM dims
+        )
+        SELECT doc_id,
+               CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+               CAST(54 + 32 * (((3 * 32 + 3) // 4) * 4) AS INT) AS n_bytes,
+               CAST(3 * SUM((7 * (((i % 32) * w) // 32)
+                             + 13 * (((i // 32) * h) // 32)
+                             + doc_id) % 256) AS DOUBLE)
+                 / (32 * 32 * 3) / 255 AS mean_intensity
+        FROM px GROUP BY doc_id
+    """,
+)
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E-multimodal: bounded-size resize. Output drops the raw payload and
-    reports sizes only (the driver's value-hash would otherwise carry 3 KB
-    of binary per row through the compare)."""
-    docs = load_table(spark, sf_dir, "documents")
-    images = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    resized = resize_images(images)
-    return resized.select(
-        "doc_id", "width", "height", F.length("payload").alias("n_bytes")
-    )
+    """E-multimodal: REAL bounded-size resize pipeline — synthesize BMP
+    payloads, nearest-neighbor resample to 32×32 through the real codec
+    (resize_images_bmp: decode_bmp → index-map → encode_bmp), then
+    feature-extract the RESIZED payload. Output reports sizes plus the
+    resized image's mean intensity (content check), never the raw blob
+    (the driver's value-hash would otherwise carry 3 KB of binary per
+    row). The oracle replays the nearest-neighbor index map ((x_t*w)//32,
+    (y_t*h)//32) in closed form, so the hash gate checks actual resampled
+    pixels. The at-scale contract: output payload size is BOUNDED
+    (32*32*3 + header), so downstream stages size partitions statically
+    even when input images vary wildly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images_bmp(synthesize_bmp_payloads(docs))
+    return extract_image_features(
+        resized.select("doc_id", "payload")
+    ).select("doc_id", "width", "height", "n_bytes", "mean_intensity")
 
 
 @query(
