@@ -136,16 +136,64 @@ def build_count_min(
     return bytes(row["cms"])
 
 
-def probe_count_min(spark: SparkSession, sketch: bytes, items) -> dict:
-    """Driver-side frequency probe of a serialized Spark CountMinSketch.
-    Deserializes once through the JVM (`CountMinSketch.readFrom`) and
-    estimates each item — O(depth) per probe, no executor work. `items`
-    must be a BOUNDED query list; unbounded per-key frequencies belong in
-    an exact groupBy, not a sketch probe."""
-    jvm = spark.sparkContext._jvm
-    bais = jvm.java.io.ByteArrayInputStream(sketch)
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
-    return {item: cms.estimateCount(item) for item in items}
+_CMS_MASK64 = (1 << 64) - 1
+_CMS_PRIME_MODULUS = (1 << 31) - 1  # Spark's CountMinSketchImpl.PRIME_MODULUS
+
+
+def parse_count_min(sketch: bytes) -> tuple[int, list[int], list[list[int]]]:
+    """Parse Spark's serialized CountMinSketch (format V1, written by
+    ``CountMinSketchImpl#writeTo`` — a DataOutputStream stream: version
+    int, totalCount long, depth int, width int, then the per-row hash
+    coefficients and the depth×width counter table, all big-endian).
+    Pure Python: no JVM handle, so the probe works identically under
+    Spark Connect or from a process with no gateway at all."""
+    import struct
+
+    version, total_count, depth, width = struct.unpack_from(">iqii", sketch, 0)
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    off = 20
+    hash_a = list(struct.unpack_from(f">{depth}q", sketch, off))
+    off += 8 * depth
+    table = []
+    for _ in range(depth):
+        table.append(list(struct.unpack_from(f">{width}q", sketch, off)))
+        off += 8 * width
+    return total_count, hash_a, table
+
+
+def _cms_bucket_long(item: int, a: int, width: int) -> int:
+    """Replicate CountMinSketchImpl#hash for long items with Java 64-bit
+    two's-complement semantics: h = a*item (wrapping); h += h >> 32
+    (arithmetic shift); h &= PRIME_MODULUS; bucket = h % width."""
+    u = (a * item) & _CMS_MASK64
+    s = u - (1 << 64) if u >= (1 << 63) else u  # signed view
+    t = (s + (s >> 32)) & _CMS_MASK64  # Python >> on signed == Java >>
+    return (t & _CMS_PRIME_MODULUS) % width
+
+
+def probe_count_min(sketch: bytes, items) -> dict:
+    """Driver-side frequency probe of a serialized Spark CountMinSketch —
+    pure Python (no ``_jvm`` bridge): parses the public V1 binary format
+    and replays the long-item hash, returning min-over-rows counters
+    exactly as ``CountMinSketch.estimateCount`` would (cross-checked
+    against the JVM implementation in tests/test_sketches.py). O(depth)
+    per probe, no executor work. `items` must be a BOUNDED query list of
+    ints; unbounded per-key frequencies belong in an exact groupBy, not
+    a sketch probe."""
+    _total, hash_a, table = parse_count_min(sketch)
+    width = len(table[0])
+    out = {}
+    for item in items:
+        if not isinstance(item, int):
+            raise TypeError(
+                f"probe_count_min supports long items only (got {type(item)})"
+            )
+        out[item] = min(
+            row[_cms_bucket_long(item, a, width)]
+            for a, row in zip(hash_a, table)
+        )
+    return out
 
 
 @query("cms_user_frequency")  # rows-only: probes a Spark-format binary
@@ -172,7 +220,7 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     sketch = build_count_min(events, "user_id")
-    est = probe_count_min(spark, sketch, [int(r["user_id"]) for r in top])
+    est = probe_count_min(sketch, [int(r["user_id"]) for r in top])
     return spark.createDataFrame(
         [
             (int(r["user_id"]), int(r["n_exact"]), int(est[int(r["user_id"])]))

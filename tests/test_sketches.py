@@ -150,5 +150,32 @@ def test_count_min_probe_within_eps_bound(spark):
     cms1.mergeInPlace(cms2)
     users = [int(r.user_id) for r in got]
     merged = {u: cms1.estimateCount(u) for u in users}
-    single = probe_count_min(spark, whole, users)
+    single = probe_count_min(whole, users)
     assert merged == single
+
+
+def test_pure_python_probe_matches_jvm(spark):
+    # The production probe is pure Python (no _jvm bridge, Spark Connect
+    # safe); this test is the one place the JVM implementation is still
+    # invoked — as the reference for the binary format + hash replay.
+    from tdk_apache_log_etl_spark.operators.sketches import (
+        build_count_min,
+        probe_count_min,
+    )
+
+    events = (
+        load_table(spark, SF_DIR_CORRECT, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    sketch = build_count_min(events, "user_id")
+    # present keys, absent keys, negative and huge values exercise the
+    # signed-overflow corners of the hash replay
+    probes = [int(r.user_id) for r in events.limit(20).collect()]
+    probes += [-1, 0, 2**62, -(2**62), 999_999_999_999]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sketch)
+    )
+    expected = {p: cms.estimateCount(p) for p in probes}
+    assert probe_count_min(sketch, probes) == expected
