@@ -159,14 +159,42 @@ def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataF
     )
 
 
-@query("bpe_train_merges")
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Denominator for the deterministic doc-hash training sample.
+BPE_SAMPLE_MOD = 1_000_000
+
+
+def bpe_sample_filter(sample_fraction: float):
+    """Deterministic doc-hash sample predicate: keep documents whose
+    xxhash64(doc_id) bucket falls in the first `fraction` of the hash
+    space. Hash-based (not doc_id-modulus) so periodic id patterns can't
+    bias the sample; deterministic so training is reproducible across
+    runs and cluster layouts."""
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1] (got {sample_fraction})")
+    return F.pmod(F.xxhash64("doc_id"), F.lit(BPE_SAMPLE_MOD)) < int(
+        BPE_SAMPLE_MOD * sample_fraction
+    )
+
+
+def train_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_TRAIN_ROUNDS,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
     """Iterative distributed BPE-style tokenizer training: N rounds of
     (count adjacent pairs) → (pick the most frequent pair, count-desc /
     pair-asc tie-break) → (rewrite the corpus merging that pair), over
     word-level sequences. Returns the learned merge table
     (round, left, right, n_occurrences) — the artifact a tokenizer
     trainer ships.
+
+    ``sample_fraction`` is the production knob (SCALE.md): tokenizer
+    statistics converge on a corpus sample, so at 100 TB you train on a
+    deterministic doc-hash sample (e.g. 0.01) and the per-round rewrite
+    touches 1% of the bytes; the full-corpus default is the sf-bench
+    configuration, not the at-scale one. The pure-Python pin in
+    tests/test_chunking.py covers the sampled path too.
 
     Scale shape per round: the pair count is the same map-side-combined
     aggregate as bpe_merge_candidates (shuffle carries pair partials,
@@ -183,10 +211,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_chunking.py, and determinism comes from the explicit
     tie-break."""
     docs = load_table(spark, sf_dir, "documents")
+    if sample_fraction < 1.0:
+        docs = docs.filter(bpe_sample_filter(sample_fraction))
     toks = docs.select(F.split("text", " ").alias("tk")).persist()
     results = []
     prev = toks
-    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         pairs = prev.select(
             F.explode(
                 F.expr(
@@ -216,3 +246,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results, "round int, left string, right string, n_occurrences long"
     )
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered full-corpus configuration of train_bpe_merges (the
+    sf-bench setting; production trains on a doc-hash sample — see
+    sample_fraction and SCALE.md)."""
+    return train_bpe_merges(spark, sf_dir)

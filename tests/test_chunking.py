@@ -211,3 +211,43 @@ def test_bpe_train_matches_reference_on_fixture_corpus(spark):
         ).collect()
     ]
     assert got == _py_bpe_reference(texts, 5)
+
+
+@pytest.mark.parametrize("fraction", [0.5, 0.1])
+def test_bpe_train_sampled_matches_reference(spark, fraction):
+    # The production sample_fraction knob: training on a deterministic
+    # doc-hash sample must equal the pure-Python reference run over
+    # exactly the sampled texts (sampled doc set derived from the same
+    # predicate the trainer applies).
+    import duckdb
+
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        bpe_sample_filter,
+        train_bpe_merges,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    docs = load_table(spark, SF_DIR_CORRECT, "documents")
+    sampled_ids = sorted(
+        r.doc_id
+        for r in docs.filter(bpe_sample_filter(fraction)).select("doc_id").collect()
+    )
+    n_total = docs.count()
+    assert 0 < len(sampled_ids) < n_total  # the sample is real and proper
+
+    all_texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR_CORRECT}/documents.parquet'"
+        ).fetchall()
+    )
+    sampled_texts = [all_texts[i] for i in sampled_ids]
+
+    got = [
+        (r["round"], r["left"], r["right"], r["n_occurrences"])
+        for r in train_bpe_merges(
+            spark, SF_DIR_CORRECT, sample_fraction=fraction
+        ).collect()
+    ]
+    assert got == _py_bpe_reference(sampled_texts, 5)
