@@ -695,9 +695,18 @@ def order_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_S = 1800
 SESSION_CAP_S = 4 * 3600
 
+#: Per-user event budget for the sequential walk. A pathological
+#: mega-user (bot hammering one id) would otherwise serialize one
+#: partition — the walk is inherently per-key sequential, so the bound
+#: has to come from truncation, not parallelism. Users over the cap
+#: process their first CAP events (by ts, event_id) and are flagged in
+#: the explicit `truncated` output column; 100k events is ~35 days of
+#: 1 event/30 s, far beyond any human session horizon.
+EVENTS_PER_USER_CAP = 100_000
+
 _CAPPED_SCHEMA = (
     "user_id long, n_events long, n_sessions long, "
-    "n_gap_splits long, n_cap_splits long"
+    "n_gap_splits long, n_cap_splits long, truncated boolean"
 )
 
 
@@ -749,6 +758,7 @@ def _capped_sessions_block(pdf):
             "n_sessions": (1 + n_gap + n_cap).astype("int64"),
             "n_gap_splits": n_gap.astype("int64"),
             "n_cap_splits": n_cap,
+            "truncated": pdf["truncated"].to_numpy()[user_starts],
         }
     )
 
@@ -777,18 +787,23 @@ def _capped_sessions_partition(batches):
 @query(
     "capped_sessions_per_user",
     oracle=f"""
-        WITH RECURSIVE ev AS (
+        WITH RECURSIVE ev0 AS (
           SELECT user_id, ts,
                  row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_total
           FROM events
         ),
+        ev AS (
+          SELECT user_id, ts, rn, n_total FROM ev0
+          WHERE rn <= {EVENTS_PER_USER_CAP}
+        ),
         walk AS (
-          SELECT user_id, ts, rn, 1 AS sid, ts AS sstart,
+          SELECT user_id, ts, rn, n_total, 1 AS sid, ts AS sstart,
                  CAST(NULL AS VARCHAR) AS reason
           FROM ev WHERE rn = 1
           UNION ALL
-          SELECT e.user_id, e.ts, e.rn,
+          SELECT e.user_id, e.ts, e.rn, e.n_total,
                  CASE WHEN CAST(FLOOR(epoch(e.ts - w.ts)) AS BIGINT)
                            > {SESSION_GAP_S}
                        OR CAST(FLOOR(epoch(e.ts - w.sstart)) AS BIGINT)
@@ -812,7 +827,8 @@ def _capped_sessions_partition(batches):
                CAST(count(*) FILTER (WHERE reason = 'gap') AS BIGINT)
                  AS n_gap_splits,
                CAST(count(*) FILTER (WHERE reason = 'cap') AS BIGINT)
-                 AS n_cap_splits
+                 AS n_cap_splits,
+               MAX(n_total) > {EVENTS_PER_USER_CAP} AS truncated
         FROM walk GROUP BY user_id
     """,
 )
@@ -826,22 +842,46 @@ def capped_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits don't look at session state).
 
     Implementation is the repo's sanctioned escape hatch for inherently
-    sequential per-key logic, in its AMORTIZED form: repartition on the
-    user key + sortWithinPartitions + ``mapInPandas``, so one Python
-    call processes a whole partition of users (a per-group
-    applyInPandas pays its invocation overhead per USER — measured 4×
-    slower at 1.5k users and ruinous at millions), with the trailing
-    user carried across Arrow batch boundaries. Inside the block the
-    walk is numpy-vectorized: gap splits from one diff, cap splits by
-    per-session searchsorted. The DuckDB oracle replays the identical
-    recurrence as a recursive CTE (rounds = max events per user), with
-    the repo's pinned elapsed-whole-seconds semantics and gap-before-cap
-    precedence — so even the stateful path is hash-checked."""
+    sequential per-key logic, in its AMORTIZED form: one hash exchange
+    on the user key (the window's) + ``mapInPandas`` over the sorted
+    partitions, so one Python call processes a whole partition of users
+    (a per-group applyInPandas pays its invocation overhead per USER —
+    measured 4× slower at 1.5k users and ruinous at millions), with the
+    trailing user carried across Arrow batch boundaries. Inside the
+    block the walk is numpy-vectorized: gap splits from one diff, cap
+    splits by per-session searchsorted. The DuckDB oracle replays the
+    identical recurrence as a recursive CTE (rounds = max events per
+    user), with the repo's pinned elapsed-whole-seconds semantics and
+    gap-before-cap precedence — so even the stateful path is
+    hash-checked.
+
+    Skew bound (round 4): a mega-user can't serialize a partition —
+    users beyond EVENTS_PER_USER_CAP events walk only their first CAP
+    events (by ts, event_id) and carry an explicit ``truncated`` flag,
+    mirrored in the oracle. The row_number/count windows ride the SAME
+    single exchange+sort the mapper needs (plan-asserted in
+    tests/test_plans.py), so the cap costs no extra shuffle."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id"
     )
-    return (
-        ev.repartition("user_id")
-        .sortWithinPartitions("user_id", "ts", "event_id")
-        .mapInPandas(_capped_sessions_partition, _CAPPED_SCHEMA)
+    return capped_sessions(ev)
+
+
+def capped_sessions(
+    ev: DataFrame, cap: int = EVENTS_PER_USER_CAP
+) -> DataFrame:
+    """Dual-condition sessionization over (user_id, ts, event_id) with a
+    per-user event budget. The window exec hash-partitions by user_id
+    and sorts by (user_id, ts, event_id); filter preserves both, so
+    mapInPandas consumes the window's own layout — one exchange total."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "truncated",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")) > cap,
+        )
+        .filter(F.col("rn") <= cap)
+        .select("user_id", "ts", "truncated")
     )
+    return capped.mapInPandas(_capped_sessions_partition, _CAPPED_SCHEMA)

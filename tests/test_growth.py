@@ -636,6 +636,43 @@ def test_capped_sessions_boundary_is_strict(spark, tmp_path):
     assert ok, detail
 
 
+def test_capped_sessions_mega_user_is_bounded(spark):
+    # A planted bot hammering one user_id with 10^6 events (1/s) must not
+    # serialize a partition: the walk processes only the first
+    # EVENTS_PER_USER_CAP events and flags the user truncated, while a
+    # normal user passes through untouched. One exchange total — the
+    # row_number/count windows ride the same shuffle+sort the mapper needs.
+    from tdk_apache_log_etl_spark.operators.temporal import (
+        EVENTS_PER_USER_CAP,
+        SESSION_CAP_S,
+        capped_sessions,
+    )
+
+    mega = spark.range(1_000_000).selectExpr(
+        "CAST(1 AS BIGINT) AS user_id",
+        "timestamp'2026-08-03 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id AS event_id",
+    )
+    normal = spark.range(10).selectExpr(
+        "CAST(2 AS BIGINT) AS user_id",
+        "timestamp'2026-08-03 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"
+        " AS ts",
+        "id + 2000000 AS event_id",
+    )
+    res = capped_sessions(mega.unionByName(normal))
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+    rows = {r.user_id: r for r in res.collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1.truncated and r1.n_events == EVENTS_PER_USER_CAP
+    # events 1 s apart: no gap splits; cap splits every CAP_S+1 events
+    assert r1.n_gap_splits == 0
+    assert r1.n_cap_splits == (EVENTS_PER_USER_CAP - 1) // (SESSION_CAP_S + 1)
+    assert not r2.truncated and r2.n_events == 10 and r2.n_sessions == 1
+
+
 def test_bot_suspect_flags_planted(spark, tmp_path):
     # A: 15 events inside one minute  -> burst peak flags it.
     # B: 32 events across 8 minutes   -> duty cycle 4 > 3 flags it.
