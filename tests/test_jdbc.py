@@ -75,6 +75,71 @@ def test_jdbc_append_accumulates(spark, derby_url):
     assert {r.run_date for r in back.collect()} == {"2026-08-12", "2026-08-13"}
 
 
+def _jdbc_exec(spark, url, sql):
+    """Run one DDL/DML statement on Derby via java.sql (test-only)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def _constraint_count(spark, url, table):
+    q = (
+        "(SELECT COUNT(*) AS n FROM SYS.SYSCONSTRAINTS c "
+        "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID "
+        f"WHERE t.TABLENAME = '{table.upper()}') AS probe"
+    )
+    return _read(spark, url, q).collect()[0][0]  # Derby upper-cases aliases
+
+
+def test_jdbc_truncate_preserves_ddl_recreate_drops_it(spark, derby_url):
+    # The reason overwrite defaults to truncate=true: the target table's
+    # DDL (here a PRIMARY KEY; in production grants/indexes too) must
+    # survive the daily replace. With truncate=False Spark DROPs and
+    # recreates from the DataFrame schema, losing the constraint —
+    # verified against Derby's system catalog.
+    props = {"driver": DERBY_DRIVER}
+    _jdbc_exec(
+        spark, derby_url,
+        "CREATE TABLE tdk_keyed (user_id VARCHAR(32) NOT NULL PRIMARY KEY, "
+        "requests_count INT)",
+    )
+    assert _constraint_count(spark, derby_url, "tdk_keyed") == 1
+
+    df = spark.createDataFrame(
+        [("alice", 3), ("bob", 5)], ["user_id", "requests_count"]
+    )
+    write_jdbc(df, derby_url, "tdk_keyed", mode="overwrite",
+               properties=props, num_partitions=2, truncate=True)
+    assert _constraint_count(spark, derby_url, "tdk_keyed") == 1  # PK kept
+    got = {(r[0], r[1])  # Derby returns manually-created cols upper-cased
+           for r in _read(spark, derby_url, "tdk_keyed").collect()}
+    assert got == {("alice", 3), ("bob", 5)}
+
+    write_jdbc(df, derby_url, "tdk_keyed", mode="overwrite",
+               properties=props, num_partitions=2, truncate=False)
+    assert _constraint_count(spark, derby_url, "tdk_keyed") == 0  # recreated
+
+
+def test_jdbc_batchsize_and_partitions_roundtrip(spark, derby_url):
+    # Production parallelism knobs: many partitions + small batches must
+    # still land every row exactly once (executor-parallel inserts).
+    props = {"driver": DERBY_DRIVER}
+    df = spark.range(97).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 2 AS INT) AS v"
+    ).repartition(8)
+    write_jdbc(df, derby_url, "tdk_batched", mode="overwrite",
+               properties=props, num_partitions=4, batchsize=7)
+    back = _read(spark, derby_url, "tdk_batched")
+    assert back.count() == 97
+    assert {(r.k, r.v) for r in back.collect()} == {
+        (i, 2 * i) for i in range(97)
+    }
+
+
 def test_jdbc_writer_rejects_bare_url(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="jdbc:"):
