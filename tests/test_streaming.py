@@ -299,6 +299,12 @@ def test_windowed_topk_stream(spark, tmp_path):
 def test_transform_with_state_first_seen_dedup(spark, tmp_path):
     # transformWithState's Python<->JVM state protocol needs protobuf,
     # absent from this container (see transform_state.py docstring).
+    # Vendoring was investigated and is impossible offline: PySpark's
+    # StateMessage_pb2 gencode demands protobuf runtime >= 6.33
+    # (ValidateProtobufRuntimeVersion), and the only protobuf on this
+    # disk is an incompatible vendored 4.23 (no runtime_version module).
+    # The same stateful capability is fully exercised through the
+    # applyInPandasWithState path (streaming/stateful.py tests).
     pytest.importorskip("google.protobuf")
     from tdk_apache_log_etl_spark.streaming.transform_state import (
         ROCKSDB_PROVIDER,
