@@ -88,15 +88,16 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
-    embedding_cosine_neardup, hll_user_rollup, cms_user_frequency,
-    ann_recall_eval, bpe_train_merges) are genuinely non-SQL-expressible
-    (LSH/sketches/iterative k-means/iterative BPE; bpe_train_merges is
-    instead pinned against a pure-Python reference implementation in
-    tests/test_chunking.py) → driver's rows-only check. The approx
-    aggregates (clf_user_count_approx, events_value_percentiles_approx)
-    ARE oracle-backed via tolerance-contract outputs (exact value +
-    within-error-bound booleans), and the media decode paths
-    (bmp_feature_extract, wav_feature_extract, y4m_frame_sample,
+    embedding_cosine_neardup, ann_recall_eval, bpe_train_merges) are
+    genuinely non-SQL-expressible (LSH bucketing/iterative k-means/
+    iterative BPE; bpe_train_merges is instead pinned against a
+    pure-Python reference implementation in tests/test_chunking.py) →
+    driver's rows-only check. Every approx/sketch aggregate
+    (clf_user_count_approx, events_value_percentiles_approx,
+    hll_user_rollup, cms_user_frequency, kll_quantile_rollup,
+    theta_user_set_ops) IS oracle-backed via tolerance-contract outputs
+    (exact value + within-error-bound booleans), and the media decode
+    paths (bmp_feature_extract, wav_feature_extract, y4m_frame_sample,
     image_feature_extract, image_resize, media_frame_sample) via
     closed-form pixel/sample patterns.
     """

