@@ -493,3 +493,24 @@ def test_locf_spine_bounds_are_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     n_user_exchanges = plan.count("hashpartitioning(user_id")
     assert n_user_exchanges <= 2, plan[:2000]
+
+
+def test_sketch_rollups_partial_aggregate_and_broadcast_verify(spark):
+    # Sketch builds must be map-side combinable (ObjectHashAggregate with
+    # partial modes — the monoid property the 100 TB story rests on), and
+    # the exact-rank/exact-count verification joins must broadcast the
+    # tiny sketch-result frames, never shuffle the facts twice.
+    plan = _plan(QUERIES["kll_quantile_rollup"](spark, SF_DIR_CORRECT))
+    assert "ObjectHashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(QUERIES["hll_user_rollup"](spark, SF_DIR_CORRECT))
+    assert "ObjectHashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+
+    # theta: the only non-equi join is the deliberate 1-row x 1-row
+    # scalar combine; the sketch build itself is a partial aggregate
+    plan = _plan(QUERIES["theta_user_set_ops"](spark, SF_DIR_CORRECT))
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
