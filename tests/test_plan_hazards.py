@@ -41,6 +41,8 @@ BNLJ_OK = {
     "key_skew_audit",            # two 1-row frames (quantiles, stats)
     "whale_revenue_share",       # 1-row n_total crossJoin (rank cut)
     "token_distribution_drift",  # 1-row slice-totals crossJoin
+    "theta_user_set_ops",        # deliberate 1-row x 1-row scalar combine
+                                 # (exact counts x sketch pair)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
