@@ -86,6 +86,7 @@ HEADLINE = [
     "hll_user_rollup",
     "cms_user_frequency",
     "kll_quantile_rollup",
+    "char_trigram_noise",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1261,3 +1261,115 @@ def token_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E113: character-trigram noise scoring (mojibake / garbage detection)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "char_trigram_noise",
+    oracle="""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 2)) AS i
+          FROM documents
+          WHERE length(text) >= 3
+        ),
+        tri AS (
+          SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS tri
+          FROM pos
+        ),
+        df AS (
+          SELECT tri, COUNT(DISTINCT doc_id) AS df_count FROM tri
+          GROUP BY tri
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        common AS (
+          SELECT tri FROM df, n
+          WHERE df_count >= 2 AND df_count * 100 >= n_docs
+        ),
+        per AS (
+          SELECT t.doc_id,
+                 COUNT(*) AS n_tri,
+                 SUM(CASE WHEN c.tri IS NULL THEN 1 ELSE 0 END) AS n_rare
+          FROM tri t LEFT JOIN common c ON t.tri = c.tri
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tri AS BIGINT) AS n_tri,
+               CAST(n_rare AS BIGINT) AS n_rare,
+               CAST(n_rare AS DOUBLE) / n_tri AS rare_frac,
+               (n_rare * 2 > n_tri) AS noisy
+        FROM per
+    """,
+)
+def char_trigram_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E113: corpus-level noise / mojibake detection — for each document,
+    the fraction of its character-trigram occurrences whose corpus
+    document frequency is below max(2, 1% of documents) — the df≥2 floor
+    keeps document-unique trigrams "rare" even in corpora under 100
+    docs. Clean prose is built
+    almost entirely from the language's common-trigram head; binary
+    spill, encoding damage, and keyboard mash produce trigrams nothing
+    else in the corpus shares, so a high ``rare_frac`` flags the doc
+    without any language model (the heuristic behind C4/Gopher-style
+    "gibberish" filters, reduced to exact integer counting).
+
+    Exactness: the 1%-of-docs threshold is the integer test
+    ``df·100 ≥ n_docs`` and ``rare_frac`` is one correctly-rounded
+    int/int divide, so the hash gate holds across engines. Docs shorter
+    than 3 chars have no trigrams and are excluded (both engines emit no
+    positions for them).
+
+    Scale: the trigram explode is linear in corpus bytes and the DF
+    aggregation shuffles on the trigram — both embarrassing. The design
+    trick is the *complement* join: the rare tail of the DF table grows
+    with the corpus, but the COMMON head is bounded by
+    avg-distinct-trigrams-per-doc / 1% regardless of corpus size
+    (≤ ~50k entries for 500-char docs), so the per-doc scoring join
+    broadcasts the head and never shuffles the tail. The 1-row n_docs
+    crossJoin is a broadcast scalar (BNLJ_OK)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(2))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
+    )
+    tri = scoped_persist(tri)
+    df_counts = (
+        tri.distinct().groupBy("tri").agg(F.count(F.lit(1)).alias("df_count"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    common = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_count") >= 2)
+            & (F.col("df_count") * 100 >= F.col("n_docs"))
+        )
+        .select("tri")
+    )
+    scored = (
+        tri.join(F.broadcast(common).withColumn("_common", F.lit(1)), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(
+                F.when(F.col("_common").isNull(), 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tri",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tri")).alias("rare_frac"),
+        (F.col("n_rare") * 2 > F.col("n_tri")).alias("noisy"),
+    )

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "token_distribution_drift",  # 1-row slice-totals crossJoin
     "theta_user_set_ops",        # deliberate 1-row x 1-row scalar combine
                                  # (exact counts x sketch pair)
+    "char_trigram_noise",        # 1-row n_docs crossJoin (head threshold)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

@@ -50,3 +50,48 @@ def short_doc_dir(tmp_path_factory):
 def test_text_queries_short_doc_parity(spark, short_doc_dir, name):
     ok, detail = compare(spark, name, QUERIES[name], ORACLES[name], short_doc_dir)
     assert ok, f"{name} on short docs: {detail}"
+
+
+@pytest.fixture(scope="module")
+def noise_doc_dir(tmp_path_factory):
+    # 20 clean docs sharing one common-trigram vocabulary, one planted
+    # mojibake doc whose trigrams nothing else shares, one doc too short
+    # to have any trigram (must be absent from the output entirely).
+    clean = "the quick brown fox jumps over the lazy dog near the river"
+    texts = [clean] * 20 + ["q7#xZ@9!vK%pW&mJ*rT^bN$yH", "ab"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path_factory.mktemp("noisedocs")
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_char_trigram_noise_flags_planted_mojibake(spark, noise_doc_dir):
+    # Full cross-engine parity on the planted fixture first …
+    ok, detail = compare(
+        spark,
+        "char_trigram_noise",
+        QUERIES["char_trigram_noise"],
+        ORACLES["char_trigram_noise"],
+        noise_doc_dir,
+    )
+    assert ok, f"char_trigram_noise planted parity: {detail}"
+    # … then the semantics: every trigram of the mojibake doc is unique
+    # to it (df=1 < the df≥2 floor ⇒ rare), while clean docs are built
+    # from trigrams all 20 share (df=20, common at any threshold).
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["char_trigram_noise"](spark, noise_doc_dir).collect()
+    }
+    assert 21 not in rows  # 2-char doc has no trigrams
+    assert rows[20]["noisy"] and rows[20]["rare_frac"] == 1.0
+    for i in range(20):
+        assert not rows[i]["noisy"]
+        assert rows[i]["rare_frac"] == 0.0
