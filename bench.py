@@ -87,6 +87,7 @@ HEADLINE = [
     "cms_user_frequency",
     "kll_quantile_rollup",
     "char_trigram_noise",
+    "skyline_customers_spend_orders",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .numeric import dec_sum, sql_dec_sum
+from .numeric import SCALE, dec_sum, sql_dec_sum
 from .registry import query, scoped_persist
 
 
@@ -2378,3 +2378,95 @@ def price_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(
         F.broadcast(targets), ranked["grank"] == targets["target_rank"]
     ).select("q", F.col("v").alias("price"))
+
+
+# --------------------------------------------------------------------------
+# E114: skyline / Pareto-frontier query (multi-objective dominance filter)
+# --------------------------------------------------------------------------
+
+
+def _skyline_keep(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One dominance-filter pass within each partition of ``part_cols``
+    (empty = global): keep a row iff no other row in the partition has
+    sx ≥, sy ≥ with at least one strict. Two windows express that
+    exactly: ``m_strict`` = max(sy) over strictly-larger sx (a RANGE
+    frame on the integer sx), and the same-sx max; a row survives iff
+    sy beats every strictly-larger-sx row AND is its sx-group maximum.
+    Duplicate (sx, sy) pairs tie without strictness and all survive."""
+    w_strict = (
+        Window.partitionBy(*part_cols)
+        .orderBy("sx")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_samex = Window.partitionBy(*part_cols, "sx")
+    return (
+        df.withColumn("_m_strict", F.max("sy").over(w_strict))
+        .withColumn("_m_samex", F.max("sy").over(w_samex))
+        .filter(
+            (F.col("_m_strict").isNull() | (F.col("_m_strict") < F.col("sy")))
+            & (F.col("sy") == F.col("_m_samex"))
+        )
+        .drop("_m_strict", "_m_samex")
+    )
+
+
+@query(
+    "skyline_customers_spend_orders",
+    oracle=f"""
+        WITH c AS (
+          SELECT o_custkey AS custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sx,
+                 COUNT(*) AS sy
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey,
+               CAST(sx AS DOUBLE) / {SCALE} AS total_spend,
+               CAST(sy AS BIGINT) AS n_orders
+        FROM c p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM c q
+          WHERE q.sx >= p.sx AND q.sy >= p.sy
+            AND (q.sx > p.sx OR q.sy > p.sy)
+        )
+    """,
+)
+def skyline_customers_spend_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E114: skyline (Pareto-frontier) operator — customers not dominated
+    on (total spend, order count): no other customer is ≥ on both axes
+    and strictly better on one. The multi-objective "best tradeoffs"
+    query (Börzsönyi et al., ICDE 2001) that no single ORDER BY can
+    express; the oracle is the literal NOT EXISTS dominance definition,
+    the Spark plan is the distributed two-phase algorithm.
+
+    Two-phase shape (skyline(S) = skyline(∪ skyline(P_i)) since
+    dominance is transitive): phase 1 computes a LOCAL skyline inside
+    each of 32 hash buckets of the aggregated per-customer frame —
+    fully parallel, no global sort; phase 2 re-runs the same dominance
+    filter globally over only the local survivors. For n random points
+    the expected skyline is O(log n) per bucket, so the global pass
+    sees ~buckets·log n rows, not n (anti-correlated adversarial data
+    degrades gracefully to one sort of the still-reduced union). All
+    dominance tests are scaled-integer compares; the only doubles are
+    the final correctly-rounded unscale, so the hash gate holds at any
+    parallelism — bucket assignment provably cannot change the result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5))
+        ).cast("long").alias("sx"),
+        F.count(F.lit(1)).alias("sy"),
+    )
+    bucketed = c.withColumn(
+        "_pid", F.pmod(F.xxhash64(F.col("custkey")), F.lit(32))
+    )
+    local = _skyline_keep(bucketed, ["_pid"]).drop("_pid")
+    global_sky = _skyline_keep(local, [])
+    return global_sky.select(
+        "custkey",
+        (F.col("sx").cast("double") / SCALE).alias("total_spend"),
+        F.col("sy").alias("n_orders"),
+    )

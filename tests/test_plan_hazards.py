@@ -71,6 +71,9 @@ GLOBAL_WINDOW_OK = {
                                     # one-row-per-day frame
     "type_hour_association",     # grand-total window over the bounded
                                  # |types|x24 contingency grid
+    "skyline_customers_spend_orders",  # phase-2 dominance pass over the
+                                       # union of 32 LOCAL skylines —
+                                       # ~buckets·log n rows, not n
 }
 
 
