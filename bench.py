@@ -88,6 +88,7 @@ HEADLINE = [
     "kll_quantile_rollup",
     "char_trigram_noise",
     "skyline_customers_spend_orders",
+    "randomized_response_purchase_share",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -219,3 +219,80 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("int"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E115: local differential privacy — randomized-response share estimation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "randomized_response_purchase_share",
+    oracle="""
+        WITH rr AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day,
+                 CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+                           < 'c0'
+                      THEN CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END
+                      ELSE CASE WHEN event_type = 'purchase'
+                                THEN 0 ELSE 1 END
+                 END AS reported
+          FROM events
+        )
+        SELECT day,
+               COUNT(*) AS n_events,
+               CAST(SUM(reported) AS BIGINT) AS reported_ones,
+               CAST(4 * SUM(reported) - COUNT(*) AS DOUBLE) / 2
+                 AS est_purchases,
+               CAST(4 * SUM(reported) - COUNT(*) AS DOUBLE)
+                 / (2 * COUNT(*)) AS est_share
+        FROM rr GROUP BY day
+    """,
+)
+def randomized_response_purchase_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E115: local-DP telemetry — per-day purchase share estimated from
+    RANDOMIZED RESPONSES only (Warner 1965; the RAPPOR primitive): each
+    event reports its true is-purchase bit with p=3/4, the flipped bit
+    with 1/4, giving ε = ln 3 local differential privacy; the collector
+    unbiases with T̂ = (4·Σreported − n)/2 and never aggregates the raw
+    bit. The whole operator is one map-side-combinable aggregate — at
+    100 TB it is exactly as cheap as the non-private count it replaces.
+
+    Determinism: the "coin" is the first byte of md5(event_id) < 0xC0
+    (192/256 = 3/4 exactly), reproducible bit-for-bit in both engines —
+    so the estimate is hash-gated, not just statistically plausible.
+    The estimator arithmetic is exact: (4r − n) is BIGINT; the /2 and
+    /(2n) are single correctly-rounded divides. A production rollout
+    would swap the hash coin for a client-side CSPRNG; the estimator,
+    plan shape, and accuracy bound (|T̂ − T| = O(√n) whp) are identical.
+    """
+    events = load_table(spark, sf_dir, "events")
+    coin_true = (
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "c0"
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    reported = F.when(coin_true, is_purchase).otherwise(
+        1 - is_purchase
+    )
+    rr = events.select(
+        F.unix_date(F.to_date("ts")).cast("long").alias("day"),
+        reported.alias("reported"),
+    )
+    agg = rr.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("reported").alias("reported_ones"),
+    )
+    est_num = 4 * F.col("reported_ones") - F.col("n_events")
+    return agg.select(
+        "day",
+        "n_events",
+        "reported_ones",
+        (est_num.cast("double") / 2).alias("est_purchases"),
+        (
+            est_num.cast("double") / (2 * F.col("n_events"))
+        ).alias("est_share"),
+    )

@@ -58,3 +58,37 @@ def test_log_anonymize_truncates_and_pseudonymizes(spark):
         .count()
     )
     assert n_pseudo_per_user == 0
+
+
+def test_randomized_response_estimator_accuracy(spark):
+    # The unbiased estimator must land within 6 estimator-noise sigmas of
+    # the TRUE per-day purchase count (σ = 2·√(n·p(1−p)), p=1/4 flip) —
+    # a deterministic check here because the md5 coin is fixed.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    est = {
+        r.day: r
+        for r in QUERIES["randomized_response_purchase_share"](
+            spark, SF_DIR_CORRECT
+        ).collect()
+    }
+    truth = {
+        r.day: r.true_purchases
+        for r in load_table(spark, SF_DIR_CORRECT, "events")
+        .groupBy(F.unix_date(F.to_date("ts")).cast("long").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("true_purchases")
+        )
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for day, r in est.items():
+        sigma = 2 * (r.n_events * 3 / 16) ** 0.5
+        assert abs(r.est_purchases - truth[day]) <= 6 * sigma + 2, (
+            day, r.est_purchases, truth[day], sigma
+        )
+        assert 0 - 6 * sigma / r.n_events <= r.est_share <= 1 + 6 * sigma / r.n_events
