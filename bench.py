@@ -89,6 +89,7 @@ HEADLINE = [
     "char_trigram_noise",
     "skyline_customers_spend_orders",
     "randomized_response_purchase_share",
+    "heavy_hitter_ngrams",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -496,3 +496,113 @@ def theta_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est_union - F.col("exact_union")) <= tol).alias("union_ok"),
         (F.abs(est_diff - F.col("exact_view_only")) <= tol).alias("diff_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# E116: exact heavy hitters without a full-vocabulary shuffle
+#        (Misra–Gries candidate generation + exact verification pass)
+# --------------------------------------------------------------------------
+
+MG_K = 4096  # counters per partition summary; threshold = n/(MG_K+1)
+
+
+def _mg_partition_summaries(it):
+    """Per-partition Misra–Gries summary over the ``ngram`` column,
+    batch-merged: each Arrow batch is first counted VECTORIZED
+    (value_counts), then merged into the running k-counter summary by
+    the mergeable-summaries rule (Agarwal et al., PODS'12): sum
+    counters, and if more than k remain subtract the (k+1)-th largest
+    value and drop the non-positive. Guarantee preserved under any
+    batch/partition split: est(t) ≥ count_p(t) − n_p/(k+1), so every
+    ngram with local count above the local threshold SURVIVES — and a
+    globally-heavy ngram must be locally heavy somewhere."""
+    import pandas as pd
+
+    summary: dict[str, int] = {}
+    for pdf in it:
+        for g, c in pdf["ngram"].value_counts().items():
+            summary[g] = summary.get(g, 0) + int(c)
+        if len(summary) > MG_K:
+            vals = sorted(summary.values(), reverse=True)
+            delta = vals[MG_K]  # (k+1)-th largest
+            summary = {
+                g: v - delta for g, v in summary.items() if v > delta
+            }
+    if summary:
+        yield pd.DataFrame(
+            {"ngram": list(summary), "est": list(summary.values())}
+        )
+
+
+@query(
+    "heavy_hitter_ngrams",
+    oracle=f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents
+        ),
+        tok AS (
+          SELECT w[CAST(i AS INTEGER)] || ' ' ||
+                 w[CAST(i AS INTEGER) + 1] || ' ' ||
+                 w[CAST(i AS INTEGER) + 2] AS ngram
+          FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM ws WHERE len(w) >= 3
+          )
+        )
+        SELECT ngram, COUNT(*) AS cnt
+        FROM tok
+        GROUP BY ngram
+        HAVING COUNT(*) * {MG_K + 1} > (SELECT COUNT(*) FROM tok)
+    """,
+)
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E116: EXACT heavy hitters (word trigrams with frequency
+    > n/(k+1), k=MG_K=4096) computed WITHOUT ever shuffling the full
+    n-gram vocabulary. The naive plan — groupBy(ngram).count() then
+    filter — shuffles every distinct n-gram; at web scale the trigram
+    vocabulary is O(corpus), so that shuffle is O(n). This plan is the
+    two-pass candidate scheme:
+
+      1. each partition builds a Misra–Gries k-counter summary
+         (mapInPandas, batch-merged, ≤ k rows out per partition) — the
+         union of summaries is ≤ partitions·k rows REGARDLESS of
+         vocabulary size, and provably contains every globally-heavy
+         n-gram (a token below the local threshold in every partition
+         is below the global threshold);
+      2. one exact counting pass restricted to the broadcast candidate
+         set, then the exact threshold filter.
+
+    The final answer is exact counts of exactly the above-threshold
+    n-grams — candidate generation cannot affect it under ANY
+    partitioning (only over-approximate it), so the result is
+    hash-gated against the direct SQL despite the approximate middle.
+    Misra & Gries '82; merge rule per Agarwal et al., PODS'12."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    tok = scoped_persist(
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("ngram")
+        )
+    )
+    cands = (
+        tok.mapInPandas(_mg_partition_summaries, "ngram string, est long")
+        .select("ngram")
+        .distinct()
+    )
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(cands), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (MG_K + 1) > F.col("n_total"))
+        .select("ngram", "cnt")
+    )

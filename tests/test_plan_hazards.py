@@ -44,6 +44,7 @@ BNLJ_OK = {
     "theta_user_set_ops",        # deliberate 1-row x 1-row scalar combine
                                  # (exact counts x sketch pair)
     "char_trigram_noise",        # 1-row n_docs crossJoin (head threshold)
+    "heavy_hitter_ngrams",       # 1-row n_total crossJoin (threshold)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

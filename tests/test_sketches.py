@@ -215,3 +215,73 @@ def test_theta_set_ops_exact_mode_on_planted(spark, tmp_path):
     assert (r.exact_view, r.exact_purchase) == (30, 20)
     assert (r.exact_both, r.exact_view_only, r.exact_union) == (10, 20, 40)
     assert r.inter_ok and r.union_ok and r.diff_ok
+
+
+def test_misra_gries_summary_bound_and_superset():
+    # Pure-Python contract of the per-partition summarizer: on an
+    # adversarial stream of MG_K+1 times more junk than signal, split
+    # into many small batches, the summary stays ≤ MG_K entries and the
+    # truly-heavy key (count > n/(MG_K+1)) always survives with
+    # est ≥ count − n/(MG_K+1).
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import sketches as sk
+
+    heavy, n_junk = "HEAVY HEAVY HEAVY", 40_000
+    stream = [heavy] * 20 + [f"junk {i} x" for i in range(n_junk)]
+    # interleave so the heavy key never dominates one batch
+    stream = [x for pair in zip(stream[:20], range(20)) for x in
+              (pair[0], f"junk {pair[1]} y")] + stream[20:]
+    batches = [
+        pd.DataFrame({"ngram": stream[i:i + 1000]})
+        for i in range(0, len(stream), 1000)
+    ]
+    [out] = list(sk._mg_partition_summaries(iter(batches))) or [
+        pd.DataFrame({"ngram": [], "est": []})
+    ]
+    n = len(stream)
+    assert len(out) <= sk.MG_K
+    if 20 > n / (sk.MG_K + 1):  # heavy by the global threshold
+        ests = dict(zip(out["ngram"], out["est"]))
+        assert heavy in ests
+        assert ests[heavy] >= 20 - n / (sk.MG_K + 1)
+
+
+def test_heavy_hitters_result_partition_invariant(spark):
+    # The exact verify pass makes the answer independent of how the MG
+    # candidate stage partitions the corpus: compare against the naive
+    # full-shuffle plan on the same data.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators.sketches import MG_K
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    got = {
+        (r.ngram, r.cnt)
+        for r in QUERIES["heavy_hitter_ngrams"](
+            spark, SF_DIR_CORRECT
+        ).collect()
+    }
+    docs = load_table(spark, SF_DIR_CORRECT, "documents")
+    tok = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("ngram")
+        )
+    )
+    n = tok.count()
+    naive = {
+        (r.ngram, r["count"])
+        for r in tok.groupBy("ngram").count().collect()
+        if r["count"] * (MG_K + 1) > n
+    }
+    assert got == naive and got  # non-degenerate at sf0.01
