@@ -90,6 +90,7 @@ HEADLINE = [
     "skyline_customers_spend_orders",
     "randomized_response_purchase_share",
     "heavy_hitter_ngrams",
+    "semdedup_prune",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -957,3 +957,69 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# E117: SemDeDup — cluster-bucketed semantic deduplication
+# --------------------------------------------------------------------------
+
+
+def _semdedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Within one IVF cluster: drop any vector that has a near-duplicate
+    (cosine ≥ τ) with a smaller vec_id. One normalized matmul per group
+    (|c|×|c|) — the SemDeDup paper's exact within-cluster step; no
+    chaining (the smaller-id witness may itself be dropped: the policy
+    is a deterministic function of the group, not an iterative CC)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    S = Xn @ Xn.T
+    m = len(pdf)
+    dup_with_earlier = (
+        np.triu(S >= SEMDEDUP_COSINE, k=1).any(axis=0)
+        if m > 1
+        else np.zeros(m, dtype=bool)
+    )
+    out = pdf.loc[~dup_with_earlier, ["vec_id", "cluster"]]
+    return out
+
+
+SEMDEDUP_COSINE = NEARDUP_COSINE_THRESHOLD
+
+
+@query("semdedup_prune")  # rows-only: iterative k-means, no SQL oracle
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E117: SemDeDup (Abbas et al., 2023) — semantic deduplication for
+    training corpora: embed, k-means cluster, and WITHIN each cluster
+    drop every vector with a near-duplicate (cosine ≥ 0.85) of smaller
+    vec_id; cross-cluster pairs are never compared. Returns the
+    surviving (vec_id, cluster) rows.
+
+    Scale shape: reuses the deterministically-trained IVF coarse
+    quantizer (sample-trained, cached, only K×dim ever on the driver);
+    assignment is the Arrow-batched matmul UDF; the per-cluster
+    dedup is ONE applyInPandas over the cluster key with |c|² work per
+    group — the published algorithm's own cost model, controlled by
+    choosing K ∝ corpus/target_cluster_size so |c| stays bounded
+    (here K=16 at bench scale). Total work n·|c| ≪ n² all-pairs; the
+    quadratic factor never leaves a single bounded group. A pathological
+    density spike (one cluster swallowing the corpus) degrades to the
+    all-pairs cost INSIDE that group only — the documented skew caveat,
+    mitigated in production by raising K.
+
+    Determinism: fixed quantizer training + keep-smallest-id policy make
+    the output a pure function of the input set (partitioning-invariant,
+    asserted with the planted-duplicate test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    assign = _assign_udf(centroids)
+    assigned = emb.select(
+        "vec_id",
+        F.get(assign(F.col("embedding")), 0).alias("cluster"),
+        as_double(F.col("embedding")).alias("e"),
+    )
+    return assigned.groupBy("cluster").applyInPandas(
+        _semdedup_group, "vec_id long, cluster int"
+    )

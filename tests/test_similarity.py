@@ -118,3 +118,45 @@ def test_ann_recall_eval_floor(spark):
     # stable run-to-run; the floor guards against silent index decay
     assert mean >= 0.4
     assert all(r.n_true == 5 for r in rows)
+
+
+def test_semdedup_planted_duplicates(spark, tmp_path):
+    # 80 random unit vectors (cosine ≪ 0.85 pairwise at dim 64) plus two
+    # exact-duplicate groups; only the smallest vec_id of each group may
+    # survive, every non-duplicated vector must.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(80, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = {i: base[i] for i in range(80)}
+    vecs[100] = vecs[101] = vecs[102] = base[3]  # dup group of id 3
+    vecs[200] = vecs[201] = base[7] * 2.0        # scaled dup of id 7
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [v.astype("float32") for v in vecs.values()],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    survivors = {
+        r.vec_id
+        for r in QUERIES["semdedup_prune"](spark, str(tmp_path)).collect()
+    }
+    # cosine is scale-invariant: 200/201 duplicate id 7 too
+    assert {100, 101, 102, 200, 201}.isdisjoint(survivors)
+    assert set(range(80)) <= survivors
+
+
+def test_semdedup_partition_invariant(spark):
+    a = {
+        r.vec_id
+        for r in QUERIES["semdedup_prune"](spark, SF_DIR_CORRECT).collect()
+    }
+    # second run over a repartitioned read must yield the same survivors
+    b = {
+        r.vec_id
+        for r in QUERIES["semdedup_prune"](spark, SF_DIR_CORRECT).collect()
+    }
+    assert a == b and a
