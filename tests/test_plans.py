@@ -148,6 +148,14 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # HLL rollup verification (sketches.py): one row per grain cell
         # — grows with calendar days × event types, not fact volume
         "ests",
+        # Misra–Gries candidates (sketches.py): ≤ partitions·MG_K rows
+        # regardless of vocabulary/corpus size — that bound is the point
+        # of the operator
+        "cands",
+        # trigram-noise head (text.py): the 1-row doc count and the
+        # common-trigram head, bounded by avg-distinct-tri-per-doc/1%
+        # at any corpus size (rare tail never broadcast)
+        "n_docs", "common",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
