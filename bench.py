@@ -91,6 +91,7 @@ HEADLINE = [
     "randomized_response_purchase_share",
     "heavy_hitter_ngrams",
     "semdedup_prune",
+    "frequent_part_triples",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",
