@@ -579,6 +579,12 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated against the direct SQL despite the approximate middle.
     Misra & Gries '82; merge rule per Agarwal et al., PODS'12."""
     docs = load_table(spark, sf_dir, "documents")
+    # widen (never collapse) to cluster parallelism: the trigram explode
+    # amplifies ~100× past the scan's byte-based sizing, and the MG
+    # stage should produce one summary per CORE, not per input file
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     ws = docs.select(F.split("text", " ").alias("w")).filter(
         F.size("w") >= 3
     )
