@@ -92,6 +92,7 @@ HEADLINE = [
     "heavy_hitter_ngrams",
     "semdedup_prune",
     "frequent_part_triples",
+    "kcore_part_graph",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

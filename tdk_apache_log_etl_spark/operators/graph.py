@@ -396,3 +396,62 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# --------------------------------------------------------------------------
+# E120: k-core decomposition (data-dependent fixpoint peel)
+# --------------------------------------------------------------------------
+
+K_CORE = 3  # minimum within-subgraph degree
+
+
+@query("kcore_part_graph")  # rows-only: data-dependent fixpoint, no SQL oracle
+def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E120: the K_CORE-core of the significant co-occurrence graph —
+    the maximal subgraph in which EVERY node keeps degree ≥ k after all
+    lower-degree nodes are (transitively) removed. Degree alone
+    over-reports cohesion (a hub of one-off neighbors has high degree
+    but no core); the k-core is the standard dense-region primitive
+    under community/fraud mining (Seidman '83, Batagelj–Zaveršnik '03).
+
+    Unlike the pack's fixed-K iterations (PageRank) this is a
+    DATA-DEPENDENT fixpoint: peel all nodes with current degree < k,
+    recompute degrees on the survivors, repeat until a round removes
+    nothing. Iteration discipline matches the CC loop in dedup:
+    per-round localCheckpoint truncates lineage (plans stay O(1) deep),
+    the driver sees one count per round, and each round is two
+    semi-joins against the persisted pre-partitioned edge relation plus
+    one map-side-combinable degree count. Round count is the graph's
+    degeneracy-peel depth — O(log n) for the co-occurrence shapes here,
+    worst-case linear for a path (the honest caveat; production caps
+    rounds and reports the cap, as capped_sessions does for sessions).
+
+    The final answer is the unique maximal fixpoint — independent of
+    peel order and partitioning — pinned in tests against a
+    pure-Python reference peel and planted clique/star graphs.
+    Rows-only by design: no ANSI-SQL fixpoint (aggregation over the
+    recursive relation is not legal in WITH RECURSIVE)."""
+    edges = partitioned_edges(spark, sf_dir).select("src", "dst")
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
+    while n_alive > 0:
+        deg = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = (
+            deg.filter(F.col("deg") >= K_CORE)
+            .select(F.col("src").alias("node"), "deg")
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        n_next = survivors.count()
+        if n_next == n_alive:
+            return survivors.select("node", F.col("deg").alias("core_degree"))
+        alive = survivors.select("node")
+        n_alive = n_next
+    return alive.select(
+        "node", F.lit(None).cast("long").alias("core_degree")
+    )

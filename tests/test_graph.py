@@ -82,3 +82,42 @@ def test_lpa_clique_converges_to_one_community(spark, tmp_path):
     sizes = sorted(r.n_members for r in out)
     assert sum(sizes) == 5
     assert sizes == [1, 1, 3]
+
+
+def test_kcore_planted_clique_pendant_cycle(spark, tmp_path):
+    # K4 on {1,2,3,4} (degree 3 each) survives the 3-core; a pendant 5
+    # hung off node 1 peels in round one; a 4-cycle {6,7,8,9} (degree 2)
+    # peels entirely. Duplicate baskets clear MIN_COOCCUR.
+    baskets = (
+        [[1, 2, 3, 4]] * 2
+        + [[1, 5]] * 2
+        + [[6, 7], [7, 8], [8, 9], [9, 6]] * 2
+    )
+    sf = _lineitem(tmp_path, baskets)
+    rows = {r.node: r.core_degree for r in
+            QUERIES["kcore_part_graph"](spark, sf).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    from tdk_apache_log_etl_spark.operators.graph import (
+        K_CORE,
+        significant_pairs,
+    )
+
+    got = {r.node: r.core_degree for r in
+           QUERIES["kcore_part_graph"](spark, SF_DIR_SMOKE).collect()}
+    adj: dict[int, set[int]] = {}
+    for r in significant_pairs(spark, SF_DIR_SMOKE).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    # reference peel: remove any node with degree < k until fixpoint
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < K_CORE:
+                alive.discard(n)
+                changed = True
+    expect = {n: len(adj[n] & alive) for n in alive}
+    assert got == expect and got  # non-degenerate on the smoke corpus
