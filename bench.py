@@ -93,6 +93,7 @@ HEADLINE = [
     "semdedup_prune",
     "frequent_part_triples",
     "kcore_part_graph",
+    "join_size_estimate_cms",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

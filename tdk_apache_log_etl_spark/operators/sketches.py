@@ -612,3 +612,102 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * (MG_K + 1) > F.col("n_total"))
         .select("ngram", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# E121: join-size estimation from count-min inner products
+# --------------------------------------------------------------------------
+
+
+def cms_inner_product(a: bytes, b: bytes) -> int:
+    """The AMS/CMS join-size estimate: min over hash rows of the
+    counter-table inner product (Cormode & Muthukrishnan '05, §4.2).
+    Both sketches must share (eps, confidence, seed) so their rows use
+    the same hash family — enforced by comparing the parsed coefficient
+    vectors, not trusted from the caller."""
+    _, ha, ta = parse_count_min(a)
+    _, hb, tb = parse_count_min(b)
+    if ha != hb or len(ta[0]) != len(tb[0]):
+        raise ValueError("sketches use different hash families/widths")
+    return min(
+        sum(x * y for x, y in zip(ra, rb)) for ra, rb in zip(ta, tb)
+    )
+
+
+@query(
+    "join_size_estimate_cms",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT
+          CAST((SELECT COALESCE(SUM(v.c * p.c), 0)
+                FROM v JOIN p ON v.user_id = p.user_id) AS BIGINT)
+            AS exact_join_size,
+          CAST((SELECT COALESCE(SUM(c), 0) FROM v) AS BIGINT) AS n_view,
+          CAST((SELECT COALESCE(SUM(c), 0) FROM p) AS BIGINT)
+            AS n_purchase,
+          TRUE AS never_under,
+          TRUE AS within_bound
+    """,
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E121: pre-join cardinality estimation — |views ⋈ purchases on
+    user_id| = Σ_u v(u)·p(u), estimated WITHOUT computing the join,
+    from the inner product of two count-min sketches (the AMS F₂ idea
+    carried into CMS). This is the planner question at 100 TB: "will
+    this fact-fact join explode?" answered from two ~100 KB ingest-time
+    sketches instead of a trial shuffle. The estimate never
+    undercounts, and overcounts by ≤ ε·n_view·n_purchase w.p. 1−δ —
+    with the fixed seed both booleans are deterministic, so the output
+    (exact size + guarantee verdicts) is hash-gated like the theta and
+    KLL packs; estimate-level accuracy stays in tests/test_sketches.py.
+
+    Scale: two map-side-combinable sketch aggregates over one persisted
+    filtered scan; the exact check is one keyed count join (here — at
+    production scale you'd TRUST the sketch, that's the point)."""
+    events = scoped_persist(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    vc = views.groupBy("user_id").agg(F.count(F.lit(1)).alias("vc"))
+    pc = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("pc"))
+    [exact_row] = (
+        vc.join(pc, "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("vc") * F.col("pc")), F.lit(0)).alias(
+                "exact"
+            )
+        )
+        .collect()
+    )
+    exact = int(exact_row.exact)
+    n_view = views.count()
+    n_purchase = purchases.count()
+    est = cms_inner_product(
+        build_count_min(views, "user_id"),
+        build_count_min(purchases, "user_id"),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                exact,
+                n_view,
+                n_purchase,
+                est >= exact,
+                est <= exact + CMS_EPS * n_view * n_purchase,
+            )
+        ],
+        "exact_join_size bigint, n_view bigint, n_purchase bigint, "
+        "never_under boolean, within_bound boolean",
+    )

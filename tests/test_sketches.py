@@ -285,3 +285,45 @@ def test_heavy_hitters_result_partition_invariant(spark):
         if r["count"] * (MG_K + 1) > n
     }
     assert got == naive and got  # non-degenerate at sf0.01
+
+
+def test_cms_inner_product_estimates_join_size(spark):
+    # estimate-level check (the registered query only emits verdicts):
+    # AMS/CMS inner product never undercounts and lands within the
+    # ε·N₁·N₂ bound on the real corpus.
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.operators.sketches import (
+        CMS_EPS,
+        build_count_min,
+        cms_inner_product,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    ev = load_table(spark, SF_DIR_CORRECT, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    vc = views.groupBy("user_id").count().withColumnRenamed("count", "vc")
+    pc = purchases.groupBy("user_id").count().withColumnRenamed("count", "pc")
+    [r] = vc.join(pc, "user_id").agg(
+        F.sum(F.col("vc") * F.col("pc")).alias("exact")
+    ).collect()
+    exact = int(r.exact)
+    n_v, n_p = views.count(), purchases.count()
+    est = cms_inner_product(
+        build_count_min(views, "user_id"),
+        build_count_min(purchases, "user_id"),
+    )
+    assert exact <= est <= exact + CMS_EPS * n_v * n_p
+    # mismatched hash families must be refused, not silently combined
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_inner_product(
+            build_count_min(views, "user_id"),
+            build_count_min(purchases, "user_id", seed=7),
+        )
