@@ -94,6 +94,7 @@ HEADLINE = [
     "frequent_part_triples",
     "kcore_part_graph",
     "join_size_estimate_cms",
+    "cdc_chunk_docs",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

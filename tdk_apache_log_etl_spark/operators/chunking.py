@@ -254,3 +254,134 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf-bench setting; production trains on a doc-hash sample — see
     sample_fraction and SCALE.md)."""
     return train_bpe_merges(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# E122: content-defined chunking (rolling-hash boundaries, LBFS/rsync)
+# --------------------------------------------------------------------------
+
+#: Rolling-hash geometry: window of CDC_W chars, polynomial base CDC_B
+#: mod 2^32, boundary where the hash ≡ 0 (mod CDC_MOD) → ~CDC_MOD-char
+#: expected chunks.
+CDC_W = 16
+CDC_B = 31
+CDC_MOD = 64
+_CDC_M32 = 1 << 32
+#: b^(W-1-k) mod 2^32 for k = 0..W-1 — the fixed coefficient of the
+#: k-th char in the window ending at position i (char i-W+1+k).
+_CDC_COEF = [pow(CDC_B, CDC_W - 1 - k, _CDC_M32) for k in range(CDC_W)]
+
+
+def _cdc_hash_expr(text_col: str, pos: str, ascii_fn: str = "ascii") -> str:
+    """The window hash as ONE engine-neutral SQL expression — the same
+    string renders the Spark column and the DuckDB oracle, so the
+    boundary rule cannot drift between engines."""
+    terms = " + ".join(
+        f"CAST({ascii_fn}(substring({text_col}, {pos} - {CDC_W - 1 - k}, 1))"
+        f" AS BIGINT) * {c}"
+        for k, c in enumerate(_CDC_COEF)
+    )
+    return f"(({terms}) % {_CDC_M32})"
+
+
+_CDC_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series({CDC_W}, length(text))) AS i
+      FROM documents WHERE length(text) >= {CDC_W}
+    ),
+    bounds AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS cut FROM pos
+      WHERE {_cdc_hash_expr("text", "CAST(i AS INTEGER)")} % {CDC_MOD} = 0
+      UNION
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS cut FROM documents
+      WHERE length(text) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id, cut,
+             COALESCE(LAG(cut) OVER (
+               PARTITION BY doc_id ORDER BY cut), 0) + 1 AS start,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY cut) AS chunk_idx
+      FROM bounds
+    )
+    SELECT c.doc_id,
+           CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+           c.start AS start_pos,
+           c.cut - c.start + 1 AS chunk_len,
+           md5(substring(d.text, CAST(c.start AS INTEGER),
+                         CAST(c.cut - c.start + 1 AS INTEGER))) AS chunk_md5
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+
+@query("cdc_chunk_docs", oracle=_CDC_ORACLE)
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E122: content-defined chunking — split each document where the
+    CDC_W-char polynomial rolling hash ≡ 0 mod CDC_MOD (the LBFS /
+    rsync boundary rule; Muthitacharoen et al., SOSP'01). Unlike
+    fixed-size chunking, boundaries ride WITH the content: inserting a
+    prefix shifts every fixed-size chunk but leaves all content-defined
+    chunks after the edit identical — which is what makes chunk-hash
+    dedup robust to shifted/near-duplicate documents (the storage-side
+    complement of minhash).
+
+    Plan shape: explode char positions, evaluate the 16-term hash as a
+    codegen'd JVM expression (NO UDF — the window polynomial is just
+    ascii()·coef sums), filter boundaries, one per-doc window pass to
+    pair consecutive cuts into (start, len) chunks, md5 per chunk. All
+    narrow until the per-doc window (keyed on doc_id, the natural key);
+    the explode is linear in corpus bytes with the same
+    amplification-aware widening as the trigram scorer. Every term —
+    coefficients, mod, boundary rule — renders from ONE expression
+    string shared verbatim with the DuckDB oracle, so the hash gate
+    covers the boundary rule itself. Docs shorter than CDC_W emit one
+    whole-doc chunk (no window fits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    pos = (
+        docs.filter(F.length("text") >= CDC_W)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(CDC_W), F.length("text"))
+            ).alias("i"),
+        )
+    )
+    cuts = pos.filter(
+        F.expr(f"{_cdc_hash_expr('text', 'i')} % {CDC_MOD} = 0")
+    ).select("doc_id", F.col("i").cast("long").alias("cut"))
+    ends = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.length("text").cast("long").alias("cut")
+    )
+    bounds = cuts.unionByName(ends).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("cut")
+    chunks = bounds.select(
+        "doc_id",
+        "cut",
+        (F.coalesce(F.lag("cut").over(w), F.lit(0)) + 1).alias("start"),
+        F.row_number().over(w).cast("long").alias("chunk_idx"),
+    )
+    return (
+        chunks.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("start").alias("start_pos"),
+            (F.col("cut") - F.col("start") + 1).alias("chunk_len"),
+            F.md5(
+                F.encode(
+                    F.expr(
+                        "substring(text, CAST(start AS INT), "
+                        "CAST(cut - start + 1 AS INT))"
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chunk_md5"),
+        )
+    )

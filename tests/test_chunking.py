@@ -251,3 +251,57 @@ def test_bpe_train_sampled_matches_reference(spark, fraction):
         ).collect()
     ]
     assert got == _py_bpe_reference(sampled_texts, 5)
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
+    # The content-defined property: prepending a prefix re-chunks only
+    # the region up to the first boundary AFTER the edit; every later
+    # chunk hash must be identical. Fixed-size chunking shares zero.
+    import duckdb
+
+    from .conftest import SF_DIR_CORRECT
+
+    base = duckdb.sql(
+        f"SELECT text FROM '{SF_DIR_CORRECT}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0]
+    sf = _docs(tmp_path, [base, "THE INSERTED PREFIX CHANGES OFFSETS " + base])
+    rows = QUERIES["cdc_chunk_docs"](spark, sf).collect()
+    h0 = {r.chunk_md5 for r in rows if r.doc_id == 0}
+    h1 = {r.chunk_md5 for r in rows if r.doc_id == 1}
+    shared = len(h0 & h1)
+    assert len(h0) >= 4  # enough boundaries for the property to bite
+    assert shared >= len(h0) - 2  # at most the head chunk differs (+slack)
+    # ...and a doc shorter than the window emits one whole-doc chunk
+    sf2 = _docs(tmp_path, ["tiny"])
+    [only] = QUERIES["cdc_chunk_docs"](spark, sf2).collect()
+    assert (only.chunk_idx, only.start_pos, only.chunk_len) == (1, 1, 4)
+
+
+def test_cdc_chunks_partition_concatenation(spark, tmp_path):
+    # chunks tile the document exactly: starts/lengths are contiguous,
+    # cover 1..len, and the md5s re-hash to the original text
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "a" * 100,
+    ]
+    sf = _docs(tmp_path, texts)
+    rows = QUERIES["cdc_chunk_docs"](spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        expect_start = 1
+        for c in chunks:
+            assert c.start_pos == expect_start
+            expect_start += c.chunk_len
+        assert expect_start - 1 == len(texts[doc_id])
+        import hashlib
+
+        rebuilt = texts[doc_id]
+        pos = 0
+        for c in chunks:
+            seg = rebuilt[pos : pos + c.chunk_len]
+            assert hashlib.md5(seg.encode()).hexdigest() == c.chunk_md5
+            pos += c.chunk_len
