@@ -88,10 +88,13 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
-    embedding_cosine_neardup, ann_recall_eval, bpe_train_merges) are
-    genuinely non-SQL-expressible (LSH bucketing/iterative k-means/
-    iterative BPE; bpe_train_merges is instead pinned against a
-    pure-Python reference implementation in tests/test_chunking.py) →
+    embedding_cosine_neardup, ann_recall_eval, bpe_train_merges,
+    semdedup_prune, kcore_part_graph) are genuinely
+    non-SQL-expressible (LSH bucketing / iterative k-means / iterative
+    BPE / data-dependent fixpoint; bpe_train_merges and
+    kcore_part_graph are instead pinned against pure-Python reference
+    implementations in tests/test_chunking.py and tests/test_graph.py,
+    semdedup_prune against planted duplicate groups) →
     driver's rows-only check. Every approx/sketch aggregate
     (clf_user_count_approx, events_value_percentiles_approx,
     hll_user_rollup, cms_user_frequency, kll_quantile_rollup,

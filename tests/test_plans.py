@@ -522,3 +522,45 @@ def test_sketch_rollups_partial_aggregate_and_broadcast_verify(spark):
     plan = _plan(QUERIES["theta_user_set_ops"](spark, SF_DIR_CORRECT))
     assert "ObjectHashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trigram_noise_scoring_join_is_broadcast(spark):
+    # the per-occurrence frame joins the bounded common head by BHJ —
+    # a SortMergeJoin here would shuffle the whole char-level explode
+    plan = _plan(QUERIES["char_trigram_noise"](spark, SF_DIR_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_exact_pass_is_broadcast_and_arrow(spark):
+    plan = _plan(QUERIES["heavy_hitter_ngrams"](spark, SF_DIR_CORRECT))
+    # MG candidate stage is the Arrow-batched form, never BatchEvalPython
+    assert "MapInPandas" in plan
+    # the verify pass joins candidates by BHJ (bounded partitions·k rows)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skyline_local_phase_is_bucket_partitioned(spark):
+    # phase 1 windows must partition by the hash bucket (parallel local
+    # skylines); exactly ONE single-partition window pass (phase 2) may
+    # remain, over the reduced survivor union
+    plan = _plan(
+        QUERIES["skyline_customers_spend_orders"](spark, SF_DIR_CORRECT)
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the skyline plan"
+    global_specs = [
+        s for s in specs if re.match(r"\s*\w+#\d+\w* (ASC|DESC)", s)
+    ]
+    partitioned = [s for s in specs if s not in global_specs]
+    assert partitioned, "local phase lost its _pid partitioning"
+
+
+def test_frequent_triples_prune_is_semi_join(spark):
+    plan = _plan(QUERIES["frequent_part_triples"](spark, SF_DIR_CORRECT))
+    assert "LeftSemi" in plan  # the downward-closure prune
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
