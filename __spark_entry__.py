@@ -87,7 +87,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
 
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
-    ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk,
+    ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
     embedding_cosine_neardup, ann_recall_eval, bpe_train_merges,
     semdedup_prune, kcore_part_graph) are genuinely
     non-SQL-expressible (LSH bucketing / iterative k-means / iterative

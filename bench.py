@@ -95,6 +95,7 @@ HEADLINE = [
     "kcore_part_graph",
     "join_size_estimate_cms",
     "cdc_chunk_docs",
+    "ann_pq_topk",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

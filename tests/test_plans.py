@@ -156,6 +156,8 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # common-trigram head, bounded by avg-distinct-tri-per-doc/1%
         # at any corpus size (rare tail never broadcast)
         "n_docs", "common",
+        # PQ re-rank (similarity.py): the TOPK_N_QUERIES-row query frame
+        "qframe",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

@@ -160,3 +160,32 @@ def test_semdedup_partition_invariant(spark):
         for r in QUERIES["semdedup_prune"](spark, SF_DIR_CORRECT).collect()
     }
     assert a == b and a
+
+
+def test_pq_topk_recall_floor_and_determinism(spark):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["cosine_topk_bruteforce"](
+            spark, SF_DIR_CORRECT
+        ).collect()
+    }
+    run1 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in QUERIES["ann_pq_topk"](spark, SF_DIR_CORRECT).collect()
+    }
+    run2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in QUERIES["ann_pq_topk"](spark, SF_DIR_CORRECT).collect()
+    }
+    assert run1 == run2  # deterministic training + encode + re-rank
+    pq_pairs = {(q, n) for q, n, _ in run1}
+    recall = len(bf & pq_pairs) / len(bf)
+    # deterministic pipeline → exact value is stable; the floor guards
+    # against silent codebook/ADC decay (measured 0.68 at sf0.01)
+    assert recall >= 0.5
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        TOPK_K,
+        TOPK_N_QUERIES,
+    )
+
+    assert len(run1) == TOPK_K * TOPK_N_QUERIES
