@@ -96,6 +96,7 @@ HEADLINE = [
     "join_size_estimate_cms",
     "cdc_chunk_docs",
     "ann_pq_topk",
+    "monthly_revenue_holt",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -654,3 +654,130 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("theil_sen_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# E124: Holt double exponential smoothing + h-step forecast
+# --------------------------------------------------------------------------
+
+HOLT_H = 7  # forecast horizon (months)
+# α = β = 1/2: exactly-representable coefficients, so the recurrence is
+# a FIXED chain of correctly-rounded IEEE ops — bit-identical between
+# the pandas walk and DuckDB's recursive CTE as long as both write the
+# same expression shapes (see _holt_step / the oracle's l_new subquery).
+
+
+def _holt_walk(pdf):
+    """The recurrence, one bounded calendar-sized group: l₁=y₁, b₁=0;
+    lₜ = ½yₜ + ½(lₜ₋₁+bₜ₋₁); bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁ — expression
+    shapes mirrored EXACTLY in the oracle so doubles match bitwise."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("month_index").reset_index(drop=True)
+    levels, trends = [], []
+    l = b = None
+    for y in pdf["revenue"]:
+        if l is None:
+            l, b = y, 0.0
+        else:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        levels.append(l)
+        trends.append(b)
+    out = pd.DataFrame(
+        {
+            "month_index": pdf["month_index"],
+            "revenue": pdf["revenue"],
+            "level": levels,
+            "trend": trends,
+            "is_forecast": False,
+        }
+    )
+    fc = pd.DataFrame(
+        {
+            "month_index": [int(pdf["month_index"].iloc[-1]) + h
+                            for h in range(1, HOLT_H + 1)],
+            "revenue": [None] * HOLT_H,
+            "level": [l + h * b for h in range(1, HOLT_H + 1)],
+            "trend": [b] * HOLT_H,
+            "is_forecast": [True] * HOLT_H,
+        }
+    )
+    return pd.concat([out, fc], ignore_index=True)
+
+
+@query(
+    "monthly_revenue_holt",
+    oracle=f"""
+        WITH RECURSIVE monthly AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT)
+                   AS month_index,
+                 y
+          FROM (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                        AS BIGINT)) AS DOUBLE) / {SCALE} AS y
+            FROM orders GROUP BY 1
+          )
+        ),
+        holt AS (
+          SELECT month_index, y, y AS l, CAST(0 AS DOUBLE) AS b
+          FROM monthly WHERE month_index = 1
+          UNION ALL
+          SELECT month_index, y, l_new AS l,
+                 0.5 * (l_new - l_old) + 0.5 * b_old AS b
+          FROM (
+            SELECT d.month_index, d.y,
+                   0.5 * d.y + 0.5 * (h.l + h.b) AS l_new,
+                   h.l AS l_old, h.b AS b_old
+            FROM holt h JOIN monthly d ON d.month_index = h.month_index + 1
+          )
+        ),
+        last AS (
+          SELECT month_index, l, b FROM holt
+          ORDER BY month_index DESC LIMIT 1
+        )
+        SELECT month_index, y AS revenue, l AS level, b AS trend,
+               FALSE AS is_forecast
+        FROM holt
+        UNION ALL
+        SELECT last.month_index + f.h, NULL,
+               last.l + f.h * last.b, last.b, TRUE
+        FROM last, (SELECT unnest(generate_series(1, {HOLT_H})) AS h) f
+    """,
+)
+def monthly_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124: Holt double exponential smoothing (level + trend) over the
+    monthly revenue series, with an HOLT_H-step linear forecast — the
+    classic ops-forecasting primitive (Holt 1957) that no window
+    function expresses (the recurrence feeds its own output back).
+
+    Scale split: the FACTS collapse to one row per month in a single
+    map-side-combinable aggregate (the only pass that touches data
+    volume); the recurrence then walks the calendar-bounded monthly
+    frame inside one applyInPandas group — rows grow with months, not
+    orders, the same boundedness waiver as moving_avg_daily_revenue.
+    The oracle runs the identical recurrence as a recursive CTE; α=β=½
+    keeps every step a fixed chain of correctly-rounded IEEE doubles,
+    so parity is exact (hash-gated), not approximate."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("m")
+        )
+        .agg(dec_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    indexed = monthly.select(
+        F.row_number().over(w).cast("long").alias("month_index"), "revenue"
+    )
+    return (
+        indexed.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _holt_walk(pdf),
+            "month_index long, revenue double, level double, "
+            "trend double, is_forecast boolean",
+        )
+    )

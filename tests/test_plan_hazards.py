@@ -75,6 +75,8 @@ GLOBAL_WINDOW_OK = {
     "skyline_customers_spend_orders",  # phase-2 dominance pass over the
                                        # union of 32 LOCAL skylines —
                                        # ~buckets·log n rows, not n
+    "monthly_revenue_holt",      # month-indexing window over the
+                                 # one-row-per-month frame (calendar)
 }
 
 

@@ -99,3 +99,49 @@ def test_delete_user_rows_noop_when_absent(spark, tmp_path):
     assert delete_user_rows(spark, path, [999]) == 0
     assert delete_user_rows(spark, path, []) == 0
     assert _mtimes(path) == before
+
+
+def test_holt_closed_form_planted(spark, tmp_path):
+    # y = [2, 4, 6] with α=β=½: l=[2, 3, 4.75], b=[0, 0.5, 1.125];
+    # forecasts 4.75 + h·1.125. One order per month plants the series.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = [
+        (1, 1, "O", 2.0, dt.datetime(2026, 1, 15), "1-URGENT"),
+        (2, 1, "O", 4.0, dt.datetime(2026, 2, 15), "1-URGENT"),
+        (3, 1, "O", 6.0, dt.datetime(2026, 3, 15), "1-URGENT"),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    got = {
+        r.month_index: r
+        for r in QUERIES["monthly_revenue_holt"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[1].level, got[1].trend) == (2.0, 0.0)
+    assert (got[2].level, got[2].trend) == (3.0, 0.5)
+    assert (got[3].level, got[3].trend) == (4.75, 1.125)
+    for h in range(1, 8):
+        f = got[3 + h]
+        assert f.is_forecast and f.revenue is None
+        assert f.level == 4.75 + h * 1.125 and f.trend == 1.125
+    ok, detail = compare(
+        spark,
+        "monthly_revenue_holt",
+        QUERIES["monthly_revenue_holt"],
+        ORACLES["monthly_revenue_holt"],
+        str(tmp_path),
+    )
+    assert ok, detail
