@@ -97,6 +97,8 @@ HEADLINE = [
     "cdc_chunk_docs",
     "ann_pq_topk",
     "monthly_revenue_holt",
+    "item_item_cosine_topk",
+    "order_backlog_curve",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

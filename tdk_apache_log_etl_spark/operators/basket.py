@@ -26,7 +26,7 @@ verify pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -88,4 +88,164 @@ def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples.groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= MINSUP)
+    )
+
+
+# --------------------------------------------------------------------------
+# E125: item-item collaborative filtering (cosine over co-order counts)
+# --------------------------------------------------------------------------
+
+CF_TOPK = 5
+CF_MINSUP = 2  # pair support floor (same role as the graph edge cut)
+
+
+@query(
+    "item_item_cosine_topk",
+    oracle=f"""
+        WITH b AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        deg AS (
+          SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS co
+          FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                AND a.l_partkey <> c.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {CF_MINSUP}
+        ),
+        scored AS (
+          SELECT p.p1, p.p2, p.co,
+                 CAST(p.co AS DOUBLE) / sqrt(
+                   CAST(d1.n AS DOUBLE) * CAST(d2.n AS DOUBLE)
+                 ) AS cosine
+          FROM pairs p
+          JOIN deg d1 ON d1.l_partkey = p.p1
+          JOIN deg d2 ON d2.l_partkey = p.p2
+        )
+        SELECT p1, p2, CAST(co AS BIGINT) AS co_orders, cosine,
+               CAST(rk AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY p1 ORDER BY cosine DESC, p2
+          ) AS rk FROM scored
+        ) WHERE rk <= {CF_TOPK}
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E125: item-item collaborative filtering — for every part, the
+    CF_TOPK most-similar parts by cosine over binary basket incidence:
+    sim(a,b) = co(a,b)/√(n(a)·n(b)) (Sarwar et al., WWW'01; the
+    "customers also bought" primitive). The co-occurrence self-join is
+    basket-bounded (Σ basket² rows, keyed on the order), the support
+    floor prunes the one-off pair tail BEFORE the degree joins, and the
+    per-item top-k collapses to WindowGroupLimit — at 100 TB the pair
+    frame is the significant-co-occurrence relation the graph pack
+    already bounds, never an item×item matrix. Exactness: co and n are
+    BIGINTs; the cosine is one product, one correctly-rounded sqrt, and
+    one divide — hash-gate-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = scoped_persist(li.select("l_orderkey", "l_partkey").distinct())
+    deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = b.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
+    )
+    c = b.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(c, "okey")
+        .filter(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= CF_MINSUP)
+    )
+    scored = (
+        pairs.join(deg.select(F.col("l_partkey").alias("p1"),
+                              F.col("n").alias("n1")), "p1")
+        .join(deg.select(F.col("l_partkey").alias("p2"),
+                         F.col("n").alias("n2")), "p2")
+        .withColumn(
+            "cosine",
+            F.col("co").cast("double")
+            / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("p1").orderBy(F.desc("cosine"), F.asc("p2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CF_TOPK)
+        .select("p1", "p2", F.col("co").alias("co_orders"), "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# E126: open-order backlog curve (sweep-line over interval endpoints)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_backlog_curve",
+    oracle="""
+        WITH iv AS (
+          SELECT o.o_orderkey,
+                 CAST(o.o_orderdate AS DATE) AS open_day,
+                 MAX(CAST(l.l_shipdate AS DATE)) AS close_day
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        deltas AS (
+          SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+          UNION ALL
+          SELECT close_day + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM iv
+        ),
+        daily AS (
+          SELECT CAST(day AS DATE) AS day, SUM(delta) AS d
+          FROM deltas GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(d) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_open
+        FROM daily
+    """,
+)
+def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E126: how many orders are open (placed, not yet fully shipped) on
+    each day — the interval-stabbing question. The naive plan joins
+    every calendar day against every order interval (days × orders); the
+    sweep-line plan converts each interval to two endpoint deltas
+    (+1 open, −1 the day after last shipment), collapses them to ONE row
+    per day with a map-side-combinable sum, and prefix-sums the
+    calendar-bounded delta frame — fact volume is touched exactly once,
+    and the only single-partition pass is over |days| rows (the same
+    calendar-frame waiver as the moving-average family). Closure uses
+    max(l_shipdate) per order (one keyed aggregate on the natural join
+    key). All arithmetic is BIGINT — hash-gate exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("open_day"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_day"))
+    )
+    deltas = iv.select(
+        F.col("open_day").alias("day"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv.select(
+            F.date_add("close_day", 1).alias("day"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", F.sum("d").over(w).cast("long").alias("n_open")
     )

@@ -72,3 +72,65 @@ def test_apriori_prune_equals_naive(spark):
         .collect()
     }
     assert got == naive and got  # non-degenerate at sf0.01
+
+
+def test_backlog_curve_planted_and_invariants(spark, tmp_path):
+    # order 1 open Jan 1..3 (ships 3rd), order 2 open Jan 2..2,
+    # order 3 open Jan 2..4 → backlog by day: 1:1, 2:3, 3:2 (2 closed),
+    # 4:1 (1 closed), 5:0 (3 closed).
+    import datetime as dt
+
+    orders = pd.DataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2026, 1, 1), "1-URGENT"),
+            (2, 1, "O", 10.0, dt.datetime(2026, 1, 2), "1-URGENT"),
+            (3, 1, "O", 10.0, dt.datetime(2026, 1, 2), "1-URGENT"),
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li = pd.DataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2026, 1, 2)),
+            (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2026, 1, 3)),  # LAST shipment closes order 1
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2026, 1, 2)),
+            (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2026, 1, 4)),
+        ],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[ms]")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.day.isoformat(): r.n_open
+        for r in QUERIES["order_backlog_curve"](spark, str(tmp_path)).collect()
+    }
+    # steps: Jan1 +1(o1)=1; Jan2 +2(o2,o3)=3; Jan3 −1(o2 shipped Jan2)=2;
+    # Jan4 −1(o1 shipped Jan3)=1; Jan5 −1(o3 shipped Jan4)=0
+    assert got == {
+        "2026-01-01": 1, "2026-01-02": 3, "2026-01-03": 2,
+        "2026-01-04": 1, "2026-01-05": 0,
+    }
+    ok, detail = compare(
+        spark,
+        "order_backlog_curve",
+        QUERIES["order_backlog_curve"],
+        ORACLES["order_backlog_curve"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_backlog_curve_sf_invariants(spark):
+    rows = QUERIES["order_backlog_curve"](spark, SF_DIR_CORRECT).collect()
+    assert rows
+    assert all(r.n_open >= 0 for r in rows)
+    last = max(rows, key=lambda r: r.day)
+    assert last.n_open == 0  # every order eventually ships

@@ -77,6 +77,8 @@ GLOBAL_WINDOW_OK = {
                                        # ~buckets·log n rows, not n
     "monthly_revenue_holt",      # month-indexing window over the
                                  # one-row-per-month frame (calendar)
+    "order_backlog_curve",       # prefix sum over the one-row-per-day
+                                 # delta frame (calendar)
 }
 
 
