@@ -565,11 +565,13 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass candidate scheme:
 
       1. each partition builds a Misra–Gries k-counter summary
-         (mapInPandas, batch-merged, ≤ k rows out per partition) — the
-         union of summaries is ≤ partitions·k rows REGARDLESS of
-         vocabulary size, and provably contains every globally-heavy
-         n-gram (a token below the local threshold in every partition
-         is below the global threshold);
+         (mapInPandas, batch-merged, ≤ k rows out per partition), and
+         the summaries are MERGED to one ≤ k-row global summary (sum
+         counters, cut at the (k+1)-th largest — the PODS'12 merge,
+         under which est(t) ≥ count(t) − n/(k+1) still holds, so every
+         globally-heavy n-gram provably survives); the broadcast
+         candidate set is ≤ k rows regardless of vocabulary size OR
+         partition count;
       2. one exact counting pass restricted to the broadcast candidate
          set, then the exact threshold filter.
 
@@ -598,11 +600,25 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ngram")
         )
     )
-    cands = (
-        tok.mapInPandas(_mg_partition_summaries, "ngram string, est long")
-        .select("ngram")
-        .distinct()
+    summaries = tok.mapInPandas(
+        _mg_partition_summaries, "ngram string, est long"
     )
+    # Merge ALL partition summaries into ONE ≤k-row summary (PODS'12:
+    # sum counters, subtract the (k+1)-th largest, drop non-positive —
+    # the guarantee survives arbitrary-way merge), so the broadcast
+    # candidate set is ≤ MG_K rows REGARDLESS of partition count — at
+    # 100k partitions the naive union would be 400M candidate rows.
+    # One tiny shuffle over ≤ partitions·k summary rows + one 1-row
+    # collect for Δ; the exact verify pass below makes any reduction
+    # here unable to change the final answer.
+    merged = summaries.groupBy("ngram").agg(F.sum("est").alias("est"))
+    top = merged.orderBy(F.desc("est"), "ngram").limit(MG_K + 1)
+    [stats] = top.agg(
+        F.count(F.lit(1)).alias("m"), F.min("est").alias("kth1")
+    ).collect()
+    if stats.m > MG_K:
+        merged = merged.filter(F.col("est") > stats.kth1)
+    cands = merged.select("ngram")
     n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         tok.join(F.broadcast(cands), "ngram")
