@@ -1,5 +1,6 @@
-"""Market-basket analysis (SURVEY.md §2.6 E119): A-priori frequent
-itemsets over order baskets.
+"""Market-basket analysis (SURVEY.md §2.6 E119/E125/E126): A-priori
+frequent itemsets, item-item collaborative filtering, and the sweep-line
+backlog curve over order baskets/intervals.
 
 The reference's per-user counting (sree-etl-tdk-glue-job.py:55-60) is a
 1-itemset frequency table; the classic next question — which items
