@@ -99,6 +99,7 @@ HEADLINE = [
     "monthly_revenue_holt",
     "item_item_cosine_topk",
     "order_backlog_curve",
+    "retention_survival_km",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

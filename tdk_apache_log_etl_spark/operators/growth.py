@@ -397,3 +397,142 @@ def peak_decline_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak_so_far") - F.col("cnt")).alias("max_decline"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# E127: Kaplan–Meier retention survival curve (right-censored churn)
+# --------------------------------------------------------------------------
+
+KM_CHURN_GAP_DAYS = 14  # silent for this long at corpus end = churned
+
+
+def _km_walk(pdf):
+    """The product-limit recurrence over the (bounded, calendar-sized)
+    duration grid: S ← S · (1 − d/n), ascending t. Expression shape
+    mirrored exactly in the recursive-CTE oracle → bit-identical."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t").reset_index(drop=True)
+    s = 1.0
+    out = []
+    for _, r in pdf.iterrows():
+        s = s * (1.0 - r["d_churned"] / r["n_at_risk"])
+        out.append(s)
+    pdf["survival"] = out
+    return pdf[
+        ["t", "n_at_risk", "d_churned", "c_censored", "survival"]
+    ]
+
+
+@query(
+    "retention_survival_km",
+    oracle=f"""
+        WITH RECURSIVE bounds AS (
+          SELECT MAX(CAST(ts AS DATE)) AS corpus_end FROM events
+        ),
+        per_user AS (
+          SELECT user_id,
+                 MIN(CAST(ts AS DATE)) AS first_day,
+                 MAX(CAST(ts AS DATE)) AS last_day
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        labeled AS (
+          SELECT u.user_id,
+                 CASE WHEN date_diff('day', u.last_day, b.corpus_end)
+                           > {KM_CHURN_GAP_DAYS}
+                      THEN date_diff('day', u.first_day, u.last_day)
+                      ELSE date_diff('day', u.first_day, b.corpus_end)
+                 END AS t,
+                 CASE WHEN date_diff('day', u.last_day, b.corpus_end)
+                           > {KM_CHURN_GAP_DAYS}
+                      THEN 1 ELSE 0 END AS churned
+          FROM per_user u, bounds b
+        ),
+        grid AS (
+          SELECT t,
+                 CAST(SUM(churned) AS BIGINT) AS d_churned,
+                 CAST(SUM(1 - churned) AS BIGINT) AS c_censored
+          FROM labeled GROUP BY t
+        ),
+        at_risk AS (
+          SELECT t, d_churned, c_censored,
+                 CAST(SUM(d_churned + c_censored) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS n_at_risk,
+                 CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+          FROM grid
+        ),
+        km AS (
+          SELECT i, t, n_at_risk, d_churned, c_censored,
+                 1.0 * (1.0 - CAST(d_churned AS DOUBLE) / n_at_risk)
+                   AS survival
+          FROM at_risk WHERE i = 1
+          UNION ALL
+          SELECT a.i, a.t, a.n_at_risk, a.d_churned, a.c_censored,
+                 k.survival
+                   * (1.0 - CAST(a.d_churned AS DOUBLE) / a.n_at_risk)
+          FROM km k JOIN at_risk a ON a.i = k.i + 1
+        )
+        SELECT t, n_at_risk, d_churned, c_censored, survival FROM km
+    """,
+)
+def retention_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E127: Kaplan–Meier product-limit retention curve (KM 1958) —
+    P(user still active after t days since first touch), with users
+    still active at corpus end treated as RIGHT-CENSORED at their
+    observed span instead of counted as churn (the error naive
+    "retention = active/total" curves make). A user is churned when
+    silent for > KM_CHURN_GAP_DAYS at corpus end; their event time is
+    their observed activity span. Ŝ(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}).
+
+    Scale split (the Holt pattern): facts collapse to one row per user
+    in one keyed aggregate, then to the duration GRID (≤ calendar
+    days); the at-risk suffix count is a growing DESC frame (one
+    running aggregate, never a shrinking-frame rescan), and only the
+    product walk runs single-group over the bounded grid. The 1-row
+    corpus-end crossJoin is a broadcast scalar (BNLJ_OK). The survival
+    product is a fixed multiply chain → bit-identical to the oracle's
+    recursive CTE."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    bounds = events.agg(F.max(F.to_date("ts")).alias("corpus_end"))
+    lab = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.datediff("corpus_end", "last_day") > KM_CHURN_GAP_DAYS,
+            F.datediff("last_day", "first_day"),
+        )
+        .otherwise(F.datediff("corpus_end", "first_day"))
+        .cast("long")
+        .alias("t"),
+        F.when(
+            F.datediff("corpus_end", "last_day") > KM_CHURN_GAP_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grid = lab.groupBy("t").agg(
+        F.sum("churned").alias("d_churned"),
+        F.sum(1 - F.col("churned")).alias("c_censored"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = grid.select(
+        "t",
+        "d_churned",
+        "c_censored",
+        F.sum(F.col("d_churned") + F.col("c_censored"))
+        .over(w_desc)
+        .alias("n_at_risk"),
+    )
+    return at_risk.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, pdf: _km_walk(pdf),
+        "t long, n_at_risk long, d_churned long, c_censored long, "
+        "survival double",
+    )

@@ -45,6 +45,7 @@ BNLJ_OK = {
                                  # (exact counts x sketch pair)
     "char_trigram_noise",        # 1-row n_docs crossJoin (head threshold)
     "heavy_hitter_ngrams",       # 1-row n_total crossJoin (threshold)
+    "retention_survival_km",     # 1-row corpus-end crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -79,6 +80,8 @@ GLOBAL_WINDOW_OK = {
                                  # one-row-per-month frame (calendar)
     "order_backlog_curve",       # prefix sum over the one-row-per-day
                                  # delta frame (calendar)
+    "retention_survival_km",     # at-risk suffix count over the
+                                 # duration grid (bounded by calendar)
 }
 
 

@@ -145,3 +145,64 @@ def test_holt_closed_form_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_km_survival_planted_censoring(spark, tmp_path):
+    # corpus end = day 30. u1 (t=2) and u4 (t=2) churn, u2 churns at
+    # t=5, u3 and u5 right-censored at t=30. By hand:
+    # S(2)=1·(1−2/5)=0.6, S(5)=0.6·(1−1/3)=0.4, S(30)=0.4·(1−0/2)=0.4.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    base = dt.datetime(2026, 1, 1, 12)
+    day = dt.timedelta(days=1)
+    rows, eid = [], 0
+
+    def ev(uid, d):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, base + d * day, uid, "view", 1.0, "{}"))
+
+    for d in (0, 1, 2):
+        ev(1, d)
+    for d in (0, 3, 5):
+        ev(2, d)
+    for d in (0, 10, 25):
+        ev(3, d)
+    for d in (10, 12):
+        ev(4, d)
+    for d in (0, 15, 30):
+        ev(5, d)  # anchors corpus end at day 30
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.t: r
+        for r in QUERIES["retention_survival_km"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {2, 5, 30}
+    assert (got[2].n_at_risk, got[2].d_churned, got[2].c_censored) == (5, 2, 0)
+    assert (got[5].n_at_risk, got[5].d_churned) == (3, 1)
+    assert (got[30].n_at_risk, got[30].c_censored) == (2, 2)
+    assert got[2].survival == 0.6
+    assert abs(got[5].survival - 0.4) < 1e-15
+    assert got[30].survival == got[5].survival  # censoring moves nothing
+    ok, detail = compare(
+        spark,
+        "retention_survival_km",
+        QUERIES["retention_survival_km"],
+        ORACLES["retention_survival_km"],
+        str(tmp_path),
+    )
+    assert ok, detail
