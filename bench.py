@@ -100,6 +100,7 @@ HEADLINE = [
     "item_item_cosine_topk",
     "order_backlog_curve",
     "retention_survival_km",
+    "did_value_uplift",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

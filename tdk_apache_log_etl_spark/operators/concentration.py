@@ -801,3 +801,100 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("T"), F.col("t2").cast("string")), F.lit("none")
         ).alias("seg_to"),
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# E128: difference-in-differences estimator (quasi-experimental uplift)
+# --------------------------------------------------------------------------
+
+DID_PIVOT = "2024-01-16"  # pre/post split over the fixtures' event month
+
+
+@query(
+    "did_value_uplift",
+    oracle=f"""
+        WITH cells AS (
+          SELECT (user_id % 2 = 0) AS treated,
+                 (CAST(ts AS DATE) >= DATE '{DID_PIVOT}') AS post,
+                 CAST(SUM(CAST(FLOOR(value * {SCALE} + 0.5) AS BIGINT))
+                   AS BIGINT) AS sc,
+                 COUNT(*) AS n
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN treated AND post THEN sc END) AS s_tp,
+            MAX(CASE WHEN treated AND post THEN n END) AS n_tp,
+            MAX(CASE WHEN treated AND NOT post THEN sc END) AS s_tb,
+            MAX(CASE WHEN treated AND NOT post THEN n END) AS n_tb,
+            MAX(CASE WHEN NOT treated AND post THEN sc END) AS s_cp,
+            MAX(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+            MAX(CASE WHEN NOT treated AND NOT post THEN sc END) AS s_cb,
+            MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cb
+          FROM cells
+        )
+        SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+               CAST(n_tb AS BIGINT) AS n_treat_pre,
+               CAST(n_cp AS BIGINT) AS n_ctrl_post,
+               CAST(n_cb AS BIGINT) AS n_ctrl_pre,
+               CAST(s_tp AS DOUBLE) / {SCALE} / n_tp AS mean_treat_post,
+               CAST(s_tb AS DOUBLE) / {SCALE} / n_tb AS mean_treat_pre,
+               CAST(s_cp AS DOUBLE) / {SCALE} / n_cp AS mean_ctrl_post,
+               CAST(s_cb AS DOUBLE) / {SCALE} / n_cb AS mean_ctrl_pre,
+               (CAST(s_tp AS DOUBLE) / {SCALE} / n_tp
+                  - CAST(s_tb AS DOUBLE) / {SCALE} / n_tb)
+             - (CAST(s_cp AS DOUBLE) / {SCALE} / n_cp
+                  - CAST(s_cb AS DOUBLE) / {SCALE} / n_cb) AS did
+        FROM wide
+    """,
+)
+def did_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E128: difference-in-differences — the quasi-experimental uplift
+    estimate (Card & Krueger '94 design): (treated post−pre) −
+    (control post−pre) cancels both the level difference between the
+    groups and the common time shock, which a naive post-only A/B
+    comparison confounds. Treatment = even user_id (the same synthetic
+    assignment convention as ab_conversion_ztest); pre/post splits at
+    DID_PIVOT.
+
+    Scale: ONE map-side-combinable aggregate to the 2×2 cell grid; the
+    estimator is pure cell arithmetic on a 1-row frame. Exactness:
+    scaled-BIGINT cell sums, then a FIXED tree of correctly-rounded
+    divides/subtracts — hash-gated."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    sc = F.floor(F.col("value") * SCALE + F.lit(0.5)).cast("long")
+    treated = F.col("user_id") % 2 == 0
+    post = F.to_date("ts") >= F.lit(DID_PIVOT).cast("date")
+
+    def cell(tp, pp, agg):
+        cond = (treated == F.lit(tp)) & (post == F.lit(pp))
+        return F.sum(F.when(cond, agg))
+
+    wide = ev.agg(
+        cell(True, True, sc).alias("s_tp"),
+        cell(True, True, F.lit(1)).alias("n_tp"),
+        cell(True, False, sc).alias("s_tb"),
+        cell(True, False, F.lit(1)).alias("n_tb"),
+        cell(False, True, sc).alias("s_cp"),
+        cell(False, True, F.lit(1)).alias("n_cp"),
+        cell(False, False, sc).alias("s_cb"),
+        cell(False, False, F.lit(1)).alias("n_cb"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / SCALE / F.col(n)  # noqa: E731
+    return wide.select(
+        F.col("n_tp").alias("n_treat_post"),
+        F.col("n_tb").alias("n_treat_pre"),
+        F.col("n_cp").alias("n_ctrl_post"),
+        F.col("n_cb").alias("n_ctrl_pre"),
+        m("s_tp", "n_tp").alias("mean_treat_post"),
+        m("s_tb", "n_tb").alias("mean_treat_pre"),
+        m("s_cp", "n_cp").alias("mean_ctrl_post"),
+        m("s_cb", "n_cb").alias("mean_ctrl_pre"),
+        (
+            (m("s_tp", "n_tp") - m("s_tb", "n_tb"))
+            - (m("s_cp", "n_cp") - m("s_cb", "n_cb"))
+        ).alias("did"),
+    )

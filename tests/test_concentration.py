@@ -364,3 +364,47 @@ def test_token_drift_closed_form(spark, tmp_path):
     # exact: 0.5*(|1/3-1/3| + |1/6-2/3| + |1/2-0|) = 0.5*(0 + 1/2 + 1/2) = 1/2
     assert r2.vocab_union == 3
     assert r2.tvd == pytest.approx(0.5)
+
+
+def test_did_cancels_level_and_time_shock(spark, tmp_path):
+    # control (odd uid): pre mean 1, post mean 2 (common time shock +1);
+    # treated (even uid): pre mean 3 (level offset), post mean 7.
+    # DiD = (7−3) − (2−1) = 3 — the naive post-only diff would say 5.
+    import datetime as dt
+
+    from tdk_apache_log_etl_spark.operators.concentration import DID_PIVOT
+
+    pivot = dt.datetime.fromisoformat(DID_PIVOT)
+    pre, post = pivot - dt.timedelta(days=5), pivot + dt.timedelta(days=5)
+    rows, eid = [], 0
+
+    def ev(uid, ts, v):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, uid, "view", float(v), "{}"))
+
+    for uid in (1, 3):       # control
+        ev(uid, pre, 1.0)
+        ev(uid, post, 2.0)
+    for uid in (2, 4):       # treated
+        ev(uid, pre, 3.0)
+        ev(uid, post, 7.0)
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["did_value_uplift"](spark, str(tmp_path)).collect()
+    assert (r.mean_treat_pre, r.mean_treat_post) == (3.0, 7.0)
+    assert (r.mean_ctrl_pre, r.mean_ctrl_post) == (1.0, 2.0)
+    assert r.did == 3.0
+    ok, detail = compare(
+        spark,
+        "did_value_uplift",
+        QUERIES["did_value_uplift"],
+        ORACLES["did_value_uplift"],
+        str(tmp_path),
+    )
+    assert ok, detail
