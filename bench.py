@@ -101,6 +101,7 @@ HEADLINE = [
     "order_backlog_curve",
     "retention_survival_km",
     "did_value_uplift",
+    "link_prediction_jaccard",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -455,3 +455,109 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alive.select(
         "node", F.lit(None).cast("long").alias("core_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# E129: link prediction — neighborhood Jaccard over distance-2 pairs
+# --------------------------------------------------------------------------
+
+LP_TOPK = 3
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle=f"""
+        WITH e AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        wedge AS (
+          SELECT e1.src AS a, e2.dst AS b2, COUNT(*) AS common
+          FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT w.a, w.b2, w.common
+          FROM wedge w
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b2
+          )
+        ),
+        scored AS (
+          SELECT c.a, c.b2, c.common,
+                 CAST(c.common AS DOUBLE)
+                   / (da.d + db.d - c.common) AS jaccard
+          FROM cand c
+          JOIN deg da ON da.src = c.a
+          JOIN deg db ON db.src = c.b2
+        )
+        SELECT a AS node, b2 AS predicted, CAST(common AS BIGINT)
+                 AS common_neighbors,
+               jaccard, CAST(rk AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY jaccard DESC, b2
+          ) AS rk FROM scored
+        ) WHERE rk <= {LP_TOPK}
+    """,
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E129: link prediction (Liben-Nowell & Kleinberg '03) — for every
+    node, the LP_TOPK non-adjacent nodes with the highest neighborhood
+    Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|: the "these parts are bought
+    with the same things but never together" recommender signal, one
+    level up from item-item CF (which scores DIRECT co-occurrence).
+
+    Plan: candidate pairs come from a wedge join (edges ⋈ edges on the
+    shared middle node — only distance-2 pairs ever materialize, never
+    node²), common-neighbor counts from its groupBy, existing edges
+    removed by an anti join, union size by inclusion–exclusion from the
+    degree frame (no second neighborhood pass). Wedge cost is
+    Σ_w deg(w)² over the SIGNIFICANT graph — the standard hub hazard,
+    already bounded here by the MIN_COOCCUR edge cut (and at web scale
+    by a hub-degree cap, as in every production who-to-follow
+    pipeline). Integer counts + one divide ⇒ hash-gated; reuses the
+    scoped-persisted edge relation."""
+    pairs = significant_pairs(spark, sf_dir)  # directed both ways
+    e1 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    e2 = pairs.select(F.col("src").alias("w"), F.col("dst").alias("b2"))
+    wedge = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b2"))
+        .groupBy("a", "b2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        pairs.select(F.col("src").alias("a"), F.col("dst").alias("b2")),
+        ["a", "b2"],
+        "left_anti",
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        cand.join(deg.select(F.col("src").alias("a"),
+                             F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b2"),
+                         F.col("d").alias("db")), "b2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("da") + F.col("db") - F.col("common")),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= LP_TOPK)
+        .select(
+            F.col("a").alias("node"),
+            F.col("b2").alias("predicted"),
+            F.col("common").alias("common_neighbors"),
+            "jaccard",
+            "rank",
+        )
+    )

@@ -121,3 +121,23 @@ def test_kcore_matches_pure_python_peel(spark):
                 changed = True
     expect = {n: len(adj[n] & alive) for n in alive}
     assert got == expect and got  # non-degenerate on the smoke corpus
+
+
+def test_link_prediction_planted_wedges(spark, tmp_path):
+    # a=1 and b=2 share neighbors {10, 11} but never co-order; a also
+    # has private neighbor 20. Jaccard(1,2) = 2/(3+2-2) = 2/3;
+    # Jaccard(10,11) = 2/(2+2-2) = 1.0 (both see exactly {1, 2}).
+    baskets = (
+        [[1, 10]] * 2 + [[1, 11]] * 2 + [[2, 10]] * 2 + [[2, 11]] * 2
+        + [[1, 20]] * 2
+    )
+    sf = _lineitem(tmp_path, baskets)
+    rows = QUERIES["link_prediction_jaccard"](spark, sf).collect()
+    by_pair = {(r.node, r.predicted): r for r in rows}
+    assert by_pair[(1, 2)].common_neighbors == 2
+    assert abs(by_pair[(1, 2)].jaccard - 2 / 3) < 1e-15
+    assert by_pair[(10, 11)].jaccard == 1.0
+    # no predicted pair may be an existing edge
+    edges = {(1, 10), (1, 11), (2, 10), (2, 11), (1, 20)}
+    edges |= {(b, a) for a, b in edges}
+    assert edges.isdisjoint(by_pair)
