@@ -102,6 +102,7 @@ HEADLINE = [
     "retention_survival_km",
     "did_value_uplift",
     "link_prediction_jaccard",
+    "markov_attribution_removal",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

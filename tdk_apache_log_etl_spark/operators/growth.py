@@ -536,3 +536,277 @@ def retention_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t long, n_at_risk long, d_churned long, c_censored long, "
         "survival double",
     )
+
+
+# --------------------------------------------------------------------------
+# E130: Markov removal-effect attribution (multi-touch, data-driven)
+# --------------------------------------------------------------------------
+
+MK_SCALE = 10**9      # absorption probabilities in units of 1e-9
+MK_ITERS = 16         # unrolled identically in the SQL oracle
+MK_CHANNELS = ["view", "click", "signup", "error"]
+_MK_STATES = ["START"] + MK_CHANNELS  # iterating states (absorbers fixed)
+
+
+def _mk_transitions_sql() -> str:
+    """Shared journey→transition-counts SQL (DuckDB dialect; the Spark
+    side mirrors it in DataFrame ops): per user, the touch sequence up
+    to the FIRST purchase; START → first touch, touch → next touch,
+    last touch → CONV (user purchased) or NULL (never did)."""
+    return """
+        seq AS (
+          SELECT user_id, ts, event_id, event_type,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id) AS first_purchase
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        touches AS (
+          SELECT user_id, ts, event_id, event_type,
+                 first_purchase IS NOT NULL AS converts
+          FROM seq
+          WHERE event_type <> 'purchase'
+            AND (first_purchase IS NULL OR ts < first_purchase)
+        ),
+        hops AS (
+          SELECT user_id, event_type AS s,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS rn,
+                 converts
+          FROM touches
+        ),
+        trans AS (
+          SELECT 'START' AS s, s AS t FROM hops WHERE rn = 1
+          UNION ALL
+          SELECT s, nxt AS t FROM hops WHERE nxt IS NOT NULL
+          UNION ALL
+          SELECT s, CASE WHEN converts THEN 'CONV' ELSE 'NULL' END AS t
+          FROM hops WHERE nxt IS NULL
+          UNION ALL
+          -- users whose very first event is the purchase: START → CONV
+          SELECT 'START', 'CONV'
+          FROM seq GROUP BY user_id
+          HAVING COUNT(CASE WHEN event_type <> 'purchase'
+                            AND (first_purchase IS NULL
+                                 OR ts < first_purchase)
+                       THEN 1 END) = 0
+             AND MAX(first_purchase) IS NOT NULL
+        ),
+        counts AS MATERIALIZED (
+          SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM trans GROUP BY s, t
+        )
+    """
+
+
+def _mk_oracle() -> str:
+    variants = ["full"] + MK_CHANNELS
+    # per-variant counts: removing channel X redirects s→X edges to NULL
+    # and drops X's outgoing edges (Anderl et al. 2016 removal effect)
+    vsel = []
+    for v in variants:
+        if v == "full":
+            vsel.append("SELECT 'full' AS variant, s, t, c FROM counts")
+        else:
+            vsel.append(
+                f"SELECT '{v}' AS variant, s, "
+                f"CASE WHEN t = '{v}' THEN 'NULL' ELSE t END AS t, c "
+                f"FROM counts WHERE s <> '{v}'"
+            )
+    steps = [
+        """p0 AS (
+          SELECT variant, s AS state, CAST(0 AS BIGINT) AS p
+          FROM vcounts GROUP BY variant, s
+        )"""
+    ]
+    for k in range(MK_ITERS):
+        steps.append(f"""p{k + 1} AS (
+          SELECT vc.variant, vc.s AS state,
+                 CAST(SUM(vc.c * CASE
+                       WHEN vc.t = 'CONV' THEN {MK_SCALE}
+                       WHEN vc.t = 'NULL' THEN 0
+                       ELSE COALESCE(pk.p, 0) END) // tot.tc AS BIGINT)
+                   AS p
+          FROM vcounts vc
+          JOIN vtot tot
+            ON tot.variant = vc.variant AND tot.s = vc.s
+          LEFT JOIN p{k} pk
+            ON pk.variant = vc.variant AND pk.state = vc.t
+          GROUP BY vc.variant, vc.s, tot.tc
+        )""")
+    return f"""
+        WITH {_mk_transitions_sql().strip().rstrip()},
+        vcounts AS MATERIALIZED ({' UNION ALL '.join(vsel)}),
+        vtot AS MATERIALIZED (
+          SELECT variant, s, SUM(c) AS tc FROM vcounts GROUP BY variant, s
+        ),
+        {', '.join(steps)},
+        final AS (
+          SELECT variant, p FROM p{MK_ITERS} WHERE state = 'START'
+        )
+        SELECT ch.variant AS channel,
+               CAST(f.p AS DOUBLE) / {MK_SCALE} AS p_conv_full,
+               CAST(COALESCE(ch.p, 0) AS DOUBLE) / {MK_SCALE}
+                 AS p_conv_removed,
+               CAST(f.p - COALESCE(ch.p, 0) AS DOUBLE) / f.p
+                 AS removal_effect
+        FROM final ch, final f
+        WHERE f.variant = 'full' AND ch.variant <> 'full'
+    """
+
+
+@query("markov_attribution_removal", oracle=_mk_oracle())
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E130: data-driven multi-touch attribution — each channel's
+    removal effect (Anderl et al. 2016; the industry alternative to
+    last-touch): build the first-order Markov chain over journey
+    touches (START → … → CONV/NULL, truncated at the first purchase),
+    then for each channel re-route its incoming edges to NULL, drop its
+    outgoing ones, and measure how much START→CONV absorption drops:
+    removal_effect = (P_full − P_removed)/P_full.
+
+    Absorption probabilities come from MK_ITERS unrolled value-
+    iteration steps in SCALED-INTEGER arithmetic with floor division —
+    the pagerank discipline — so both engines produce identical bits
+    and the oracle unrolls the same 16 steps as chained MATERIALIZED
+    CTEs (no aggregation over a recursive reference needed). All 5
+    variants (full + 4 removals) iterate together over the collected
+    (variant, state) grid.
+
+    Scale: the only pass over fact volume is the journey/hop window +
+    one transition count (map-side combinable); everything after lives
+    on the ≤ |variants|·|states|² count grid — bounded by the fixed
+    event-type vocabulary, like the E34 transition matrix. At
+    petabyte counts, pre-normalize c to per-mille before the c·p
+    products to keep the BIGINT headroom (documented, not needed at
+    bench SFs)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w_user = Window.partitionBy("user_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w_user).alias("first_purchase"),
+    )
+    touches = seq.filter(
+        (F.col("event_type") != "purchase")
+        & (
+            F.col("first_purchase").isNull()
+            | (F.col("ts") < F.col("first_purchase"))
+        )
+    ).withColumn("converts", F.col("first_purchase").isNotNull())
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = touches.select(
+        "user_id",
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w_ord).alias("nxt"),
+        F.row_number().over(w_ord).alias("rn"),
+        "converts",
+    )
+    first = hops.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("s"), F.col("s").alias("t")
+    )
+    mid = hops.filter(F.col("nxt").isNotNull()).select(
+        "s", F.col("nxt").alias("t")
+    )
+    last = hops.filter(F.col("nxt").isNull()).select(
+        "s",
+        F.when(F.col("converts"), "CONV").otherwise("NULL").alias("t"),
+    )
+    # users whose only pre-purchase history is empty: START → CONV
+    direct = (
+        seq.groupBy("user_id")
+        .agg(
+            F.min("first_purchase").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") != "purchase")
+                    & (
+                        F.col("first_purchase").isNull()
+                        | (F.col("ts") < F.col("first_purchase"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_touch"),
+        )
+        .filter(F.col("fp").isNotNull() & (F.col("n_touch") == 0))
+        .select(F.lit("START").alias("s"), F.lit("CONV").alias("t"))
+    )
+    counts = (
+        first.unionByName(mid).unionByName(last).unionByName(direct)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vparts = [
+        counts.select(F.lit("full").alias("variant"), "s", "t", "c")
+    ]
+    for ch in MK_CHANNELS:
+        vparts.append(
+            counts.filter(F.col("s") != ch).select(
+                F.lit(ch).alias("variant"),
+                "s",
+                F.when(F.col("t") == ch, "NULL").otherwise(
+                    F.col("t")
+                ).alias("t"),
+                "c",
+            )
+        )
+    vcounts = vparts[0]
+    for vp in vparts[1:]:
+        vcounts = vcounts.unionByName(vp)
+    # The (variant, s, t) grid is bounded by the FIXED event-type
+    # vocabulary (≤ 5·6·6 cells at any corpus size), so the value
+    # iteration runs driver-side over the collected grid — the same
+    # bounded-driver-artifact shape as the CMS probe and IVF centroids;
+    # 16 Spark jobs of 30-row joins would buy nothing but latency. The
+    # arithmetic (Σ c·p // tot) is the oracle's, bit for bit.
+    cells = [
+        ((r.variant, r.s), (r.t, int(r.c))) for r in vcounts.collect()
+    ]
+    from collections import defaultdict
+
+    out_edges: dict[tuple, list] = defaultdict(list)
+    tot: dict[tuple, int] = defaultdict(int)
+    for key, (t, c) in cells:
+        out_edges[key].append((t, c))
+        tot[key] += c
+    p: dict[tuple, int] = {key: 0 for key in out_edges}
+    for _ in range(MK_ITERS):
+        new = {}
+        for (variant, s), edges in out_edges.items():
+            num = 0
+            for t, c in edges:
+                if t == "CONV":
+                    pv = MK_SCALE
+                elif t == "NULL":
+                    pv = 0
+                else:
+                    pv = p.get((variant, t), 0)
+                num += c * pv
+            new[(variant, s)] = num // tot[(variant, s)]
+        p = new
+    p_full = p.get(("full", "START"), 0)
+    rows = []
+    for ch in MK_CHANNELS:
+        p_rem = p.get((ch, "START"), 0)
+        rows.append(
+            (
+                ch,
+                p_full / MK_SCALE,
+                p_rem / MK_SCALE,
+                (p_full - p_rem) / p_full if p_full else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double",
+    )

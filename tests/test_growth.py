@@ -745,3 +745,59 @@ def test_type_hour_association_extremes(spark, tmp_path):
     [r2] = QUERIES["type_hour_association"](spark, sf2).collect()
     assert r2.n_cells == 2
     assert r2.tv_dependence == pytest.approx(0.25)
+
+
+def test_markov_removal_effect_planted_journeys(spark, tmp_path):
+    # journeys: 2× START→view→CONV, 1× START→click→CONV,
+    # 1× START→view→NULL. Exact integer value-iteration:
+    # P(view)=⌊2e9/3⌋, P(click)=1e9,
+    # P(START)=⌊(3·P(view)+P(click))/4⌋ = 0.749999999.
+    # Removing view: START→NULL×3 ⇒ P=0.25 (effect = 2/3);
+    # removing click: P=⌊3·P(view)/4⌋ ≈ 0.5 (effect ≈ 1/3);
+    # signup/error never appear ⇒ effect 0.
+    import datetime as dt
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    base = dt.datetime(2026, 2, 1, 9)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=5), 2, "purchase", 1.0, "{}"),
+        (5, base, 3, "click", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=5), 3, "purchase", 1.0, "{}"),
+        (7, base, 4, "view", 1.0, "{}"),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.channel: r
+        for r in QUERIES["markov_attribution_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"view", "click", "signup", "error"}
+    assert got["view"].p_conv_full == _pytest.approx(0.75, abs=1e-8)
+    assert got["view"].removal_effect == _pytest.approx(2 / 3, abs=1e-8)
+    assert got["click"].removal_effect == _pytest.approx(1 / 3, abs=1e-8)
+    assert got["signup"].removal_effect == 0.0
+    assert got["error"].removal_effect == 0.0
+    ok, detail = compare(
+        spark,
+        "markov_attribution_removal",
+        QUERIES["markov_attribution_removal"],
+        ORACLES["markov_attribution_removal"],
+        str(tmp_path),
+    )
+    assert ok, detail
