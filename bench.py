@@ -103,6 +103,7 @@ HEADLINE = [
     "did_value_uplift",
     "link_prediction_jaccard",
     "markov_attribution_removal",
+    "jl_project_embeddings",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

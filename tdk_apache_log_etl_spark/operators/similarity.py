@@ -1250,3 +1250,73 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# E131: Johnson–Lindenstrauss random projection (database-friendly ±1)
+# --------------------------------------------------------------------------
+
+JL_DIM = 16
+JL_IN_DIM = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """The ±1 projection matrix, derived from md5 so it is a pure
+    deterministic function of (j, i) — reproducible anywhere, no RNG
+    state to ship. Achlioptas (2003): ±1 entries satisfy the JL lemma
+    with the same distortion guarantee as Gaussians."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[0] < "8"
+            else -1
+            for i in range(JL_IN_DIM)
+        ]
+        for j in range(JL_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({s} * CAST(embedding[{i + 1}] AS DOUBLE))"
+            for i, s in enumerate(row)
+        )
+        cols.append(f"({terms}) / 4.0 AS y{j}")
+    return f"""
+        SELECT vec_id, {', '.join(cols)}
+        FROM embeddings
+    """
+
+
+@query("jl_project_embeddings", oracle=_jl_oracle())
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E131: Johnson–Lindenstrauss projection 64 → 16 dims with a
+    deterministic ±1 matrix (Achlioptas'03 — the database-friendly JL:
+    no multiplies, just signed adds), scaled by 1/√16. Pairwise
+    distances are preserved within (1±ε) w.h.p., which is what makes
+    it the standard pre-step for cheap-but-honest similarity work at
+    100 TB — a 4× narrower vector for every downstream shuffle.
+
+    Exactness: the sign matrix is md5-derived and embedded as LITERALS
+    in both engines, and each output is the same left-to-right chain
+    of 64 signed float adds plus one exact /4 (a power of two) — so
+    even the float outputs hash-gate bitwise. Zero shuffle, zero UDF:
+    16 codegen'd projections per row (same shape as the covariance
+    pack's per-dimension aggregates). Distortion is pinned statistically
+    in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    e = as_double(F.col("embedding"))
+    cols = []
+    for j, row in enumerate(signs):
+        expr = None
+        for i, s in enumerate(row):
+            term = F.element_at(e, i + 1) * s
+            expr = term if expr is None else expr + term
+        cols.append((expr / F.lit(4.0)).alias(f"y{j}"))
+    return emb.select("vec_id", *cols)

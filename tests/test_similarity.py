@@ -189,3 +189,34 @@ def test_pq_topk_recall_floor_and_determinism(spark):
     )
 
     assert len(run1) == TOPK_K * TOPK_N_QUERIES
+
+
+def test_jl_projection_distortion_bounds(spark):
+    # JL contract on real pairs: squared-distance ratios concentrate
+    # around 1 (deterministic matrix → fixed values; measured mean 0.978,
+    # 87% of pairs within ±50% at k=16 — generous pinned floors below).
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            f"{SF_DIR_CORRECT}/embeddings.parquet"
+        ).collect()
+    }
+    proj = {
+        r.vec_id: np.array([r[f"y{j}"] for j in range(16)])
+        for r in QUERIES["jl_project_embeddings"](
+            spark, SF_DIR_CORRECT
+        ).collect()
+    }
+    ratios = []
+    ids = sorted(emb)[:100]
+    for a in ids[:50]:
+        for b in ids[50:]:
+            dx = float(np.linalg.norm(emb[a] - emb[b]) ** 2)
+            dy = float(np.linalg.norm(proj[a] - proj[b]) ** 2)
+            ratios.append(dy / dx)
+    r = np.array(ratios)
+    assert 0.9 < r.mean() < 1.1          # unbiased on average
+    assert ((r > 0.5) & (r < 1.5)).mean() > 0.8
+    assert r.min() > 0.1 and r.max() < 4.0
