@@ -104,6 +104,7 @@ HEADLINE = [
     "link_prediction_jaccard",
     "markov_attribution_removal",
     "jl_project_embeddings",
+    "seasonal_index_monthly",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

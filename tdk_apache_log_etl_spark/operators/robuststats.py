@@ -781,3 +781,102 @@ def monthly_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, is_forecast boolean",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E132: classical seasonal indices (ratio-to-centered-moving-average)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_index_monthly",
+    oracle=f"""
+        WITH monthly AS (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+                 CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE))
+                   AS BIGINT) AS moy,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sc
+          FROM orders GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT ym, moy, sc,
+                 CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM monthly
+        ),
+        cma AS (
+          SELECT a.moy, a.sc,
+                 -- 24·CMA12: half-weight ends, full-weight middle 11
+                 CAST(SUM(CASE WHEN b.i IN (a.i - 6, a.i + 6) THEN b.sc
+                               ELSE 2 * b.sc END) AS BIGINT) AS cma24
+          FROM idx a JOIN idx b ON b.i BETWEEN a.i - 6 AND a.i + 6
+          WHERE a.i > 6 AND a.i <= a.n - 6
+          GROUP BY a.moy, a.sc, a.i
+        )
+        SELECT moy AS month_of_year,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(sc) * 24 AS DOUBLE) / SUM(cma24) AS seasonal_index
+        FROM cma GROUP BY moy
+    """,
+)
+def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E132: classical seasonal decomposition — per-calendar-month
+    seasonal indices by ratio-to-centered-moving-average (the X-11
+    ancestor): detrend each month by its centered 12-month MA (even
+    period ⇒ half-weight endpoints), then combine months sharing a
+    calendar position. Index > 1 = that month systematically runs above
+    trend. Distinct from Holt (which tracks level/trend, not the
+    repeating shape) and from the DOW-anomaly pack (weekly grain).
+
+    Exactness: 24·CMA is an exact BIGINT (half-weights ×2), and the
+    per-calendar-month index is the RATIO OF SUMS
+    Σ(24·vₜ)/Σ(24·CMAₜ) — not a mean of per-month ratios, which would
+    be an order-dependent double sum — so one divide per output row
+    keeps the hash gate. Scale: facts collapse to the calendar-bounded
+    monthly frame first; the self-join window (±6 rows on the month
+    index) and everything after run on ≤ |months| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        .alias("ym"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("moy"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5))
+        ).cast("long").alias("sc")
+    )
+    w = Window.orderBy("ym")
+    idx = monthly.select(
+        "moy", "sc", F.row_number().over(w).cast("long").alias("i")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    a = idx.select(
+        F.col("moy").alias("a_moy"), F.col("sc").alias("a_sc"),
+        F.col("i").alias("a_i"), "n",
+    ).filter((F.col("a_i") > 6) & (F.col("a_i") <= F.col("n") - 6))
+    b = idx.select(F.col("i").alias("b_i"), F.col("sc").alias("b_sc"))
+    cma = (
+        a.join(
+            b,
+            (F.col("b_i") >= F.col("a_i") - 6)
+            & (F.col("b_i") <= F.col("a_i") + 6),
+        )
+        .groupBy("a_moy", "a_sc", "a_i")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b_i") == F.col("a_i") - 6)
+                    | (F.col("b_i") == F.col("a_i") + 6),
+                    F.col("b_sc"),
+                ).otherwise(2 * F.col("b_sc"))
+            ).alias("cma24")
+        )
+    )
+    return cma.groupBy(F.col("a_moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (
+            (F.sum("a_sc") * 24).cast("double") / F.sum("cma24")
+        ).alias("seasonal_index"),
+    )

@@ -46,6 +46,9 @@ BNLJ_OK = {
     "char_trigram_noise",        # 1-row n_docs crossJoin (head threshold)
     "heavy_hitter_ngrams",       # 1-row n_total crossJoin (threshold)
     "retention_survival_km",     # 1-row corpus-end crossJoin
+    "seasonal_index_monthly",    # ±6-row band join on the calendar-
+                                 # bounded monthly frame (both sides
+                                 # ≤ |months| rows)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -82,6 +85,8 @@ GLOBAL_WINDOW_OK = {
                                  # delta frame (calendar)
     "retention_survival_km",     # at-risk suffix count over the
                                  # duration grid (bounded by calendar)
+    "seasonal_index_monthly",    # month-index + count windows over the
+                                 # one-row-per-month frame (calendar)
 }
 
 

@@ -206,3 +206,59 @@ def test_km_survival_planted_censoring(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_seasonal_index_planted_july_spike(spark, tmp_path):
+    # three flat years at 120/month except July = 240: July's index must
+    # be the highest and match the exact integer-arithmetic reference.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows, k = [], 0
+    series = []
+    for y in (2024, 2025, 2026):
+        for m in range(1, 13):
+            v = 240.0 if m == 7 else 120.0
+            series.append((m, v))
+            k += 1
+            rows.append((k, 1, "O", v, dt.datetime(y, m, 15), "1-URGENT"))
+    df = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    # pure-python reference with the same scaled-int arithmetic
+    sc = [int(v * 10000 + 0.5) for _, v in series]
+    n = len(sc)
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    for t in range(6, n - 6):
+        cma24 = sc[t - 6] + sc[t + 6] + 2 * sum(sc[t - 5 : t + 6])
+        moy = series[t][0]
+        num[moy] = num.get(moy, 0) + 24 * sc[t]
+        den[moy] = den.get(moy, 0) + cma24
+    expect = {m: num[m] / den[m] for m in num}
+    got = {
+        r.month_of_year: r.seasonal_index
+        for r in QUERIES["seasonal_index_monthly"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expect
+    assert max(got, key=got.get) == 7 and got[7] > 1.5
+    assert all(v < 1.0 for m, v in got.items() if m != 7)
+    ok, detail = compare(
+        spark,
+        "seasonal_index_monthly",
+        QUERIES["seasonal_index_monthly"],
+        ORACLES["seasonal_index_monthly"],
+        str(tmp_path),
+    )
+    assert ok, detail
