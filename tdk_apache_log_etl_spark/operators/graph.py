@@ -561,3 +561,133 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E133: HITS hubs & authorities over the bipartite purchase graph
+# --------------------------------------------------------------------------
+
+#: HITS iteration count (unrolled identically in the SQL oracle).
+HITS_ITERS = 4
+#: Score scale: max-normalized scores live in units of 1e-6. Chosen so the
+#: worst per-node raw sum (SCALE x in-degree) times SCALE stays far inside
+#: BIGINT even for a part bought by every customer at sf1; at true 100 TB
+#: in-degrees (1e7+ buyers) the same chain runs with DECIMAL(38,0) sums —
+#: the algebra is unchanged.
+HITS_SCALE = 10**6
+
+
+def _hits_oracle() -> str:
+    steps = [
+        f"h0 AS (SELECT cust, CAST({HITS_SCALE} AS BIGINT) AS h FROM custs)"
+    ]
+    for k in range(HITS_ITERS):
+        steps.append(f"""ar{k + 1} AS (
+          SELECT e.part, CAST(SUM(h.h) AS BIGINT) AS a
+          FROM edges e JOIN h{k} h ON h.cust = e.cust
+          GROUP BY e.part
+        )""")
+        steps.append(f"""a{k + 1} AS (
+          SELECT part, (a * {HITS_SCALE}) // m.mx AS a
+          FROM ar{k + 1}, (SELECT MAX(a) AS mx FROM ar{k + 1}) m
+        )""")
+        steps.append(f"""hr{k + 1} AS (
+          SELECT e.cust, CAST(SUM(a.a) AS BIGINT) AS h
+          FROM edges e JOIN a{k + 1} a ON a.part = e.part
+          GROUP BY e.cust
+        )""")
+        steps.append(f"""h{k + 1} AS (
+          SELECT cust, (h * {HITS_SCALE}) // m.mx AS h
+          FROM hr{k + 1}, (SELECT MAX(h) AS mx FROM hr{k + 1}) m
+        )""")
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), custs AS (SELECT DISTINCT cust FROM edges),
+        {", ".join(steps)}
+        SELECT 'part' AS node_type, part AS node_key, a AS score
+        FROM a{HITS_ITERS}
+        UNION ALL
+        SELECT 'customer' AS node_type, cust AS node_key, h AS score
+        FROM h{HITS_ITERS}
+    """
+
+
+@query("hits_purchase_graph", oracle=_hits_oracle())
+def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E133: HITS (Kleinberg JACM'99) over the bipartite customer->part
+    purchase graph — customers are hubs ("whose baskets point at the good
+    stuff"), parts are authorities ("what the good baskets point at").
+    The co-occurrence graph the pagerank family uses is symmetric, which
+    collapses HITS (hub == authority there); the bipartite purchase
+    relation is the natural asymmetric graph where the two scores carry
+    DIFFERENT information.
+
+    K=4 alternating power-iteration steps: a <- A^T h, h <- A a, each
+    followed by max-normalization via scaled-integer floor division —
+    BIGINT sums are order-independent, so the fixed point prefix is
+    bit-identical across partitionings and engines (the DuckDB oracle
+    unrolls the same 4 steps as chained CTEs).
+
+    Scale shape: the DISTINCT (cust, part) edge relation is paid once
+    behind scoped_persist and pre-partitioned on cust; each iteration
+    moves only the 2-long score frames (O(|custs|) / O(|parts|) rows —
+    never O(|edges|), the per-part/per-cust sums collapse map-side), and
+    each normalization broadcasts a single 1-row MAX. Lineage stays a
+    linear K-stage pipeline — no exponential plan growth."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = scoped_persist(
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .repartition("cust")
+    )
+    h = (
+        edges.select("cust")
+        .distinct()
+        .select("cust", F.lit(HITS_SCALE).cast("long").alias("h"))
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        # Each normalization references its raw frame TWICE (rows + 1-row
+        # max), so without truncation the lazy plan quadruples per round —
+        # localCheckpoint keeps every round's plan O(1) deep, the same
+        # discipline the LPA/k-core loops use. The checkpointed frames are
+        # 2 longs per node.
+        ar = (
+            edges.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        a = ar.crossJoin(ar.agg(F.max("a").alias("mx"))).select(
+            "part", F.expr(f"(a * {HITS_SCALE}) div mx").alias("a")
+        )
+        hr = (
+            edges.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        h = hr.crossJoin(hr.agg(F.max("h").alias("mx"))).select(
+            "cust", F.expr(f"(h * {HITS_SCALE}) div mx").alias("h")
+        )
+    return a.select(
+        F.lit("part").alias("node_type"),
+        F.col("part").alias("node_key"),
+        F.col("a").alias("score"),
+    ).unionAll(
+        h.select(
+            F.lit("customer").alias("node_type"),
+            F.col("cust").alias("node_key"),
+            F.col("h").alias("score"),
+        )
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pandas as pd
 
 from tdk_apache_log_etl_spark.operators import QUERIES
-from tdk_apache_log_etl_spark.operators.graph import RANK_SCALE
+from tdk_apache_log_etl_spark.operators.graph import HITS_SCALE, RANK_SCALE
 
 from .conftest import SF_DIR_SMOKE
 
@@ -141,3 +141,23 @@ def test_link_prediction_planted_wedges(spark, tmp_path):
     edges = {(1, 10), (1, 11), (2, 10), (2, 11), (1, 20)}
     edges |= {(b, a) for a, b in edges}
     assert edges.isdisjoint(by_pair)
+
+
+def test_hits_planted_bipartite(spark, tmp_path):
+    # c1 buys parts {10, 11, 12}; c2 buys {10}. Part 10 is pointed at by
+    # both hubs → top authority (pinned to the max-norm scale); 11 and 12
+    # are symmetric → equal; c1's basket covers every authority → top hub.
+    pd.DataFrame(
+        [(0, 1), (1, 1), (2, 1), (3, 2)],
+        columns=["o_orderkey", "o_custkey"],
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [(0, 10), (1, 11), (2, 12), (3, 10)],
+        columns=["l_orderkey", "l_partkey"],
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = QUERIES["hits_purchase_graph"](spark, str(tmp_path)).collect()
+    auth = {r.node_key: r.score for r in rows if r.node_type == "part"}
+    hub = {r.node_key: r.score for r in rows if r.node_type == "customer"}
+    assert auth[10] == HITS_SCALE  # max-normalized top authority
+    assert auth[11] == auth[12] < auth[10]
+    assert hub[1] == HITS_SCALE and hub[2] < hub[1]

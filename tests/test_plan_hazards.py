@@ -49,6 +49,8 @@ BNLJ_OK = {
     "seasonal_index_monthly",    # ±6-row band join on the calendar-
                                  # bounded monthly frame (both sides
                                  # ≤ |months| rows)
+    "hits_purchase_graph",       # per-round 1-row MAX crossJoin
+                                 # (max-normalization scalar)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
