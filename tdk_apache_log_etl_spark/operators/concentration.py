@@ -898,3 +898,108 @@ def did_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (m("s_cp", "n_cp") - m("s_cb", "n_cb"))
         ).alias("did"),
     )
+
+
+# --------------------------------------------------------------------------
+# E134: Mann-Whitney U rank-sum test (nonparametric cohort comparison)
+# --------------------------------------------------------------------------
+
+_MWU_Z_SQL = (
+    "CAST(u_a_x2 - n_a * n_b AS DOUBLE) / (2.0 * SQRT("
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) * ("
+    "CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) / "
+    "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))"
+)
+
+
+@query(
+    "mannwhitney_value_by_cohort",
+    oracle=f"""
+        WITH vals AS (
+          SELECT value AS v,
+                 CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+                   AS c_a,
+                 CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+                   AS c_b
+          FROM events WHERE value IS NOT NULL
+          GROUP BY value
+        ), ranked AS (
+          SELECT c_a, c_b, c_a + c_b AS t,
+                 1 + COALESCE(SUM(c_a + c_b) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS rank_min
+          FROM vals
+        ), agg AS (
+          SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                 CAST(SUM(c_b) AS BIGINT) AS n_b,
+                 CAST(SUM(c_a * (2 * rank_min + t - 1)) AS BIGINT)
+                   AS rank_sum_a_x2,
+                 CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+          FROM ranked
+        )
+        SELECT n_a, n_b, rank_sum_a_x2, tie_term,
+               rank_sum_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+               {_MWU_Z_SQL} AS z
+        FROM (SELECT *, rank_sum_a_x2 - n_a * (n_a + 1) AS u_a_x2 FROM agg)
+    """,
+)
+def mannwhitney_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E134: Mann-Whitney U rank-sum test between the two deterministic
+    user-parity cohorts over event `value` — the nonparametric companion
+    to E85's proportion z-test: it compares whole DISTRIBUTIONS, is
+    outlier-immune (a whale's 1e9 value moves a t-test arbitrarily, a
+    rank test by one rank), and needs no normality assumption. Average
+    ranks for ties and the standard tie-corrected normal approximation
+    (Lehmann, "Nonparametrics", eq. 1.29).
+
+    Exactness: everything up to z is BIGINT — events collapse to one row
+    per DISTINCT value with per-cohort counts (each row IS a tie group,
+    so 2·avg_rank = 2·rank_min + t − 1 stays integral), rank sums and the
+    Σ(t³−t) tie term are exact integer sums, and z is ONE fixed chain of
+    IEEE double ops rendered from a literal shared with the oracle.
+
+    Scale: the only window runs over the value-collapsed frame, which is
+    bounded by the VALUE DOMAIN (2-decimal readings in a fixed range —
+    ≤ ~100k rows at ANY corpus size), not by event volume; the collapse
+    itself is one map-side-combinable aggregate. At extreme tie counts
+    (t³ near BIGINT) the same algebra runs in DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_a = F.col("user_id") % 2 == 0
+    vals = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(is_a, 1)).alias("c_a"),
+        F.count(F.when(~is_a, 1)).alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "c_a",
+        "c_b",
+        (F.col("c_a") + F.col("c_b")).alias("t"),
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.col("c_a") + F.col("c_b")).over(w), F.lit(0)
+            )
+        ).alias("rank_min"),
+    )
+    agg = ranked.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.sum(
+            F.col("c_a") * (2 * F.col("rank_min") + F.col("t") - 1)
+        ).alias("rank_sum_a_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    return agg.withColumn(
+        "u_a_x2",
+        F.col("rank_sum_a_x2") - F.col("n_a") * (F.col("n_a") + 1),
+    ).select(
+        "n_a",
+        "n_b",
+        "rank_sum_a_x2",
+        "tie_term",
+        "u_a_x2",
+        F.expr(_MWU_Z_SQL).alias("z"),
+    )

@@ -408,3 +408,37 @@ def test_did_cancels_level_and_time_shock(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_mannwhitney_hand_computed(spark, tmp_path):
+    # A = {1, 2} (even user), B = {2, 3} (odd user). Tie groups by value:
+    # 1 -> rank 1; {2, 2} -> avg rank 2.5; 3 -> rank 4.  R_A = 3.5 so
+    # rank_sum_a_x2 = 7, U_A = R_A - n_a(n_a+1)/2 = 0.5 (u_a_x2 = 1),
+    # tie term = 2^3 - 2 = 6, Var = (4/12)(5 - 6/12) = 1.5,
+    # z = (0.5 - 2)/sqrt(1.5) = -1.5/sqrt(1.5).
+    import datetime as dt
+    import math
+
+    rows = [
+        (1, dt.datetime(2026, 8, 3, 9), 0, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 8, 3, 10), 0, "view", 2.0, "{}"),
+        (3, dt.datetime(2026, 8, 3, 11), 1, "view", 2.0, "{}"),
+        (4, dt.datetime(2026, 8, 3, 12), 1, "view", 3.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["mannwhitney_value_by_cohort"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.rank_sum_a_x2, r.tie_term, r.u_a_x2) == (
+        2, 2, 7, 6, 1,
+    )
+    assert r.z == -1.5 / math.sqrt(1.5)
+    ok, detail = compare(
+        spark,
+        "mannwhitney_value_by_cohort",
+        QUERIES["mannwhitney_value_by_cohort"],
+        ORACLES["mannwhitney_value_by_cohort"],
+        str(tmp_path),
+    )
+    assert ok, detail

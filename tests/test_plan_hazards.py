@@ -89,6 +89,9 @@ GLOBAL_WINDOW_OK = {
                                  # duration grid (bounded by calendar)
     "seasonal_index_monthly",    # month-index + count windows over the
                                  # one-row-per-month frame (calendar)
+    "mannwhitney_value_by_cohort",  # rank prefix-sum over the value-
+                                    # collapsed frame, bounded by the
+                                    # 2-dp value DOMAIN not event volume
 }
 
 
