@@ -385,3 +385,155 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E135: winnowing fingerprints (MOSS) — shift-invariant doc signatures
+# --------------------------------------------------------------------------
+
+#: Winnowing geometry: k-grams are the same CDC_W-char windows (the hash
+#: expression is shared verbatim with E122 and the oracle), winnowed over
+#: WINNOW_W consecutive gram hashes → expected density 2/(WINNOW_W+1).
+WINNOW_W = 8
+#: Position packing: comb = hash·2^21 + (2^21−1−pos) makes ONE BIGINT MIN
+#: pick (smallest hash, rightmost position) — the exact SIGMOD'03 tie
+#: rule — as a plain window aggregate. Caps docs at 2^21 chars (2 MiB);
+#: longer docs would bump the shift to 2^31 with the same algebra.
+_WINNOW_PSCALE = 1 << 21
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Selected (doc_id, fp_hash, fp_pos) winnowing fingerprints of a
+    documents frame: for every window of WINNOW_W consecutive k-gram
+    hashes keep the minimum (rightmost on ties), dedup'd. Narrow explode
+    → one per-doc window pass; the comb packing keeps argmin+tie-break
+    inside a single BIGINT MIN."""
+    pos = (
+        docs.filter(F.length("text") >= CDC_W)
+        .select(
+            "doc_id",
+            F.length("text").alias("len"),
+            "text",
+            F.explode(
+                F.sequence(F.lit(CDC_W), F.length("text"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "len",
+            "i",
+            F.expr(
+                f"({_cdc_hash_expr('text', 'i')}) * {_WINNOW_PSCALE}"
+                f" + ({_WINNOW_PSCALE} - 1 - i)"
+            ).alias("comb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wins = pos.select(
+        "doc_id", "i", "len", F.min("comb").over(w).alias("wmin")
+    ).filter(F.col("i") <= F.col("len") - (WINNOW_W - 1))
+    return (
+        wins.select("doc_id", "wmin")
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"wmin div {_WINNOW_PSCALE}").alias("fp_hash"),
+            F.expr(
+                f"{_WINNOW_PSCALE} - 1 - (wmin % {_WINNOW_PSCALE})"
+            ).alias("fp_pos"),
+        )
+    )
+
+
+_WINNOW_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, length(text) AS len, text,
+             unnest(generate_series({CDC_W}, length(text))) AS i
+      FROM documents WHERE length(text) >= {CDC_W}
+    ), hashed AS (
+      SELECT doc_id, len, i,
+             ({_cdc_hash_expr("text", "CAST(i AS INTEGER)")})
+               * {_WINNOW_PSCALE} + ({_WINNOW_PSCALE} - 1 - i) AS comb
+      FROM pos
+    ), wins AS (
+      SELECT doc_id, i, len,
+             MIN(comb) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS wmin
+      FROM hashed
+      QUALIFY i <= len - {WINNOW_W - 1}
+    ), fps AS (
+      SELECT DISTINCT doc_id, wmin FROM wins
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             CAST(SUM(wmin // {_WINNOW_PSCALE}) AS BIGINT) AS fp_hash_sum,
+             CAST(bit_xor(wmin // {_WINNOW_PSCALE}) AS BIGINT)
+               AS fp_hash_xor
+      FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(GREATEST(length(d.text) - {CDC_W - 1}, 0) AS BIGINT)
+             AS n_grams,
+           COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+           p.fp_hash_sum, p.fp_hash_xor
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@query("winnow_doc_fingerprints", oracle=_WINNOW_ORACLE)
+def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E135: winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from every window of WINNOW_W
+    consecutive k-gram hashes keep the minimum (rightmost on ties).
+    The guarantee plain every-Nth sampling lacks: any shared substring
+    of length ≥ CDC_W + WINNOW_W − 1 between two documents yields at
+    least one IDENTICAL selected fingerprint in both — selection
+    depends only on content, never on position (shift-invariant), which
+    is what makes it the standard plagiarism/near-dup signature.
+
+    Exactness: the k-gram hash is the SAME engine-neutral expression
+    string as E122's chunk boundary rule; the (hash, rightmost-pos)
+    argmin packs into one BIGINT so selection is a plain MIN window —
+    the selected set, per-doc counts, exact fingerprint-hash sums and
+    bit_xor digests all hash-gate against the oracle.
+
+    Scale: explode is linear in corpus bytes (same amplification-aware
+    widening as E122/E113); ONE per-doc window pass on the doc_id
+    exchange; output is the ~2/(WINNOW_W+1)-density summary, never the
+    gram stream. fp_hash_sum ≤ n_fp·2^32 keeps BIGINT headroom at any
+    doc size the 2^21 position cap admits."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    fps = winnow_fingerprints(docs)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp_hash").alias("fp_hash_sum"),
+        F.expr("bit_xor(fp_hash)").cast("long").alias("fp_hash_xor"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.greatest(F.length("text") - F.lit(CDC_W - 1), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fingerprints", F.lit(0))
+            .cast("long")
+            .alias("n_fingerprints"),
+            "fp_hash_sum",
+            "fp_hash_xor",
+        )
+    )

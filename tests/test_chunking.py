@@ -305,3 +305,35 @@ def test_cdc_chunks_partition_concatenation(spark, tmp_path):
             seg = rebuilt[pos : pos + c.chunk_len]
             assert hashlib.md5(seg.encode()).hexdigest() == c.chunk_md5
             pos += c.chunk_len
+
+
+def test_winnow_shift_invariant_shared_fingerprints(spark, tmp_path):
+    # THE winnowing guarantee: a shared substring of length >=
+    # CDC_W + WINNOW_W - 1 yields at least one identical fingerprint in
+    # both docs, wherever it sits. Plant a 200-char shared block at
+    # different offsets inside different junk and require a healthy
+    # overlap of selected hashes (interior windows are identical).
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    junk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared = junk(200)
+    sf = _docs(tmp_path, [junk(37) + shared + junk(60),
+                          junk(113) + shared + junk(11)])
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        winnow_fingerprints,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    fps = winnow_fingerprints(load_table(spark, sf, "documents")).collect()
+    h0 = {r.fp_hash for r in fps if r.doc_id == 0}
+    h1 = {r.fp_hash for r in fps if r.doc_id == 1}
+    # density ~2/(W+1): the ~177 shared interior grams should contribute
+    # tens of common selections; require a conservative floor
+    assert len(h0 & h1) >= 10
+    # and selection must be content-driven: positions differ, hashes agree
+    pos0 = {r.fp_hash: r.fp_pos for r in fps if r.doc_id == 0}
+    pos1 = {r.fp_hash: r.fp_pos for r in fps if r.doc_id == 1}
+    shifted = [h for h in h0 & h1 if pos1[h] - pos0[h] == 113 - 37]
+    assert len(shifted) >= 10
