@@ -880,3 +880,162 @@ def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("a_sc") * 24).cast("double") / F.sum("cma24")
         ).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# E136: two-state burst detection (Kleinberg-style, integer-cost Viterbi)
+# --------------------------------------------------------------------------
+
+#: Burst-state rate multiplier: mu1 = BURST_MULT·mu0 + 1 (the +1 keeps the
+#: states distinct even when the baseline floors to 0).
+BURST_MULT = 3
+
+
+def _burst_walk(pdf):
+    """Exact integer Viterbi over the hourly series: emission cost
+    |x − muₛ| (L1), entering the burst state costs gamma = mu1 − mu0.
+    Forward min-cost DP then backtrack — decision rules (<= ties) are
+    mirrored EXACTLY by the oracle's two recursive CTEs."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    xs = [int(v) for v in pdf["x"]]
+    n = len(xs)
+    mu0 = sum(xs) // n
+    mu1 = BURST_MULT * mu0 + 1
+    gamma = mu1 - mu0
+    dp0s, dp1s = [], []
+    dp0 = dp1 = 0
+    for t, x in enumerate(xs):
+        if t == 0:
+            dp0, dp1 = abs(x - mu0), abs(x - mu1) + gamma
+        else:
+            dp0, dp1 = (
+                abs(x - mu0) + min(dp0, dp1),
+                abs(x - mu1) + min(dp1, dp0 + gamma),
+            )
+        dp0s.append(dp0)
+        dp1s.append(dp1)
+    states = [0] * n
+    states[n - 1] = 0 if dp0s[n - 1] <= dp1s[n - 1] else 1
+    for t in range(n - 2, -1, -1):
+        if states[t + 1] == 1:
+            states[t] = 1 if dp1s[t] <= dp0s[t] + gamma else 0
+        else:
+            states[t] = 0 if dp0s[t] <= dp1s[t] else 1
+    return pd.DataFrame(
+        {
+            "hour_index": pdf["i"],
+            "hour_ts": pdf["hr"],
+            "n_errors": pdf["x"],
+            "dp0": dp0s,
+            "dp1": dp1s,
+            "in_burst": [s == 1 for s in states],
+        }
+    )
+
+
+@query(
+    "error_burst_viterbi",
+    oracle=f"""
+        WITH RECURSIVE series AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.hr) AS BIGINT) AS i,
+                 s.hr, COALESCE(c.x, 0) AS x
+          FROM (
+            SELECT unnest(generate_series(
+              (SELECT MIN(date_trunc('hour', ts)) FROM events
+               WHERE event_type = 'error'),
+              (SELECT MAX(date_trunc('hour', ts)) FROM events
+               WHERE event_type = 'error'), INTERVAL 1 HOUR)) AS hr
+          ) s
+          LEFT JOIN (
+            SELECT date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = 'error' GROUP BY 1
+          ) c ON c.hr = s.hr
+        ), params AS MATERIALIZED (
+          SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu0,
+                 CAST({BURST_MULT} * (SUM(x) // COUNT(*)) + 1 AS BIGINT)
+                   AS mu1,
+                 CAST({BURST_MULT} * (SUM(x) // COUNT(*)) + 1
+                   - SUM(x) // COUNT(*) AS BIGINT) AS gamma
+          FROM series
+        ), fwd AS (
+          SELECT s.i, s.hr, s.x,
+                 abs(s.x - p.mu0) AS dp0,
+                 abs(s.x - p.mu1) + p.gamma AS dp1
+          FROM series s CROSS JOIN params p WHERE s.i = 1
+          UNION ALL
+          SELECT s.i, s.hr, s.x,
+                 abs(s.x - p.mu0) + LEAST(f.dp0, f.dp1),
+                 abs(s.x - p.mu1) + LEAST(f.dp1, f.dp0 + p.gamma)
+          FROM fwd f
+          JOIN series s ON s.i = f.i + 1
+          CROSS JOIN params p
+        ), sel AS MATERIALIZED (
+          SELECT f.*, p.gamma FROM fwd f CROSS JOIN params p
+        )
+        -- Backtrack in closed form: with d = dp1 - dp0, the Viterbi
+        -- state is 1 when d < 0, 0 when d > gamma, and CARRIES from the
+        -- right inside [0, gamma] (default 0 past the end) — an
+        -- independent derivation of the pandas walk's explicit
+        -- backtrack, which the hash gate then proves equivalent.
+        SELECT i AS hour_index,
+               strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               x AS n_errors, dp0, dp1,
+               CAST(COALESCE(LAST_VALUE(
+                 CASE WHEN dp1 - dp0 < 0 THEN 1
+                      WHEN dp1 - dp0 > gamma THEN 0 END IGNORE NULLS)
+                 OVER (ORDER BY i DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) = 1 AS BOOLEAN) AS in_burst
+        FROM sel
+    """,
+)
+def error_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E136: two-state burst detection over the hourly error series — the
+    Kleinberg burst-automaton shape (KDD'02) with integer L1 costs:
+    baseline state emits at rate mu0 = floor(mean), burst state at
+    mu1 = 3·mu0+1, entering the burst costs gamma = mu1 − mu0; the
+    min-cost state SEQUENCE (Viterbi) segments the series into burst
+    intervals. Unlike the per-point MAD outliers (E33) or CUSUM mean
+    shift (E66), the transition cost makes burst membership STICKY — one
+    quiet hour inside an incident doesn't split it.
+
+    Exactness: all-integer DP (abs/min/+ on BIGINTs), so forward costs
+    AND the backtracked states are engine-exact; the oracle replays the
+    identical recurrence as two recursive CTEs (forward chain, then a
+    backward chain re-deriving each argmin decision), tie rules (<=)
+    mirrored from the pandas walk.
+
+    Scale: facts collapse to the hourly frame in one map-side aggregate;
+    the spine/DP rows grow with CALENDAR hours, not event volume — the
+    Holt/E124 boundedness argument; the sequential walk is one
+    applyInPandas group over that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    spine = counts.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    series = (
+        spine.join(counts, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).alias("x"))
+        .select(
+            F.row_number().over(Window.orderBy("hr")).cast("long").alias("i"),
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "x",
+        )
+    )
+    return series.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, pdf: _burst_walk(pdf),
+        "hour_index long, hour_ts string, n_errors long, "
+        "dp0 long, dp1 long, in_burst boolean",
+    )

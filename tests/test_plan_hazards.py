@@ -92,6 +92,8 @@ GLOBAL_WINDOW_OK = {
     "mannwhitney_value_by_cohort",  # rank prefix-sum over the value-
                                     # collapsed frame, bounded by the
                                     # 2-dp value DOMAIN not event volume
+    "error_burst_viterbi",       # hour-indexing window over the
+                                 # one-row-per-hour spine (calendar)
 }
 
 

@@ -262,3 +262,50 @@ def test_seasonal_index_planted_july_spike(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_burst_viterbi_hand_computed(spark, tmp_path):
+    # Hourly error counts [1,1,9,9,1,1]: mu0=22//6=3, mu1=10, gamma=7.
+    # Forward DP by hand: dp0=[2,4,10,16,15,17], dp1=[16,18,12,13,22,31];
+    # backtrack marks exactly the two 9-count hours as the burst.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    base = dt.datetime(2026, 3, 1, 0)
+    rows, eid = [], 0
+    for h, cnt in enumerate([1, 1, 9, 9, 1, 1]):
+        for k in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 1,
+                 "error", 1.0, "{}")
+            )
+    # non-error noise must be ignored by the series
+    rows.append((999, base + dt.timedelta(hours=2), 2, "view", 1.0, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = sorted(
+        QUERIES["error_burst_viterbi"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.hour_index,
+    )
+    assert [r.n_errors for r in out] == [1, 1, 9, 9, 1, 1]
+    assert [r.dp0 for r in out] == [2, 4, 10, 16, 15, 17]
+    assert [r.dp1 for r in out] == [16, 18, 12, 13, 22, 31]
+    assert [r.in_burst for r in out] == [
+        False, False, True, True, False, False,
+    ]
+    ok, detail = compare(
+        spark,
+        "error_burst_viterbi",
+        QUERIES["error_burst_viterbi"],
+        ORACLES["error_burst_viterbi"],
+        str(tmp_path),
+    )
+    assert ok, detail
