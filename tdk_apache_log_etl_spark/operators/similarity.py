@@ -1320,3 +1320,127 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = term if expr is None else expr + term
         cols.append((expr / F.lit(4.0)).alias(f"y{j}"))
     return emb.select("vec_id", *cols)
+
+
+# --------------------------------------------------------------------------
+# E137: hybrid retrieval — reciprocal rank fusion of BM25 and cosine
+# --------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack/Clarke/Büttcher SIGIR'09 use 60).
+RRF_K = 60
+#: Depth taken from each ranker before fusing, and the fused cut.
+RRF_DEPTH = 20
+RRF_TOPN = 10
+
+
+def _rrf_oracle() -> str:
+    from .registry import ORACLES
+    from .text import _BM25_TOPN  # noqa: F401 - depth documented below
+
+    return f"""
+        WITH lex_full AS ({ORACLES["bm25_doc_ranking"]}),
+        lex AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id)
+                   AS BIGINT) AS lex_rank
+          FROM lex_full WHERE doc_id <> 0
+        ),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                   AS BIGINT) AS sem_rank
+          FROM (
+            SELECT c.vec_id,
+                   {_sql_dot("q.qe", "c.embedding")}
+                     / (q.qnorm
+                        * sqrt({_sql_dot("c.embedding", "c.embedding")}))
+                     AS cosine
+            FROM embeddings c,
+                 (SELECT embedding AS qe,
+                         sqrt({_sql_dot("embedding", "embedding")}) AS qnorm
+                  FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id <> 0
+          )
+          QUALIFY sem_rank <= {RRF_DEPTH}
+        )
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0) AS rrf_score
+        FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPN}
+    """
+
+
+@query("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E137: hybrid lexical+semantic retrieval via reciprocal rank
+    fusion (Cormack et al., SIGIR'09) — the standard production RAG
+    shape: BM25 handles exact-term matches, embedding cosine handles
+    paraphrase, and RRF Σ 1/(k+rankᵢ) merges the two WITHOUT score
+    calibration (ranks, unlike raw scores, are scale-free). Query =
+    the fixed BM25 term set on the lexical side, embedding 0 as the
+    encoded query on the semantic side (excluded from both lists);
+    doc_id↔vec_id is the corpus correspondence.
+
+    Exactness: both rankings use deterministic (score DESC, id) order
+    on engine-bit-identical scores (BM25 is dec_sum'd; cosine is one
+    fixed fold), and the fused score is TWO fixed-order IEEE terms
+    1/(60+r) — so ranks AND the float rrf_score hash-gate.
+
+    Scale: each ranker cuts to RRF_DEPTH via distributed top-k
+    (TakeOrderedAndProject — no global sort, no unbounded window); the
+    fusion join and final cut run on ≤ 2·RRF_DEPTH rows. The only
+    corpus-wide passes are the two scorers themselves, each linear and
+    shuffle-lean (BM25's inverted postings; one broadcast query
+    vector)."""
+    from .text import bm25_doc_ranking
+
+    lex20 = (
+        bm25_doc_ranking(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    lex = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        e.alias("qe"), norm.alias("qnorm")
+    )
+    sem20 = (
+        emb.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), e.alias("ce"), norm.alias("cnorm"))
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            (dot(F.col("qe"), F.col("ce"))
+             / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    sem = sem20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOPN)

@@ -51,6 +51,7 @@ BNLJ_OK = {
                                  # ≤ |months| rows)
     "hits_purchase_graph",       # per-round 1-row MAX crossJoin
                                  # (max-normalization scalar)
+    "hybrid_rrf_retrieval",      # 1-row query-vector crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -94,6 +95,8 @@ GLOBAL_WINDOW_OK = {
                                     # 2-dp value DOMAIN not event volume
     "error_burst_viterbi",       # hour-indexing window over the
                                  # one-row-per-hour spine (calendar)
+    "hybrid_rrf_retrieval",      # rank windows over the two LIMIT-ed
+                                 # RRF_DEPTH-row ranker outputs
 }
 
 

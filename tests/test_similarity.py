@@ -220,3 +220,62 @@ def test_jl_projection_distortion_bounds(spark):
     assert 0.9 < r.mean() < 1.1          # unbiased on average
     assert ((r > 0.5) & (r < 1.5)).mean() > 0.8
     assert r.min() > 0.1 and r.max() < 4.0
+
+
+def test_rrf_fuses_both_modalities(spark, tmp_path):
+    # doc 1 is #1 lexically (dense query terms) AND semantically
+    # (embedding nearly parallel to query vec 0) -> rrf = 2/61, the
+    # unbeatable fused top; doc 3 has no query term at all -> absent
+    # from the lexical list (NULL lex_rank), present semantically.
+    import numpy as np
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES
+    from .parity import compare
+
+    texts = {
+        0: "the query doc itself join hash scan",
+        1: "join hash scan join hash scan join",
+        2: "join elsewhere",
+        3: "nothing relevant here at all",
+        4: "scan once",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.99, 0.01, 0.0, 0.0],
+        2: [0.5, 0.5, 0.0, 0.0],
+        3: [0.3, 0.7, 0.0, 0.0],
+        4: [0.0, 1.0, 0.0, 0.0],
+    }
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [np.array(v, dtype="float32") for v in vecs.values()],
+            "label": [0] * 5,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = QUERIES["hybrid_rrf_retrieval"](spark, str(tmp_path)).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert rows[0].doc_id == 1
+    assert (rows[0].lex_rank, rows[0].sem_rank) == (1, 1)
+    assert rows[0].rrf_score == 1.0 / 61 + 1.0 / 61
+    assert by_doc[3].lex_rank is None and by_doc[3].sem_rank is not None
+    assert by_doc[3].rrf_score == 1.0 / (60 + by_doc[3].sem_rank)
+    assert 0 not in by_doc  # the query doc is excluded from both lists
+    ok, detail = compare(
+        spark,
+        "hybrid_rrf_retrieval",
+        QUERIES["hybrid_rrf_retrieval"],
+        ORACLES["hybrid_rrf_retrieval"],
+        str(tmp_path),
+    )
+    assert ok, detail
