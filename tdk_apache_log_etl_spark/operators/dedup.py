@@ -737,3 +737,122 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E138: asymmetric n-gram containment (quote / subsumption detection)
+# --------------------------------------------------------------------------
+
+#: Word-gram width for containment (shorter than decontamination's 8 —
+#: quotes are short), document-frequency cap pruning ubiquitous grams
+#: (bounds the pair join at Σ df² ≤ CAP·Σ df, i.e. linear), and the
+#: minimum informative-gram floor below which containment is noise.
+CONT_N = 5
+CONT_DF_CAP = 64
+CONT_MIN_GRAMS = 3
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[i:i + {CONT_N - 1}], ' ') AS ng
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {CONT_N - 1})) AS i
+            FROM toks WHERE len(ws) >= {CONT_N}
+          )
+        ), filtered AS (
+          SELECT g.doc_id, g.ng FROM grams g
+          JOIN (
+            SELECT ng FROM grams GROUP BY ng
+            HAVING COUNT(*) <= {CONT_DF_CAP}
+          ) ok USING (ng)
+        ), nsrc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM filtered GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM filtered a
+          JOIN filtered b ON b.ng = a.ng AND b.doc_id <> a.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.src AS src_doc_id, p.dst AS dst_doc_id,
+               p.shared AS shared_ngrams, n.n_grams AS src_ngrams,
+               CAST(p.shared AS DOUBLE) / n.n_grams AS containment
+        FROM pairs p JOIN nsrc n ON n.doc_id = p.src
+        WHERE 2 * p.shared >= n.n_grams AND n.n_grams >= {CONT_MIN_GRAMS}
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E138: asymmetric containment C(A→B) = |grams(A) ∩ grams(B)| /
+    |grams(A)| over word {CONT_N}-grams — the quote/subsumption detector
+    (Broder'97 distinguishes *containment* from *resemblance*): a short
+    doc pasted inside a long one scores C ≈ 1 while its symmetric
+    Jaccard (the E2 family) is near 0, so this is the near-dup angle
+    minhash structurally misses. Emits ordered pairs with C ≥ ½.
+
+    Exactness: the threshold is the INTEGER comparison 2·shared ≥
+    n_grams (no float compare at the cut); containment itself is one
+    int/int division. Spark joins on xxhash64 gram fingerprints (8-byte
+    shuffle keys) while the oracle joins full strings — the
+    decontamination-style differential gate that also proves no
+    collision in the fixture corpus.
+
+    Scale: grams are per-doc DISTINCT before anything wide; the df cap
+    bounds the equi-join at Σ df² ≤ {CONT_DF_CAP}·Σ df (linear in
+    corpus grams) — the same ubiquitous-shingle guard as the priced
+    exact-Jaccard path, here unconditional because a gram in >{CONT_DF_CAP}
+    docs carries no subsumption signal; denominators count the SAME
+    informative-gram set, mirrored in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (CONT_N - 1))
+    ngrams = F.when(
+        F.size(ws) >= CONT_N,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.array_join(F.slice(ws, i, CONT_N), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = scoped_persist(
+        docs.select("doc_id", F.explode(ngrams).alias("ng")).distinct()
+    )
+    rare = g.groupBy("ng").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= CONT_DF_CAP
+    )
+    filtered = scoped_persist(g.join(rare.select("ng"), "ng"))
+    nsrc = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.ng") == F.col("a.ng"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(nsrc.withColumnRenamed("doc_id", "src"), "src")
+        .where(
+            (2 * F.col("shared") >= F.col("n_grams"))
+            & (F.col("n_grams") >= CONT_MIN_GRAMS)
+        )
+        .select(
+            F.col("src").alias("src_doc_id"),
+            F.col("dst").alias("dst_doc_id"),
+            F.col("shared").alias("shared_ngrams"),
+            F.col("n_grams").alias("src_ngrams"),
+            (F.col("shared").cast("double") / F.col("n_grams")).alias(
+                "containment"
+            ),
+        )
+    )

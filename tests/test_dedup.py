@@ -260,3 +260,45 @@ def test_span_dedup_drops_repeated_span_keeps_first(spark, tmp_path):
     assert rows[0].n_kept == 1 and rows[0].new_text == shared
     assert rows[1].n_chunks == 2 and rows[1].n_kept == 1
     assert rows[1].new_text == tail
+
+
+def test_containment_detects_quote_one_direction_only(spark, tmp_path):
+    # Doc 1 is a verbatim 10-word quote from the 30-word doc 0: every one
+    # of its 6 5-grams appears in doc 0 -> C(1->0) = 1.0; doc 0 shares
+    # only those 6 of its 26 grams -> C(0->1) = 6/26 < 1/2, so the
+    # reverse pair must NOT appear. Doc 2 never pairs.
+    import pandas as pd
+
+    words = [f"w{i}" for i in range(30)]
+    texts = {
+        0: " ".join(words),
+        1: " ".join(words[12:22]),
+        2: " ".join(f"z{i}" for i in range(20)),
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["doc_containment_pairs"](spark, str(tmp_path)).collect()
+    by_pair = {(r.src_doc_id, r.dst_doc_id): r for r in rows}
+    assert set(by_pair) == {(1, 0)}
+    r = by_pair[(1, 0)]
+    assert (r.shared_ngrams, r.src_ngrams, r.containment) == (6, 6, 1.0)
+
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "doc_containment_pairs",
+        QUERIES["doc_containment_pairs"],
+        ORACLES["doc_containment_pairs"],
+        str(tmp_path),
+    )
+    assert ok, detail
