@@ -105,6 +105,12 @@ HEADLINE = [
     "markov_attribution_removal",
     "jl_project_embeddings",
     "seasonal_index_monthly",
+    "hits_purchase_graph",
+    "mannwhitney_value_by_cohort",
+    "winnow_doc_fingerprints",
+    "error_burst_viterbi",
+    "hybrid_rrf_retrieval",
+    "doc_containment_pairs",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",
