@@ -1003,3 +1003,154 @@ def mannwhitney_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u_a_x2",
         F.expr(_MWU_Z_SQL).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# E140: CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+
+#: Money scale for per-user value sums: 2-dp readings make ×100 exact.
+_CUPED_SCALE = 100
+
+
+@query(
+    "cuped_adjusted_uplift",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT CAST(MIN(ts) AS DATE)
+                 + CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                                  CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+                   AS mid
+          FROM events
+        ), per_user AS (
+          SELECT e.user_id, e.user_id % 2 = 0 AS is_a,
+                 CAST(COALESCE(SUM(CAST(FLOOR(e.value * {_CUPED_SCALE} + 0.5)
+                        AS BIGINT)) FILTER (WHERE CAST(e.ts AS DATE) < b.mid),
+                      0) AS BIGINT) AS sx,
+                 CAST(COALESCE(SUM(CAST(FLOOR(e.value * {_CUPED_SCALE} + 0.5)
+                        AS BIGINT)) FILTER (WHERE CAST(e.ts AS DATE) >= b.mid),
+                      0) AS BIGINT) AS sy
+          FROM events e CROSS JOIN bounds b
+          WHERE e.value IS NOT NULL
+          GROUP BY e.user_id
+        ), g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(sx AS HUGEINT)) AS sum_x,
+                 SUM(CAST(sy AS HUGEINT)) AS sum_y,
+                 SUM(CAST(sx AS HUGEINT) * sy) AS sum_xy,
+                 SUM(CAST(sx AS HUGEINT) * sx) AS sum_xx,
+                 SUM(CAST(sy AS HUGEINT) * sy) AS sum_yy,
+                 CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
+                 COALESCE(SUM(CAST(sy AS HUGEINT)) FILTER (WHERE is_a), 0)
+                   AS sum_y_a,
+                 COALESCE(SUM(CAST(sy AS HUGEINT)) FILTER (WHERE NOT is_a), 0)
+                   AS sum_y_b,
+                 COALESCE(SUM(CAST(sx AS HUGEINT)) FILTER (WHERE is_a), 0)
+                   AS sum_x_a,
+                 COALESCE(SUM(CAST(sx AS HUGEINT)) FILTER (WHERE NOT is_a), 0)
+                   AS sum_x_b
+          FROM per_user
+        )
+        SELECT n_a, n_b,
+               CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                 / NULLIF(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE), 0.0)
+                 AS theta,
+               (CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                  * CAST(n * sum_xy - sum_x * sum_y AS DOUBLE))
+                 / NULLIF(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+                          * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE), 0.0)
+                 AS rho2,
+               (CAST(sum_y_a AS DOUBLE) / {_CUPED_SCALE}) / n_a
+                 - (CAST(sum_y_b AS DOUBLE) / {_CUPED_SCALE}) / n_b
+                 AS raw_diff,
+               ((CAST(sum_y_a AS DOUBLE) / {_CUPED_SCALE}) / n_a
+                 - (CAST(sum_y_b AS DOUBLE) / {_CUPED_SCALE}) / n_b)
+               - (CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                  / NULLIF(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE), 0.0))
+                 * ((CAST(sum_x_a AS DOUBLE) / {_CUPED_SCALE}) / n_a
+                    - (CAST(sum_x_b AS DOUBLE) / {_CUPED_SCALE}) / n_b)
+                 AS adjusted_diff
+        FROM g
+    """,
+)
+def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E140: CUPED (Deng et al., WSDM'13) — variance-reduced experiment
+    readout: each user's post-period value Y is adjusted by their OWN
+    pre-period value X via Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X).
+    Pre-existing whale/cohort imbalance (which the raw diff E85-style
+    readout confounds with the treatment) cancels; ρ² reports the
+    fraction of variance removed. The pre/post split is the data-driven
+    calendar midpoint, so the query is SF-portable.
+
+    Exactness: per-user X/Y are exact ×100-scaled BIGINTs (2-dp money);
+    the five cross-moments accumulate in 128-bit integers (HUGEINT /
+    DECIMAL(38,0) — Σx² at sf1 overflows a 64-bit long, and a double
+    accumulation would be order-dependent), and θ, ρ², and both diffs
+    are fixed IEEE chains over those exact integers, NULL-guarded for
+    the degenerate var=0 cases.
+
+    Scale: one fact pass → per-user frame (map-side combinable sums),
+    one 12-number global reduce, a 1-row bounds broadcast. Nothing
+    wider than a row ever reaches the driver."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.date_add(
+            F.min("ts").cast("date"),
+            (F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+             / 2).cast("int"),
+        ).alias("mid")
+    )
+    sv = F.floor(F.col("value") * _CUPED_SCALE + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.first(F.col("user_id") % 2 == 0).alias("is_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts").cast("date") < F.col("mid"), sv)),
+                F.lit(0),
+            ).alias("sx"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts").cast("date") >= F.col("mid"), sv)),
+                F.lit(0),
+            ).alias("sy"),
+        )
+    )
+    dx = F.col("sx").cast("decimal(38,0)")
+    dy = F.col("sy").cast("decimal(38,0)")
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sum_x"),
+        F.sum(dy).alias("sum_y"),
+        F.sum(dx * F.col("sy")).alias("sum_xy"),
+        F.sum(dx * F.col("sx")).alias("sum_xx"),
+        F.sum(dy * F.col("sy")).alias("sum_yy"),
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("is_a"), dy)), F.lit(0)).alias("sum_y_a"),
+        F.coalesce(F.sum(F.when(~F.col("is_a"), dy)), F.lit(0)).alias("sum_y_b"),
+        F.coalesce(F.sum(F.when(F.col("is_a"), dx)), F.lit(0)).alias("sum_x_a"),
+        F.coalesce(F.sum(F.when(~F.col("is_a"), dx)), F.lit(0)).alias("sum_x_b"),
+    )
+    covn = (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast(
+        "double"
+    )
+    varxn = (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")).cast(
+        "double"
+    )
+    varyn = (F.col("n") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")).cast(
+        "double"
+    )
+    theta = covn / F.nullif(varxn, F.lit(0.0))
+    mean = lambda s, n: (F.col(s).cast("double") / _CUPED_SCALE) / F.col(n)
+    raw_diff = mean("sum_y_a", "n_a") - mean("sum_y_b", "n_b")
+    x_diff = mean("sum_x_a", "n_a") - mean("sum_x_b", "n_b")
+    return g.select(
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        (covn * covn / F.nullif(varxn * varyn, F.lit(0.0))).alias("rho2"),
+        raw_diff.alias("raw_diff"),
+        (raw_diff - theta * x_diff).alias("adjusted_diff"),
+    )

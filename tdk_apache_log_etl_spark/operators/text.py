@@ -1384,3 +1384,81 @@ def char_trigram_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rare").cast("double") / F.col("n_tri")).alias("rare_frac"),
         (F.col("n_rare") * 2 > F.col("n_tri")).alias("noisy"),
     )
+
+
+# --------------------------------------------------------------------------
+# E139: Good-Turing missing mass + Chao1 vocabulary richness
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_coverage_estimates",
+    oracle="""
+        WITH tf AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+          ) WHERE token <> '' GROUP BY token
+        ), fof AS (
+          SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT)
+                   AS n_singletons,
+                 CAST(COUNT(*) FILTER (WHERE f = 2) AS BIGINT)
+                   AS n_doubletons
+          FROM tf
+        )
+        SELECT n_tokens, vocab_size, n_singletons, n_doubletons,
+               CAST(n_singletons AS DOUBLE) / n_tokens AS missing_mass,
+               CAST(vocab_size AS DOUBLE)
+                 + CAST(n_singletons AS DOUBLE)
+                   * CAST(n_singletons AS DOUBLE)
+                   / NULLIF(2.0 * n_doubletons, 0.0) AS chao1_vocab
+        FROM fof
+    """,
+)
+def corpus_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E139: corpus-coverage estimators from the frequency-of-frequencies
+    profile — Good-Turing missing mass P(next token is UNSEEN) = n₁/N
+    (Good 1953) and the Chao1 lower bound on true vocabulary size
+    V + n₁²/(2n₂) (Chao 1984). Together they answer the 100 TB curation
+    question "is this corpus big enough / still growing in vocabulary?"
+    from two numbers no sampling can shortcut.
+
+    Exactness: N, V, n₁, n₂ are exact BIGINTs from two
+    map-side-combinable aggregates (token counts → one 4-number reduce);
+    the two estimators are fixed chains of IEEE divisions, NULL-guarded
+    when n₂ = 0 (Chao1 undefined) instead of a divide-by-zero.
+
+    Scale: ONE vocab-wide shuffle (the token count — linear, the same
+    exchange every tokenizer stat pays), then a 1-row reduce; the
+    frequency-of-frequencies collapse never materializes per-frequency
+    groups wider than the 4 counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    fof = tf.agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("f") == 1, 1)).alias("n_singletons"),
+        F.count(F.when(F.col("f") == 2, 1)).alias("n_doubletons"),
+    )
+    return fof.select(
+        "n_tokens",
+        "vocab_size",
+        "n_singletons",
+        "n_doubletons",
+        (F.col("n_singletons").cast("double") / F.col("n_tokens")).alias(
+            "missing_mass"
+        ),
+        (
+            F.col("vocab_size").cast("double")
+            + F.col("n_singletons").cast("double")
+            * F.col("n_singletons").cast("double")
+            / F.nullif(2.0 * F.col("n_doubletons"), F.lit(0.0))
+        ).alias("chao1_vocab"),
+    )

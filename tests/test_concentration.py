@@ -442,3 +442,38 @@ def test_mannwhitney_hand_computed(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_cuped_removes_preexisting_imbalance(spark, tmp_path):
+    # Y = 2X exactly for every user, but cohort B happens to hold the
+    # bigger spenders: raw post diff = -20 is pure pre-existing
+    # imbalance. CUPED: theta = 2, rho2 = 1, adjusted diff = 0.
+    import datetime as dt
+
+    rows = []
+    # (user, pre_value, post_value); evens -> cohort A
+    for eid, (u, x, y) in enumerate(
+        [(0, 10.0, 20.0), (2, 30.0, 60.0), (1, 20.0, 40.0), (3, 40.0, 80.0)]
+    ):
+        rows.append((2 * eid, dt.datetime(2026, 5, 1 + eid % 2, 9), u,
+                     "view", x, "{}"))
+        rows.append((2 * eid + 1, dt.datetime(2026, 5, 6 + eid % 4, 9), u,
+                     "purchase", y, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["cuped_adjusted_uplift"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.theta == 2.0
+    assert r.rho2 == 1.0
+    assert r.raw_diff == -20.0
+    assert r.adjusted_diff == 0.0
+    ok, detail = compare(
+        spark,
+        "cuped_adjusted_uplift",
+        QUERIES["cuped_adjusted_uplift"],
+        ORACLES["cuped_adjusted_uplift"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -52,6 +52,7 @@ BNLJ_OK = {
     "hits_purchase_graph",       # per-round 1-row MAX crossJoin
                                  # (max-normalization scalar)
     "hybrid_rrf_retrieval",      # 1-row query-vector crossJoin
+    "cuped_adjusted_uplift",     # 1-row calendar-midpoint crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

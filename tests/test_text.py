@@ -95,3 +95,54 @@ def test_char_trigram_noise_flags_planted_mojibake(spark, noise_doc_dir):
     for i in range(20):
         assert not rows[i]["noisy"]
         assert rows[i]["rare_frac"] == 0.0
+
+
+def test_corpus_coverage_hand_computed(spark, tmp_path):
+    # Tokens: a a a b b c -> N=6, V=3, n1=1 (c), n2=1 (b);
+    # missing mass = 1/6, Chao1 = 3 + 1*1/(2*1) = 3.5.
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a a b", "b c"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [7, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r] = QUERIES["corpus_coverage_estimates"](spark, str(tmp_path)).collect()
+    assert (r.n_tokens, r.vocab_size, r.n_singletons, r.n_doubletons) == (
+        6, 3, 1, 1,
+    )
+    assert r.missing_mass == 1.0 / 6
+    assert r.chao1_vocab == 3.5
+    ok, detail = compare(
+        spark,
+        "corpus_coverage_estimates",
+        QUERIES["corpus_coverage_estimates"],
+        ORACLES["corpus_coverage_estimates"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_corpus_coverage_no_doubletons_null_chao1(spark, tmp_path):
+    # every token unique -> n2=0: Chao1 must be NULL, not a div-by-zero
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["p q r"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [5],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r] = QUERIES["corpus_coverage_estimates"](spark, str(tmp_path)).collect()
+    assert r.chao1_vocab is None and r.missing_mass == 1.0
+    ok, detail = compare(
+        spark,
+        "corpus_coverage_estimates",
+        QUERIES["corpus_coverage_estimates"],
+        ORACLES["corpus_coverage_estimates"],
+        str(tmp_path),
+    )
+    assert ok, detail
