@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import SCALE, dec_sum, sql_dec_sum
-from .registry import query
+from .registry import query, scoped_persist
 
 #: Fixed epoch for integer day indexes (any date at/before the data works;
 #: both engines compute the identical datediff).
@@ -1038,4 +1038,121 @@ def error_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda _, pdf: _burst_walk(pdf),
         "hour_index long, hour_ts string, n_errors long, "
         "dp0 long, dp1 long, in_burst boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# E141: isotonic calibration (PAVA via the minimax characterization)
+# --------------------------------------------------------------------------
+
+#: Activity level = events//5, capped — the grid the minimax join runs
+#: on is ≤ ISO_CAP+1 rows at ANY corpus size (a raw-count level would
+#: leave one degenerate bucket at bench SFs where every user has 50+
+#: events).
+ISO_CAP = 20
+
+
+@query(
+    "isotonic_conversion_by_activity",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 LEAST(CAST(COUNT(*) AS BIGINT) // 5, {ISO_CAP}) AS lvl,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY user_id
+        ), grid AS (
+          SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_conv
+          FROM per_user GROUP BY lvl
+        ), pre AS (
+          SELECT lvl, n_users, n_conv,
+                 SUM(n_users) OVER (ORDER BY lvl) AS cn,
+                 SUM(n_conv) OVER (ORDER BY lvl) AS cc
+          FROM grid
+        ), pairs AS (
+          SELECT a.lvl AS i, b.lvl AS j,
+                 CAST(b.cc - (a.cc - a.n_conv) AS DOUBLE)
+                   / (b.cn - (a.cn - a.n_users)) AS mean
+          FROM pre a JOIN pre b ON b.lvl >= a.lvl
+        ), mins AS (
+          SELECT p.i, t.lvl AS t, MIN(p.mean) AS mn
+          FROM pairs p JOIN grid t ON t.lvl BETWEEN p.i AND p.j
+          GROUP BY p.i, t.lvl
+        ), iso AS (
+          SELECT t, MAX(mn) AS iso_rate FROM mins GROUP BY t
+        )
+        SELECT g.lvl AS activity_level, g.n_users, g.n_conv,
+               CAST(g.n_conv AS DOUBLE) / g.n_users AS raw_rate,
+               i.iso_rate
+        FROM grid g JOIN iso i ON i.t = g.lvl
+    """,
+)
+def isotonic_conversion_by_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E141: weighted isotonic regression of conversion rate on user
+    activity level — the calibration step behind every "propensity by
+    engagement" readout: raw per-level rates are noisy and can dip
+    non-monotonically; the isotonic fit is the L2-optimal monotone
+    curve (Ayer et al. 1955). Instead of the sequential PAVA
+    pool-adjacent loop, this uses the MINIMAX characterization
+    iso(t) = max_{{i≤t}} min_{{j≥t}} mean(y[i..j]) — a closed form over
+    the bounded level grid that both engines evaluate as plain joins,
+    so no recursion and no Python in either engine.
+
+    Exactness: pooled means are single divisions of exact BIGINT prefix
+    sums; MIN/MAX over those deterministic doubles are order-free.
+
+    Scale: the fact pass collapses map-side to per-user rows, then to
+    the ≤ ISO_CAP-row grid; the O(B³) minimax join lives entirely on
+    that calendar-free bounded grid (≤ 8000 rows at B=20), and the
+    prefix windows ride the same tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.floor(F.count(F.lit(1)) / 5), F.lit(ISO_CAP)
+        ).cast("long").alias("lvl"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    grid = scoped_persist(
+        per_user.groupBy("lvl").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").alias("n_conv"),
+        )
+    )
+    w = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    pre = grid.select(
+        "lvl",
+        "n_users",
+        "n_conv",
+        F.sum("n_users").over(w).alias("cn"),
+        F.sum("n_conv").over(w).alias("cc"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    pairs = a.join(b, F.col("b.lvl") >= F.col("a.lvl")).select(
+        F.col("a.lvl").alias("i"),
+        F.col("b.lvl").alias("j"),
+        (
+            (F.col("b.cc") - (F.col("a.cc") - F.col("a.n_conv"))).cast("double")
+            / (F.col("b.cn") - (F.col("a.cn") - F.col("a.n_users")))
+        ).alias("mean"),
+    )
+    t = grid.select(F.col("lvl").alias("t"))
+    mins = (
+        pairs.join(
+            t, (F.col("t") >= F.col("i")) & (F.col("t") <= F.col("j"))
+        )
+        .groupBy("i", "t")
+        .agg(F.min("mean").alias("mn"))
+    )
+    iso = mins.groupBy("t").agg(F.max("mn").alias("iso_rate"))
+    return grid.join(iso, grid["lvl"] == iso["t"]).select(
+        F.col("lvl").alias("activity_level"),
+        "n_users",
+        "n_conv",
+        (F.col("n_conv").cast("double") / F.col("n_users")).alias("raw_rate"),
+        "iso_rate",
     )

@@ -53,6 +53,8 @@ BNLJ_OK = {
                                  # (max-normalization scalar)
     "hybrid_rrf_retrieval",      # 1-row query-vector crossJoin
     "cuped_adjusted_uplift",     # 1-row calendar-midpoint crossJoin
+    "isotonic_conversion_by_activity",  # band joins on the <= ISO_CAP+1
+                                        # -row activity grid (minimax)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -98,6 +100,8 @@ GLOBAL_WINDOW_OK = {
                                  # one-row-per-hour spine (calendar)
     "hybrid_rrf_retrieval",      # rank windows over the two LIMIT-ed
                                  # RRF_DEPTH-row ranker outputs
+    "isotonic_conversion_by_activity",  # prefix sums over the bounded
+                                        # activity grid
 }
 
 

@@ -309,3 +309,51 @@ def test_burst_viterbi_hand_computed(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_isotonic_pools_violating_levels(spark, tmp_path):
+    # Levels (events//5): u1,u2 at level 1 (5 events; u1 converts ->
+    # rate 0.5), u3,u4 at level 2 (10 events, none convert -> rate 0.0),
+    # u5 at level 3 (15 events, converts -> 1.0). The 0.5 -> 0.0 dip
+    # violates monotonicity: PAVA pools levels 1-2 to 1/4; level 3
+    # stays 1.0.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows, eid = [], 0
+    for u, n, conv in [(1, 5, True), (2, 5, False), (3, 10, False),
+                       (4, 10, False), (5, 15, True)]:
+        for k in range(n):
+            eid += 1
+            typ = "purchase" if (conv and k == 0) else "view"
+            rows.append(
+                (eid, dt.datetime(2026, 6, 1 + k % 7, 8), u, typ, 1.0, "{}")
+            )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    rows_out = QUERIES["isotonic_conversion_by_activity"](
+        spark, str(tmp_path)
+    ).collect()
+    by_lvl = {r.activity_level: r for r in rows_out}
+    assert set(by_lvl) == {1, 2, 3}
+    assert by_lvl[1].raw_rate == 0.5 and by_lvl[2].raw_rate == 0.0
+    assert by_lvl[1].iso_rate == 0.25 and by_lvl[2].iso_rate == 0.25
+    assert by_lvl[3].iso_rate == 1.0
+    # the fit is monotone non-decreasing
+    fits = [by_lvl[k].iso_rate for k in sorted(by_lvl)]
+    assert fits == sorted(fits)
+    ok, detail = compare(
+        spark,
+        "isotonic_conversion_by_activity",
+        QUERIES["isotonic_conversion_by_activity"],
+        ORACLES["isotonic_conversion_by_activity"],
+        str(tmp_path),
+    )
+    assert ok, detail
