@@ -1154,3 +1154,138 @@ def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_diff.alias("raw_diff"),
         (raw_diff - theta * x_diff).alias("adjusted_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# E142: Poisson-bootstrap confidence interval for the mean event value
+# --------------------------------------------------------------------------
+
+#: Bootstrap replicas; the percentile CI reads ranks 2 and B−1 of the
+#: sorted replicate means (the conservative outer pair around 2.5/97.5%).
+BOOT_B = 64
+#: floor(CDF_Poisson(1)(k) · 2^32) for k = 0..7 — weights ≥ 8 are
+#: truncated (P ≈ 1e-5; the same literal table renders in both engines,
+#: so truncation cannot drift).
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777, 4294923276]
+
+#: md5-hex → uniform 32-bit integer, as ONE engine-neutral expression
+#: (instr/substring/CAST render identically in Spark SQL and DuckDB).
+_BOOT_U = " + ".join(
+    f"(CAST(instr('0123456789abcdef', substring(md5(concat(event_id, '_', b))"
+    f", {i + 1}, 1)) AS BIGINT) - 1) * {16 ** (8 - 1 - i)}"
+    for i in range(8)
+)
+_BOOT_W = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    + " ELSE 8 END"
+)
+
+
+@query(
+    "poisson_bootstrap_value_ci",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_id,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS sx
+          FROM events WHERE value IS NOT NULL
+        ), rep AS (
+          SELECT event_id, sx,
+                 unnest(generate_series(1, {BOOT_B})) AS b
+          FROM base
+        ), uu AS (
+          SELECT sx, b, {_BOOT_U} AS u FROM rep
+        ), ww AS (
+          SELECT sx, b, {_BOOT_W} AS w FROM uu
+        ), per AS (
+          SELECT b, CAST(SUM(w * sx) AS BIGINT) AS ws,
+                 CAST(SUM(w) AS BIGINT) AS wn
+          FROM ww GROUP BY b
+        ), means AS (
+          SELECT b, CAST(ws AS DOUBLE)
+                   / (100.0 * CAST(NULLIF(wn, 0) AS DOUBLE)) AS m
+          FROM per
+        ), ranked AS (
+          SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(sx) AS BIGINT) AS tot
+          FROM base
+        )
+        SELECT s.n_events, CAST({BOOT_B} AS BIGINT) AS n_replicas,
+               CAST(s.tot AS DOUBLE)
+                 / (100.0 * CAST(s.n_events AS DOUBLE)) AS point_mean,
+               (SELECT m FROM ranked WHERE rn = 2) AS boot_lo,
+               (SELECT m FROM ranked WHERE rn = {BOOT_B - 1}) AS boot_hi
+        FROM stats s
+    """,
+)
+def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E142: distributed bootstrap CI for the mean event value via the
+    Poisson bootstrap (Hanley & MacGibbon 2006; the production-standard
+    resampling at scale — multinomial resampling needs the global n per
+    draw, Poisson(1) weights don't, so every replica is ONE
+    map-side-combinable weighted sum over a single fact pass). B=64
+    deterministic replicas; CI = the conservative outer rank pair of
+    the sorted replicate means.
+
+    Determinism: each weight derives from md5(event_id, replica) mapped
+    through the literal Poisson(1) CDF table — the u-integer and the
+    CASE table render from ONE expression string shared verbatim with
+    the oracle (the E115 hash-coin discipline, extended from a binary
+    coin to an 8-bin inverse-CDF draw); replicate sums are exact
+    BIGINTs, each mean one fixed division, so the whole CI hash-gates.
+
+    Scale: B× row amplification of a 2-column frame, collapsing
+    map-side to B rows before the only exchange; the rank window runs
+    on the 64-row replicate frame. A production run would lower B× cost
+    with one-pass multi-weight aggregation (array of B weights per row,
+    summed element-wise) — same algebra, fewer rows; the explode form
+    is kept for plan transparency."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("sx"),
+    )
+    rep = base.select(
+        "event_id",
+        "sx",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    per = (
+        rep.select("sx", "b", F.expr(_BOOT_U).alias("u"))
+        .select("sx", "b", F.expr(_BOOT_W).alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("sx")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+    )
+    means = per.select(
+        "b",
+        (
+            F.col("ws").cast("double")
+            / (F.lit(100.0) * F.nullif(F.col("wn"), F.lit(0)).cast("double"))
+        ).alias("m"),
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    )
+    lo = ranked.where(F.col("rn") == 2).select(F.col("m").alias("boot_lo"))
+    hi = ranked.where(F.col("rn") == BOOT_B - 1).select(
+        F.col("m").alias("boot_hi")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("sx").alias("tot")
+    ).select(
+        "n_events",
+        F.lit(BOOT_B).cast("long").alias("n_replicas"),
+        (
+            F.col("tot").cast("double")
+            / (F.lit(100.0) * F.col("n_events").cast("double"))
+        ).alias("point_mean"),
+    )
+    return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

@@ -477,3 +477,35 @@ def test_cuped_removes_preexisting_imbalance(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_poisson_bootstrap_ci_brackets_and_deterministic(spark, tmp_path):
+    # 200 values of 10.0 and one 5000.0 whale: the CI must bracket the
+    # point mean, have positive width (replicas that draw the whale 0/1/2
+    # times differ), and be bit-identical across runs (hash coin, not RNG).
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 7, 1 + i % 20, 8), i % 9, "view",
+         10.0 if i < 200 else 5000.0, "{}")
+        for i in range(201)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r1] = QUERIES["poisson_bootstrap_value_ci"](spark, str(tmp_path)).collect()
+    [r2] = QUERIES["poisson_bootstrap_value_ci"](spark, str(tmp_path)).collect()
+    assert (r1.boot_lo, r1.boot_hi) == (r2.boot_lo, r2.boot_hi)
+    assert r1.n_events == 201 and r1.n_replicas == 64
+    assert r1.point_mean == (200 * 10.0 * 100 + 500000) / (100.0 * 201)
+    assert r1.boot_lo < r1.point_mean < r1.boot_hi
+    assert r1.boot_lo >= 10.0 * 0.5  # sane lower bound
+    ok, detail = compare(
+        spark,
+        "poisson_bootstrap_value_ci",
+        QUERIES["poisson_bootstrap_value_ci"],
+        ORACLES["poisson_bootstrap_value_ci"],
+        str(tmp_path),
+    )
+    assert ok, detail

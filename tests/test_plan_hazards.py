@@ -55,6 +55,7 @@ BNLJ_OK = {
     "cuped_adjusted_uplift",     # 1-row calendar-midpoint crossJoin
     "isotonic_conversion_by_activity",  # band joins on the <= ISO_CAP+1
                                         # -row activity grid (minimax)
+    "poisson_bootstrap_value_ci",  # two 1-row CI-bound crossJoins
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -102,6 +103,8 @@ GLOBAL_WINDOW_OK = {
                                  # RRF_DEPTH-row ranker outputs
     "isotonic_conversion_by_activity",  # prefix sums over the bounded
                                         # activity grid
+    "poisson_bootstrap_value_ci",  # rank window over the BOOT_B-row
+                                   # replicate-mean frame
 }
 
 
