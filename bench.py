@@ -111,6 +111,10 @@ HEADLINE = [
     "error_burst_viterbi",
     "hybrid_rrf_retrieval",
     "doc_containment_pairs",
+    "corpus_coverage_estimates",
+    "cuped_adjusted_uplift",
+    "isotonic_conversion_by_activity",
+    "poisson_bootstrap_value_ci",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",
