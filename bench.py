@@ -115,6 +115,7 @@ HEADLINE = [
     "cuped_adjusted_uplift",
     "isotonic_conversion_by_activity",
     "poisson_bootstrap_value_ci",
+    "mmr_diverse_retrieval",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

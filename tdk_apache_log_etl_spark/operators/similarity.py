@@ -1444,3 +1444,152 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOPN)
+
+
+# --------------------------------------------------------------------------
+# E143: MMR diversified re-ranking of the retrieval shortlist
+# --------------------------------------------------------------------------
+
+#: MMR trade-off (0.5 = equal weight on relevance and diversity) and the
+#: number of greedy selections out of the RRF_DEPTH shortlist.
+MMR_SELECT = 5
+
+
+def _mmr_walk(pdf):
+    """Greedy MMR over one bounded shortlist group: pick argmax of
+    0.5·rel − 0.5·max-sim-to-selected (rank 1 is pure relevance),
+    ties to the smaller doc_id. Expression shapes mirrored EXACTLY by
+    the oracle's unrolled CTE steps so the float scores hash-gate."""
+    import pandas as pd
+
+    rel = dict(
+        pdf[["doc_id", "rel"]].drop_duplicates().itertuples(index=False)
+    )
+    sim = {
+        (a, b): s
+        for a, b, s in pdf[["doc_id", "other_id", "sim"]].itertuples(
+            index=False
+        )
+    }
+    selected, out = [], []
+    while len(out) < MMR_SELECT and len(selected) < len(rel):
+        best = None
+        for d in sorted(rel):
+            if d in selected:
+                continue
+            if selected:
+                maxsim = max(sim[(d, s)] for s in selected)
+                score = 0.5 * rel[d] - 0.5 * maxsim
+            else:
+                score = 0.5 * rel[d]
+            if best is None or score > best[1]:
+                best = (d, score)
+        selected.append(best[0])
+        out.append((len(out) + 1, best[0], best[1]))
+    return pd.DataFrame(out, columns=["mmr_rank", "doc_id", "mmr_score"])
+
+
+def _mmr_oracle() -> str:
+    steps, sel_union = [], []
+    for k in range(1, MMR_SELECT + 1):
+        if k == 1:
+            steps.append("""sel1 AS MATERIALIZED (
+              SELECT doc_id, 0.5 * rel AS mmr_score, 1 AS mmr_rank
+              FROM shortlist ORDER BY 0.5 * rel DESC, doc_id LIMIT 1
+            )""")
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM sel{j}" for j in range(1, k)
+            )
+            steps.append(f"""sel{k} AS MATERIALIZED (
+              SELECT c.doc_id,
+                     0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr_score,
+                     {k} AS mmr_rank
+              FROM shortlist c
+              JOIN pairs p ON p.a = c.doc_id
+                          AND p.b IN ({prev})
+              WHERE c.doc_id NOT IN ({prev})
+              GROUP BY c.doc_id, c.rel
+              ORDER BY mmr_score DESC, c.doc_id LIMIT 1
+            )""")
+        sel_union.append(
+            f"SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, doc_id, mmr_score"
+            f" FROM sel{k}"
+        )
+    return f"""
+        WITH shortlist AS MATERIALIZED (
+          SELECT vec_id AS doc_id, e, nrm, cosine AS rel
+          FROM (
+            SELECT c.vec_id, c.embedding AS e,
+                   sqrt({_sql_dot("c.embedding", "c.embedding")}) AS nrm,
+                   {_sql_dot("q.qe", "c.embedding")}
+                     / (q.qnorm
+                        * sqrt({_sql_dot("c.embedding", "c.embedding")}))
+                     AS cosine
+            FROM embeddings c,
+                 (SELECT embedding AS qe,
+                         sqrt({_sql_dot("embedding", "embedding")}) AS qnorm
+                  FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id <> 0
+          )
+          ORDER BY cosine DESC, vec_id LIMIT {RRF_DEPTH}
+        ), pairs AS MATERIALIZED (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 {_sql_dot("x.e", "y.e")} / (x.nrm * y.nrm) AS sim
+          FROM shortlist x JOIN shortlist y ON y.doc_id <> x.doc_id
+        ), {", ".join(steps)}
+        {" UNION ALL ".join(sel_union)}
+    """
+
+
+@query("mmr_diverse_retrieval", oracle=_mmr_oracle())
+def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E143: maximal marginal relevance (Carbonell & Goldstein,
+    SIGIR'98) — diversified re-ranking of the cosine shortlist: greedily
+    pick argmax 0.5·relevance − 0.5·(max similarity to already-picked),
+    so near-duplicate hits that would crowd a RAG context window are
+    demoted in favor of coverage. The serving-side complement of
+    SemDeDup's ingest-side pruning (E117).
+
+    Exactness: relevance and pairwise sims are the engine-bit-identical
+    cosine folds; each greedy score is a fixed 0.5·a − 0.5·b chain with
+    doc_id tie-break, replayed by the oracle as MMR_SELECT unrolled
+    MATERIALIZED CTEs (the E130 pattern) — ranks AND float scores
+    hash-gate.
+
+    Scale: the corpus-wide work is ONE cosine scan cut to RRF_DEPTH by
+    distributed top-k; the 20×20 sim matrix and the greedy walk live in
+    one bounded applyInPandas group (the Holt/E124 shape — rows grow
+    with the shortlist constant, never the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        e.alias("qe"), norm.alias("qnorm")
+    )
+    shortlist = scoped_persist(
+        emb.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), e.alias("ce"), norm.alias("nrm"))
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            "ce",
+            "nrm",
+            (dot(F.col("qe"), F.col("ce"))
+             / (F.col("qnorm") * F.col("nrm"))).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    x, y = shortlist.alias("x"), shortlist.alias("y")
+    pairs = x.join(y, F.col("y.doc_id") != F.col("x.doc_id")).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.rel").alias("rel"),
+        F.col("y.doc_id").alias("other_id"),
+        (dot(F.col("x.ce"), F.col("y.ce"))
+         / (F.col("x.nrm") * F.col("y.nrm"))).alias("sim"),
+    )
+    return pairs.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda _, pdf: _mmr_walk(pdf),
+        "mmr_rank long, doc_id long, mmr_score double",
+    )

@@ -56,6 +56,8 @@ BNLJ_OK = {
     "isotonic_conversion_by_activity",  # band joins on the <= ISO_CAP+1
                                         # -row activity grid (minimax)
     "poisson_bootstrap_value_ci",  # two 1-row CI-bound crossJoins
+    "mmr_diverse_retrieval",     # 1-row query-vector crossJoin + the
+                                 # 20x20 shortlist sim self-join
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

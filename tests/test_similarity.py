@@ -279,3 +279,42 @@ def test_rrf_fuses_both_modalities(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_mmr_demotes_near_duplicate(spark, tmp_path):
+    # Pure relevance order is d1 (0.9), d2 (exact scaled dup of d1, also
+    # 0.9), d3 (0.8). MMR rank 2 must skip d2 (marginal 0.9 - 1.0 < 0)
+    # and take the diverse d3 (0.8 - 0.4585... > 0); d2 falls to rank 3.
+    import numpy as np
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES
+    from .parity import compare
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],                      # query
+        1: [0.9, 0.4358898943540674, 0.0, 0.0],       # unit, rel .9
+        2: [1.8, 0.8717797887081348, 0.0, 0.0],       # 2x d1: sim 1.0
+        3: [0.8, -0.6, 0.0, 0.0],                     # unit, rel .8
+    }
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [np.array(v, dtype="float32") for v in vecs.values()],
+            "label": [0] * 4,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = sorted(
+        QUERIES["mmr_diverse_retrieval"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.doc_id for r in rows] == [1, 3, 2]
+    assert rows[1].mmr_score > 0 > rows[2].mmr_score
+    ok, detail = compare(
+        spark,
+        "mmr_diverse_retrieval",
+        QUERIES["mmr_diverse_retrieval"],
+        ORACLES["mmr_diverse_retrieval"],
+        str(tmp_path),
+    )
+    assert ok, detail
