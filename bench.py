@@ -116,6 +116,7 @@ HEADLINE = [
     "isotonic_conversion_by_activity",
     "poisson_bootstrap_value_ci",
     "mmr_diverse_retrieval",
+    "conformal_value_intervals",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1156,3 +1156,138 @@ def isotonic_conversion_by_activity(
         (F.col("n_conv").cast("double") / F.col("n_users")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+# --------------------------------------------------------------------------
+# E144: split-conformal prediction intervals for event value
+# --------------------------------------------------------------------------
+
+#: Target coverage 1 − α = 0.9; the conformal quantile picks the
+#: ceil(0.9·(n_cal+1))-th smallest calibration score.
+_CONF_NUM, _CONF_DEN = 9, 10
+
+
+@query(
+    "conformal_value_intervals",
+    oracle=f"""
+        WITH split AS (
+          SELECT event_type, value,
+                 substring(md5(concat('cf', event_id)), 1, 1) < '8' AS is_cal
+          FROM events WHERE value IS NOT NULL
+        ), centers AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS center,
+                 CAST(COUNT(*) AS BIGINT) AS n_cal
+          FROM split WHERE is_cal GROUP BY event_type
+        ), scored AS (
+          SELECT s.event_type, abs(s.value - c.center) AS score,
+                 c.n_cal, c.center
+          FROM split s JOIN centers c USING (event_type)
+          WHERE s.is_cal
+        ), ranked AS (
+          SELECT event_type, score, n_cal, center,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY score, event_type
+                 ) AS rn
+          FROM scored
+        ), qhat AS (
+          SELECT event_type, n_cal, center, score AS q_hat
+          FROM ranked
+          WHERE rn = LEAST(
+            ({_CONF_NUM} * (n_cal + 1) + {_CONF_DEN - 1}) // {_CONF_DEN},
+            n_cal)
+        ), test AS (
+          SELECT s.event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(COUNT(*) FILTER (
+                   WHERE abs(s.value - q.center) <= q.q_hat
+                 ) AS BIGINT) AS n_covered
+          FROM split s JOIN qhat q USING (event_type)
+          WHERE NOT s.is_cal
+          GROUP BY s.event_type
+        )
+        SELECT q.event_type, q.n_cal, t.n_test, q.center, q.q_hat,
+               CAST(t.n_covered AS DOUBLE) / t.n_test AS coverage
+        FROM qhat q JOIN test t USING (event_type)
+    """,
+)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E144: split-conformal prediction intervals per event type (Vovk;
+    Lei et al. JASA'18) — the distribution-free way to attach a
+    finite-sample coverage GUARANTEE to a point predictor: calibrate
+    |value − median| scores on a held-out half, take the
+    ceil(0.9·(n+1))-th smallest as q̂, and [center ± q̂] covers ≥ 90% of
+    fresh draws regardless of the value distribution. The test-half
+    coverage column audits the guarantee empirically.
+
+    Determinism: the cal/test split is the E115 md5 hash coin (first
+    hex char < '8' — exactly 1/2); the conformal rank is pure integer
+    ceiling arithmetic (capped at n_cal); the center is the exact
+    median (percentile ≡ quantile_cont, proven by
+    events_value_percentiles); scores and coverage are exact
+    arithmetic on those deterministic doubles — all columns hash-gate.
+
+    Scale: one fact pass for the split, a per-type median, a per-type
+    rank window (partitioned on event_type — the same per-key exchange
+    every sessionizer pays, never a global sort), and two counting
+    aggregates. At extreme per-type volume the exact rank selection
+    swaps for the _global_ranks distributed-selection building block
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    split = ev.select(
+        "event_type",
+        "value",
+        (
+            F.substring(F.md5(F.concat(F.lit("cf"), F.col("event_id"))), 1, 1)
+            < "8"
+        ).alias("is_cal"),
+    )
+    cal = split.where(F.col("is_cal"))
+    centers = cal.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("center"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    scored = cal.join(centers, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("center")).alias("score"),
+        "n_cal",
+        "center",
+    )
+    w = Window.partitionBy("event_type").orderBy("score", "event_type")
+    qhat = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            == F.least(
+                F.floor(
+                    (_CONF_NUM * (F.col("n_cal") + 1) + (_CONF_DEN - 1))
+                    / _CONF_DEN
+                ),
+                F.col("n_cal"),
+            )
+        )
+        .select("event_type", "n_cal", "center", F.col("score").alias("q_hat"))
+    )
+    test = (
+        split.where(~F.col("is_cal"))
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("center")) <= F.col("q_hat"),
+                    1,
+                )
+            ).alias("n_covered"),
+        )
+    )
+    return qhat.join(test, "event_type").select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        "center",
+        "q_hat",
+        (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+            "coverage"
+        ),
+    )

@@ -357,3 +357,17 @@ def test_isotonic_pools_violating_levels(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_conformal_intervals_cover_and_deterministic(spark):
+    from .conftest import SF_DIR_SMOKE
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    rows1 = QUERIES["conformal_value_intervals"](spark, SF_DIR_SMOKE).collect()
+    rows2 = QUERIES["conformal_value_intervals"](spark, SF_DIR_SMOKE).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    assert len(rows1) >= 3
+    for r in rows1:
+        assert r.q_hat >= 0 and r.n_cal > 0 and r.n_test > 0
+        # marginal guarantee is >= 0.9 in expectation; allow small-n noise
+        assert r.coverage >= 0.8, r
