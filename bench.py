@@ -117,6 +117,7 @@ HEADLINE = [
     "poisson_bootstrap_value_ci",
     "mmr_diverse_retrieval",
     "conformal_value_intervals",
+    "label_noise_audit",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1593,3 +1593,105 @@ def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda _, pdf: _mmr_walk(pdf),
         "mmr_rank long, doc_id long, mmr_score double",
     )
+
+
+# --------------------------------------------------------------------------
+# E145: label-noise audit via exact-kNN majority vote
+# --------------------------------------------------------------------------
+
+#: Bounded probe set (the TOPK_N_QUERIES contract shape) and vote size.
+NOISE_PROBES = 30
+NOISE_K = 5
+
+
+@query(
+    "label_noise_audit",
+    oracle=f"""
+        WITH p AS (
+          SELECT vec_id, embedding AS pe, label AS own_label,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS pnorm
+          FROM embeddings WHERE vec_id < {NOISE_PROBES}
+        ), c AS (
+          SELECT vec_id AS nid, embedding AS ce, label AS nlabel,
+                 sqrt({_sql_dot("embedding", "embedding")}) AS cnorm
+          FROM embeddings
+        ), knn AS (
+          SELECT p.vec_id, p.own_label, c.nlabel,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_sql_dot("p.pe", "c.ce")}
+                            / (p.pnorm * c.cnorm) DESC, c.nid
+                 ) AS rnk
+          FROM p, c WHERE c.nid <> p.vec_id
+        ), votes AS (
+          SELECT vec_id, own_label, nlabel,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM knn WHERE rnk <= {NOISE_K}
+          GROUP BY vec_id, own_label, nlabel
+        ), winner AS (
+          SELECT vec_id, own_label, nlabel AS majority_label, n AS n_votes,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY n DESC, nlabel
+                 ) AS wr
+          FROM votes
+        )
+        SELECT vec_id, CAST(own_label AS BIGINT) AS own_label,
+               CAST(majority_label AS BIGINT) AS majority_label, n_votes,
+               own_label <> majority_label AS suspect
+        FROM winner WHERE wr = 1
+    """,
+)
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E145: label-noise audit (confident-learning shape, Northcutt
+    JAIR'21 lite): for each probe vector, the majority label of its
+    NOISE_K exact cosine neighbors; a probe whose OWN label disagrees
+    is a mislabeling suspect — the triage list a training pipeline
+    reviews before the label ever poisons a model. Probe set is the
+    bounded vec_id < NOISE_PROBES contract (the cosine_topk shape), so
+    the scan is probe-broadcast × one corpus pass, linear at any scale;
+    auditing the full corpus swaps the probe frame for the ANN
+    candidate generator (E3) unchanged.
+
+    Determinism: cosine is the engine-bit-identical fold; kNN rank and
+    the vote winner both break ties deterministically (neighbor id /
+    smaller label), so suspects hash-gate exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(e, e))
+    probes = emb.where(F.col("vec_id") < NOISE_PROBES).select(
+        "vec_id", e.alias("pe"), norm.alias("pnorm"),
+        F.col("label").alias("own_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"), e.alias("ce"), norm.alias("cnorm"),
+        F.col("label").alias("nlabel"),
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("nid") != F.col("vec_id")
+    ).select(
+        "vec_id",
+        "own_label",
+        "nlabel",
+        "nid",
+        (dot(F.col("pe"), F.col("ce"))
+         / (F.col("pnorm") * F.col("cnorm"))).alias("cosine"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= NOISE_K)
+        .groupBy("vec_id", "own_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ww = Window.partitionBy("vec_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    return (
+        votes.withColumn("wr", F.row_number().over(ww))
+        .where(F.col("wr") == 1)
+        .select(
+            "vec_id",
+            F.col("own_label").cast("long").alias("own_label"),
+            F.col("nlabel").cast("long").alias("majority_label"),
+            F.col("n").alias("n_votes"),
+            (F.col("own_label") != F.col("nlabel")).alias("suspect"),
+        )
+    )

@@ -58,6 +58,7 @@ BNLJ_OK = {
     "poisson_bootstrap_value_ci",  # two 1-row CI-bound crossJoins
     "mmr_diverse_retrieval",     # 1-row query-vector crossJoin + the
                                  # 20x20 shortlist sim self-join
+    "label_noise_audit",         # bounded NOISE_PROBES probe broadcast
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

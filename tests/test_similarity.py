@@ -318,3 +318,44 @@ def test_mmr_demotes_near_duplicate(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_label_noise_flags_planted_mislabel(spark, tmp_path):
+    # Probe 0 sits in the label-0 cluster with label 0 -> clean; probe 1
+    # sits in the SAME cluster but carries label 9 -> suspect with a
+    # unanimous 5-0 vote for label 0.
+    import numpy as np
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES
+    from .parity import compare
+
+    vecs, labels = {}, {}
+    vecs[0], labels[0] = [1.0, 0.0, 0.0, 0.0], 0
+    vecs[1], labels[1] = [0.99, 0.01, 0.0, 0.0], 9
+    for i in range(10):
+        vecs[40 + i] = [1.0, 0.001 * i, 0.0, 0.0]
+        labels[40 + i] = 0
+    for i in range(10):
+        vecs[60 + i] = [0.0, 1.0, 0.001 * i, 0.0]
+        labels[60 + i] = 1
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [np.array(v, dtype="float32") for v in vecs.values()],
+            "label": [labels[k] for k in vecs],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = {r.vec_id: r for r in
+            QUERIES["label_noise_audit"](spark, str(tmp_path)).collect()}
+    assert not rows[0].suspect and rows[0].majority_label == 0
+    assert rows[1].suspect
+    assert (rows[1].majority_label, rows[1].n_votes) == (0, 5)
+    ok, detail = compare(
+        spark,
+        "label_noise_audit",
+        QUERIES["label_noise_audit"],
+        ORACLES["label_noise_audit"],
+        str(tmp_path),
+    )
+    assert ok, detail
