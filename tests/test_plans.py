@@ -158,6 +158,12 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "n_docs", "common",
         # PQ re-rank (similarity.py): the TOPK_N_QUERIES-row query frame
         "qframe",
+        # hybrid RRF / MMR (similarity.py): the 1-row query vector
+        "qvec",
+        # label-noise audit (similarity.py): NOISE_PROBES rows by contract
+        "probes",
+        # Poisson bootstrap (concentration.py): the two 1-row CI bounds
+        "lo", "hi",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
