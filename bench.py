@@ -118,6 +118,7 @@ HEADLINE = [
     "mmr_diverse_retrieval",
     "conformal_value_intervals",
     "label_noise_audit",
+    "events_column_profile",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

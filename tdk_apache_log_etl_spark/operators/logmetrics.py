@@ -2950,3 +2950,122 @@ def type_hour_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.max("n") * F.max("n"))
         ).alias("tv_dependence"),
     )
+
+
+# --------------------------------------------------------------------------
+# E146: declarative column profiler (Deequ / Glue-crawler shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_column_profile",
+    oracle="""
+        WITH unpvt AS (
+          SELECT 'event_type' AS col_name, event_type AS v FROM events
+          UNION ALL
+          SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+          UNION ALL
+          SELECT 'value_c', CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR) FROM events
+          UNION ALL
+          SELECT 'props', props FROM events
+        ), nulls AS (
+          SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_nulls
+          FROM unpvt GROUP BY col_name
+        ), counts AS (
+          SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM unpvt WHERE v IS NOT NULL GROUP BY col_name, v
+        ), prof AS (
+          SELECT col_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+                 CAST(SUM(c) AS BIGINT) AS n_nonnull
+          FROM counts GROUP BY col_name
+        ), top AS (
+          SELECT col_name, v AS top_value, c AS top_freq
+          FROM (
+            SELECT col_name, v, c, ROW_NUMBER() OVER (
+              PARTITION BY col_name ORDER BY c DESC, v
+            ) AS rn
+            FROM counts
+          ) WHERE rn = 1
+        )
+        SELECT n.col_name, n.n_rows, n.n_nulls, p.n_distinct,
+               t.top_value, t.top_freq,
+               CAST(p.sum_c2 AS DOUBLE)
+                 / (CAST(p.n_nonnull AS DOUBLE)
+                    * CAST(p.n_nonnull AS DOUBLE)) AS simpson
+        FROM nulls n
+        JOIN prof p USING (col_name)
+        JOIN top t USING (col_name)
+    """,
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E146: one-pass column profiler over the events table — the
+    Deequ/Glue-crawler statistics a pipeline computes before trusting a
+    new feed: per column, row/null counts, exact distinct cardinality,
+    the modal value with its frequency, and the Simpson concentration
+    Σ(c/n)² (1/Simpson = effective number of distinct values — the
+    log-free uniformity diagnostic, E88's corpus form applied to
+    columns). The reference's Glue crawler infers only types; this is
+    the content profile on top.
+
+    Determinism: doubles are profiled through their exact ×100 integer
+    form (engine double→string rendering is NOT identical, integer
+    rendering is); the modal tie breaks (count DESC, value ASC);
+    Simpson is exact BIGINTs + one fixed division chain.
+
+    Scale: ONE unpivoted pass (column-pruned scan, map-side (col,value)
+    collapse), then per-column aggregates over the counts frame — the
+    same exchange a single groupBy pays, ×|profiled columns|; the modal
+    window is keyed per column, never global."""
+    ev = load_table(spark, sf_dir, "events")
+    unpvt = ev.select(
+        F.expr(
+            "stack(4,"
+            " 'event_type', event_type,"
+            " 'user_id', CAST(user_id AS STRING),"
+            " 'value_c', CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+            "            AS STRING),"
+            " 'props', props) AS (col_name, v)"
+        )
+    )
+    nulls = unpvt.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_nulls"),
+    )
+    counts = (
+        unpvt.where(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prof = counts.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum("c").alias("n_nonnull"),
+    )
+    wtop = Window.partitionBy("col_name").orderBy(F.desc("c"), F.asc("v"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select("col_name", F.col("v").alias("top_value"),
+                F.col("c").alias("top_freq"))
+    )
+    return (
+        nulls.join(prof, "col_name")
+        .join(top, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "top_value",
+            "top_freq",
+            (
+                F.col("sum_c2").cast("double")
+                / (F.col("n_nonnull").cast("double")
+                   * F.col("n_nonnull").cast("double"))
+            ).alias("simpson"),
+        )
+    )

@@ -801,3 +801,43 @@ def test_markov_removal_effect_planted_journeys(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_column_profile_hand_computed(spark, tmp_path):
+    # 4 rows: event_type [view,view,error,NULL], user_id [1,1,2,3],
+    # value [1.0,1.0,2.0,NULL], props ['{}','{}',NULL,'{}'].
+    rows = [
+        (1, dt.datetime(2026, 8, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 8, 1, 10), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 8, 1, 11), 2, "error", 2.0, None),
+        (4, dt.datetime(2026, 8, 1, 12), 3, None, None, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    prof = {
+        r.col_name: r
+        for r in QUERIES["events_column_profile"](spark, str(tmp_path)).collect()
+    }
+    et = prof["event_type"]
+    assert (et.n_rows, et.n_nulls, et.n_distinct) == (4, 1, 2)
+    assert (et.top_value, et.top_freq) == ("view", 2)
+    assert et.simpson == 5.0 / 9
+    uid = prof["user_id"]
+    assert (uid.n_nulls, uid.n_distinct, uid.top_value, uid.top_freq) == (
+        0, 3, "1", 2,
+    )
+    assert uid.simpson == 6.0 / 16
+    vc = prof["value_c"]
+    assert (vc.n_nulls, vc.n_distinct, vc.top_value) == (1, 2, "100")
+    pr = prof["props"]
+    assert (pr.n_nulls, pr.n_distinct, pr.simpson) == (1, 1, 1.0)
+    ok, detail = compare(
+        spark,
+        "events_column_profile",
+        QUERIES["events_column_profile"],
+        ORACLES["events_column_profile"],
+        str(tmp_path),
+    )
+    assert ok, detail
