@@ -119,6 +119,12 @@ HEADLINE = [
     "conformal_value_intervals",
     "label_noise_audit",
     "events_column_profile",
+    "ols_value_regression",
+    "seq_pattern_pairs",
+    "doc_tf_cosine_pairs",
+    "weighted_sssp_part_graph",
+    "error_purchase_xcorr_lags",
+    "ppr_part_graph",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -691,3 +691,201 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E150: weighted single-source shortest paths (bounded min-plus relaxation)
+# --------------------------------------------------------------------------
+
+#: Relaxation rounds — distances are exact for every node whose shortest
+#: path uses at most this many hops (Bellman-Ford truncation, the bounded
+#: -iteration contract every distributed SSSP ships with).
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    steps = [
+        """d0 AS (
+          SELECT (SELECT MIN(src) FROM pairs) AS node, CAST(0 AS BIGINT) AS dist
+        )"""
+    ]
+    for k in range(_SSSP_ROUNDS):
+        steps.append(f"""d{k + 1} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{k}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.cost AS dist
+            FROM d{k} d JOIN edges e ON e.src = d.node
+          ) GROUP BY node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS n_coorders
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), edges AS (
+          SELECT src, dst, CAST(1 + 100 // n_coorders AS BIGINT) AS cost
+          FROM pairs
+        ), {", ".join(steps)}
+        SELECT node AS part_key, dist
+        FROM d{_SSSP_ROUNDS}
+    """
+
+
+@query("weighted_sssp_part_graph", oracle=_sssp_oracle())
+def weighted_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E150: weighted single-source shortest paths over the significant
+    part co-occurrence graph — edge cost 1 + 100//n_coorders (stronger
+    affinity = cheaper hop, integer so relaxation is exact), source = the
+    smallest part key in the graph, distances after K=6 Bellman-Ford
+    relaxation rounds (exact for all <=6-hop shortest paths; the bounded
+    truncation every distributed SSSP declares). Complements
+    bfs_reach_part_graph (hop counts) with true weighted distances.
+
+    Scale: each round joins the CURRENT frontier frame (2 longs/node)
+    against the persisted, src-partitioned edge relation, then collapses
+    map-side via min — per-round traffic is O(|reached nodes|), never
+    O(|edges|); the plan is identical on a 1000-executor cluster."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = scoped_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_coorders"))
+        .where(F.col("n_coorders") >= MIN_COOCCUR)
+        .select(
+            "src",
+            "dst",
+            F.expr("CAST(1 + 100 div n_coorders AS BIGINT)").alias("cost"),
+        )
+        .repartition("src")
+    )
+    src0 = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = src0
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("node").alias("part_key"), "dist")
+
+
+# --------------------------------------------------------------------------
+# E152: personalized PageRank (restart mass pinned to one source node)
+# --------------------------------------------------------------------------
+
+
+def _ppr_oracle() -> str:
+    base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    steps = [
+        f"""pr0 AS (
+          SELECT node,
+                 CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                      THEN CAST({RANK_SCALE} AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS rank
+          FROM nodes
+        )"""
+    ]
+    for k in range(PR_ITERS):
+        steps.append(f"""pr{k + 1} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN n.node = (SELECT MIN(node) FROM nodes)
+                           THEN {base} ELSE 0 END
+                      + COALESCE(SUM(
+                          ({DAMP_NUM} * p.rank) // ({DAMP_DEN} * e.outdeg)
+                        ), 0) AS BIGINT) AS rank
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN pr{k} p ON p.node = e.src
+          GROUP BY n.node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM pairs GROUP BY src
+        ), edges AS (
+          SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM pairs
+        ), {", ".join(steps)}
+        SELECT node AS part_key, rank AS ppr
+        FROM pr{PR_ITERS}
+        WHERE rank > 0
+    """
+
+
+@query("ppr_part_graph", oracle=_ppr_oracle())
+def ppr_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E152: PERSONALIZED PageRank — the restart distribution is a point
+    mass on one source node (the graph's smallest part key) instead of
+    uniform, so rank measures proximity TO THAT NODE: the
+    related-products / similar-item primitive (Pinterest Pixie, YouTube
+    co-view PPR) rather than global importance. Same damping, scaled-int
+    arithmetic, and K=5 power iterations as pagerank_part_graph; only
+    nodes with nonzero mass are returned.
+
+    Scale: identical loop shape to pagerank (shared src-partitioned edge
+    materialization via scoped_persist); the rank frame starts at 1 row
+    and grows with the source's reach, so early iterations move LESS data
+    than global PageRank — at 100 TB the per-iteration shuffle stays
+    O(|reached nodes|)."""
+    edges = partitioned_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src0 = nodes.agg(F.min("node").alias("s"))
+
+    base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ranks = nodes.crossJoin(F.broadcast(src0)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(RANK_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        contribs = edges.join(ranks, edges["src"] == ranks["node"]).select(
+            F.col("dst"),
+            F.expr(
+                f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
+            ).alias("contrib"),
+        )
+        contrib_agg = contribs.groupBy("dst").agg(
+            F.sum("contrib").alias("incoming")
+        )
+        ranks = (
+            nodes.join(contrib_agg, nodes["node"] == contrib_agg["dst"], "left")
+            .crossJoin(F.broadcast(src0))
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == F.col("s"), F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.coalesce(F.col("incoming"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks.where(F.col("rank") > 0).select(
+        F.col("node").alias("part_key"), F.col("rank").alias("ppr")
+    )

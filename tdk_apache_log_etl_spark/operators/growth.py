@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .registry import query
+from .registry import query, scoped_persist
 
 #: Journey paths are capped at the first N events per user: the collect
 #: is bounded per key no matter how active one user is (the 100 TB
@@ -809,4 +809,79 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, p_conv_full double, p_conv_removed double, "
         "removal_effect double",
+    )
+
+
+# --------------------------------------------------------------------------
+# E147b/E148: sequential-pattern support (a-before-b pair mining)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seq_pattern_pairs",
+    oracle="""
+        WITH ut AS (
+          SELECT user_id, event_type,
+                 MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM events GROUP BY user_id, event_type
+        ), total AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+        ), sup AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_support
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id
+           AND a.event_type <> b.event_type
+           AND a.first_ts < b.last_ts
+          GROUP BY a.event_type, b.event_type
+        )
+        SELECT s.type_a, s.type_b, s.n_support,
+               CAST(s.n_support AS DOUBLE) / t.n_users AS support_share
+        FROM sup s CROSS JOIN total t
+    """,
+)
+def seq_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E148: sequential-pattern mining, pair level (GSP/PrefixSpan's
+    length-2 stage): pattern ``a -> b`` is SUPPORTED by a user iff some
+    ``a`` event happens strictly before some ``b`` event (equivalently
+    first(a) < last(b)); support = #users, plus the share of all active
+    users. Unlike event_transition_matrix (ADJACENT steps only) this
+    admits arbitrary gaps — the classic seq-mining semantics.
+
+    Scale: the fact table collapses to the (user, type, first, last)
+    frame first — map-side combinable, at most |types| rows per user —
+    so the per-user pair expansion is bounded by |types|^2 (25 here),
+    never by the user's event count; one shuffle on user_id, then a
+    map-side-combined pair count over a 5x5 key domain. The total-users
+    scalar is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = scoped_persist(
+        ev.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+    )
+    total = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_ts") < F.col("b.last_ts")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+    )
+    return sup.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_support",
+        (F.col("n_support").cast("double") / F.col("n_users")).alias(
+            "support_share"
+        ),
     )

@@ -1291,3 +1291,244 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E147: multiple OLS regression via distributed normal equations
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for the response (4-dp event value).
+_OLS_SCALE = 10_000
+
+
+@query(
+    "ols_value_regression",
+    oracle=f"""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(hour(ts) AS HUGEINT)) AS sh,
+                 SUM(CAST(dayofweek(ts) AS HUGEINT)) AS sd,
+                 SUM(CAST(hour(ts) AS HUGEINT) * hour(ts)) AS shh,
+                 SUM(CAST(hour(ts) AS HUGEINT) * dayofweek(ts)) AS shd,
+                 SUM(CAST(dayofweek(ts) AS HUGEINT) * dayofweek(ts)) AS sdd,
+                 SUM(CAST(FLOOR(value * {_OLS_SCALE} + 0.5) AS HUGEINT))
+                   AS sy,
+                 SUM(CAST(FLOOR(value * {_OLS_SCALE} + 0.5) AS HUGEINT)
+                     * hour(ts)) AS shy,
+                 SUM(CAST(FLOOR(value * {_OLS_SCALE} + 0.5) AS HUGEINT)
+                     * dayofweek(ts)) AS sdy
+          FROM events WHERE value IS NOT NULL
+        ), d AS (
+          SELECT CAST(n AS BIGINT) AS n_rows,
+                 CAST(  n * (shh * sdd - shd * shd)
+                      - sh * (sh * sdd - shd * sd)
+                      + sd * (sh * shd - shh * sd) AS DOUBLE) AS det,
+                 CAST(  sy * (shh * sdd - shd * shd)
+                      - sh * (shy * sdd - shd * sdy)
+                      + sd * (shy * shd - shh * sdy) AS DOUBLE) AS det0,
+                 CAST(  n * (shy * sdd - sdy * shd)
+                      - sy * (sh * sdd - shd * sd)
+                      + sd * (sh * sdy - shy * sd) AS DOUBLE) AS det1,
+                 CAST(  n * (shh * sdy - shd * shy)
+                      - sh * (sh * sdy - shy * sd)
+                      + sy * (sh * shd - shh * sd) AS DOUBLE) AS det2
+          FROM m
+        )
+        SELECT n_rows,
+               (det0 / NULLIF(det, 0.0)) / {_OLS_SCALE} AS beta_intercept,
+               (det1 / NULLIF(det, 0.0)) / {_OLS_SCALE} AS beta_hour,
+               (det2 / NULLIF(det, 0.0)) / {_OLS_SCALE} AS beta_dow
+        FROM d
+    """,
+)
+def ols_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E147: multiple linear regression (value ~ intercept + hour + dow)
+    solved exactly by DISTRIBUTED NORMAL EQUATIONS — the 100 TB-safe way
+    to fit a small linear model: one map-side-combinable pass accumulates
+    the 9 cross-moments of X'X / X'y, and the 3x3 system is solved in
+    closed form (Cramer's rule) on those scalars. No gradient loop, no
+    per-row Python, no second pass.
+
+    Exactness: the response is 4-dp fixed-point; every moment accumulates
+    in 128-bit integers (decimal(38,0) / HUGEINT — Sigma(h*y_s) overflows
+    neither, but the determinant cross-products reach ~1e33 at sf1, far
+    past BIGINT), and each determinant is computed EXACTLY in the integer
+    domain before ONE cast to double and ONE division — bit-identical in
+    both engines at any parallelism. dow is DuckDB's 0=Sunday..6
+    convention (Spark's dayofweek-1).
+
+    Scale: a single aggregate with partial (map-side) combine; exactly one
+    9-number row crosses the network. At 1000 executors this is the same
+    plan, just wider."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    h = F.hour("ts").cast("long")
+    d = (F.dayofweek("ts") - 1).cast("long")
+    ys = F.floor(F.col("value") * _OLS_SCALE + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - local shorthand
+    m = ev.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(h)).alias("sh"),
+        F.sum(dec(d)).alias("sd"),
+        F.sum(dec(h) * h).alias("shh"),
+        F.sum(dec(h) * d).alias("shd"),
+        F.sum(dec(d) * d).alias("sdd"),
+        F.sum(dec(ys)).alias("sy"),
+        F.sum(dec(ys) * h).alias("shy"),
+        F.sum(dec(ys) * d).alias("sdy"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("shh") * c("sdd") - c("shd") * c("shd"))
+        - c("sh") * (c("sh") * c("sdd") - c("shd") * c("sd"))
+        + c("sd") * (c("sh") * c("shd") - c("shh") * c("sd"))
+    ).cast("double")
+    det0 = (
+        c("sy") * (c("shh") * c("sdd") - c("shd") * c("shd"))
+        - c("sh") * (c("shy") * c("sdd") - c("shd") * c("sdy"))
+        + c("sd") * (c("shy") * c("shd") - c("shh") * c("sdy"))
+    ).cast("double")
+    det1 = (
+        c("n") * (c("shy") * c("sdd") - c("sdy") * c("shd"))
+        - c("sy") * (c("sh") * c("sdd") - c("shd") * c("sd"))
+        + c("sd") * (c("sh") * c("sdy") - c("shy") * c("sd"))
+    ).cast("double")
+    det2 = (
+        c("n") * (c("shh") * c("sdy") - c("shd") * c("shy"))
+        - c("sh") * (c("sh") * c("sdy") - c("shy") * c("sd"))
+        + c("sy") * (c("sh") * c("shd") - c("shh") * c("sd"))
+    ).cast("double")
+    safe_det = F.nullif(det, F.lit(0.0))
+    return m.select(
+        c("n").cast("long").alias("n_rows"),
+        ((det0 / safe_det) / _OLS_SCALE).alias("beta_intercept"),
+        ((det1 / safe_det) / _OLS_SCALE).alias("beta_hour"),
+        ((det2 / safe_det) / _OLS_SCALE).alias("beta_dow"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E151: lead/lag cross-correlation between two daily event series
+# --------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+
+@query(
+    "error_purchase_xcorr_lags",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+          FROM events
+        ), cal AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+          FROM bounds
+        ), daily AS (
+          SELECT c.day,
+                 CAST(COALESCE(COUNT(*) FILTER (
+                   WHERE e.event_type = 'error'), 0) AS BIGINT) AS n_err,
+                 CAST(COALESCE(COUNT(*) FILTER (
+                   WHERE e.event_type = 'purchase'), 0) AS BIGINT) AS n_pur
+          FROM cal c LEFT JOIN events e ON CAST(e.ts AS DATE) = c.day
+          GROUP BY c.day
+        ), lags AS (
+          SELECT unnest(generate_series(-{_XCORR_MAX_LAG},
+                                        {_XCORR_MAX_LAG}, 1)) AS lag
+        ), paired AS (
+          SELECT l.lag, a.n_err AS x, b.n_pur AS y
+          FROM lags l
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        ), m AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM paired GROUP BY lag
+        )
+        SELECT lag, n AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                 AS xcorr
+        FROM m
+    """,
+)
+def error_purchase_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E151: cross-correlation function between the daily error-count and
+    purchase-count series at lags -3..+3 (does error volume LEAD or LAG
+    purchasing?). The calendar is zero-filled between the data's min/max
+    date so silent days count as 0 rather than vanishing; each lag's
+    Pearson r pairs err(t) with pur(t+lag) over the days where the
+    shifted day is still inside the calendar.
+
+    Exactness: counts are integers; the five cross-moments accumulate in
+    128-bit (a sf-1000 daily count squared times days would pass BIGINT),
+    and r is one fixed sqrt+divide chain over exact integers —
+    bit-identical across engines; degenerate constant series yield NULL.
+
+    Scale: the fact table collapses to |days| rows FIRST (map-side
+    combinable counts); the lag pairing joins the tiny daily frame to
+    itself 7 times via an exploded literal lag column — O(days x lags)
+    rows total, broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    counts = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_err"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_pur"),
+    )
+    daily = scoped_persist(
+        cal.join(counts, "day", "left").select(
+            "day",
+            F.coalesce(F.col("n_err"), F.lit(0)).cast("long").alias("n_err"),
+            F.coalesce(F.col("n_pur"), F.lit(0)).cast("long").alias("n_pur"),
+        )
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("b.day") == F.expr("date_add(a.day, lag)"),
+        )
+        .select(
+            "lag",
+            F.col("a.n_err").alias("x"),
+            F.col("b.n_pur").alias("y"),
+        )
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+    )
+    c = F.col
+    num = (c("n") * c("sxy") - c("sx") * c("sy")).cast("double")
+    den = F.sqrt(
+        (c("n") * c("sxx") - c("sx") * c("sx")).cast("double")
+        * (c("n") * c("syy") - c("sy") * c("sy")).cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        c("n").alias("n_days"),
+        (num / F.nullif(den, F.lit(0.0))).alias("xcorr"),
+    )

@@ -1462,3 +1462,115 @@ def corpus_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(2.0 * F.col("n_doubletons"), F.lit(0.0))
         ).alias("chao1_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# E149: sparse TF-vector cosine pairs via df-capped posting-list join
+# --------------------------------------------------------------------------
+
+#: Ubiquitous-token prune for the pair join: a token appearing in more
+#: than 1/20th of the corpus generates O((n/20)^2) candidate pairs on its
+#: own and carries near-zero similarity signal; dropping it bounds the
+#: posting self-join the same way the prefix filter bounds
+#: exact_jaccard_pairs. The capped vocabulary IS the operator's declared
+#: vector space (rare-token cosine), so the oracle matches exactly.
+_TF_DF_CAP_DEN = 20
+_TF_COS_MIN = 0.30
+
+
+@query(
+    "doc_tf_cosine_pairs",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ), nd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        ), kept AS (
+          SELECT t.doc_id, t.token, t.tf
+          FROM tf t JOIN df USING (token) CROSS JOIN nd
+          WHERE df.df >= 2 AND df.df * {_TF_DF_CAP_DEN} <= nd.n_docs
+        ), norms AS (
+          SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm2
+          FROM kept GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot_tf
+          FROM kept a JOIN kept b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.doc_a, d.doc_b, d.dot_tf,
+               CAST(d.dot_tf AS DOUBLE)
+                 / sqrt(CAST(na.nrm2 * nb.nrm2 AS DOUBLE)) AS cos_sim
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        WHERE CAST(d.dot_tf AS DOUBLE)
+                / sqrt(CAST(na.nrm2 * nb.nrm2 AS DOUBLE)) >= {_TF_COS_MIN}
+    """,
+)
+def doc_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E149: exact sparse-vector cosine similarity between documents over
+    the RARE-token vocabulary (df >= 2 and df <= n_docs/20), computed as a
+    posting-list self-join — the inverted-index formulation of document
+    similarity (complements minhash_lsh_neardup, which approximates
+    Jaccard; this is exact cosine on TF vectors).
+
+    Scale: the join key is the token, and the df cap bounds each token's
+    contribution to at most (n_docs/20 choose 2) pairs while killing the
+    head tokens that would otherwise dominate cost with noise — the same
+    frequency-prune every production similarity self-join (PPJoin, ES
+    more-like-this) applies. Dot products and norms are exact BIGINT sums;
+    cosine is one sqrt + one division over identical operands, so the
+    threshold verdict is bit-identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    kept = scoped_persist(
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df") * _TF_DF_CAP_DEN <= F.col("n_docs"))
+        )
+        .select("doc_id", "token", "tf")
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm2")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot_tf"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = F.col("dot_tf").cast("double") / F.sqrt(
+        (F.col("na.nrm2") * F.col("nb.nrm2")).cast("double")
+    )
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(cos >= _TF_COS_MIN)
+        .select("doc_a", "doc_b", "dot_tf", cos.alias("cos_sim"))
+    )

@@ -161,3 +161,50 @@ def test_hits_planted_bipartite(spark, tmp_path):
     assert auth[10] == HITS_SCALE  # max-normalized top authority
     assert auth[11] == auth[12] < auth[10]
     assert hub[1] == HITS_SCALE and hub[2] < hub[1]
+
+
+def test_weighted_sssp_prefers_cheap_strong_edges(spark, tmp_path):
+    # Path graph 1-2-3: edge 1-2 co-ordered 100 times (cost 1+100//100=2),
+    # edge 2-3 co-ordered twice (cost 1+100//2=51). Source = min node = 1.
+    # Also a disconnected pair {8,9}: unreachable, must be absent.
+    sf = _lineitem(
+        tmp_path, [[1, 2]] * 100 + [[2, 3]] * 2 + [[8, 9]] * 2
+    )
+    dist = {
+        r.part_key: r.dist
+        for r in QUERIES["weighted_sssp_part_graph"](spark, sf).collect()
+    }
+    assert dist == {1: 0, 2: 2, 3: 53}
+
+
+def test_sssp_takes_cheaper_two_hop_detour(spark, tmp_path):
+    # Direct edge 1-3 is weak (2 co-orders -> cost 51); the detour 1-2-3
+    # uses two strong edges (100 co-orders -> cost 2 each, total 4).
+    # Bellman-Ford must return 4, not 51.
+    sf = _lineitem(
+        tmp_path, [[1, 3]] * 2 + [[1, 2]] * 100 + [[2, 3]] * 100
+    )
+    dist = {
+        r.part_key: r.dist
+        for r in QUERIES["weighted_sssp_part_graph"](spark, sf).collect()
+    }
+    assert dist[3] == 4
+    assert dist[2] == 2
+
+
+def test_ppr_mass_localizes_at_source_component(spark, tmp_path):
+    # Two disconnected mutual pairs {1,2} and {8,9}: personalized restart
+    # pins all mass to node 1's component; 8/9 never receive rank and are
+    # excluded from the output.
+    sf = _lineitem(tmp_path, [[1, 2]] * 2 + [[8, 9]] * 2)
+    ppr = {
+        r.part_key: r.ppr
+        for r in QUERIES["ppr_part_graph"](spark, sf).collect()
+    }
+    assert set(ppr) == {1, 2}
+    # both ends of the source's component carry mass; total mass never
+    # exceeds the injected restart mass (floor division only loses units,
+    # never gains) — on a 2-cycle K=5 truncation still oscillates, so no
+    # ordering between the two is asserted, only locality + conservation
+    assert ppr[1] > 0 and ppr[2] > 0
+    assert sum(ppr.values()) <= RANK_SCALE

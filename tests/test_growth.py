@@ -841,3 +841,40 @@ def test_column_profile_hand_computed(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_seq_pattern_supports_gapped_order(spark, tmp_path):
+    # user 1: a then (other) then b  -> supports a->b (gap allowed), not b->a
+    # user 2: b then a               -> supports b->a only
+    # user 3: only a                 -> supports nothing
+    rows = [
+        (0, dt.datetime(2026, 5, 1, 9), 1, "a", 1.0, "{}"),
+        (1, dt.datetime(2026, 5, 1, 10), 1, "c", 1.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 11), 1, "b", 1.0, "{}"),
+        (3, dt.datetime(2026, 5, 2, 9), 2, "b", 1.0, "{}"),
+        (4, dt.datetime(2026, 5, 2, 10), 2, "a", 1.0, "{}"),
+        (5, dt.datetime(2026, 5, 3, 9), 3, "a", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {
+        (r.type_a, r.type_b): (r.n_support, r.support_share)
+        for r in QUERIES["seq_pattern_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert out[("a", "b")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)  # user 1: a before c
+    assert out[("c", "b")] == (1, 1 / 3)  # user 1: c before b
+    assert ("b", "c") not in out  # c never follows a b anywhere
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "seq_pattern_pairs",
+        QUERIES["seq_pattern_pairs"],
+        ORACLES["seq_pattern_pairs"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -371,3 +371,128 @@ def test_conformal_intervals_cover_and_deterministic(spark):
         assert r.q_hat >= 0 and r.n_cal > 0 and r.n_test > 0
         # marginal guarantee is >= 0.9 in expectation; allow small-n noise
         assert r.coverage >= 0.8, r
+
+
+def test_ols_recovers_planted_plane(spark, tmp_path):
+    # value = 2 + 3*hour + 5*dow exactly, with hour and dow varied
+    # independently -> the normal equations are nonsingular and the
+    # Cramer solution recovers the plane bit-exactly (integer dets,
+    # exact double division).
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = []
+    eid = 0
+    # 2026-05-03 is a Sunday (dow 0 in the DuckDB convention used)
+    for day_off, dow in [(0, 0), (1, 1), (3, 3)]:
+        for hour in [0, 2, 7, 11]:
+            v = 2.0 + 3.0 * hour + 5.0 * dow
+            rows.append(
+                (eid, dt.datetime(2026, 5, 3 + day_off, hour), eid % 4,
+                 "view", v, "{}")
+            )
+            eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["ols_value_regression"](spark, str(tmp_path)).collect()
+    assert r.n_rows == 12
+    assert r.beta_intercept == 2.0
+    assert r.beta_hour == 3.0
+    assert r.beta_dow == 5.0
+    ok, detail = compare(
+        spark,
+        "ols_value_regression",
+        QUERIES["ols_value_regression"],
+        ORACLES["ols_value_regression"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_ols_degenerate_design_null_betas(spark, tmp_path):
+    # Every event in the same hour AND same dow -> X'X is singular
+    # (det = 0); both engines must agree on NULL coefficients rather
+    # than a divide-by-zero.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = [
+        (i, dt.datetime(2026, 5, 3, 9), i, "view", 10.0 + i, "{}")
+        for i in range(4)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["ols_value_regression"](spark, str(tmp_path)).collect()
+    assert r.n_rows == 4
+    assert r.beta_intercept is None
+    assert r.beta_hour is None
+    assert r.beta_dow is None
+    ok, detail = compare(
+        spark,
+        "ols_value_regression",
+        QUERIES["ols_value_regression"],
+        ORACLES["ols_value_regression"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_xcorr_detects_planted_lead(spark, tmp_path):
+    # Purchases trail errors by exactly one day with identical counts:
+    # r(+1) = 1.0 exactly; r(0) over the zero-filled calendar is < 1.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = []
+    eid = 0
+    for t in range(1, 6):  # May 1..5: t errors on day t
+        for _ in range(t):
+            rows.append((eid, dt.datetime(2026, 5, t, 8), eid % 7,
+                         "error", 1.0, "{}"))
+            eid += 1
+    for t in range(1, 6):  # May 2..6: t purchases on day t+1
+        for _ in range(t):
+            rows.append((eid, dt.datetime(2026, 5, t + 1, 9), eid % 7,
+                         "purchase", 1.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {
+        r.lag: r
+        for r in QUERIES["error_purchase_xcorr_lags"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == set(range(-3, 4))
+    assert out[1].xcorr == 1.0
+    assert out[0].xcorr < 1.0
+    assert out[1].n_days == 5
+    ok, detail = compare(
+        spark,
+        "error_purchase_xcorr_lags",
+        QUERIES["error_purchase_xcorr_lags"],
+        ORACLES["error_purchase_xcorr_lags"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -146,3 +146,46 @@ def test_corpus_coverage_no_doubletons_null_chao1(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_tf_cosine_planted_pair(spark, tmp_path):
+    # docs 0/1 share rare tokens x,y with tf vectors (2,1) and (1,2):
+    # cos = (2*1 + 1*2) / (sqrt(5)*sqrt(5)) = 0.8 exactly. 38 filler docs
+    # of singleton junk tokens keep the df cap satisfied (df=2 needs
+    # n_docs >= 40) while contributing no kept postings themselves.
+    rows = [
+        (0, "x x y", "en", "s", 5),
+        (1, "x y y", "en", "s", 5),
+    ] + [(i, f"junk{i}a junk{i}b", "en", "s", 12) for i in range(2, 40)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = QUERIES["doc_tf_cosine_pairs"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.doc_a, r.doc_b, r.dot_tf, r.cos_sim) == (0, 1, 4, 0.8)
+    ok, detail = compare(
+        spark,
+        "doc_tf_cosine_pairs",
+        QUERIES["doc_tf_cosine_pairs"],
+        ORACLES["doc_tf_cosine_pairs"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_tf_cosine_df_cap_drops_ubiquitous_token(spark, tmp_path):
+    # The token "omni" appears in every doc: with df*20 > n_docs it is
+    # excluded from the vector space, so the only similarity left between
+    # docs 0/1 is via the rare shared token "r" — and docs 2..39, which
+    # share ONLY "omni", produce no pair at all.
+    rows = [
+        (0, "omni r", "en", "s", 6),
+        (1, "omni r", "en", "s", 6),
+    ] + [(i, "omni", "en", "s", 4) for i in range(2, 40)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = QUERIES["doc_tf_cosine_pairs"](spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(0, 1)]
+    assert out[0].cos_sim == 1.0  # identical single-token rare vectors
