@@ -125,6 +125,9 @@ HEADLINE = [
     "weighted_sssp_part_graph",
     "error_purchase_xcorr_lags",
     "ppr_part_graph",
+    "hourly_count_anomaly_ewma",
+    "type_dow_cramers_v",
+    "daily_revenue_sax",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import SCALE
-from .registry import query
+from .registry import query, scoped_persist
 from .relational import _global_ranks
 
 
@@ -532,7 +532,6 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frames (quantile array, count stats) broadcast-crossJoin into
     the single output row. The imbalance division is a fixed
     double-op tree over exact BIGINTs — engine-exact."""
-    from .registry import scoped_persist
     from .relational import _distributed_quantiles
 
     ev = load_table(spark, sf_dir, "events")
@@ -1316,3 +1315,113 @@ def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point_mean"),
     )
     return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+# --------------------------------------------------------------------------
+# E154: chi-square / Cramér's V association (effect size, exact arithmetic)
+# --------------------------------------------------------------------------
+
+#: Chi-square accumulates in units of 1e-6: each cell's
+#: (n·O−r·c)²·SCALE // (n·r·c) is EXACT integer arithmetic (128-bit), so
+#: the sum is order-insensitive — a raw double Σ over cells would depend
+#: on cell visit order and diverge between engines.
+_CHI2_SCALE = 1_000_000
+
+
+@query(
+    "type_dow_cramers_v",
+    oracle=f"""
+        WITH obs AS (
+          SELECT event_type, dayofweek(ts) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2
+        ), rt AS (
+          SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1
+        ), ct AS (
+          SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+          FROM obs
+        ), grid AS (
+          SELECT rt.event_type, ct.dow, rt.r, ct.c,
+                 CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN obs ON obs.event_type = rt.event_type
+                       AND obs.dow = ct.dow
+        ), cells AS (
+          SELECT CAST(SUM(
+            ((CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * (CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * {_CHI2_SCALE})
+            // (CAST(t.n AS HUGEINT) * g.r * g.c)
+          ) AS BIGINT) AS chi2_scaled
+          FROM grid g CROSS JOIN tot t
+        )
+        SELECT t.n AS n_events,
+               CAST(c.chi2_scaled AS DOUBLE) / {_CHI2_SCALE} AS chi2,
+               sqrt((CAST(c.chi2_scaled AS DOUBLE) / {_CHI2_SCALE})
+                    / (t.n * LEAST(t.nr - 1, t.nc - 1))) AS cramers_v
+        FROM cells c CROSS JOIN tot t
+    """,
+)
+def type_dow_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E154: chi-square independence statistic + Cramér's V effect size
+    over the event_type x day-of-week contingency grid — the NORMALIZED
+    companion to the E110 total-variation readout (V in [0,1] is
+    comparable across grids of different shape; raw chi-square is not).
+
+    Exactness: every cell contributes
+    (n·O−r·c)²·10⁶ // (n·r·c) — pure 128-bit INTEGER arithmetic — so the
+    cell sum is exact and order-insensitive; a naive double chi-square
+    sum would depend on cell visit order and diverge between engines. V
+    is one sqrt over identical operands. Zero-count cells with positive
+    margins are included (they carry r·c²/n of the statistic).
+
+    Scale: facts collapse map-side to the |types|x|dows| grid (35 cells);
+    margins and total derive from the grid, never rescanning facts; the
+    driver sees one row."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    obs = scoped_persist(obs)
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "r", "c", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n")) * F.col("o") - dec(F.col("r")) * F.col("c")
+    cell = F.expr(
+        f"CAST((num * num * {_CHI2_SCALE}) div (nn * r * c) AS BIGINT)"
+    )
+    cells = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            num.alias("num"),
+            dec(F.col("n")).alias("nn"),
+            dec(F.col("r")).alias("r"),
+            dec(F.col("c")).alias("c"),
+        )
+        .select(cell.alias("cell"))
+        .agg(F.sum("cell").cast("long").alias("chi2_scaled"))
+    )
+    chi2 = F.col("chi2_scaled").cast("double") / _CHI2_SCALE
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+        ).alias("cramers_v"),
+    )

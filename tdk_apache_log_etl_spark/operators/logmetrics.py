@@ -3069,3 +3069,148 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E153: EWMA baseline anomaly detection over hourly type counts
+# (batch query here; streaming/anomaly_stream.py maintains the same state)
+# --------------------------------------------------------------------------
+
+#: EWMA lives in units of 1/1024 event (dyadic scale) with alpha = 1/8:
+#: e_t = (7*e_{t-1} + 1024*c_t) // 8 — pure integer arithmetic, so the
+#: recurrence is bit-identical in every engine and at any parallelism.
+_EWMA_SCALE = 1024
+#: An hour is anomalous when its count exceeds 3x the EWMA baseline AND
+#: the baseline has seen at least 2 events/hour (cold-start guard).
+_EWMA_SPIKE_NUM = 3
+_EWMA_MIN_BASE = 2 * _EWMA_SCALE
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour, n_events) — the additive state the EWMA walk
+    reads; each streaming micro-batch produces this exact frame for its
+    own rows and merges by summation (streaming/anomaly_stream.py)."""
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def ewma_anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """EWMA walk + spike flags over an (event_type, hour, n_events)
+    frame — shared verbatim between the batch query and the streaming
+    state reader, so the two cannot drift.
+
+    The calendar is zero-filled per type between the global min/max hour
+    (a silent hour decays the baseline; skipping it would freeze it).
+    The walk itself is a TRUE sequential recurrence (floor division
+    breaks associativity), run per type via applyInPandas — bounded by
+    |types| groups x |hours| rows, which grows with calendar time, not
+    event volume, so the Python boundary is a constant-sized frame even
+    at 100 TB of events."""
+    import pandas as pd  # local: Arrow path only
+
+    spark = hourly.sparkSession
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+            .alias("n_events"),
+        )
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        counts = pdf["n_events"].to_numpy()
+        ewma = 0
+        out_e, out_a = [], []
+        for t, c in enumerate(counts):
+            c = int(c)
+            if t == 0:
+                ewma = _EWMA_SCALE * c
+                flag = False
+            else:
+                flag = bool(
+                    _EWMA_SCALE * c > _EWMA_SPIKE_NUM * ewma
+                    and ewma >= _EWMA_MIN_BASE
+                )
+                ewma = (7 * ewma + _EWMA_SCALE * c) // 8
+            out_e.append(ewma)
+            out_a.append(flag)
+        pdf["ewma_scaled"] = pd.Series(out_e, dtype="int64")
+        pdf["is_anomaly"] = pd.Series(out_a, dtype="bool")
+        return pdf
+
+    return grid.groupBy("event_type").applyInPandas(
+        _walk,
+        "event_type string, hour timestamp_ntz, n_events long, "
+        "ewma_scaled long, is_anomaly boolean",
+    )
+
+
+@query(
+    "hourly_count_anomaly_ewma",
+    oracle=f"""
+        WITH RECURSIVE b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ), hours AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM b
+        ), cnt AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ), grid AS (
+          SELECT t.event_type, h.hour,
+                 CAST(date_diff('hour', b.lo, h.hour) AS BIGINT) AS idx,
+                 CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN hours h
+          CROSS JOIN b
+          LEFT JOIN cnt c
+            ON c.event_type = t.event_type AND c.hour = h.hour
+        ), walk AS (
+          SELECT event_type, hour, idx, n_events,
+                 CAST({_EWMA_SCALE} * n_events AS BIGINT) AS ewma_scaled,
+                 FALSE AS is_anomaly
+          FROM grid WHERE idx = 0
+          UNION ALL
+          SELECT g.event_type, g.hour, g.idx, g.n_events,
+                 CAST((7 * w.ewma_scaled + {_EWMA_SCALE} * g.n_events) // 8
+                      AS BIGINT),
+                 ({_EWMA_SCALE} * g.n_events
+                    > {_EWMA_SPIKE_NUM} * w.ewma_scaled
+                  AND w.ewma_scaled >= {_EWMA_MIN_BASE})
+          FROM walk w JOIN grid g
+            ON g.event_type = w.event_type AND g.idx = w.idx + 1
+        )
+        SELECT event_type, hour, n_events, ewma_scaled, is_anomaly
+        FROM walk
+    """,
+)
+def hourly_count_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E153: operational anomaly detection — per event type, an
+    exponentially-weighted moving baseline (alpha=1/8, integer dyadic
+    arithmetic) over ZERO-FILLED hourly counts; an hour is flagged when
+    its count exceeds 3x the baseline that stood BEFORE it (with a
+    2-event/hour cold-start floor). The EWMA adapts to drift the fixed
+    3-sigma-of-global-history detectors can't follow. Streaming twin:
+    streaming/anomaly_stream.py maintains the same hourly state
+    incrementally and reads alerts through the SAME walk function.
+
+    Exactness: the recurrence is pure integer floor arithmetic, so the
+    walk is bit-identical to the recursive-CTE oracle; flags compare
+    integers, never floats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_anomalies_from_hourly(hourly_type_counts(ev))

@@ -1532,3 +1532,140 @@ def error_purchase_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("n").alias("n_days"),
         (num / F.nullif(den, F.lit(0.0))).alias("xcorr"),
     )
+
+
+# --------------------------------------------------------------------------
+# E155: SAX symbolization of the daily-revenue series (PAA + breakpoints)
+# --------------------------------------------------------------------------
+
+#: PAA segment width in days and the 4-symbol Gaussian breakpoints
+#: (literal constants shared verbatim with the oracle — equiprobable
+#: quartiles of N(0,1)).
+_SAX_W = 8
+_SAX_BP = "0.6745"
+
+
+@query(
+    "daily_revenue_sax",
+    oracle=f"""
+        WITH b AS (
+          SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                 CAST(MAX(o_orderdate) AS DATE) AS hi
+          FROM orders
+        ), cal AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+          FROM b
+        ), rev AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                      AS BIGINT)) AS BIGINT) AS sc
+          FROM orders GROUP BY 1
+        ), daily AS (
+          SELECT CAST(date_diff('day', b.lo, c.day) AS BIGINT) AS idx,
+                 CAST(COALESCE(r.sc, 0) AS BIGINT) AS sc
+          FROM cal c CROSS JOIN b LEFT JOIN rev r ON r.day = c.day
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(sc AS HUGEINT)) AS s1,
+                 SUM(CAST(sc AS HUGEINT) * sc) AS s2
+          FROM daily
+        ), seg AS (
+          SELECT idx // {_SAX_W} AS segment,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(sc AS HUGEINT)) AS seg_sum
+          FROM daily GROUP BY 1
+        )
+        SELECT s.segment,
+               (CAST(s.seg_sum AS DOUBLE) / {SCALE}) / s.n_days AS paa_value,
+               CASE WHEN sqrt((CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                              / (CAST(m.n AS DOUBLE) * m.n)) = 0.0 THEN NULL
+                    WHEN ((CAST(s.seg_sum AS DOUBLE) / s.n_days)
+                          - CAST(m.s1 AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                                / (CAST(m.n AS DOUBLE) * m.n))
+                         < -{_SAX_BP} THEN 'a'
+                    WHEN ((CAST(s.seg_sum AS DOUBLE) / s.n_days)
+                          - CAST(m.s1 AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                                / (CAST(m.n AS DOUBLE) * m.n))
+                         < 0.0 THEN 'b'
+                    WHEN ((CAST(s.seg_sum AS DOUBLE) / s.n_days)
+                          - CAST(m.s1 AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                                / (CAST(m.n AS DOUBLE) * m.n))
+                         < {_SAX_BP} THEN 'c'
+                    ELSE 'd' END AS sax_symbol
+        FROM seg s CROSS JOIN m
+    """,
+)
+def daily_revenue_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E155: SAX (Symbolic Aggregate approXimation, Lin et al. DMKD'07) of
+    the daily order-revenue series — z-normalize, average into 8-day PAA
+    segments, map each segment to one of 4 symbols at the equiprobable
+    N(0,1) breakpoints (+-0.6745, 0). The symbolized series is what
+    time-series indexing/motif/discord mining actually stores: thousands
+    of days collapse to a short string with a lower-bounding distance.
+
+    Exactness: daily revenue is 4-dp fixed point, zero-filled over the
+    calendar; global mean/std and segment PAA means all derive from
+    exact (128-bit) integer moments, each z-score is ONE fixed double
+    chain over identical operands, and the breakpoint comparisons are
+    against shared literal constants — so the symbols are bit-identical
+    across engines; a constant series yields NULL symbols (std = 0).
+
+    Scale: facts collapse map-side to |days| rows, segments to
+    |days|/8; everything after the first aggregate is broadcast-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sc_ = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    rev = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(sc_).cast("long").alias("sc")
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        "lo",
+    )
+    daily = scoped_persist(
+        cal.join(rev, "day", "left").select(
+            F.datediff(F.col("day"), F.col("lo")).cast("long").alias("idx"),
+            F.coalesce(F.col("sc"), F.lit(0)).cast("long").alias("sc"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("sc"))).alias("s1"),
+        F.sum(dec(F.col("sc")) * F.col("sc")).alias("s2"),
+    )
+    seg = daily.groupBy(
+        F.expr(f"idx div {_SAX_W}").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(dec(F.col("sc"))).alias("seg_sum"),
+    )
+    joined = seg.crossJoin(F.broadcast(m))
+    std = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    z = (
+        (F.col("seg_sum").cast("double") / F.col("n_days"))
+        - F.col("s1").cast("double") / F.col("n")
+    ) / std
+    bp = float(_SAX_BP)
+    return joined.select(
+        "segment",
+        ((F.col("seg_sum").cast("double") / SCALE) / F.col("n_days")).alias(
+            "paa_value"
+        ),
+        F.when(std == 0.0, F.lit(None).cast("string"))
+        .when(z < -bp, "a")
+        .when(z < 0.0, "b")
+        .when(z < bp, "c")
+        .otherwise("d")
+        .alias("sax_symbol"),
+    )

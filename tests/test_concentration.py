@@ -509,3 +509,52 @@ def test_poisson_bootstrap_ci_brackets_and_deterministic(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_cramers_v_extremes(spark, tmp_path):
+    # Perfect association (each type owns one dow) -> V = 1 exactly;
+    # the integer cell arithmetic must not lose a unit: chi2 = n.
+    import datetime as dt
+
+    rows = []
+    # 2026-08-03 is a Monday, 2026-08-04 a Tuesday
+    for i in range(10):
+        rows.append((i, dt.datetime(2026, 8, 3, 9), i, "a", 1.0, "{}"))
+        rows.append((100 + i, dt.datetime(2026, 8, 4, 9), i, "b", 1.0, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["type_dow_cramers_v"](spark, str(tmp_path)).collect()
+    assert r.n_events == 20
+    assert r.chi2 == 20.0
+    assert r.cramers_v == 1.0
+    ok, detail = compare(
+        spark,
+        "type_dow_cramers_v",
+        QUERIES["type_dow_cramers_v"],
+        ORACLES["type_dow_cramers_v"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_cramers_v_independent_grid_zero(spark, tmp_path):
+    # Uniform 2x2 grid: observed == expected in every cell -> chi2 = 0.
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in (3, 4):
+        for t in ("a", "b"):
+            for _ in range(5):
+                rows.append(
+                    (eid, dt.datetime(2026, 8, day, 9), eid, t, 1.0, "{}")
+                )
+                eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["type_dow_cramers_v"](spark, str(tmp_path)).collect()
+    assert (r.chi2, r.cramers_v) == (0.0, 0.0)

@@ -164,6 +164,14 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "probes",
         # Poisson bootstrap (concentration.py): the two 1-row CI bounds
         "lo", "hi",
+        # TF-cosine df cap (text.py): the 1-row corpus doc count
+        "nd",
+        # personalized PageRank (graph.py): the 1-row source-node scalar
+        "src0",
+        # Cramér's V (concentration.py): the 1-row (n, nr, nc) totals
+        "tot",
+        # SAX (robuststats.py): the 1-row global-moment frame
+        "m",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

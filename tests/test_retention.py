@@ -496,3 +496,70 @@ def test_xcorr_detects_planted_lead(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_sax_symbolizes_step_series(spark, tmp_path):
+    # 16 days: 10/day then 30/day. mean=20, std=10; PAA segments average
+    # to 10 and 30 -> z = -1 / +1 -> symbols 'a' / 'd', exact paa means.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = []
+    for d in range(16):
+        rows.append(
+            (d, dt.datetime(2026, 5, 1 + d), 10.0 if d < 8 else 30.0)
+        )
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.segment: r
+        for r in QUERIES["daily_revenue_sax"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0].paa_value, out[0].sax_symbol) == (10.0, "a")
+    assert (out[1].paa_value, out[1].sax_symbol) == (30.0, "d")
+    ok, detail = compare(
+        spark,
+        "daily_revenue_sax",
+        QUERIES["daily_revenue_sax"],
+        ORACLES["daily_revenue_sax"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_sax_constant_series_null_symbols(spark, tmp_path):
+    # std = 0: symbols must be NULL in both engines, not a div-by-zero.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = [(d, dt.datetime(2026, 5, 1 + d), 7.0) for d in range(8)]
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    [r] = QUERIES["daily_revenue_sax"](spark, str(tmp_path)).collect()
+    assert r.paa_value == 7.0
+    assert r.sax_symbol is None
+    ok, detail = compare(
+        spark,
+        "daily_revenue_sax",
+        QUERIES["daily_revenue_sax"],
+        ORACLES["daily_revenue_sax"],
+        str(tmp_path),
+    )
+    assert ok, detail
