@@ -128,6 +128,8 @@ HEADLINE = [
     "hourly_count_anomaly_ewma",
     "type_dow_cramers_v",
     "daily_revenue_sax",
+    "value_ks_drift",
+    "token_bigram_lm",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

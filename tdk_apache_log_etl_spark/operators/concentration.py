@@ -1425,3 +1425,147 @@ def type_dow_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             chi2 / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# E156: two-sample Kolmogorov–Smirnov drift test (exact, distributed)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "value_ks_drift",
+    oracle="""
+        WITH b AS (
+          SELECT CAST(MIN(ts) AS DATE)
+                 + CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                                  CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+                   AS mid
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT value AS v,
+                 CAST(COUNT(*) FILTER (WHERE CAST(ts AS DATE) < b.mid)
+                   AS BIGINT) AS c1,
+                 CAST(COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= b.mid)
+                   AS BIGINT) AS c2
+          FROM events CROSS JOIN b
+          WHERE value IS NOT NULL
+          GROUP BY value
+        ), cum AS (
+          SELECT v,
+                 CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+                 CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2,
+                 CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                 CAST(SUM(c2) OVER () AS BIGINT) AS n2
+          FROM g
+        ), d AS (
+          SELECT v, n1, n2, ABS(f1 * n2 - f2 * n1) AS num FROM cum
+        ), mx AS (
+          SELECT MAX(num) AS mnum FROM d
+        )
+        SELECT d.n1, d.n2,
+               CAST(mx.mnum AS DOUBLE)
+                 / (CAST(d.n1 AS DOUBLE) * d.n2) AS ks_stat,
+               MIN(d.v) OVER () AS ks_at
+        FROM d CROSS JOIN mx
+        WHERE d.num = mx.mnum
+        QUALIFY ROW_NUMBER() OVER (ORDER BY d.v) = 1
+    """,
+)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E156: exact two-sample Kolmogorov–Smirnov statistic between the
+    event-value distributions of the first and second calendar halves —
+    the standard "did the metric's DISTRIBUTION drift" test (mean-based
+    monitors miss shape changes; KS does not), with the value where the
+    CDF gap peaks (smallest such value on ties).
+
+    Exactness: at every distinct value x the CDF gap is the INTEGER
+    |F1(x)·n1·n2 − F2(x)·n1·n2| = |c1≤x·n2 − c2≤x·n1| — cross-multiplied
+    so no per-point division ever happens; one double division at the
+    very end. The argmax tie-breaks to the smallest value by exact
+    comparison.
+
+    Scale: the fact table collapses to one row per DISTINCT value
+    (map-side combine); cumulative counts use the two-phase distributed
+    prefix sum (range-repartition → per-partition window → broadcast
+    offsets, the _global_ranks shape) — no global single-partition
+    window ever materializes, so the plan survives a value domain of
+    any cardinality."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            (
+                F.datediff(
+                    F.max(F.col("ts").cast("date")),
+                    F.min(F.col("ts").cast("date")),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    g = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count(F.when(F.col("ts").cast("date") < F.col("mid"), 1))
+            .cast("long")
+            .alias("c1"),
+            F.count(F.when(F.col("ts").cast("date") >= F.col("mid"), 1))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    # two-phase distributed prefix sum over the value order
+    local = scoped_persist(
+        g.repartitionByRange(32, "v").select(
+            "v", "c1", "c2", F.spark_partition_id().alias("pid")
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part_tot = local.groupBy("pid").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_tot.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("o2"),
+    )
+    totals = part_tot.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"),
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
+        "v",
+        (F.col("o1") + F.sum("c1").over(w_local)).cast("long").alias("f1"),
+        (F.col("o2") + F.sum("c2").over(w_local)).cast("long").alias("f2"),
+    )
+    d = scoped_persist(
+        cum.crossJoin(F.broadcast(totals)).select(
+            "v",
+            "n1",
+            "n2",
+            F.abs(
+                F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+            ).alias("num"),
+        )
+    )
+    mx = d.agg(F.max("num").alias("mnum"))
+    return (
+        d.join(F.broadcast(mx), d["num"] == mx["mnum"])
+        .groupBy("n1", "n2", "mnum")
+        .agg(F.min("v").alias("ks_at"))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("mnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("ks_stat"),
+            "ks_at",
+        )
+    )

@@ -1574,3 +1574,90 @@ def doc_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= _TF_COS_MIN)
         .select("doc_a", "doc_b", "dot_tf", cos.alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# E157: bigram language model with add-one smoothing
+# --------------------------------------------------------------------------
+
+#: Report only bigrams seen at least this often — the LM table a scorer
+#: would broadcast; the unbounded singleton tail stays distributed.
+_BIGRAM_MIN_COUNT = 5
+
+
+@query(
+    "token_bigram_lm",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents
+        ), vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok
+        ), big AS (
+          SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok a JOIN tok b
+            ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+          GROUP BY a.w, b.w
+        ), uni AS (
+          SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM big GROUP BY w1
+        )
+        SELECT b.w1, b.w2, b.c, u.c1,
+               CAST(b.c + 1 AS DOUBLE) / (u.c1 + v.v) AS p_smoothed
+        FROM big b JOIN uni u USING (w1) CROSS JOIN vocab v
+        WHERE b.c >= {_BIGRAM_MIN_COUNT}
+    """,
+)
+def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E157: bigram language model over the corpus — adjacent-token
+    conditional probabilities P(w2|w1) with add-one (Laplace) smoothing
+    over the full vocabulary: the classic statistical LM whose
+    per-document log-probability is the quality/fluency score heavier
+    models approximate (and the direct generalization of E41's PMI lift,
+    which scores only same-doc co-occurrence, not adjacency). Only
+    bigrams with count >= 5 are emitted — the broadcastable scoring head;
+    the singleton tail contributes to counts but never ships.
+
+    Exactness: counts and the vocabulary size are exact BIGINTs;
+    P = (c+1)/(c1+V) is ONE double division of identical integers.
+
+    Scale: the per-doc adjacent pairing is a ZERO-SHUFFLE zip of the
+    token array against itself shifted by one (no positional self-join
+    in Spark — that's the oracle's formulation); bigram counts collapse
+    map-side, the conditional totals reduce over the already-collapsed
+    bigram frame, and V is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("ws"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = scoped_persist(
+        pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    uni = big.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    return (
+        big.where(F.col("c") >= _BIGRAM_MIN_COUNT)
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            (
+                (F.col("c") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            ).alias("p_smoothed"),
+        )
+    )

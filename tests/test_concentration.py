@@ -558,3 +558,52 @@ def test_cramers_v_independent_grid_zero(spark, tmp_path):
     ).to_parquet(tmp_path / "events.parquet")
     [r] = QUERIES["type_dow_cramers_v"](spark, str(tmp_path)).collect()
     assert (r.chi2, r.cramers_v) == (0.0, 0.0)
+
+
+def test_ks_detects_planted_shift(spark, tmp_path):
+    # First-half values {1,2,3,4}, second-half {3,4,5,6}: the CDF gap
+    # peaks at 0.5, first reached at v=2 (ties break to the smallest).
+    import datetime as dt
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((i, dt.datetime(2026, 5, 1, 9), i, "view", v, "{}"))
+    for i, v in enumerate([3.0, 4.0, 5.0, 6.0]):
+        rows.append((10 + i, dt.datetime(2026, 5, 3, 9), i, "view", v, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["value_ks_drift"](spark, str(tmp_path)).collect()
+    assert (r.n1, r.n2) == (4, 4)
+    assert r.ks_stat == 0.5
+    assert r.ks_at == 2.0
+    ok, detail = compare(
+        spark,
+        "value_ks_drift",
+        QUERIES["value_ks_drift"],
+        ORACLES["value_ks_drift"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_ks_identical_halves_zero(spark, tmp_path):
+    # Same distribution both halves -> D = 0 (and ks_at = the smallest
+    # value, where the zero gap is first attained).
+    import datetime as dt
+
+    rows = []
+    for day in (1, 3):
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            rows.append(
+                (day * 10 + i, dt.datetime(2026, 5, day, 9), i, "view", v,
+                 "{}")
+            )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["value_ks_drift"](spark, str(tmp_path)).collect()
+    assert r.ks_stat == 0.0
+    assert r.ks_at == 1.0

@@ -1,0 +1,83 @@
+"""Snapshot sink (sinks/snapshots.py): manifest-committed writes with
+time travel — torn writes invisible, append/overwrite history readable,
+expiry garbage-collects exactly the unreferenced files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tdk_apache_log_etl_spark.sinks.snapshots import (
+    committed_versions,
+    expire_snapshots,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_append_history_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = snapshot_write(_df(spark, 0, 5), t, mode="append")
+    v1 = snapshot_write(_df(spark, 5, 8), t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _ids(snapshot_read(spark, t)) == list(range(8))
+    # time travel: version 0 still shows only the first batch
+    assert _ids(snapshot_read(spark, t, version=0)) == list(range(5))
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 5), t, mode="append")
+    snapshot_write(_df(spark, 100, 103), t, mode="overwrite")
+    assert _ids(snapshot_read(spark, t)) == [100, 101, 102]
+    assert _ids(snapshot_read(spark, t, version=0)) == list(range(5))
+
+
+def test_torn_write_is_invisible(spark, tmp_path):
+    # data files without a manifest (crash before the rename): readers
+    # never see them, and the next writer claims the next version id.
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 3), t, mode="append")
+    torn = os.path.join(t, "data", "snap-1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert committed_versions(t) == [0]
+    assert _ids(snapshot_read(spark, t)) == [0, 1, 2]
+    v = snapshot_write(_df(spark, 3, 5), t, mode="append")
+    assert v == 1  # ids come from COMMITTED versions, not directories
+    assert _ids(snapshot_read(spark, t)) == [0, 1, 2, 3, 4]
+
+
+def test_expire_gc_unreferenced_files_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 5), t, mode="append")
+    snapshot_write(_df(spark, 100, 103), t, mode="overwrite")
+    snapshot_write(_df(spark, 103, 105), t, mode="append")
+    stats = expire_snapshots(t, keep_last=2)
+    assert stats["expired_manifests"] == 1
+    assert stats["deleted_files"] >= 1  # snap-0's files are unreferenced
+    assert committed_versions(t) == [1, 2]
+    # survivors still read; the expired version refuses cleanly
+    assert _ids(snapshot_read(spark, t)) == [100, 101, 102, 103, 104]
+    assert _ids(snapshot_read(spark, t, version=1)) == [100, 101, 102]
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=0)
+
+
+def test_read_empty_and_bad_version_raise(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t)
+    snapshot_write(_df(spark, 0, 2), t)
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=7)

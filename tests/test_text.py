@@ -189,3 +189,27 @@ def test_tf_cosine_df_cap_drops_ubiquitous_token(spark, tmp_path):
     out = QUERIES["doc_tf_cosine_pairs"](spark, str(tmp_path)).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(0, 1)]
     assert out[0].cos_sim == 1.0  # identical single-token rare vectors
+
+
+def test_bigram_lm_planted_counts(spark, tmp_path):
+    # "the cat" x5 in one doc: bigrams the->cat (5) and cat->the (4);
+    # only the former clears the min count. V=2, c1(the)=5 ->
+    # p = (5+1)/(5+2) = 6/7 exactly.
+    text = " ".join(["the", "cat"] * 5)
+    pd.DataFrame(
+        [(0, text, "en", "s", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = QUERIES["token_bigram_lm"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.w1, r.w2, r.c, r.c1) == ("the", "cat", 5, 5)
+    assert r.p_smoothed == 6 / 7
+    ok, detail = compare(
+        spark,
+        "token_bigram_lm",
+        QUERIES["token_bigram_lm"],
+        ORACLES["token_bigram_lm"],
+        str(tmp_path),
+    )
+    assert ok, detail
