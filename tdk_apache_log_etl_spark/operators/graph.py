@@ -102,7 +102,7 @@ def significant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_coorders"))
         .where(F.col("n_coorders") >= MIN_COOCCUR)
-        .select("src", "dst")
+        .select("src", "dst", "n_coorders")
     )
 
 
@@ -706,7 +706,9 @@ _SSSP_ROUNDS = 6
 def _sssp_oracle() -> str:
     steps = [
         """d0 AS (
-          SELECT (SELECT MIN(src) FROM pairs) AS node, CAST(0 AS BIGINT) AS dist
+          SELECT (SELECT src FROM deg
+                  ORDER BY outdeg DESC, src LIMIT 1) AS node,
+                 CAST(0 AS BIGINT) AS dist
         )"""
     ]
     for k in range(_SSSP_ROUNDS):
@@ -725,6 +727,9 @@ def _sssp_oracle() -> str:
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM pairs GROUP BY src
         ), edges AS (
           SELECT src, dst, CAST(1 + 100 // n_coorders AS BIGINT) AS cost
           FROM pairs
@@ -739,40 +744,37 @@ def weighted_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E150: weighted single-source shortest paths over the significant
     part co-occurrence graph — edge cost 1 + 100//n_coorders (stronger
     affinity = cheaper hop, integer so relaxation is exact), source = the
-    smallest part key in the graph, distances after K=6 Bellman-Ford
-    relaxation rounds (exact for all <=6-hop shortest paths; the bounded
-    truncation every distributed SSSP declares). Complements
-    bfs_reach_part_graph (hop counts) with true weighted distances.
+    graph's highest-out-degree hub (ties -> smallest key; a degree-1
+    fringe node would see almost nothing of a sparse graph), distances
+    after K=6 Bellman-Ford relaxation rounds (exact for all <=6-hop
+    shortest paths; the bounded truncation every distributed SSSP
+    declares). Complements bfs_reach_part_graph (hop counts) with true
+    weighted distances.
 
-    Scale: each round joins the CURRENT frontier frame (2 longs/node)
-    against the persisted, src-partitioned edge relation, then collapses
-    map-side via min — per-round traffic is O(|reached nodes|), never
-    O(|edges|); the plan is identical on a 1000-executor cluster."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = scoped_persist(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_coorders"))
-        .where(F.col("n_coorders") >= MIN_COOCCUR)
-        .select(
-            "src",
-            "dst",
-            F.expr("CAST(1 + 100 div n_coorders AS BIGINT)").alias("cost"),
-        )
-        .repartition("src")
+    Scale: reuses the graph pack's scoped-persisted edge relation
+    (significant_pairs — back-to-back graph queries pay the basket
+    self-join once); each round joins the CURRENT frontier frame
+    (2 longs/node) against it and collapses map-side via min — per-round
+    traffic is O(|reached nodes|), never O(|edges|)."""
+    pairs = significant_pairs(spark, sf_dir)
+    edges = pairs.select(
+        "src",
+        "dst",
+        F.expr("CAST(1 + 100 div n_coorders AS BIGINT)").alias("cost"),
     )
-    src0 = edges.agg(F.min("src").alias("node")).select(
-        "node", F.lit(0).cast("long").alias("dist")
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    hub = deg.orderBy(F.desc("outdeg"), F.asc("src")).limit(1)
+    src0 = hub.select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
     )
     dist = src0
     for _ in range(_SSSP_ROUNDS):
+        # dist feeds BOTH the relaxation join and the min-combine union;
+        # truncate lineage per round (the BFS/LPA discipline) or each
+        # round duplicates the whole prior subplan — 2^K copies by
+        # round K (measured 18 s at sf0.1 without, ~1 s with). The frame
+        # is (node, dist) longs — O(|reached|) — cheap to materialize.
+        dist = dist.localCheckpoint(eager=True)
         relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("cost")).alias("dist"),
@@ -795,7 +797,8 @@ def _ppr_oracle() -> str:
     steps = [
         f"""pr0 AS (
           SELECT node,
-                 CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                 CASE WHEN node = (SELECT src FROM deg
+                                   ORDER BY outdeg DESC, src LIMIT 1)
                       THEN CAST({RANK_SCALE} AS BIGINT)
                       ELSE CAST(0 AS BIGINT) END AS rank
           FROM nodes
@@ -804,7 +807,8 @@ def _ppr_oracle() -> str:
     for k in range(PR_ITERS):
         steps.append(f"""pr{k + 1} AS (
           SELECT n.node,
-                 CAST(CASE WHEN n.node = (SELECT MIN(node) FROM nodes)
+                 CAST(CASE WHEN n.node = (SELECT src FROM deg
+                                          ORDER BY outdeg DESC, src LIMIT 1)
                            THEN {base} ELSE 0 END
                       + COALESCE(SUM(
                           ({DAMP_NUM} * p.rank) // ({DAMP_DEN} * e.outdeg)
@@ -837,7 +841,8 @@ def _ppr_oracle() -> str:
 @query("ppr_part_graph", oracle=_ppr_oracle())
 def ppr_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E152: PERSONALIZED PageRank — the restart distribution is a point
-    mass on one source node (the graph's smallest part key) instead of
+    mass on one source node (the graph's highest-out-degree hub, ties to
+    the smallest key) instead of
     uniform, so rank measures proximity TO THAT NODE: the
     related-products / similar-item primitive (Pinterest Pixie, YouTube
     co-view PPR) rather than global importance. Same damping, scaled-int
@@ -851,7 +856,16 @@ def ppr_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|reached nodes|)."""
     edges = partitioned_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    src0 = nodes.agg(F.min("node").alias("s"))
+    # restart at the graph's highest-out-degree hub (ties -> smallest
+    # key): a degree-1 fringe source sees almost nothing of a sparse
+    # graph, a hub's neighborhood is the meaningful related-items set
+    src0 = (
+        edges.select("src", "outdeg")
+        .distinct()
+        .orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("s"))
+    )
 
     base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ranks = nodes.crossJoin(F.broadcast(src0)).select(

@@ -164,17 +164,17 @@ def test_hits_planted_bipartite(spark, tmp_path):
 
 
 def test_weighted_sssp_prefers_cheap_strong_edges(spark, tmp_path):
-    # Path graph 1-2-3: edge 1-2 co-ordered 100 times (cost 1+100//100=2),
-    # edge 2-3 co-ordered twice (cost 1+100//2=51). Source = min node = 1.
-    # Also a disconnected pair {8,9}: unreachable, must be absent.
+    # Star from part 1: edge 1-2 co-ordered 100 times (cost 1+100//100=2),
+    # edge 1-3 co-ordered twice (cost 1+100//2=51). Source = the degree-2
+    # hub = part 1. A disconnected pair {8,9} is unreachable -> absent.
     sf = _lineitem(
-        tmp_path, [[1, 2]] * 100 + [[2, 3]] * 2 + [[8, 9]] * 2
+        tmp_path, [[1, 2]] * 100 + [[1, 3]] * 2 + [[8, 9]] * 2
     )
     dist = {
         r.part_key: r.dist
         for r in QUERIES["weighted_sssp_part_graph"](spark, sf).collect()
     }
-    assert dist == {1: 0, 2: 2, 3: 53}
+    assert dist == {1: 0, 2: 2, 3: 51}
 
 
 def test_sssp_takes_cheaper_two_hop_detour(spark, tmp_path):
