@@ -130,6 +130,9 @@ HEADLINE = [
     "daily_revenue_sax",
     "value_ks_drift",
     "token_bigram_lm",
+    "daily_revenue_holt_winters",
+    "langid_confusion_matrix",
+    "embedding_standardize",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1669,3 +1669,187 @@ def daily_revenue_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("sax_symbol"),
     )
+
+
+# --------------------------------------------------------------------------
+# E159: Holt-Winters additive smoothing (level + trend + weekly seasonality)
+# --------------------------------------------------------------------------
+
+_HW_P = 7       # seasonal period (weekly pattern over the daily series)
+_HW_H = 14      # forecast horizon (days)
+# α = β = γ = 1/2: exactly-representable smoothing weights — the
+# recurrence is a fixed chain of correctly-rounded IEEE ops, mirrored
+# expression-for-expression in the recursive-CTE oracle.
+
+
+def _hw_walk(pdf):
+    """l,b,s recurrence over one calendar-bounded group. Classic init:
+    l0 = mean of the first period, b0 = 0, s_i = y_i - l0; from day P+1,
+      l' = 0.5(y - s_head) + 0.5(l + b)
+      b' = 0.5(l' - l) + 0.5 b
+      s_new = 0.5(y - l') + 0.5 s_head, seasonal queue rotates.
+    Forecast h: (l + h*b) + s[(h-1) mod P]."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("idx").reset_index(drop=True)
+    sc = pdf["sc"].tolist()
+    ys = [v / 10000.0 for v in sc]
+    n = len(ys)
+    p = _HW_P
+    l0 = (float(sum(sc[:p])) / 10000.0) / p
+    s = [ys[i] - l0 for i in range(p)]
+    idxs = pdf["idx"].tolist()
+    lev = [l0] * p
+    tre = [0.0] * p
+    sea = list(s)
+    l, b = l0, 0.0
+    for t in range(p, n):
+        y = ys[t]
+        l_new = 0.5 * (y - s[0]) + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        s_new = 0.5 * (y - l_new) + 0.5 * s[0]
+        l = l_new
+        s = s[1:] + [s_new]
+        lev.append(l)
+        tre.append(b)
+        sea.append(s_new)
+    rows = {
+        "idx": idxs,
+        "revenue": ys,
+        "level": lev,
+        "trend": tre,
+        "seasonal": sea,
+        "is_forecast": [False] * n,
+    }
+    last = idxs[-1]
+    for h in range(1, _HW_H + 1):
+        rows["idx"].append(last + h)
+        rows["revenue"].append(None)
+        rows["level"].append((l + h * b) + s[(h - 1) % p])
+        rows["trend"].append(b)
+        rows["seasonal"].append(s[(h - 1) % p])
+        rows["is_forecast"].append(True)
+    return pd.DataFrame(rows)
+
+
+def _hw_oracle() -> str:
+    p = _HW_P
+    sc_cases = ", ".join(
+        f"MAX(CASE WHEN idx = {k} THEN sc END) AS sc{k}" for k in range(1, p + 1)
+    )
+    s_init = ", ".join(
+        f"CAST(sc{k} AS DOUBLE) / {SCALE} - l0 AS s{k}" for k in range(1, p + 1)
+    )
+    rot = ", ".join(f"s{k}" for k in range(2, p + 1))
+    fc_sea = " ".join(
+        f"WHEN (f.h - 1) % {p} = {k - 1} THEN w.s{k}" for k in range(1, p + 1)
+    )
+    return f"""
+        WITH RECURSIVE b0 AS (
+          SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                 CAST(MAX(o_orderdate) AS DATE) AS hi
+          FROM orders
+        ), cal AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+          FROM b0
+        ), rev AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * {SCALE} + 0.5)
+                      AS BIGINT)) AS BIGINT) AS sc
+          FROM orders GROUP BY 1
+        ), daily AS (
+          SELECT CAST(date_diff('day', b0.lo, c.day) + 1 AS BIGINT) AS idx,
+                 CAST(COALESCE(r.sc, 0) AS BIGINT) AS sc,
+                 CAST(COALESCE(r.sc, 0) AS DOUBLE) / {SCALE} AS y
+          FROM cal c CROSS JOIN b0 LEFT JOIN rev r ON r.day = c.day
+        ), init AS (
+          SELECT CAST(l0num AS DOUBLE) / {SCALE} / {p} AS l0, {s_init}
+          FROM (
+            SELECT SUM(sc) FILTER (WHERE idx <= {p}) AS l0num, {sc_cases}
+            FROM daily
+          )
+        ), walk AS (
+          SELECT CAST({p} AS BIGINT) AS idx, CAST(NULL AS DOUBLE) AS y,
+                 l0 AS l, CAST(0 AS DOUBLE) AS b,
+                 s1, s2, s3, s4, s5, s6, s7
+          FROM init
+          UNION ALL
+          SELECT idx, y, l_new,
+                 0.5 * (l_new - l) + 0.5 * b,
+                 {rot}, 0.5 * (y - l_new) + 0.5 * s1
+          FROM (
+            SELECT d.idx, d.y, w.l, w.b, w.s1, w.s2, w.s3, w.s4, w.s5,
+                   w.s6, w.s7,
+                   0.5 * (d.y - w.s1) + 0.5 * (w.l + w.b) AS l_new
+            FROM walk w JOIN daily d ON d.idx = w.idx + 1
+          )
+        ), final AS (
+          SELECT * FROM walk ORDER BY idx DESC LIMIT 1
+        )
+        SELECT d.idx AS day_index, d.y AS revenue, i.l0 AS level,
+               CAST(0 AS DOUBLE) AS trend,
+               CASE {" ".join(f"WHEN d.idx = {k} THEN i.s{k}" for k in range(1, p + 1))}
+               END AS seasonal,
+               FALSE AS is_forecast
+        FROM daily d CROSS JOIN init i WHERE d.idx <= {p}
+        UNION ALL
+        SELECT w.idx, w.y, w.l, w.b, w.s7, FALSE
+        FROM walk w WHERE w.idx > {p}
+        UNION ALL
+        SELECT w.idx + f.h, NULL,
+               (w.l + f.h * w.b) + (CASE {fc_sea} END),
+               w.b, (CASE {fc_sea} END), TRUE
+        FROM final w,
+             (SELECT unnest(generate_series(1, {_HW_H})) AS h) f
+    """
+
+
+@query("daily_revenue_holt_winters", oracle=_hw_oracle())
+def daily_revenue_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E159: Holt-Winters ADDITIVE triple exponential smoothing over the
+    zero-filled daily-revenue series — level + trend + a rotating weekly
+    seasonal queue (period 7), with a 14-day seasonal forecast: the
+    model that follows BOTH drift and the day-of-week cycle, which Holt
+    (E124) flattens and the seasonal-index table (E132) can't trend.
+
+    Exactness: alpha=beta=gamma=1/2 (exactly representable), daily
+    revenue enters as 4-dp fixed point, and every float expression shape
+    is mirrored verbatim between the pandas walk and the recursive-CTE
+    oracle (which carries the 7-slot seasonal queue as rotating named
+    columns) — so all outputs hash-gate bitwise.
+
+    Scale: facts collapse to one row per DAY in the only volume-bound
+    pass; the recurrence walks the calendar-sized frame inside one
+    applyInPandas group (rows grow with days, not orders) — the same
+    boundedness waiver as monthly_revenue_holt."""
+    orders = load_table(spark, sf_dir, "orders")
+    sc_ = F.floor(F.col("o_totalprice") * SCALE + F.lit(0.5)).cast("long")
+    rev = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(sc_).cast("long").alias("sc")
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        "lo",
+    )
+    daily = cal.join(rev, "day", "left").select(
+        (F.datediff(F.col("day"), F.col("lo")) + 1).cast("long").alias("idx"),
+        F.coalesce(F.col("sc"), F.lit(0)).cast("long").alias("sc"),
+        F.lit(1).alias("g"),
+    )
+    out = daily.groupBy("g").applyInPandas(
+        lambda pdf: _hw_walk(pdf),
+        "idx long, revenue double, level double, trend double, "
+        "seasonal double, is_forecast boolean",
+    )
+    return out.select(
+        F.col("idx").alias("day_index"),
+        "revenue",
+        "level",
+        "trend",
+        "seasonal",
+        "is_forecast",
+    )

@@ -1695,3 +1695,93 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("own_label") != F.col("nlabel")).alias("suspect"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E161: per-dimension standardization (z-score feature scaling)
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for the standardization moments: elements are O(0.3)
+#: floats, so 1e6 keeps full signal while Σx and Σx² stay exact BIGINTs
+#: (128-bit for the squared sum) at any corpus size.
+_STD_XSCALE = 1_000_000
+
+
+@query(
+    "embedding_standardize",
+    oracle=f"""
+        WITH flat AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                      * {_STD_XSCALE} + 0.5) AS BIGINT) AS xs
+          FROM embeddings
+        ), m AS (
+          SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(xs AS HUGEINT)) AS s1,
+                 SUM(CAST(xs AS HUGEINT) * xs) AS s2
+          FROM flat GROUP BY dim
+        )
+        SELECT f.vec_id, f.dim,
+               (CAST(f.xs AS DOUBLE) / {_STD_XSCALE}
+                - (CAST(m.s1 AS DOUBLE) / {_STD_XSCALE}) / m.n)
+               / NULLIF(sqrt((CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+                             / (CAST(m.n AS DOUBLE) * m.n))
+                        / {_STD_XSCALE}, 0.0)
+                 AS z
+        FROM flat f JOIN m USING (dim)
+        WHERE f.vec_id < 32
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E161: per-dimension z-score standardization of the embedding
+    column — the whitening step (x - mean)/std every classical model and
+    several ANN quantizers expect, computed over the WHOLE corpus and
+    emitted long-format (vec_id, dim, z) for a bounded probe slice
+    (vec_id < 32; the full-corpus projection applies the same broadcast
+    moments in a map without this filter — the filter only bounds the
+    driver-collected parity surface).
+
+    Exactness: elements are 1e6 fixed-point; per-dimension mean/std come
+    from exact 128-bit integer moments (population variance via
+    n·Σx²−(Σx)²), each z is one fixed double chain over identical
+    operands; a constant dimension yields NULL z, not a div-by-zero.
+
+    Scale: posexplode fans out, but the moment aggregate collapses
+    map-side to |dims| partials per task; scoring joins the |dims|-row
+    moment frame (broadcast) back to the probe slice — the fact-side
+    pass is one scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("xf").cast("double") * _STD_XSCALE + F.lit(0.5))
+        .cast("long")
+        .alias("xs"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("xs"))).alias("s1"),
+        F.sum(dec(F.col("xs")) * F.col("xs")).alias("s2"),
+    )
+    std = (
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("n"))
+        )
+        / _STD_XSCALE
+    )
+    z = (
+        F.col("xs").cast("double") / _STD_XSCALE
+        - (F.col("s1").cast("double") / _STD_XSCALE) / F.col("n")
+    ) / F.nullif(std, F.lit(0.0))
+    return (
+        flat.where(F.col("vec_id") < 32)
+        .join(F.broadcast(m), "dim")
+        .select("vec_id", "dim", z.alias("z"))
+    )

@@ -1661,3 +1661,74 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_smoothed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E160: language-ID evaluation — confusion matrix + per-class recall
+# --------------------------------------------------------------------------
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+        WITH pred AS (
+          SELECT lang AS true_lang, {_langid_sql_case()} AS predicted_lang
+          FROM documents
+        ), cells AS (
+          SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM pred GROUP BY 1, 2
+        ), rt AS (
+          SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+          FROM cells GROUP BY 1
+        )
+        SELECT c.true_lang, c.predicted_lang, c.n_docs,
+               CAST(c.n_docs AS DOUBLE) / r.n_true AS cell_rate
+        FROM cells c JOIN rt r USING (true_lang)
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E160: evaluation harness for the E4 language-ID classifier — the
+    (true lang x predicted lang) confusion matrix with per-cell rates
+    (diagonal = per-class recall): the standard readout any classifier
+    in a data pipeline ships with, computed against the corpus's labeled
+    ``lang`` column. Misroutings concentrate where marker vocabularies
+    overlap, and this surfaces exactly which pairs.
+
+    Exactness: the classifier is the SAME deterministic marker-argmax
+    (alphabetical tie-break) as langid_heuristic, expression-shared with
+    the oracle; counts are exact BIGINTs, rates one division each.
+
+    Scale: one scan scores and classifies every doc (codegen CASE
+    chain), cells collapse map-side to a \|langs\|^2 grid; the margin
+    join runs on the collapsed grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    langs = sorted(LANG_MARKERS)
+    scores = {l: _marker_score(toks, LANG_MARKERS[l]) for l in langs}
+    expr = None
+    for l in langs:
+        cond = None
+        for o in langs:
+            if o == l:
+                continue
+            c = scores[l] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, l) if expr is None else expr.when(cond, l)
+    pred = expr.otherwise("und")
+    cells = (
+        docs.select(
+            F.col("lang").alias("true_lang"), pred.alias("predicted_lang")
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    cells = scoped_persist(cells)
+    rt = cells.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_true")
+    )
+    return cells.join(rt, "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_true")).alias("cell_rate"),
+    )

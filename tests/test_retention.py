@@ -563,3 +563,53 @@ def test_sax_constant_series_null_symbols(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_holt_winters_locks_onto_pure_weekly_pattern(spark, tmp_path):
+    # y_t = 100 + pattern[(t-1) % 7] with a zero-sum pattern: the init
+    # gives l0=100, s_i=pattern_i exactly, and the recurrence is at its
+    # fixed point — level stays 100, trend 0, and the 14-day forecast
+    # continues the weekly cycle bit-exactly.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    pattern = [0.0, 7.0, 14.0, -7.0, -14.0, 3.5, -3.5]  # sums to 0
+    rows = []
+    for d in range(21):
+        rows.append(
+            (d, dt.datetime(2026, 5, 1 + d), 100.0 + pattern[d % 7])
+        )
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.day_index: r
+        for r in QUERIES["daily_revenue_holt_winters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 21 + 14
+    for idx in range(1, 22):
+        assert out[idx].level == 100.0, idx
+        assert out[idx].trend == 0.0
+        assert out[idx].seasonal == pattern[(idx - 1) % 7]
+        assert not out[idx].is_forecast
+    for idx in range(22, 36):
+        assert out[idx].is_forecast
+        assert out[idx].revenue is None
+        assert out[idx].level == 100.0 + pattern[(idx - 1) % 7], idx
+    ok, detail = compare(
+        spark,
+        "daily_revenue_holt_winters",
+        QUERIES["daily_revenue_holt_winters"],
+        ORACLES["daily_revenue_holt_winters"],
+        str(tmp_path),
+    )
+    assert ok, detail

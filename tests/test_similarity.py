@@ -359,3 +359,39 @@ def test_label_noise_flags_planted_mislabel(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_embedding_standardize_planted(spark, tmp_path):
+    # dim 1: values 0,2 -> mean 1, std 1 -> z = -1, +1
+    # dim 2: values 1,3 -> mean 2, std 1 -> z = -1, +1
+    # dim 3: constant 5 -> std 0 -> NULL z in both engines
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[0.0, 1.0, 5.0], [2.0, 3.0, 5.0]],
+            "label": [0, 1],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = {
+        (r.vec_id, r.dim): r.z
+        for r in QUERIES["embedding_standardize"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[(0, 1)] == -1.0 and out[(1, 1)] == 1.0
+    assert out[(0, 2)] == -1.0 and out[(1, 2)] == 1.0
+    assert out[(0, 3)] is None and out[(1, 3)] is None
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "embedding_standardize",
+        QUERIES["embedding_standardize"],
+        ORACLES["embedding_standardize"],
+        str(tmp_path),
+    )
+    assert ok, detail

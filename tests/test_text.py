@@ -213,3 +213,36 @@ def test_bigram_lm_planted_counts(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_langid_confusion_planted(spark, tmp_path):
+    # Doc 0: English markers, labeled en -> diagonal. Doc 1: English
+    # markers but labeled fr -> off-diagonal (en predicted). Doc 2: no
+    # markers at all, labeled en -> predicted 'de' never happens ('de'
+    # wins 0-0 ties alphabetically per the declared tie-break).
+    rows = [
+        (0, "the cat of the house and a dog", "en", "s", 30),
+        (1, "the the and of to", "fr", "s", 17),
+        (2, "xyzzy plugh quux", "en", "s", 16),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        (r.true_lang, r.predicted_lang): (r.n_docs, r.cell_rate)
+        for r in QUERIES["langid_confusion_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("fr", "en")] == (1, 1.0)
+    assert out[("en", "en")][0] == 1
+    # rates are per TRUE class: the two en-labeled docs split 0.5/0.5
+    assert out[("en", "en")][1] == 0.5
+    ok, detail = compare(
+        spark,
+        "langid_confusion_matrix",
+        QUERIES["langid_confusion_matrix"],
+        ORACLES["langid_confusion_matrix"],
+        str(tmp_path),
+    )
+    assert ok, detail
