@@ -133,6 +133,9 @@ HEADLINE = [
     "daily_revenue_holt_winters",
     "langid_confusion_matrix",
     "embedding_standardize",
+    "dp_type_histogram",
+    "token_first_seen_curve",
+    "itemcf_holdout_precision",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -250,3 +250,136 @@ def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("d").over(w).cast("long").alias("n_open")
     )
+
+
+# --------------------------------------------------------------------------
+# E164: item-item recommender evaluation — held-out precision@K
+# --------------------------------------------------------------------------
+
+_CF_K = 5          # recommendation list depth
+_CF_TEST_MOD = 5   # baskets with l_orderkey % 5 == 0 are held out
+
+
+@query(
+    "itemcf_holdout_precision",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+          FROM lineitem
+        ), train AS (
+          SELECT okey, item FROM items WHERE okey % {_CF_TEST_MOD} <> 0
+        ), test AS (
+          SELECT okey, item FROM items WHERE okey % {_CF_TEST_MOD} = 0
+        ), pairs AS (
+          SELECT a.item AS src, b.item AS dst, CAST(COUNT(*) AS BIGINT) AS c
+          FROM train a JOIN train b
+            ON a.okey = b.okey AND a.item <> b.item
+          GROUP BY 1, 2
+        ), recs AS (
+          SELECT src, dst
+          FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY src ORDER BY c DESC, dst
+                   ) AS rn
+            FROM pairs
+          ) WHERE rn <= {_CF_K}
+        ), evalrows AS (
+          SELECT t.okey, t.item,
+                 CAST(COUNT(t2.item) AS BIGINT) AS hits
+          FROM test t
+          JOIN recs r ON r.src = t.item
+          LEFT JOIN test t2
+            ON t2.okey = t.okey AND t2.item = r.dst
+          GROUP BY t.okey, t.item
+        ), cold AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cold
+          FROM test t
+          WHERE NOT EXISTS (SELECT 1 FROM recs r WHERE r.src = t.item)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               c.n_cold,
+               CAST(SUM(e.hits) AS DOUBLE)
+                 / ({_CF_K} * COUNT(*)) AS precision_at_k,
+               CAST(COUNT(*) FILTER (WHERE e.hits > 0) AS DOUBLE)
+                 / COUNT(*) AS hit_rate
+        FROM evalrows e CROSS JOIN cold c
+        GROUP BY c.n_cold
+    """,
+)
+def itemcf_holdout_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E164: offline evaluation of the co-occurrence recommender — hold
+    out every {_CF_TEST_MOD}th basket, build item->top-{_CF_K}
+    co-occurrence recommendations from the REST, and measure
+    precision@K / hit-rate against what the held-out baskets actually
+    contain: the train/test harness any recommender change is judged by
+    (E125 builds the model; this scores it without leakage — test
+    baskets never feed the pair counts).
+
+    Exactness: the split is a deterministic key modulus; rec lists use a
+    total ROW_NUMBER order (count desc, item asc); hits are exact counts
+    and both metrics are single divisions of BIGINTs. Cold items (never
+    seen in train) are counted separately, not silently dropped.
+
+    Scale: pair counting is the basket-bounded self-join (Σ basket²),
+    rec-list cutting is one keyed window on the collapsed pair frame —
+    never a global sort; scoring joins test items to the ≤K-per-item rec
+    frame, so eval cost is O(test items × K)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    items = scoped_persist(items)
+    is_test = F.col("okey") % _CF_TEST_MOD == 0
+    train = items.where(~is_test)
+    test = scoped_persist(items.where(is_test))
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    recs = (
+        pairs.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _CF_K)
+        .select("src", "dst")
+    )
+    recs = scoped_persist(recs)
+    t = test.alias("t")
+    t2 = test.alias("t2")
+    r = recs.alias("r")
+    evalrows = (
+        t.join(r, F.col("r.src") == F.col("t.item"))
+        .join(
+            t2,
+            (F.col("t2.okey") == F.col("t.okey"))
+            & (F.col("t2.item") == F.col("r.dst")),
+            "left",
+        )
+        .groupBy(F.col("t.okey"), F.col("t.item"))
+        .agg(F.count(F.col("t2.item")).cast("long").alias("hits"))
+    )
+    cold = test.join(
+        recs.select(F.col("src").alias("item")).distinct(), "item", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cold"))
+    return (
+        evalrows.crossJoin(F.broadcast(cold))
+        .groupBy("n_cold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            (
+                F.sum("hits").cast("double")
+                / (_CF_K * F.count(F.lit(1)))
+            ).alias("precision_at_k"),
+            (
+                F.count(F.when(F.col("hits") > 0, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hit_rate"),
+        )
+        .select("n_eval", "n_cold", "precision_at_k", "hit_rate")
+    )

@@ -296,3 +296,95 @@ def randomized_response_purchase_share(
             est_num.cast("double") / (2 * F.col("n_events"))
         ).alias("est_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# E162: central-DP histogram release (two-sided geometric mechanism)
+# --------------------------------------------------------------------------
+
+#: ε = ln 3 → α = e^(−ε) = 1/3 EXACTLY, so the geometric CDF thresholds
+#: floor((1 − 3^−(k+1))·2^32) are exact integers computed once and
+#: rendered as the SAME literal table in both engines (the E142
+#: inverse-CDF discipline). Truncation at k=20: P(G>20) = 3^−21 ≈ 1e-10.
+_GEO_T = [2863311530, 3817748707, 4135894433, 4241943008, 4277292533,
+          4289075708, 4293003433, 4294312675, 4294749089, 4294894560,
+          4294943050, 4294959214, 4294964602, 4294966398, 4294966996,
+          4294967196, 4294967262, 4294967284, 4294967292, 4294967294,
+          4294967295]
+_GEO_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_GEO_T))
+    + " ELSE 21 END"
+)
+#: Two uniforms per released cell from one digest: chars 1-8 and 9-16 of
+#: md5('dp_' || event_type).
+_DP_U_SPARK = "CAST(conv(substring(h, {o}, 8), 16, 10) AS BIGINT)"
+_DP_U_DUCK = "CAST(('0x' || substring(h, {o}, 8)) AS BIGINT)"
+
+
+@query(
+    "dp_type_histogram",
+    oracle=f"""
+        WITH c AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM events GROUP BY 1
+        ), hh AS (
+          SELECT event_type, n_true,
+                 md5('dp_' || event_type) AS h
+          FROM c
+        ), noise AS (
+          SELECT event_type, n_true,
+                 ({_GEO_CASE.replace("u", "u1")})
+                 - ({_GEO_CASE.replace("u", "u2")}) AS z
+          FROM (
+            SELECT event_type, n_true,
+                   {_DP_U_DUCK.format(o=1)} AS u1,
+                   {_DP_U_DUCK.format(o=9)} AS u2
+            FROM hh
+          )
+        )
+        SELECT event_type, CAST(n_true + z AS BIGINT) AS n_released,
+               CAST(z AS BIGINT) AS noise
+        FROM noise
+    """,
+)
+def dp_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E162: ε-differentially-private histogram release of per-type
+    event counts via the two-sided geometric mechanism (Ghosh-
+    Roughgarden-Sundararajan'09 — the discrete Laplace, utility-optimal
+    for counts): released = true + (G₁ − G₂), Gᵢ geometric with
+    α = e^(−ε) = 1/3 (ε = ln 3, chosen so every CDF threshold is an
+    EXACT integer literal shared between engines). The "noise" draws are
+    md5-derived through the literal inverse-CDF table — the E115/E142
+    deterministic-coin discipline, which makes the release reproducible
+    and hash-checkable across engines (a production deployment would
+    swap the digest seed for a secret per-release nonce; the mechanism,
+    sensitivity-1 counting query, and collector shape are exactly this).
+    The true count never leaves this operator in a real release — it is
+    emitted here only through the noise column the tests audit.
+
+    Scale: ONE map-side-combinable count pass; the mechanism runs on the
+    |types|-row result — release cost is independent of data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    hh = c.select(
+        "event_type",
+        "n_true",
+        F.md5(F.concat(F.lit("dp_"), F.col("event_type"))).alias("h"),
+    )
+    uu = hh.select(
+        "event_type",
+        "n_true",
+        F.expr(_DP_U_SPARK.format(o=1)).alias("u1"),
+        F.expr(_DP_U_SPARK.format(o=9)).alias("u2"),
+    )
+    g1 = F.expr(_GEO_CASE.replace("u", "u1"))
+    g2 = F.expr(_GEO_CASE.replace("u", "u2"))
+    z = (g1 - g2).cast("long")
+    return uu.select(
+        "event_type",
+        (F.col("n_true") + z).cast("long").alias("n_released"),
+        z.alias("noise"),
+    )

@@ -1699,7 +1699,7 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle; counts are exact BIGINTs, rates one division each.
 
     Scale: one scan scores and classifies every doc (codegen CASE
-    chain), cells collapse map-side to a \|langs\|^2 grid; the margin
+    chain), cells collapse map-side to a |langs|^2 grid; the margin
     join runs on the collapsed grid."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
@@ -1731,4 +1731,69 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         "n_docs",
         (F.col("n_docs").cast("double") / F.col("n_true")).alias("cell_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E163: corpus vocabulary-growth curve (first-seen tokens per source)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_first_seen_curve",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), first_seen AS (
+          SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+          FROM tok GROUP BY w
+        ), bucketed AS (
+          SELECT CAST(first_doc // 100 AS BIGINT) AS doc_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+          FROM first_seen GROUP BY 1
+        )
+        SELECT doc_bucket, n_new_tokens,
+               CAST(SUM(n_new_tokens) OVER (
+                 ORDER BY doc_bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_vocab
+        FROM bucketed
+    """,
+)
+def token_first_seen_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E163: vocabulary-growth (Heaps-law) curve — per bucket of 100
+    docs in ingestion order, how many tokens appear for the FIRST time,
+    plus the running vocabulary size: the corpus-novelty diagnostic that
+    tells a collection pipeline when additional data stops adding new
+    language (the corpus twin of E54's per-user novelty curve, and the
+    curve whose asymptote E139's Chao1 estimates).
+
+    Exactness: first-seen is an exact MIN over doc ids; counts are
+    BIGINTs; the cumulative window runs over the bucket frame.
+
+    Scale: one token scan collapses map-side to the vocabulary frame
+    (w, min_doc) — the per-token reduce every distinct-like query pays —
+    then to |corpus|/100 bucket rows; the cumulative window is over the
+    bucket frame only (bounded by corpus/100 — the documented
+    GLOBAL_WINDOW_OK shape, swap to the two-phase prefix sum at extreme
+    bucket counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    bucketed = first.groupBy(
+        F.expr("first_doc div 100").cast("long").alias("doc_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    w = Window.orderBy("doc_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bucketed.select(
+        "doc_bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
     )

@@ -134,3 +134,44 @@ def test_backlog_curve_sf_invariants(spark):
     assert all(r.n_open >= 0 for r in rows)
     last = max(rows, key=lambda r: r.day)
     assert last.n_open == 0  # every order eventually ships
+
+
+def test_itemcf_holdout_planted(spark, tmp_path):
+    # Train: baskets {1,2} x3 and {1,3} x1 (odd okeys). Test basket
+    # okey=10 holds {1,2}: item 1's rec list is [2 (c=3), 3 (c=1)], so
+    # rec(1) hits item 2 -> hits=1; rec(2)=[1] hits item 1 -> hits=1.
+    # Test basket okey=5? (5%5==0) holds the cold item 99 and item 1:
+    # 99 has no train recs -> counted cold, not evaluated.
+    import pandas as pd
+
+    rows = []
+    for ok_, basket in enumerate([[1, 2], [1, 2], [1, 2], [1, 3]], start=1):
+        for i, item in enumerate(basket):
+            rows.append((ok_, item, 1, i + 1))  # okeys 1-4 -> train
+    for okey, basket in [(10, [1, 2]), (5, [99, 1])]:
+        for i, item in enumerate(basket):
+            rows.append((okey, item, 1, i + 1))
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    [r] = QUERIES["itemcf_holdout_precision"](spark, str(tmp_path)).collect()
+    # evaluated (okey,item) rows: (10,1), (10,2), (5,1) — all of which
+    # have train recs; (5,99) is cold.
+    assert r.n_eval == 3
+    assert r.n_cold == 1
+    # hits: (10,1)->{2} hit=1; (10,2)->{1} hit=1; (5,1)-> recs {2,3}
+    # vs basket {99} -> 0. precision@5 = 2/15, hit_rate = 2/3.
+    assert r.precision_at_k == 2 / 15
+    assert r.hit_rate == 2 / 3
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "itemcf_holdout_precision",
+        QUERIES["itemcf_holdout_precision"],
+        ORACLES["itemcf_holdout_precision"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -172,6 +172,11 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "tot",
         # SAX (robuststats.py): the 1-row global-moment frame
         "m",
+        # CF holdout eval (basket.py): the 1-row cold-item count
+        "cold",
+        # KS drift (concentration.py): the 1-row (n1, n2) totals and
+        # the 1-row max-gap scalar
+        "totals", "mx",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

@@ -92,3 +92,51 @@ def test_randomized_response_estimator_accuracy(spark):
             day, r.est_purchases, truth[day], sigma
         )
         assert 0 - 6 * sigma / r.n_events <= r.est_share <= 1 + 6 * sigma / r.n_events
+
+
+def test_dp_histogram_noise_is_deterministic_and_bounded(spark, tmp_path):
+    # The geometric noise comes from md5(type), so (a) two runs are
+    # bit-identical, (b) the noise depends only on the TYPE, not the
+    # data: doubling a type's rows shifts n_released by exactly the
+    # added rows. |noise| <= 21 by table truncation.
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    rows = [
+        (i, dt.datetime(2026, 5, 1, 9), i, "view", 1.0, "{}")
+        for i in range(50)
+    ] + [
+        (100 + i, dt.datetime(2026, 5, 1, 9), i, "error", 1.0, "{}")
+        for i in range(10)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out1 = {
+        r.event_type: r
+        for r in QUERIES["dp_type_histogram"](spark, str(tmp_path)).collect()
+    }
+    out2 = {
+        r.event_type: r
+        for r in QUERIES["dp_type_histogram"](spark, str(tmp_path)).collect()
+    }
+    assert {t: (r.n_released, r.noise) for t, r in out1.items()} == {
+        t: (r.n_released, r.noise) for t, r in out2.items()
+    }
+    for r in out1.values():
+        assert -21 <= r.noise <= 21
+        assert r.n_released == (50 if r.event_type == "view" else 10) + r.noise
+    ok, detail = compare(
+        spark,
+        "dp_type_histogram",
+        QUERIES["dp_type_histogram"],
+        ORACLES["dp_type_histogram"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -246,3 +246,35 @@ def test_langid_confusion_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_first_seen_curve_planted_decay(spark, tmp_path):
+    # Docs 0-99 (bucket 0) introduce a,b; docs 100-199 (bucket 1) reuse
+    # a,b and introduce c; bucket 2 introduces nothing new. New-token
+    # counts decay 2,1,0 and the cumulative vocab is 2,3,3 — buckets
+    # with zero new tokens are absent (no first-seen rows land there).
+    rows = []
+    for d in range(100):
+        rows.append((d, "a b", "en", "s", 3))
+    for d in range(100, 200):
+        rows.append((d, "a b c", "en", "s", 5))
+    for d in range(200, 300):
+        rows.append((d, "c a", "en", "s", 3))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.doc_bucket: (r.n_new_tokens, r.cum_vocab)
+        for r in QUERIES["token_first_seen_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0: (2, 2), 1: (1, 3)}
+    ok, detail = compare(
+        spark,
+        "token_first_seen_curve",
+        QUERIES["token_first_seen_curve"],
+        ORACLES["token_first_seen_curve"],
+        str(tmp_path),
+    )
+    assert ok, detail
