@@ -136,6 +136,7 @@ HEADLINE = [
     "dp_type_histogram",
     "token_first_seen_curve",
     "itemcf_holdout_precision",
+    "customer_order_span_union",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

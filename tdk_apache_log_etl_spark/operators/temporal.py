@@ -885,3 +885,119 @@ def capped_sessions(
         .select("user_id", "ts", "truncated")
     )
     return capped.mapInPandas(_capped_sessions_partition, _CAPPED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# E165: per-key interval union (merged coverage length, gaps-and-islands)
+# --------------------------------------------------------------------------
+
+#: Order validity window in days (same convention as
+#: overlapping_orders_per_customer's pairwise-overlap count — this
+#: operator reports the MERGED coverage those overlaps produce).
+_SPAN_DAYS = 30
+
+
+@query(
+    "customer_order_span_union",
+    oracle=f"""
+        WITH iv AS (
+          SELECT o_custkey AS custkey,
+                 CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate AS DATE) + {_SPAN_DAYS} AS e,
+                 o_orderkey AS okey
+          FROM orders
+        ), marked AS (
+          SELECT custkey, s, e, okey,
+                 CASE WHEN MAX(e) OVER (
+                        PARTITION BY custkey ORDER BY s, okey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) >= s THEN 0 ELSE 1 END AS is_new
+          FROM iv
+        ), islands AS (
+          SELECT custkey, s, e,
+                 CAST(SUM(is_new) OVER (
+                   PARTITION BY custkey ORDER BY s, okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS island
+          FROM marked
+        ), merged AS (
+          SELECT custkey, island,
+                 CAST(date_diff('day', MIN(s), MAX(e)) AS BIGINT) AS covered
+          FROM islands GROUP BY custkey, island
+        )
+        SELECT custkey,
+               CAST((SELECT COUNT(*) FROM iv i
+                     WHERE i.custkey = merged.custkey) AS BIGINT)
+                 AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(covered) AS BIGINT) AS days_covered
+        FROM merged GROUP BY custkey
+    """,
+)
+def customer_order_span_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E165: union-of-intervals per key — each order opens a 30-day
+    validity window; report, per customer, how many MERGED activity
+    islands those windows form and the total days actually covered
+    (double-covered days count once). The gaps-and-islands window idiom
+    no aggregate expresses directly: an interval starts a new island iff
+    its start exceeds the running max of all previous ends.
+    Complements E19 (pairwise overlap counts) and E126 (global
+    concurrency curve) with per-key coverage length.
+
+    Exactness: all arithmetic is integer day math; island boundaries
+    compare exact dates; tie order (start, orderkey) is total.
+
+    Scale: one shuffle on custkey; both windows ride that single
+    exchange, frames bounded by the customer's own order count; the
+    island aggregate collapses map-side. No global window, no
+    cross-key traffic."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _SPAN_DAYS).alias("e"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "custkey",
+        "s",
+        "e",
+        "okey",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    )
+    # both windows use the SAME total (s, okey) order: with (s, e) a
+    # same-start tie could attach a row to the wrong island depending on
+    # engine sort stability
+    w_run = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "custkey",
+        "s",
+        "e",
+        F.sum("is_new").over(w_run).cast("long").alias("island"),
+    )
+    merged = islands.groupBy("custkey", "island").agg(
+        F.datediff(F.max("e"), F.min("s")).cast("long").alias("covered")
+    )
+    counts = iv.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        merged.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("days_covered"),
+        )
+        .join(counts, "custkey")
+        .select("custkey", "n_intervals", "n_islands", "days_covered")
+    )

@@ -146,3 +146,64 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for v in drop:
         os.remove(_manifest_path(table_dir, v))
     return {"expired_manifests": len(drop), "deleted_files": n_files}
+
+
+# --------------------------------------------------------------------------
+# Streaming ingest into the snapshot table (exactly-once via batch ids)
+# --------------------------------------------------------------------------
+
+
+def snapshot_write_batch(
+    df: DataFrame, table_dir: str, batch_id: int
+) -> int | None:
+    """foreachBatch body: append one micro-batch as a snapshot, skipping
+    batch ids that already committed — at-least-once delivery from the
+    stream becomes EXACTLY-ONCE table content, because the manifest
+    records which stream batch produced each snapshot and a replayed
+    batch finds its id and no-ops (the same idempotence contract Delta's
+    txn version / Iceberg's WAP give foreachBatch writers).
+
+    Returns the committed version, or None for a replay no-op."""
+    committed = committed_versions(table_dir)
+    for v in committed:
+        if _load_manifest(table_dir, v).get("batch_id") == batch_id:
+            return None
+    version = (committed[-1] + 1) if committed else 0
+    snap_data = os.path.join(table_dir, _DATA_DIR, f"snap-{version}")
+    df.write.mode("overwrite").parquet(snap_data)
+    new_files = sorted(
+        os.path.join(_DATA_DIR, f"snap-{version}", name)
+        for name in os.listdir(snap_data)
+        if name.endswith(".parquet")
+    )
+    files = new_files
+    if committed:
+        files = _load_manifest(table_dir, committed[-1])["files"] + files
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "mode": "append",
+                "batch_id": batch_id,
+                "files": files,
+            },
+            f,
+        )
+    os.rename(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def maintain_snapshot_stream(stream_df: DataFrame, table_dir: str,
+                             checkpoint_dir: str):
+    """Wire snapshot appends into a writeStream; ``.start()`` to run."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_write_batch(batch_df, table_dir, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -73,3 +73,50 @@ def test_range_join_window_bounds(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert all(0 < r.lag_seconds <= 1800 for r in rows)
+
+
+def test_span_union_merges_overlaps_and_counts_islands(spark, tmp_path):
+    # Customer 1: orders on day 0 and day 10 (windows overlap -> one
+    # 40-day island), plus day 100 (separate 30-day island). Customer 2:
+    # two orders the SAME day (full overlap -> one 30-day island).
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = [
+        (1, 1, dt.datetime(2026, 1, 1), 10.0),
+        (2, 1, dt.datetime(2026, 1, 11), 10.0),
+        (3, 1, dt.datetime(2026, 4, 11), 10.0),
+        (4, 2, dt.datetime(2026, 2, 1), 10.0),
+        (5, 2, dt.datetime(2026, 2, 1), 10.0),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.custkey: r
+        for r in QUERIES["customer_order_span_union"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (out[1].n_intervals, out[1].n_islands, out[1].days_covered) == (
+        3, 2, 70,
+    )
+    assert (out[2].n_intervals, out[2].n_islands, out[2].days_covered) == (
+        2, 1, 30,
+    )
+    ok, detail = compare(
+        spark,
+        "customer_order_span_union",
+        QUERIES["customer_order_span_union"],
+        ORACLES["customer_order_span_union"],
+        str(tmp_path),
+    )
+    assert ok, detail
