@@ -137,6 +137,8 @@ HEADLINE = [
     "token_first_seen_curve",
     "itemcf_holdout_precision",
     "customer_order_span_union",
+    "hub_closeness_centrality",
+    "part_name_deletion_pairs",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -856,3 +856,107 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E168: SymSpell deletion-neighborhood fuzzy join (edit distance <= 1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_name_deletion_pairs",
+    oracle="""
+        WITH names AS (
+          SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+          FROM part GROUP BY p_name
+        ), keys AS (
+          SELECT p_name, p_name AS k FROM names
+          UNION ALL
+          SELECT p_name,
+                 substr(p_name, 1, CAST(i AS INTEGER) - 1)
+                 || substr(p_name, CAST(i AS INTEGER) + 1) AS k
+          FROM names,
+               unnest(generate_series(1, length(p_name))) AS t(i)
+        ), cand AS (
+          SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+          FROM keys a JOIN keys b
+            ON a.k = b.k AND a.p_name < b.p_name
+        )
+        SELECT c.name_a, c.name_b,
+               na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b,
+               CAST(levenshtein(c.name_a, c.name_b) AS BIGINT)
+                 AS edit_distance
+        FROM cand c
+        JOIN names na ON na.p_name = c.name_a
+        JOIN names nb ON nb.p_name = c.name_b
+        WHERE levenshtein(c.name_a, c.name_b) <= 1
+    """,
+)
+def part_name_deletion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E168: SymSpell-style fuzzy join over the DISTINCT name
+    vocabulary — every name generates its 1-deletion neighborhood (the
+    name itself plus each drop-one-char variant); two names within edit
+    distance 1 MUST share a key (one is a deletion of the other, or
+    substitutions meet at the common deletion), so the equi-join on
+    variants is a COMPLETE candidate generator for d<=1 and the exact
+    levenshtein verify never misses. Distance-0 duplicates are E1's
+    domain and are deliberately collapsed FIRST: the catalog's name
+    vocabulary is tiny relative to rows (64 distinct names across 2000
+    parts at sf0.01), and pairing raw rows would square the duplicate
+    groups (3.1M identical pairs at sf0.1) — the vocabulary-level join
+    is both the correct SymSpell shape (it is a dictionary structure)
+    and the 100 TB-safe one. This is the pack's third fuzzy-join
+    strategy: exact-distance deletion blocking, vs E14's length/prefix
+    blocking (similarity) and E2's LSH (sets).
+
+    Scale: keys per name = len+1 (bounded by the catalog's name-length
+    cap); the join runs over the vocabulary, with per-key fan-out equal
+    to variant collisions; DISTINCT collapses multi-key hits before the
+    exact verify. Counts and distances are exact integers."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = scoped_persist(
+        part.groupBy("p_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts")
+        )
+    )
+    deletions = names.select(
+        "p_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(p_name)), i -> "
+                "concat(substr(p_name, 1, i - 1), substr(p_name, i + 1)))"
+            )
+        ).alias("k"),
+    )
+    keys = names.select(
+        "p_name", F.col("p_name").alias("k")
+    ).unionByName(deletions)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return (
+        cand.join(na, "name_a")
+        .join(nb, "name_b")
+        .where(dist <= 1)
+        .select(
+            "name_a", "name_b", "n_parts_a", "n_parts_b",
+            dist.alias("edit_distance"),
+        )
+    )

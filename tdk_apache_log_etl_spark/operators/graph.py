@@ -903,3 +903,104 @@ def ppr_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.where(F.col("rank") > 0).select(
         F.col("node").alias("part_key"), F.col("rank").alias("ppr")
     )
+
+
+# --------------------------------------------------------------------------
+# E167: per-source closeness centrality (bounded-radius, sampled sources)
+# --------------------------------------------------------------------------
+
+
+def _closeness_oracle() -> str:
+    steps = [
+        f"""c0 AS (
+          SELECT node AS src, node, CAST(0 AS BIGINT) AS dist
+          FROM nodes WHERE node % {SEED_MOD} = 0
+        )"""
+    ]
+    for k in range(BFS_ROUNDS):
+        steps.append(f"""c{k + 1} AS (
+          SELECT src, node, MIN(dist) AS dist FROM (
+            SELECT src, node, dist FROM c{k}
+            UNION ALL
+            SELECT c.src, p.dst AS node, c.dist + 1 AS dist
+            FROM c{k} c JOIN pairs p ON p.src = c.node
+          ) GROUP BY src, node
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM pairs
+        ), {", ".join(steps)}, tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes
+        )
+        SELECT c.src AS part_key,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(c.dist) AS BIGINT) AS sum_dist,
+               CASE WHEN SUM(c.dist) > 0 THEN
+                 CAST((COUNT(*) - 1) * (COUNT(*) - 1) AS DOUBLE)
+                   / (CAST(t.n_nodes - 1 AS DOUBLE) * SUM(c.dist))
+               END AS closeness
+        FROM c{BFS_ROUNDS} c CROSS JOIN tot t
+        GROUP BY c.src, t.n_nodes
+    """
+
+
+@query("hub_closeness_centrality", oracle=_closeness_oracle())
+def hub_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E167: Wasserman-Faust normalized closeness centrality for the
+    sampled source set (part keys divisible by SEED_MOD — the same
+    deterministic seeds as bfs_reach), within a BFS_ROUNDS-hop radius:
+    C(s) = ((r-1)/(n-1)) * ((r-1)/Sigma dist), r = nodes reached —
+    the "how central is this item" readout that completes the pack's
+    centrality family (degree->PageRank->PPR->HITS->closeness). The
+    bounded radius is the declared truncation contract (exact for
+    everything within K hops), which is also what makes the state
+    O(|seeds| x |reached|) instead of all-pairs.
+
+    Exactness: per-(source, node) hop distances are exact integer
+    min-plus; the centrality is ONE double division of exact integers,
+    NULL for isolated sources.
+
+    Scale: the frontier carries (src, node, dist) triples — per round
+    one co-located join against the shared persisted edge relation and a
+    map-side min-combine; per-round localCheckpoint keeps the
+    double-referenced frame's plan O(1) deep (the E150 discipline)."""
+    edges = partitioned_edges(spark, sf_dir).select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    tot = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    dist = nodes.where(F.col("node") % SEED_MOD == 0).select(
+        F.col("node").alias("source"),
+        "node",
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(BFS_ROUNDS):
+        dist = dist.localCheckpoint(eager=True)
+        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+            "source",
+            F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    per_src = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+    r1 = (F.col("n_reached") - 1).cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        F.col("source").alias("part_key"),
+        "n_reached",
+        "sum_dist",
+        F.when(
+            F.col("sum_dist") > 0,
+            (r1 * r1)
+            / ((F.col("n_nodes") - 1).cast("double") * F.col("sum_dist")),
+        ).alias("closeness"),
+    )

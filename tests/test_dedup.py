@@ -302,3 +302,44 @@ def test_containment_detects_quote_one_direction_only(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_deletion_pairs_substitution_and_suffix(spark, tmp_path):
+    # widget/widgit differ by ONE substitution (both delete to "widgt");
+    # widget/widgets by one trailing insertion (widgets' deletion IS
+    # widget). gadget is >=2 away from everything -> absent. Duplicate
+    # "widget" rows collapse into one vocabulary entry with n_parts=2.
+    import pandas as pd
+
+    rows = [
+        (1, "widget"),
+        (2, "widget"),
+        (3, "widgit"),
+        (4, "widgets"),
+        (5, "gadget"),
+    ]
+    pd.DataFrame(rows, columns=["p_partkey", "p_name"]).to_parquet(
+        tmp_path / "part.parquet"
+    )
+    out = {
+        (r.name_a, r.name_b): (r.n_parts_a, r.n_parts_b, r.edit_distance)
+        for r in QUERIES["part_name_deletion_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("widget", "widgets"): (2, 1, 1),
+        ("widget", "widgit"): (2, 1, 1),
+    }
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "part_name_deletion_pairs",
+        QUERIES["part_name_deletion_pairs"],
+        ORACLES["part_name_deletion_pairs"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -208,3 +208,14 @@ def test_ppr_mass_localizes_at_source_component(spark, tmp_path):
     # ordering between the two is asserted, only locality + conservation
     assert ppr[1] > 0 and ppr[2] > 0
     assert sum(ppr.values()) <= RANK_SCALE
+
+
+def test_closeness_perfect_hub(spark, tmp_path):
+    # Star 0-{1,2,3}: the only seed (0 % 50 == 0) reaches everyone at
+    # distance 1 -> normalized closeness ((4-1)/(4-1))*((4-1)/3) = 1.0.
+    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]] * 2)
+    out = QUERIES["hub_closeness_centrality"](spark, sf).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.part_key, r.n_reached, r.sum_dist) == (0, 4, 3)
+    assert r.closeness == 1.0
