@@ -139,6 +139,7 @@ HEADLINE = [
     "customer_order_span_union",
     "hub_closeness_centrality",
     "part_name_deletion_pairs",
+    "value_anova_by_type",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1569,3 +1569,98 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E169: one-way ANOVA (F statistic) for value across event types
+# --------------------------------------------------------------------------
+
+_ANOVA_SCALE = 100  # 2-dp fixed point for the response
+
+
+@query(
+    "value_anova_by_type",
+    oracle=f"""
+        WITH per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(FLOOR(value * {_ANOVA_SCALE} + 0.5) AS HUGEINT))
+                   AS s1,
+                 SUM(CAST(FLOOR(value * {_ANOVA_SCALE} + 0.5) AS HUGEINT)
+                     * CAST(FLOOR(value * {_ANOVA_SCALE} + 0.5) AS BIGINT))
+                   AS s2
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type
+        ), g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS n_tot,
+                 SUM(s1) AS s1_tot,
+                 SUM(s2) AS s2_tot,
+                 SUM((s1 * s1) // n) AS sq_within_num
+          FROM per
+        )
+        SELECT k AS n_groups, n_tot AS n_values,
+               (CAST(g.sq_within_num AS DOUBLE)
+                  - CAST(g.s1_tot AS DOUBLE) * g.s1_tot / g.n_tot)
+                 / ({_ANOVA_SCALE}.0 * {_ANOVA_SCALE}) AS ss_between,
+               (CAST(g.s2_tot AS DOUBLE)
+                  - CAST(g.sq_within_num AS DOUBLE))
+                 / ({_ANOVA_SCALE}.0 * {_ANOVA_SCALE}) AS ss_within,
+               ((CAST(g.sq_within_num AS DOUBLE)
+                   - CAST(g.s1_tot AS DOUBLE) * g.s1_tot / g.n_tot)
+                  / (g.k - 1))
+               / NULLIF((CAST(g.s2_tot AS DOUBLE)
+                           - CAST(g.sq_within_num AS DOUBLE))
+                          / (g.n_tot - g.k), 0.0) AS f_stat
+        FROM g
+    """,
+)
+def value_anova_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E169: one-way ANOVA — does mean event value differ ACROSS the
+    event types? F = (SS_between/(k−1)) / (SS_within/(n−k)), the k-group
+    generalization of the pack's two-group tests (E85 z-test, E134
+    Mann-Whitney). SS_between = Σ nᵢx̄ᵢ² − n·x̄² computed as
+    Σ⌊s₁ᵢ²/nᵢ⌋ − s₁²/n over fixed-point sums.
+
+    Exactness: per-group Σx and Σx² accumulate as exact 128-bit
+    integers of the 2-dp response; the single inexact step per term is
+    ONE floor-division (⌊s₁²/n⌋, identical integer op both engines) and
+    the final fixed double chain — so F hash-gates. Degenerate
+    zero-within-variance data yields NULL F.
+
+    Scale: one map-side-combinable pass to |types| rows; everything
+    after is arithmetic on a 5-row frame."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = F.floor(F.col("value") * _ANOVA_SCALE + F.lit(0.5)).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(sv)).alias("s1"),
+        F.sum(dec(sv) * sv).alias("s2"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s1").alias("s1_tot"),
+        F.sum("s2").alias("s2_tot"),
+        F.sum(F.expr("CAST((s1 * s1) div n AS decimal(38,0))")).alias(
+            "sq_within_num"
+        ),
+    )
+    sc2 = float(_ANOVA_SCALE * _ANOVA_SCALE)
+    ssb = (
+        F.col("sq_within_num").cast("double")
+        - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    )
+    ssw = F.col("s2_tot").cast("double") - F.col("sq_within_num").cast(
+        "double"
+    )
+    return g.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_values"),
+        (ssb / sc2).alias("ss_between"),
+        (ssw / sc2).alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1))
+            / F.nullif(ssw / (F.col("n_tot") - F.col("k")), F.lit(0.0))
+        ).alias("f_stat"),
+    )

@@ -1774,10 +1774,10 @@ def token_first_seen_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one token scan collapses map-side to the vocabulary frame
     (w, min_doc) — the per-token reduce every distinct-like query pays —
-    then to |corpus|/100 bucket rows; the cumulative window is over the
-    bucket frame only (bounded by corpus/100 — the documented
-    GLOBAL_WINDOW_OK shape, swap to the two-phase prefix sum at extreme
-    bucket counts)."""
+    then to |corpus|/100 bucket rows; the cumulative vocab uses the
+    two-phase distributed prefix sum (range-partition -> local windows
+    -> broadcast 32-row offsets), so no single-partition window exists
+    at ANY corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     first = (
         docs.select(
@@ -1789,11 +1789,29 @@ def token_first_seen_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = first.groupBy(
         F.expr("first_doc div 100").cast("long").alias("doc_bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
-    w = Window.orderBy("doc_bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return bucketed.select(
+    # cumulative vocab via the TWO-PHASE distributed prefix sum (the
+    # value_ks_drift shape): bucket count grows with corpus/100, so a
+    # single-partition global window would not survive a web-scale
+    # corpus — range-partition, local windows, broadcast 32-row offsets
+    local = bucketed.repartitionByRange(32, "doc_bucket").select(
         "doc_bucket",
         "n_new_tokens",
-        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part_tot = local.groupBy("pid").agg(F.sum("n_new_tokens").alias("t"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_tot.select(
+        "pid", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_bucket",
+        "n_new_tokens",
+        (F.col("off") + F.sum("n_new_tokens").over(w_local))
+        .cast("long")
+        .alias("cum_vocab"),
     )

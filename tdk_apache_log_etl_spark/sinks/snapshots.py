@@ -207,3 +207,42 @@ def maintain_snapshot_stream(stream_df: DataFrame, table_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def snapshot_diff(
+    spark: SparkSession, table_dir: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Row-level content diff between two committed snapshots: each row
+    tagged ``added`` or ``removed`` with its multiplicity change —
+    multiset semantics (exceptAll both ways), so duplicate rows diff by
+    COUNT, not presence. The audit primitive a versioned table owes its
+    users: "what changed between yesterday's snapshot and today's"
+    without any CDC feed (complements operators/cdc.py, which diffs
+    EXTERNAL frames; this reads the table's own history).
+
+    Scale: both sides group map-side to (row, count) before the one
+    full-outer join on the row key — traffic is O(distinct rows), and
+    unchanged rows with equal counts drop before the driver sees
+    anything."""
+    old = snapshot_read(spark, table_dir, v_old)
+    new = snapshot_read(spark, table_dir, v_new)
+    from pyspark.sql import functions as F
+
+    cols = old.columns
+    if cols != new.columns:
+        raise ValueError(
+            f"snapshot schemas differ: {cols} vs {new.columns}"
+        )
+    oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_old"))
+    nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_new"))
+    j = oc.join(nc, cols, "full_outer").select(
+        *cols,
+        F.coalesce(F.col("_n_old"), F.lit(0)).alias("_n_old"),
+        F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
+    )
+    delta = F.col("_n_new") - F.col("_n_old")
+    return j.where(delta != 0).select(
+        *cols,
+        F.when(delta > 0, F.lit("added")).otherwise("removed").alias("change"),
+        F.abs(delta).cast("long").alias("n_rows"),
+    )

@@ -607,3 +607,52 @@ def test_ks_identical_halves_zero(spark, tmp_path):
     [r] = QUERIES["value_ks_drift"](spark, str(tmp_path)).collect()
     assert r.ks_stat == 0.0
     assert r.ks_at == 1.0
+
+
+def test_anova_planted_separation(spark, tmp_path):
+    # Groups a={1,2,3}, b={7,8,9}: means 2 vs 8, grand mean 5.
+    # SSB = 3*(2-5)^2 + 3*(8-5)^2 = 54; SSW = 2+2 = 4.
+    # F = (54/1) / (4/4) = 54 exactly.
+    import datetime as dt
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, dt.datetime(2026, 5, 1, 9), i, "a", v, "{}"))
+    for i, v in enumerate([7.0, 8.0, 9.0]):
+        rows.append((10 + i, dt.datetime(2026, 5, 1, 9), i, "b", v, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["value_anova_by_type"](spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_values) == (2, 6)
+    assert r.ss_between == 54.0
+    assert r.ss_within == 4.0
+    assert r.f_stat == 54.0
+    ok, detail = compare(
+        spark,
+        "value_anova_by_type",
+        QUERIES["value_anova_by_type"],
+        ORACLES["value_anova_by_type"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_anova_constant_groups_null_f(spark, tmp_path):
+    # Zero within-group variance -> SSW = 0 -> F must be NULL, not inf.
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2026, 5, 1, 9), 0, "a", 2.0, "{}"),
+        (1, dt.datetime(2026, 5, 1, 9), 1, "a", 2.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "b", 5.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 3, "b", 5.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["value_anova_by_type"](spark, str(tmp_path)).collect()
+    assert r.ss_within == 0.0
+    assert r.f_stat is None

@@ -59,6 +59,24 @@ BNLJ_OK = {
     "mmr_diverse_retrieval",     # 1-row query-vector crossJoin + the
                                  # 20x20 shortlist sim self-join
     "label_noise_audit",         # bounded NOISE_PROBES probe broadcast
+    "seq_pattern_pairs",         # 1-row total-users crossJoin
+    "doc_tf_cosine_pairs",       # 1-row n_docs crossJoin (df cap)
+    "error_purchase_xcorr_lags",  # 7-row lag frame x calendar-bounded
+                                  # daily frame (both volume-independent)
+    "ppr_part_graph",            # 1-row source-node crossJoin per round
+    "hourly_count_anomaly_ewma",  # |types| x calendar-hours zero-fill
+                                  # grid (both volume-independent)
+    "type_dow_cramers_v",        # 1-row (n, nr, nc) totals crossJoin
+    "daily_revenue_sax",         # 1-row global-moment crossJoin
+    "value_ks_drift",            # 1-row totals + 1-row max-gap crossJoins
+    "token_bigram_lm",           # 1-row vocabulary-size crossJoin
+    "daily_revenue_holt_winters",  # 1-row calendar-bounds crossJoin
+                                   # (zero-fill spine)
+    "itemcf_holdout_precision",  # 1-row cold-item-count crossJoin
+    "ols_value_regression",      # (defensive; currently single aggregate)
+    "value_anova_by_type",       # (defensive; currently single aggregate)
+    "hub_closeness_centrality",  # 1-row n_nodes crossJoin
+    "customer_order_span_union",  # (defensive; keyed joins only)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -108,6 +126,16 @@ GLOBAL_WINDOW_OK = {
                                         # activity grid
     "poisson_bootstrap_value_ci",  # rank window over the BOOT_B-row
                                    # replicate-mean frame
+    "value_ks_drift",            # two-phase prefix sum: the only global
+                                 # window is over the 32-row pid-offset
+                                 # frame (the _global_ranks shape)
+    "token_first_seen_curve",    # same 32-row pid-offset window
+    "error_purchase_xcorr_lags",  # (defensive; windows none — lag join
+                                  # on the calendar-bounded daily frame)
+    "daily_revenue_sax",         # segment frame is |days|/8 (calendar)
+    "hourly_count_anomaly_ewma",  # applyInPandas walk over the
+                                  # calendar-bounded hourly grid
+    "daily_revenue_holt_winters",  # same calendar-bounded daily walk
 }
 
 

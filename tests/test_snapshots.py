@@ -123,3 +123,35 @@ def test_streaming_ingest_exactly_once_with_history(spark, tmp_path):
     )
     assert _ids(snapshot_read(spark, t)) == before
     assert committed_versions(t) == [0, 1]
+
+
+def test_snapshot_diff_multiset(spark, tmp_path):
+    # v0 holds ids [0,1,2,2]; v1 overwrites with [1,2,5]: diff says
+    # 0 removed x1, 2 removed x1 (multiplicity 2 -> 1), 5 added x1;
+    # unchanged rows (1, one copy of 2) never appear.
+    from tdk_apache_log_etl_spark.sinks.snapshots import snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame([(0,), (1,), (2,), (2,)], "id long")
+    snapshot_write(df0, t, mode="append")
+    df1 = spark.createDataFrame([(1,), (2,), (5,)], "id long")
+    snapshot_write(df1, t, mode="overwrite")
+    out = {
+        (r.id, r.change): r.n_rows
+        for r in snapshot_diff(spark, t, 0, 1).collect()
+    }
+    assert out == {(0, "removed"): 1, (2, "removed"): 1, (5, "added"): 1}
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from tdk_apache_log_etl_spark.sinks.snapshots import snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(0,)], "id long"), t)
+    snapshot_write(
+        spark.createDataFrame([(0, 1)], "id long, v long"), t, mode="overwrite"
+    )
+    with _pytest.raises(ValueError):
+        snapshot_diff(spark, t, 0, 1)
