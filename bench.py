@@ -140,6 +140,7 @@ HEADLINE = [
     "hub_closeness_centrality",
     "part_name_deletion_pairs",
     "value_anova_by_type",
+    "embedding_top_eigenvector",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

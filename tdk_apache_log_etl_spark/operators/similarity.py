@@ -1785,3 +1785,191 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(m), "dim")
         .select("vec_id", "dim", z.alias("z"))
     )
+
+
+# --------------------------------------------------------------------------
+# E171: top principal direction via scaled-integer power iteration
+# --------------------------------------------------------------------------
+
+#: Covariance entries and eigenvector components live in fixed point so
+#: every mat-vec addend is an exact integer (a double Σ over j would be
+#: order-dependent): c_ij = floor(cov_ij·1e8 + 0.5), v components in
+#: units of 1e-6 with L∞ (max-|v|) normalization per round — the HITS
+#: scaling discipline applied to PCA.
+_EIG_CSCALE = 100_000_000
+_EIG_VSCALE = 1_000_000
+_EIG_ROUNDS = 8
+
+
+def _eig_oracle() -> str:
+    steps = [f"""v0 AS (
+          SELECT i AS dim, CAST({_EIG_VSCALE} AS BIGINT) AS v
+          FROM (SELECT DISTINCT i FROM cint)
+        )"""]
+    for k in range(_EIG_ROUNDS):
+        steps.append(f"""m{k} AS (
+          SELECT c.i AS dim, CAST(SUM(c.c * v.v) AS HUGEINT) AS mv
+          FROM cint c JOIN v{k} v ON v.dim = c.j
+          GROUP BY c.i
+        ), n{k} AS (
+          SELECT MAX(ABS(mv)) AS nrm FROM m{k}
+        ), v{k + 1} AS (
+          SELECT m.dim,
+                 CAST((m.mv * {_EIG_VSCALE}) // NULLIF(n.nrm, 0) AS BIGINT)
+                   AS v
+          FROM m{k} m CROSS JOIN n{k} n
+        )""")
+    return f"""
+        WITH flat AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1 AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ), terms AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(FLOOR(a.x * b.x * {_COV_PSCALE} + 0.5) AS BIGINT) AS t
+          FROM flat a JOIN flat b
+            ON a.vec_id = b.vec_id AND a.i <= b.i
+        ), agg AS (
+          SELECT i, j, SUM(t) AS sxy, CAST(COUNT(*) AS BIGINT) AS n
+          FROM terms GROUP BY i, j
+        ), stats AS (
+          SELECT i,
+                 SUM(CAST(FLOOR(x * {_COV_XSCALE} + 0.5) AS BIGINT)) AS sx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM flat GROUP BY i
+        ), cfull AS (
+          SELECT a.i, a.j,
+                 CAST(a.sxy AS DOUBLE) / {_COV_PSCALE} / a.n
+                 - (CAST(si.sx AS DOUBLE) / {_COV_XSCALE} / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / {_COV_XSCALE} / sj.n) AS cov
+          FROM agg a
+          JOIN stats si ON si.i = a.i
+          JOIN stats sj ON sj.i = a.j
+        ), cint AS (
+          SELECT i, j, CAST(FLOOR(cov * {_EIG_CSCALE} + 0.5) AS BIGINT) AS c
+          FROM cfull
+          UNION ALL
+          SELECT j, i, CAST(FLOOR(cov * {_EIG_CSCALE} + 0.5) AS BIGINT)
+          FROM cfull WHERE i <> j
+        ), {", ".join(steps)}
+        SELECT dim, v AS component_scaled
+        FROM v{_EIG_ROUNDS}
+    """
+
+
+@query("embedding_top_eigenvector", oracle=_eig_oracle())
+def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E171: the corpus's top principal direction — K=8 power-iteration
+    rounds on the full covariance matrix, completing the PCA-prep story
+    (E68 surfaces the top-|cov| ENTRIES; this extracts the dominant
+    eigenVECTOR, the direction whitening/deduplication projects onto
+    first). Components are L∞-normalized each round (units of 1e-6,
+    sign preserved — power iteration's sign is pinned by the all-ones
+    start).
+
+    Exactness: the covariance build is the E68 exact fixed-point pass
+    extended to the diagonal; cov entries quantize to integers BEFORE
+    the mat-vec so every Σ_j c_ij·v_j is an exact (128-bit) integer sum
+    — a double mat-vec would be order-dependent under partitioning.
+    Normalization is integer floor-division by max|v| (the HITS
+    discipline); a zero matrix yields NULL components.
+
+    Scale: the corpus is touched ONCE (Arrow-batched gram partials,
+    d²/2-row integer partial per batch); all K rounds run on the d×d
+    integer matrix joined against the d-row vector — driver never holds
+    anything, and the iteration cost is independent of corpus size."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(as_double(F.col("embedding")).alias("ed"))
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["ed"].to_numpy())
+            dim = m.shape[1]
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            for s in range(0, m.shape[0], 512):
+                c = m[s : s + 512]
+                t = np.floor(
+                    c[:, :, None] * c[:, None, :] * _COV_PSCALE + 0.5
+                ).astype(np.int64)
+                acc += t.sum(axis=0)
+            iu, ju = np.triu_indices(dim, k=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": acc[iu, ju],
+                    "cnt": np.full(iu.shape, m.shape[0], dtype="int64"),
+                }
+            )
+
+    agg = (
+        ed.mapInPandas(gram_partials, "i int, j int, sxy long, cnt long")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("cnt").alias("n"))
+    )
+    stats = (
+        ed.select(F.posexplode(F.col("ed")).alias("i", "x"))
+        .groupBy(F.col("i").cast("int").alias("i"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * _COV_XSCALE + F.lit(0.5)).cast("long")
+            ).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    si = stats.select(
+        F.col("i").alias("si_i"), F.col("sx").alias("si_sx"),
+        F.col("n").alias("si_n"),
+    )
+    sj = stats.select(
+        F.col("i").alias("sj_i"), F.col("sx").alias("sj_sx"),
+        F.col("n").alias("sj_n"),
+    )
+    cov = (
+        agg.join(F.broadcast(si), agg["i"] == si["si_i"])
+        .join(F.broadcast(sj), agg["j"] == sj["sj_i"])
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy").cast("double") / _COV_PSCALE / F.col("n")
+                - (F.col("si_sx").cast("double") / _COV_XSCALE / F.col("si_n"))
+                * (F.col("sj_sx").cast("double") / _COV_XSCALE / F.col("sj_n"))
+            ).alias("cov"),
+        )
+    )
+    ci = F.floor(F.col("cov") * _EIG_CSCALE + F.lit(0.5)).cast("long")
+    cint = scoped_persist(
+        cov.select("i", "j", ci.alias("c")).unionByName(
+            cov.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), ci.alias("c")
+            )
+        )
+    )
+    v = cint.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(_EIG_VSCALE).cast("long").alias("v")
+    )
+    for _ in range(_EIG_ROUNDS):
+        v = v.localCheckpoint(eager=True)
+        mv = (
+            cint.join(v, cint["j"] == v["dim"])
+            .groupBy(cint["i"].alias("dim2"))
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias(
+                    "mv"
+                )
+            )
+        )
+        nrm = mv.agg(F.max(F.abs(F.col("mv"))).alias("nrm"))
+        v = mv.crossJoin(F.broadcast(nrm)).select(
+            F.col("dim2").alias("dim"),
+            F.expr(
+                f"CAST((mv * {_EIG_VSCALE}) div NULLIF(nrm, 0) AS BIGINT)"
+            ).alias("v"),
+        )
+    return v.select("dim", F.col("v").alias("component_scaled"))

@@ -77,6 +77,8 @@ BNLJ_OK = {
     "value_anova_by_type",       # (defensive; currently single aggregate)
     "hub_closeness_centrality",  # 1-row n_nodes crossJoin
     "customer_order_span_union",  # (defensive; keyed joins only)
+    "embedding_top_eigenvector",  # per-round 1-row max-|v| crossJoin
+                                  # (L-inf normalization scalar)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
