@@ -141,6 +141,9 @@ HEADLINE = [
     "part_name_deletion_pairs",
     "value_anova_by_type",
     "embedding_top_eigenvector",
+    "hourly_error_rate_wilson",
+    "spearman_qty_price_corr",
+    "degree_assortativity_part_graph",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1664,3 +1664,77 @@ def value_anova_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(ssw / (F.col("n_tot") - F.col("k")), F.lit(0.0))
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# E172: Wilson score intervals for the hourly error rate
+# --------------------------------------------------------------------------
+
+#: The Wilson pieces are SHARED SQL literals (Spark F.expr == DuckDB text)
+#: so both engines evaluate the identical IEEE expression tree — the
+#: whole statistic is pure per-row double arithmetic on two integers
+#: (n, k), deterministic without any fixed-point scaling. z is written
+#: as 1.96 * 1.96 rather than 3.8416: both engines parse the literal
+#: 1.96 to the same double and multiply identically, while the decimal
+#: literal 3.8416 rounds to a DIFFERENT double than the product.
+_W_P = "(CAST(n_errors AS DOUBLE) / n_events)"
+_W_DEN = "(1.0 + (1.96 * 1.96) / n_events)"
+_W_CENTER = f"(({_W_P} + (1.96 * 1.96) / (2.0 * n_events)) / {_W_DEN})"
+_W_HALF = (
+    f"((1.96 * SQRT(({_W_P} * (1.0 - {_W_P})"
+    f" + (1.96 * 1.96) / (4.0 * n_events)) / n_events)) / {_W_DEN})"
+)
+
+
+@query(
+    "hourly_error_rate_wilson",
+    oracle=f"""
+        WITH per AS (
+          SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS n_errors
+          FROM events
+          GROUP BY 1
+        )
+        SELECT hr, n_events, n_errors,
+               {_W_P} AS p_hat,
+               ({_W_CENTER} - {_W_HALF}) AS ci_lo,
+               ({_W_CENTER} + {_W_HALF}) AS ci_hi
+        FROM per
+    """,
+)
+def hourly_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E172: per hour-of-day, the error share with its Wilson 95% score
+    interval — the interval an SLO dashboard should draw instead of the
+    textbook Wald CI, which collapses to width 0 at p̂=0 and escapes
+    [0,1] near the edges exactly where error rates live; Wilson stays
+    inside [0,1] and has correct coverage at small k (Brown/Cai/DasGupta,
+    "Interval Estimation for a Binomial Proportion", 2001). Completes
+    the uncertainty story the pack's point estimates (E85 z-test, E94
+    burn rate) leave open: is 3am's elevated rate signal or small-n?
+
+    Exactness: the aggregate is two exact integers per hour (n, k); the
+    interval is ONE fixed chain of IEEE double ops (div, sqrt) rendered
+    from SQL literals shared verbatim with the oracle, so both engines
+    evaluate identical operands in identical order — bit-equal with no
+    fixed-point scaling needed.
+
+    Scale: one map-side-combinable aggregate to a 24-row frame; the
+    interval math runs on 24 rows. No shuffle beyond the single
+    hour-keyed exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.hour("ts").cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return per.select(
+        "hr",
+        "n_events",
+        "n_errors",
+        F.expr(_W_P).alias("p_hat"),
+        F.expr(f"({_W_CENTER} - {_W_HALF})").alias("ci_lo"),
+        F.expr(f"({_W_CENTER} + {_W_HALF})").alias("ci_hi"),
+    )

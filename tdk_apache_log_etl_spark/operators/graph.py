@@ -1004,3 +1004,93 @@ def hub_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_nodes") - 1).cast("double") * F.col("sum_dist")),
         ).alias("closeness"),
     )
+
+
+# --------------------------------------------------------------------------
+# E174: degree assortativity of the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_ASSORT_R = (
+    "CAST(m * sxy - sx * sy AS DOUBLE)"
+    " / NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE)"
+    " * CAST(m * syy - sy * sy AS DOUBLE)), 0.0)"
+)
+
+
+@query(
+    "degree_assortativity_part_graph",
+    oracle=f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM pairs GROUP BY src
+        ), j AS (
+          SELECT dx.deg AS x, dy.deg AS y
+          FROM pairs p
+          JOIN deg dx ON dx.src = p.src
+          JOIN deg dy ON dy.src = p.dst
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM j
+        )
+        SELECT m AS n_edges_directed, {_ASSORT_R} AS assortativity
+        FROM agg
+    """,
+)
+def degree_assortativity_part_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E174: degree assortativity coefficient of the significant
+    co-occurrence graph — the Pearson correlation of endpoint degrees
+    over the (symmetric) directed edge list (Newman, "Assortative mixing
+    in networks", PRL 2002). One scalar that says whether hub parts
+    co-order with other hubs (r>0, social-network shape) or with
+    peripheral parts (r<0, the hub-and-spoke shape typical of
+    catalog/co-purchase graphs) — the structural summary the pack's
+    centrality family (degree → PageRank → HITS → closeness, E28/E150/
+    E152/E167) doesn't answer.
+
+    Exactness: degrees are exact integers off the shared thresholded
+    edge relation; all five moments accumulate as decimal(38,0)/HUGEINT
+    (degree products bounded by |V|² per edge); r is one shared-literal
+    double chain, NULL for a degree-regular graph (zero variance).
+
+    Scale: reuses the scoped-persisted significant_pairs relation (one
+    basket-bounded self-join); the degree frame is |V| rows joined twice
+    against the O(significant edges) list — both keyed hash joins; the
+    moment pass is a single map-side-combinable aggregate to ONE row.
+    By symmetry of the edge list sx==sy and sxx==syy, but both are
+    computed rather than assumed so the formula stays the textbook one."""
+    pairs = significant_pairs(spark, sf_dir)
+    deg = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dx = deg.select(F.col("src").alias("sk"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("src").alias("dk"), F.col("deg").alias("y"))
+    e = pairs.select("src", "dst")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        e.join(dx, e["src"] == dx["sk"])
+        .join(dy, e["dst"] == dy["dk"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(dec("x")).alias("sx"),
+            F.sum(dec("y")).alias("sy"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+            F.sum(dec("y") * F.col("y")).alias("syy"),
+        )
+    )
+    return agg.select(
+        F.col("m").alias("n_edges_directed"),
+        F.expr(_ASSORT_R).alias("assortativity"),
+    )

@@ -1853,3 +1853,161 @@ def daily_revenue_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         "is_forecast",
     )
+
+
+# --------------------------------------------------------------------------
+# E173: Spearman rank correlation (quantity vs extended price)
+# --------------------------------------------------------------------------
+
+_SPEAR_RHO = (
+    "CAST(num AS DOUBLE)"
+    " / NULLIF(SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 0.0)"
+)
+
+
+def _spearman_oracle() -> str:
+    def rank_cte(col: str) -> str:
+        return f"""r{col} AS (
+          SELECT {col},
+                 2 * COALESCE(SUM(cnt) OVER (
+                   ORDER BY {col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) + cnt + 1 AS r_{col}
+          FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM v GROUP BY {col})
+        )"""
+
+    return f"""
+        WITH v AS (
+          SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT) AS qv,
+                 CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT) AS pv
+          FROM lineitem
+        ), {rank_cte("qv")}, {rank_cte("pv")},
+        j AS (
+          SELECT rqv.r_qv AS x, rpv.r_pv AS y
+          FROM v JOIN rqv USING (qv) JOIN rpv USING (pv)
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM j
+        ), f AS (
+          SELECT n, n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS dx,
+                 n * syy - sy * sy AS dy
+          FROM agg
+        )
+        SELECT n AS n_rows, {_SPEAR_RHO} AS rho FROM f
+    """
+
+
+def _avg_rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Average rank (doubled, so ties stay integral: r2 = 2·c_less + cnt
+    + 1) of every distinct value of ``df[col]`` — two-phase distributed
+    prefix sum over the value-collapsed frame (the _global_ranks shape):
+    range-repartition → per-partition local windows → 32-row broadcast
+    offset frame. No O(distinct-values) single-partition window ever
+    materializes, so the plan survives a value domain of any
+    cardinality."""
+    g = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    local = scoped_persist(
+        g.repartitionByRange(32, col).select(
+            col, "cnt", F.spark_partition_id().alias("pid")
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ptot = local.groupBy("pid").agg(F.sum("cnt").alias("t"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.select(
+            col,
+            "cnt",
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lless"),
+        )
+        .join(F.broadcast(off), "pid")
+        .select(
+            col,
+            (
+                2 * (F.col("off") + F.col("lless")) + F.col("cnt") + 1
+            ).alias(out),
+        )
+    )
+
+
+@query("spearman_qty_price_corr", oracle=_spearman_oracle())
+def spearman_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E173: Spearman rank correlation between order-line quantity and
+    extended price — the monotone-association companion to the pack's
+    Pearson-style moments (E96 rolling corr, E107 Theil-Sen): rank
+    correlation is what a metrics platform should report when the
+    relationship is nonlinear or the tails are heavy, and on TPC-H
+    lineitem it is a known strong positive (price ≈ qty · unit price).
+
+    Method: average ranks with exact tie handling — each distinct value
+    carries r2 = 2·c_less + cnt + 1 (avg rank doubled, always integral),
+    built by the two-phase distributed prefix sum for BOTH columns
+    (quantity's ~50-value domain gets no special case; the same plan
+    holds for the ~10⁶-value price domain). ρ is then Pearson over the
+    doubled ranks: (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²)·(n·Σy²−Σy²)) — the
+    doubling cancels.
+
+    Exactness: every rank and every moment is an exact integer
+    (decimal(38,0) Spark / HUGEINT DuckDB — rank products reach n³);
+    the final ρ is one shared-literal double chain (div, sqrt), NULL on
+    zero variance.
+
+    Scale: two value-collapsed aggregates (map-side combine), two
+    32-partition prefix frames, a ~5000-row broadcast join for the
+    quantity ranks and one value-keyed shuffle join for price; moment
+    sums are a single map-side-combinable aggregate. Nothing quadratic,
+    nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = scoped_persist(
+        li.select(
+            F.floor(F.col("l_quantity").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+            F.floor(
+                F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pv"),
+        )
+    )
+    rq = _avg_rank2(v.select("qv"), "qv", "x")
+    rp = _avg_rank2(v.select("pv"), "pv", "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        v.join(F.broadcast(rq), "qv")
+        .join(rp, "pv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec("x")).alias("sx"),
+            F.sum(dec("y")).alias("sy"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+            F.sum(dec("y") * F.col("y")).alias("syy"),
+        )
+    )
+    f = agg.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    return f.select(
+        F.col("n").alias("n_rows"), F.expr(_SPEAR_RHO).alias("rho")
+    )

@@ -656,3 +656,120 @@ def test_anova_constant_groups_null_f(spark, tmp_path):
     [r] = QUERIES["value_anova_by_type"](spark, str(tmp_path)).collect()
     assert r.ss_within == 0.0
     assert r.f_stat is None
+
+
+def _events(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_wilson_known_interval(spark, tmp_path):
+    # n=100, k=10 at z=1.96 is the textbook Wilson example:
+    # interval ≈ (0.05523, 0.17437) (Brown/Cai/DasGupta 2001, Table 5
+    # ballpark; digits recomputed by hand from the closed form).
+    import datetime as dt
+
+    rows = []
+    for i in range(100):
+        rows.append(
+            (
+                i,
+                dt.datetime(2026, 5, 1, 9, 0, i % 60),
+                i,
+                "error" if i < 10 else "view",
+                1.0,
+                "{}",
+            )
+        )
+    _events(tmp_path, rows)
+    [r] = QUERIES["hourly_error_rate_wilson"](spark, str(tmp_path)).collect()
+    assert (r.hr, r.n_events, r.n_errors) == (9, 100, 10)
+    assert r.p_hat == 0.1
+    assert r.ci_lo == pytest.approx(0.05523, abs=1e-4)
+    assert r.ci_hi == pytest.approx(0.17437, abs=1e-4)
+    ok, detail = compare(
+        spark,
+        "hourly_error_rate_wilson",
+        QUERIES["hourly_error_rate_wilson"],
+        ORACLES["hourly_error_rate_wilson"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_wilson_zero_errors_stays_in_unit_interval(spark, tmp_path):
+    # k=0 — exactly where the Wald interval degenerates to width 0;
+    # Wilson keeps a positive upper bound and a (numerically ~0) lower
+    # bound inside [0, 1].
+    import datetime as dt
+
+    _events(
+        tmp_path,
+        [
+            (i, dt.datetime(2026, 5, 1, 3, 0, i), i, "view", 1.0, "{}")
+            for i in range(50)
+        ],
+    )
+    [r] = QUERIES["hourly_error_rate_wilson"](spark, str(tmp_path)).collect()
+    assert (r.hr, r.n_errors, r.p_hat) == (3, 0, 0.0)
+    assert abs(r.ci_lo) < 1e-12
+    assert 0.0 < r.ci_hi < 1.0
+    assert r.ci_hi > 0.05  # n=50: upper bound ~0.071, not ~0
+
+
+def test_spearman_perfect_monotone_is_one(spark, tmp_path):
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 1.0, 10.0, 0.0),
+            (2, 2, 2, 1, 2.0, 20.0, 0.0),
+            (3, 3, 3, 1, 3.0, 30.0, 0.0),
+            (4, 4, 4, 1, 4.0, 40.0, 0.0),
+        ],
+    )
+    [r] = QUERIES["spearman_qty_price_corr"](spark, str(tmp_path)).collect()
+    assert r.n_rows == 4
+    assert r.rho == 1.0  # exact: dx == dy ⇒ sqrt of a perfect square
+    # separate dir: scoped_persist keys on the semantic plan (same path
+    # == same corpus), so an in-place rewrite would serve the cache
+    anti = tmp_path / "anti"
+    anti.mkdir()
+    _lineitem(
+        anti,
+        [
+            (1, 1, 1, 1, 1.0, 40.0, 0.0),
+            (2, 2, 2, 1, 2.0, 30.0, 0.0),
+            (3, 3, 3, 1, 3.0, 20.0, 0.0),
+            (4, 4, 4, 1, 4.0, 10.0, 0.0),
+        ],
+    )
+    [r] = QUERIES["spearman_qty_price_corr"](spark, str(anti)).collect()
+    assert r.rho == -1.0
+
+
+def test_spearman_tied_ranks_average(spark, tmp_path):
+    # qty [1,1,2,2] → avg ranks [1.5,1.5,3.5,3.5]; price [5,7,7,9] →
+    # [1,2.5,2.5,4]. Hand algebra on doubled ranks gives ρ = 1/√2.
+    _lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 1.0, 5.0, 0.0),
+            (2, 2, 2, 1, 1.0, 7.0, 0.0),
+            (3, 3, 3, 1, 2.0, 7.0, 0.0),
+            (4, 4, 4, 1, 2.0, 9.0, 0.0),
+        ],
+    )
+    [r] = QUERIES["spearman_qty_price_corr"](spark, str(tmp_path)).collect()
+    assert r.rho == pytest.approx(0.7071067811865475, abs=1e-12)
+    ok, detail = compare(
+        spark,
+        "spearman_qty_price_corr",
+        QUERIES["spearman_qty_price_corr"],
+        ORACLES["spearman_qty_price_corr"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -219,3 +219,13 @@ def test_closeness_perfect_hub(spark, tmp_path):
     [r] = out
     assert (r.part_key, r.n_reached, r.sum_dist) == (0, 4, 3)
     assert r.closeness == 1.0
+
+
+def test_star_graph_assortativity_minus_one(spark, tmp_path):
+    # Star through part 0 (same fixture as the PageRank pin): every edge
+    # joins the deg-3 hub to a deg-1 leaf, the maximally DISassortative
+    # shape — r = −1.0 exactly (integer moments, perfect-square sqrt).
+    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]] * 2)
+    [r] = QUERIES["degree_assortativity_part_graph"](spark, sf).collect()
+    assert r.n_edges_directed == 6
+    assert r.assortativity == -1.0

@@ -138,6 +138,8 @@ GLOBAL_WINDOW_OK = {
     "hourly_count_anomaly_ewma",  # applyInPandas walk over the
                                   # calendar-bounded hourly grid
     "daily_revenue_holt_winters",  # same calendar-bounded daily walk
+    "spearman_qty_price_corr",   # two-phase prefix sum: the only global
+                                 # window is the 32-row pid-offset frame
 }
 
 
