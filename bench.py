@@ -144,6 +144,9 @@ HEADLINE = [
     "hourly_error_rate_wilson",
     "spearman_qty_price_corr",
     "degree_assortativity_part_graph",
+    "active_users_7d_sliding",
+    "target_encode_mktsegment",
+    "t_closeness_audit",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

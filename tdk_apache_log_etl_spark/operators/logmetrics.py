@@ -896,9 +896,11 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     users per day. The fan-out is a constant 7× of the DEDUPED user-day
     frame (tiny relative to raw events), versus a per-day self-join or a
     quadratic window. Observation days outside the corpus range are
-    clipped by a broadcast 1-row bounds frame; at fact scale swap the
-    final countDistinct for approx_count_distinct (documented HLL
-    pattern)."""
+    clipped by a broadcast 1-row bounds frame. E175
+    (`active_users_7d_sliding`) is the delta-encoded refinement of this
+    same metric: ≤2 boundary deltas per user-day instead of the 7×
+    fan-out, and a calendar prefix sum instead of a per-day distinct —
+    the form to prefer at fact scale."""
     events = load_table(spark, sf_dir, "events")
     user_days = (
         events.select(
@@ -3214,3 +3216,118 @@ def hourly_count_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, never floats."""
     ev = load_table(spark, sf_dir, "events")
     return ewma_anomalies_from_hourly(hourly_type_counts(ev))
+
+
+# --------------------------------------------------------------------------
+# E175: exact 7-day sliding distinct active users (delta-encoded)
+# --------------------------------------------------------------------------
+
+SLIDING_WINDOW_DAYS = 7
+
+
+@query(
+    "active_users_7d_sliding",
+    oracle=f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL
+        ), b AS (
+          SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud
+        ), spine AS (
+          SELECT CAST(UNNEST(generate_series(b.mn, b.mx,
+                                             INTERVAL 1 DAY)) AS DATE) AS e
+          FROM b
+        )
+        SELECT s.e AS win_end,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active_users
+        FROM spine s
+        LEFT JOIN ud u
+          ON u.d BETWEEN s.e - {SLIDING_WINDOW_DAYS - 1} AND s.e
+        GROUP BY s.e
+    """,
+)
+def active_users_7d_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E175: for every calendar day, the EXACT count of distinct users
+    active in the trailing 7 days — the same metric as `rolling_wau`
+    (which explodes each user-day into its ≤7 observation days and runs
+    a distinct per day) and the exact twin of E23's HLL rollup, in the
+    delta-encoded form that removes BOTH the fan-out and the per-window
+    distinct state:
+
+      1. collapse to distinct (user, day) — one map-side-combinable
+         aggregate;
+      2. per user, LAG(day) gives the previous active day; the user's
+         +1 contribution to windows ending in [day, day+6] minus the
+         overlap already covered by the previous active day is the
+         half-open run [max(day, prev+7), day+7) — emit +1/−1 boundary
+         deltas (≤ 2 rows per user-day, NO per-window fan-out);
+      3. sum deltas per day and prefix-sum along the calendar spine.
+
+    The identity: a user is active in window e iff some active day lies
+    in [e−6, e]; consecutive active days p < d add exactly the windows
+    e ∈ [max(d, p+7), d+6] not already counted via p — so the running
+    sum of deltas AT e equals the distinct-user count, with no distinct
+    state per window.
+
+    Exactness: all integer counts and date arithmetic; no floats at all.
+
+    Scale: the only per-user window is keyed (rides one user_id
+    exchange); the global prefix sum runs over the one-row-per-day
+    delta frame — bounded by CALENDAR, not volume. At 100 TB this is
+    the textbook O(user-days) shape while the oracle's range-join form
+    is the O(days × events) one it replaces."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = ud.select(
+        "d",
+        F.lag("d").over(w).alias("prev"),
+    ).select(
+        F.when(
+            F.col("prev").isNull()
+            | (F.date_add(F.col("prev"), SLIDING_WINDOW_DAYS - 1) < F.col("d")),
+            F.col("d"),
+        )
+        .otherwise(F.date_add(F.col("prev"), SLIDING_WINDOW_DAYS))
+        .alias("e_start"),
+        F.date_add(F.col("d"), SLIDING_WINDOW_DAYS).alias("e_end_excl"),
+    )
+    deltas = (
+        runs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("e_start").alias("e"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("e_end_excl").alias("e"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.e", "x.delta")
+        .groupBy("e")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("e")
+    )
+    wcum = Window.orderBy("e").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(deltas, "e", "left")
+        .select("e", F.coalesce(F.col("delta"), F.lit(0)).alias("delta"))
+        .select(
+            F.col("e").alias("win_end"),
+            F.sum("delta").over(wcum).cast("long").alias("n_active_users"),
+        )
+    )

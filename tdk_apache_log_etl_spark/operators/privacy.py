@@ -388,3 +388,117 @@ def dp_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_true") + z).cast("long").alias("n_released"),
         z.alias("noise"),
     )
+
+
+# --------------------------------------------------------------------------
+# E177: t-closeness audit (sensitive-distribution distance per QI class)
+# --------------------------------------------------------------------------
+
+_TCLOSE = "CAST(t_num AS DOUBLE) / (2.0 * n_g * n_total)"
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH cells AS (
+          SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+                 CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+                   AS sbucket,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM customer
+          GROUP BY 1, 2, 3
+        ), grp AS (
+          SELECT nationkey, segment, CAST(SUM(c) AS BIGINT) AS n_g
+          FROM cells GROUP BY 1, 2
+        ), gmarg AS (
+          SELECT sbucket, CAST(SUM(c) AS BIGINT) AS c_s
+          FROM cells GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cells
+        ), present AS (
+          SELECT ce.nationkey, ce.segment, g.n_g, t.n_total,
+                 SUM(ABS(CAST(ce.c AS HUGEINT) * t.n_total
+                         - CAST(gl.c_s AS HUGEINT) * g.n_g)) AS sum_abs,
+                 CAST(SUM(gl.c_s) AS BIGINT) AS c_present
+          FROM cells ce
+          JOIN grp g USING (nationkey, segment)
+          JOIN gmarg gl USING (sbucket)
+          CROSS JOIN tot t
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT nationkey, segment, n_g AS group_size,
+               {_TCLOSE} AS t_closeness
+        FROM (
+          SELECT nationkey, segment, n_g, n_total,
+                 sum_abs + CAST(n_total - c_present AS HUGEINT) * n_g
+                   AS t_num
+          FROM present
+        )
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E177: t-closeness — for every quasi-identifier class (nation ×
+    segment), the total-variation distance between its sensitive-value
+    distribution (account balance in fixed 1000-unit bands) and the
+    global one. Completes the release-audit ladder k-anonymity →
+    l-diversity (E73) → t-closeness (Li/Li/Venkatasubramanian, ICDE
+    2007): a class can be large (k ok) and diverse (l ok) yet still
+    leak via a SKEWED sensitive distribution; TVD ≤ t is the guarantee
+    that membership reveals almost nothing beyond the public marginal.
+
+    TVD over the bounded band domain, including bands ABSENT from a
+    class: Σ_present |c_s·N − C_s·n_g| + (N − ΣC_present)·n_g, all
+    exact 128-bit integers (cross-multiplied — no per-band division),
+    then ONE shared-literal double division by 2·n_g·N.
+
+    Scale: one aggregate to the (QI × band) cell frame, a keyed join
+    against the |QI| group frame, a broadcast against the ≤11-row band
+    marginal, and a 1-row total crossJoin — every frame after the first
+    aggregate is bounded by DOMAIN sizes, not row counts."""
+    customer = load_table(spark, sf_dir, "customer")
+    cells = customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("sbucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grp = cells.groupBy("nationkey", "segment").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    glob = cells.groupBy("sbucket").agg(
+        F.sum("c").cast("long").alias("c_s")
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n_total"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    present = (
+        cells.join(grp, ["nationkey", "segment"])
+        .join(F.broadcast(glob), "sbucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nationkey", "segment", "n_g", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    dec("c") * F.col("n_total") - dec("c_s") * F.col("n_g")
+                )
+            ).alias("sum_abs"),
+            F.sum("c_s").cast("long").alias("c_present"),
+        )
+    )
+    tnum = present.select(
+        "nationkey",
+        "segment",
+        "n_g",
+        "n_total",
+        (
+            F.col("sum_abs")
+            + (F.col("n_total") - F.col("c_present")).cast("decimal(38,0)")
+            * F.col("n_g")
+        ).alias("t_num"),
+    )
+    return tnum.select(
+        "nationkey",
+        "segment",
+        F.col("n_g").alias("group_size"),
+        F.expr(_TCLOSE).alias("t_closeness"),
+    )

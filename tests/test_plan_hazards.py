@@ -79,6 +79,9 @@ BNLJ_OK = {
     "customer_order_span_union",  # (defensive; keyed joins only)
     "embedding_top_eigenvector",  # per-round 1-row max-|v| crossJoin
                                   # (L-inf normalization scalar)
+    "t_closeness_audit",         # 1-row n_total crossJoin
+    "target_encode_mktsegment",  # 1-row global-moment crossJoin over the
+                                 # 25-row (segment x fold) frame
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -140,6 +143,8 @@ GLOBAL_WINDOW_OK = {
     "daily_revenue_holt_winters",  # same calendar-bounded daily walk
     "spearman_qty_price_corr",   # two-phase prefix sum: the only global
                                  # window is the 32-row pid-offset frame
+    "active_users_7d_sliding",   # prefix sum over the one-row-per-day
+                                 # delta frame (calendar)
 }
 
 
