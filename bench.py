@@ -147,6 +147,9 @@ HEADLINE = [
     "active_users_7d_sliding",
     "target_encode_mktsegment",
     "t_closeness_audit",
+    "bloom_blocklist_probe",
+    "link_prediction_resource_alloc",
+    "daily_revenue_runs_test",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

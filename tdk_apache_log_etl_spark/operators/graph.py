@@ -1094,3 +1094,107 @@ def degree_assortativity_part_graph(
         F.col("m").alias("n_edges_directed"),
         F.expr(_ASSORT_R).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# E179: link prediction — resource-allocation index (the no-log Adamic-Adar)
+# --------------------------------------------------------------------------
+
+#: 1/deg quantizes to floor(RA_SCALE / deg) — an exact integer division
+#: both engines share, so wedge contributions SUM exactly under any
+#: partitioning (a double 1/deg accumulation would be order-dependent,
+#: and Adamic-Adar's 1/log(deg) would hit libm).
+RA_SCALE = 10**9
+
+
+@query(
+    "link_prediction_resource_alloc",
+    oracle=f"""
+        WITH e AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {MIN_COOCCUR}
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        wedge AS (
+          SELECT e1.src AS a, e2.dst AS b2,
+                 CAST(SUM({RA_SCALE} // dm.d) AS BIGINT) AS ra_scaled,
+                 CAST(COUNT(*) AS BIGINT) AS common
+          FROM e e1
+          JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+          JOIN deg dm ON dm.src = e1.dst
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT w.a, w.b2, w.ra_scaled, w.common
+          FROM wedge w
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b2
+          )
+        )
+        SELECT a AS node, b2 AS predicted, common AS common_neighbors,
+               ra_scaled, CAST(rk AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY ra_scaled DESC, b2
+          ) AS rk FROM cand
+        ) WHERE rk <= {LP_TOPK}
+    """,
+)
+def link_prediction_resource_alloc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E179: resource-allocation link prediction (Zhou/Lü/Zhang, EPJ B
+    2009) — RA(a,b) = Σ_{z∈N(a)∩N(b)} 1/deg(z): E129's Jaccard treats
+    every common neighbor equally, RA discounts promiscuous middles —
+    sharing an ultra-hub says almost nothing, sharing a rare part says a
+    lot. RA is the strongest of the classic local indices on
+    co-purchase-shaped graphs and is the no-libm stand-in for
+    Adamic-Adar (1/log deg): same hub discount, exact arithmetic.
+
+    Exactness: each middle contributes the INTEGER floor(1e9/deg(z)) —
+    one shared integer division — so per-pair sums are exact under any
+    partitioning; ranking ties break on the exact integer then node id.
+    Fully integer output: nothing to round, trivially hash-gated.
+
+    Scale: identical wedge shape to E129/triangle count — distance-2
+    pairs only, cost Σ_w deg(w)² over the thresholded graph, middle
+    degrees joined BEFORE the wedge groupBy so the 1/deg weight rides
+    the same shuffle; anti join removes existing edges; per-node top-k
+    is a keyed WindowGroupLimit."""
+    pairs = significant_pairs(spark, sf_dir)  # directed both ways
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    e2 = pairs.select(F.col("src").alias("w"), F.col("dst").alias("b2"))
+    wedge = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b2"))
+        .join(deg.select(F.col("src").alias("w"), "d"), "w")
+        .groupBy("a", "b2")
+        .agg(
+            F.sum(F.expr(f"{RA_SCALE} div d")).cast("long").alias(
+                "ra_scaled"
+            ),
+            F.count(F.lit(1)).cast("long").alias("common"),
+        )
+    )
+    cand = wedge.join(
+        pairs.select(F.col("src").alias("a"), F.col("dst").alias("b2")),
+        ["a", "b2"],
+        "left_anti",
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("ra_scaled"), F.asc("b2"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= LP_TOPK)
+        .select(
+            F.col("a").alias("node"),
+            F.col("b2").alias("predicted"),
+            F.col("common").alias("common_neighbors"),
+            "ra_scaled",
+            "rank",
+        )
+    )

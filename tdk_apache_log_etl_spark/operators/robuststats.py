@@ -2011,3 +2011,109 @@ def spearman_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         F.col("n").alias("n_rows"), F.expr(_SPEAR_RHO).alias("rho")
     )
+
+
+# --------------------------------------------------------------------------
+# E180: Wald-Wolfowitz runs test on daily revenue (randomness audit)
+# --------------------------------------------------------------------------
+
+#: 2·n1·n2 is forced to DOUBLE via an explicit CAST on the first factor:
+#: bare `2.0 * n_above` parses as DECIMAL×BIGINT with engine-specific
+#: division scales (found as a 1e-10 z divergence; doubles end-to-end
+#: are bit-identical).
+_RUNS_Z = (
+    "(CAST(n_runs AS DOUBLE)"
+    " - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * n_below / n_days))"
+    " / NULLIF(SQRT((2.0 * CAST(n_above AS DOUBLE) * n_below"
+    " * (2.0 * CAST(n_above AS DOUBLE) * n_below - n_days))"
+    " / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1))), 0.0)"
+)
+
+
+@query(
+    "daily_revenue_runs_test",
+    oracle=f"""
+        WITH daily AS (
+          SELECT o_orderdate AS d,
+                 SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * {SCALE}
+                                + 0.5) AS HUGEINT)) AS s
+          FROM orders GROUP BY o_orderdate
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nd, SUM(s) AS ts FROM daily
+        ), lab AS (
+          SELECT d,
+                 CASE WHEN daily.s * tot.nd > tot.ts THEN 1 ELSE 0 END
+                   AS above
+          FROM daily CROSS JOIN tot
+        ), runs AS (
+          SELECT above,
+                 CASE WHEN LAG(above) OVER (ORDER BY d) IS NULL
+                        OR LAG(above) OVER (ORDER BY d) <> above
+                      THEN 1 ELSE 0 END AS new_run
+          FROM lab
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(above) AS BIGINT) AS n_above,
+                 CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below,
+                 CAST(SUM(new_run) AS BIGINT) AS n_runs
+          FROM runs
+        )
+        SELECT n_days, n_above, n_below, n_runs, {_RUNS_Z} AS z
+        FROM agg
+    """,
+)
+def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E180: Wald-Wolfowitz runs test — is the daily revenue series
+    RANDOM around its mean, or does it trend/cycle? Counts maximal runs
+    of above/below-mean days; too few runs ⇒ positive serial dependence
+    (trend), too many ⇒ alternation. The distribution-free randomness
+    audit that complements the pack's model-based series tools (E86
+    autocorrelation measures lag-1 only; E66 CUSUM assumes a level
+    shift; this tests the whole sign sequence).
+
+    Exactness: daily sums are 4-dp integers; "above mean" is the
+    CROSS-MULTIPLIED integer comparison s·n > Σs (no division, no ties
+    ambiguity — equal-to-mean days class as below deterministically);
+    run boundaries are integer lag comparisons; z is one shared-literal
+    double chain from three integers (NULL when a side is empty, where
+    the normal approximation is undefined).
+
+    Scale: one map-side-combinable aggregate to the one-row-per-day
+    frame; the lag and the prefix counts run on that calendar-bounded
+    frame — volume-independent after the first pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(
+                F.col("o_totalprice").cast("double") * SCALE + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        ).alias("s")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("s").alias("ts"),
+    )
+    lab = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.when(
+            F.col("s") * F.col("nd") > F.col("ts"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("above"),
+    )
+    wlag = Window.orderBy("d")
+    runs = lab.select(
+        "above",
+        F.when(
+            F.lag("above").over(wlag).isNull()
+            | (F.lag("above").over(wlag) != F.col("above")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "n_days", "n_above", "n_below", "n_runs", F.expr(_RUNS_Z).alias("z")
+    )

@@ -727,3 +727,130 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_size bigint, n_view bigint, n_purchase bigint, "
         "never_under boolean, within_bound boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# E178: Bloom-filter blocklist probe (no-false-negative contract)
+# --------------------------------------------------------------------------
+
+#: Deterministic "suspended users" slice — replayable in the oracle,
+#: standing in for an externally-supplied blocklist table.
+BLOOM_BLOCK_MOD = 7
+#: Hand-rolled Bloom sizing: m bits / k hashes. ~200 bits/item up to
+#: ~20k blocklisted users keeps the false-positive rate orders of
+#: magnitude under the asserted bound; fpp degrades gracefully past
+#: that (never false-negatives). Spark's own BloomFilter aggregate
+#: (bloom_filter_agg) is runtime-filter-internal and not SQL-callable,
+#: so the filter is built from first principles: k xxhash64 positions
+#: per key, OR-ed into 64-bit words, shipped as ONE broadcast map row.
+BLOOM_NUM_BITS = 1 << 22
+BLOOM_K = 5
+#: Asserted false-positive ceiling — deliberately loose (the configured
+#: filter sits far below it) so the boolean is stable across corpus
+#: sizes and the contract row hash-gates.
+BLOOM_FP_BOUND = 0.01
+
+
+def _bloom_pos_sql(col: str) -> list:
+    """The k bit positions of ``col`` as SQL strings — xxhash64 with k
+    distinct literal salts (pure codegen expressions, no UDF)."""
+    return [
+        f"pmod(xxhash64({col}, {i}), {BLOOM_NUM_BITS})"
+        for i in range(BLOOM_K)
+    ]
+
+
+@query(
+    "bloom_blocklist_probe",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(COUNT(*) FILTER (WHERE user_id % {BLOOM_BLOCK_MOD} = 0)
+                 AS BIGINT) AS n_blocked_exact,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_rate_ok
+        FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def bloom_blocklist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E178: pre-join pruning with a Bloom filter — build a standard
+    k-hash Bloom over a blocklist TABLE of suspended users, ship it as
+    ONE broadcast row, and filter the event stream per-row before any
+    join ever shuffles. This is the application-level twin of the
+    runtime bloom pruning the plans already assert (tests/test_plans.py):
+    when the dimension side is semi-join-reducible, a Bloom probe turns
+    a fact-wide shuffle into a scan-side drop at the cost of a bounded
+    false-positive leak. Spark's own BloomFilter aggregate
+    (``bloom_filter_agg``) is runtime-filter-internal (not SQL-callable
+    in 4.x), so the filter is built from first principles entirely in
+    codegen expressions: k salted xxhash64 bit positions per key,
+    OR-ed into 64-bit words, assembled into a broadcast map; the probe
+    ANDs k ``element_at`` word tests — no UDF anywhere.
+
+    Driver-checkable contract (the sketch-pack pattern of E23): exact
+    probe/blocked counts hash-gate against DuckDB, alongside two
+    booleans the Bloom guarantees make deterministic — (a) NO event of
+    a blocklisted user slips past the filter (Bloom has no false
+    negatives, checked per-row), and (b) the measured false-positive
+    rate on non-blocked users stays under the loose asserted ceiling.
+    The filter's actual hit count is engine-internal and deliberately
+    NOT an output column.
+
+    Scale: the blocklist aggregates to a ≤(m/64)-entry word map (~KB at
+    the configured m); the probe is a broadcast crossJoin + per-row
+    bit tests inside codegen — no shuffle of the fact table at all."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    blocked = (
+        ev.select("user_id")
+        .where(F.col("user_id") % BLOOM_BLOCK_MOD == 0)
+        .distinct()
+    )
+    # build: k positions per key -> 64-bit words -> ONE map row
+    pos_list = ", ".join(_bloom_pos_sql("user_id"))
+    pos = blocked.select(
+        F.explode(F.expr(f"array({pos_list})")).alias("p")
+    )
+    words = pos.groupBy(F.expr("p div 64").alias("widx")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+        ).alias("word")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("widx", "word"))
+        ).alias("bf")
+    )
+    tests = [
+        f"(coalesce(element_at(bf, ({ps}) div 64), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({ps}) % 64 AS INT))) != 0"
+        for ps in _bloom_pos_sql("user_id")
+    ]
+    hit = F.expr("(" + ") AND (".join(tests) + ")")
+    probed = ev.select("user_id").crossJoin(F.broadcast(bloom)).select(
+        "user_id",
+        (F.col("user_id") % BLOOM_BLOCK_MOD == 0).alias("is_blocked"),
+        hit.alias("bloom_hit"),
+    )
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.count(F.when(F.col("is_blocked"), 1)).cast("long").alias(
+            "n_blocked_exact"
+        ),
+        F.count(F.when(F.col("is_blocked") & ~F.col("bloom_hit"), 1))
+        .cast("long")
+        .alias("n_missed"),
+        F.count(F.when(~F.col("is_blocked") & F.col("bloom_hit"), 1))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_probed",
+        "n_blocked_exact",
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+        (
+            F.col("n_false_pos").cast("double")
+            <= F.lit(BLOOM_FP_BOUND)
+            * (F.col("n_probed") - F.col("n_blocked_exact"))
+        ).alias("fp_rate_ok"),
+    )

@@ -229,3 +229,18 @@ def test_star_graph_assortativity_minus_one(spark, tmp_path):
     [r] = QUERIES["degree_assortativity_part_graph"](spark, sf).collect()
     assert r.n_edges_directed == 6
     assert r.assortativity == -1.0
+
+
+def test_resource_alloc_star_leaves(spark, tmp_path):
+    # Star through hub 0 (deg 3): leaf pairs (1,2),(1,3),(2,3) share only
+    # the hub, so RA = floor(1e9 / 3) for each; hub-leaf pairs are edges
+    # (excluded). Integer-exact.
+    from tdk_apache_log_etl_spark.operators.graph import RA_SCALE
+
+    sf = _lineitem(tmp_path, [[0, 1], [0, 2], [0, 3]] * 2)
+    rows = QUERIES["link_prediction_resource_alloc"](spark, sf).collect()
+    got = {(r.node, r.predicted): r for r in rows}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for r in rows:
+        assert r.ra_scaled == RA_SCALE // 3
+        assert r.common_neighbors == 1

@@ -116,3 +116,27 @@ def test_sliding_distinct_delta_identity(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_runs_test_alternating_series(spark, tmp_path):
+    # 6 days alternating high/low around the mean: n_above=3, n_below=3,
+    # n_runs=6; z = (6 - (1 + 2*3*3/6)) / sqrt((18*12)/(36*5))
+    #           = 2 / sqrt(1.2) = 1.8257418583505536...
+    rows = []
+    for i in range(6):
+        price = 100.0 if i % 2 == 0 else 10.0
+        rows.append((i, dt.date(2026, 1, 1 + i), price))
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).to_parquet(tmp_path / "orders.parquet")
+    [r] = QUERIES["daily_revenue_runs_test"](spark, str(tmp_path)).collect()
+    assert (r.n_days, r.n_above, r.n_below, r.n_runs) == (6, 3, 3, 6)
+    assert abs(r.z - 1.8257418583505536) < 1e-12
+    ok, detail = compare(
+        spark,
+        "daily_revenue_runs_test",
+        QUERIES["daily_revenue_runs_test"],
+        ORACLES["daily_revenue_runs_test"],
+        str(tmp_path),
+    )
+    assert ok, detail

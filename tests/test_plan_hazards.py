@@ -80,6 +80,9 @@ BNLJ_OK = {
     "embedding_top_eigenvector",  # per-round 1-row max-|v| crossJoin
                                   # (L-inf normalization scalar)
     "t_closeness_audit",         # 1-row n_total crossJoin
+    "daily_revenue_runs_test",   # 1-row total crossJoin over the
+                                 # one-row-per-day frame
+    "bloom_blocklist_probe",     # 1-row broadcast Bloom word-map
     "target_encode_mktsegment",  # 1-row global-moment crossJoin over the
                                  # 25-row (segment x fold) frame
 }
@@ -145,6 +148,8 @@ GLOBAL_WINDOW_OK = {
                                  # window is the 32-row pid-offset frame
     "active_users_7d_sliding",   # prefix sum over the one-row-per-day
                                  # delta frame (calendar)
+    "daily_revenue_runs_test",   # lag over the one-row-per-day frame
+                                 # (calendar)
 }
 
 

@@ -327,3 +327,40 @@ def test_cms_inner_product_estimates_join_size(spark):
             build_count_min(views, "user_id"),
             build_count_min(purchases, "user_id", seed=7),
         )
+
+
+def test_bloom_probe_contract_and_planted(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    # users 0..20: exactly {0, 7, 14} are blocklisted (u % 7 == 0);
+    # two events each for user 0 and user 1
+    rows = []
+    eid = 0
+    for u in list(range(21)) + [0, 1]:
+        rows.append(
+            (eid, dt.datetime(2026, 5, 1, 9, 0, eid % 60), u, "view", 1.0, "{}")
+        )
+        eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["bloom_blocklist_probe"](spark, str(tmp_path)).collect()
+    assert r.n_probed == 23
+    assert r.n_blocked_exact == 4  # user 0 twice + users 7, 14
+    assert r.no_false_negatives  # Bloom guarantee, checked per-row
+    assert r.fp_rate_ok
+    ok, detail = compare(
+        spark,
+        "bloom_blocklist_probe",
+        QUERIES["bloom_blocklist_probe"],
+        ORACLES["bloom_blocklist_probe"],
+        str(tmp_path),
+    )
+    assert ok, detail
