@@ -150,6 +150,9 @@ HEADLINE = [
     "bloom_blocklist_probe",
     "link_prediction_resource_alloc",
     "daily_revenue_runs_test",
+    "corpus_datasheet_card",
+    "welch_ttest_purchase_view",
+    "best_split_value_for_purchase",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1738,3 +1738,95 @@ def hourly_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_W_CENTER} - {_W_HALF})").alias("ci_lo"),
         F.expr(f"({_W_CENTER} + {_W_HALF})").alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# E182: Welch's unequal-variance t-test (purchase vs view values)
+# --------------------------------------------------------------------------
+
+_WELCH_SCALE = 100  # 2-dp fixed point for the response
+_W_M1 = f"(CAST(s1 AS DOUBLE) / {_WELCH_SCALE} / n1)"
+_W_M2 = f"(CAST(s2 AS DOUBLE) / {_WELCH_SCALE} / n2)"
+_W_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+    f" / ({_WELCH_SCALE}.0 * {_WELCH_SCALE}) / (n1 - 1))"
+)
+_W_V2 = (
+    "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)"
+    f" / ({_WELCH_SCALE}.0 * {_WELCH_SCALE}) / (n2 - 1))"
+)
+_W_SE2 = f"({_W_V1} / n1 + {_W_V2} / n2)"
+_W_T = f"(({_W_M1} - {_W_M2}) / NULLIF(SQRT({_W_SE2}), 0.0))"
+_W_DF = (
+    f"(({_W_SE2} * {_W_SE2})"
+    f" / NULLIF(({_W_V1} / n1) * ({_W_V1} / n1) / (n1 - 1)"
+    f" + ({_W_V2} / n2) * ({_W_V2} / n2) / (n2 - 1), 0.0))"
+)
+
+
+@query(
+    "welch_ttest_purchase_view",
+    oracle=f"""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                 SUM(CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS HUGEINT))
+                   AS s1,
+                 SUM(CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS HUGEINT)
+                     * CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS BIGINT))
+                   AS q1
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        ), b AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+                 SUM(CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS HUGEINT))
+                   AS s2,
+                 SUM(CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS HUGEINT)
+                     * CAST(FLOOR(value * {_WELCH_SCALE} + 0.5) AS BIGINT))
+                   AS q2
+          FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        )
+        SELECT n1 AS n_purchase, n2 AS n_view,
+               {_W_M1} AS mean_purchase, {_W_M2} AS mean_view,
+               ({_W_M1} - {_W_M2}) AS mean_diff,
+               {_W_T} AS t_stat, {_W_DF} AS welch_df
+        FROM a CROSS JOIN b
+    """,
+)
+def welch_ttest_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E182: Welch's unequal-variance t-test between purchase and view
+    event values — the parametric two-sample mean test the pack's
+    ladder still lacked (E85 tests PROPORTIONS, E134 tests ranks, E169
+    assumes equal variances across k groups; Welch is the
+    default-correct two-group mean test when variances differ), with
+    the Welch-Satterthwaite effective degrees of freedom.
+
+    Exactness: per-group Σx/Σx² are exact 128-bit integers of the 2-dp
+    response; means/variances/t/df are ONE shared-literal double chain
+    (every integer operand explicitly CAST before any literal touches
+    it — the E180 decimal-literal lesson), NULL t on zero pooled
+    variance, NULL df on degenerate groups.
+
+    Scale: two map-side-combinable single-row aggregates crossJoined —
+    nothing after the first pass depends on volume."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = F.floor(F.col("value") * _WELCH_SCALE + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def side(tp: str, n: str, s: str, q: str):
+        g = ev.where(F.col("event_type") == tp)
+        return g.agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum(dec(sv)).alias(s),
+            F.sum(dec(sv) * sv).alias(q),
+        )
+
+    a = side("purchase", "n1", "s1", "q1")
+    b = side("view", "n2", "s2", "q2")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_view"),
+        F.expr(_W_M1).alias("mean_purchase"),
+        F.expr(_W_M2).alias("mean_view"),
+        F.expr(f"({_W_M1} - {_W_M2})").alias("mean_diff"),
+        F.expr(_W_T).alias("t_stat"),
+        F.expr(_W_DF).alias("welch_df"),
+    )

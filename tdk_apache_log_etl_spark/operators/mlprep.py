@@ -137,3 +137,160 @@ def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_TE_SMOOTH).alias("enc_smoothed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E183: decision-stump split finder (weighted Gini over value thresholds)
+# --------------------------------------------------------------------------
+
+_SPLIT_SCALE = 100  # 2-dp fixed point for the split feature
+
+#: Weighted Gini impurity of the (<=v | >v) split, algebraically reduced
+#: to N·gini = Σ_side (n_side − (pos² + neg²)/n_side) — one shared double
+#: chain per candidate row on exact integer counts.
+_GINI_W = (
+    "(((CAST(nl AS DOUBLE)"
+    " - (CAST(pl AS DOUBLE) * pl + CAST(ql AS DOUBLE) * ql) / nl)"
+    " + (CAST(nr AS DOUBLE)"
+    " - (CAST(pr AS DOUBLE) * pr + CAST(qr AS DOUBLE) * qr) / nr))"
+    " / n_total)"
+)
+
+
+def _split_oracle() -> str:
+    return f"""
+        WITH base AS (
+          SELECT CAST(FLOOR(value * {_SPLIT_SCALE} + 0.5) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT v, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+          FROM base GROUP BY v
+        ), cum AS (
+          SELECT v,
+                 CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+                 CAST(SUM(neg) OVER w AS BIGINT) AS ql,
+                 CAST(SUM(pos) OVER () AS BIGINT) AS tp,
+                 CAST(SUM(neg) OVER () AS BIGINT) AS tn
+          FROM g
+          WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ), cand AS (
+          SELECT v, pl, ql, pl + ql AS nl,
+                 tp - pl AS pr, tn - ql AS qr,
+                 (tp + tn) - (pl + ql) AS nr,
+                 tp + tn AS n_total
+          FROM cum WHERE (tp + tn) - (pl + ql) > 0
+        ), scored AS (
+          SELECT v, nl, nr, {_GINI_W} AS gw FROM cand
+        )
+        SELECT CAST(v AS DOUBLE) / {_SPLIT_SCALE} AS split_value,
+               nl AS n_left, nr AS n_right, gw AS weighted_gini
+        FROM scored
+        WHERE gw = (SELECT MIN(gw) FROM scored)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1
+    """
+
+
+@query("best_split_value_for_purchase", oracle=_split_oracle())
+def best_split_value_for_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E183: the exact decision stump — the single threshold on event
+    `value` that best separates purchases from everything else by
+    weighted Gini impurity, i.e. the split a tree trainer's first node
+    would pick. Feature pipelines use it as a supervised binning /
+    feature-importance primitive; it completes E176's encoding story
+    with the other classic tabular-ML preprocessing step.
+
+    Method: collapse events to one row per DISTINCT 2-dp value with
+    class counts (the XGBoost-style exact greedy enumeration), prefix
+    sums give every candidate's left/right class counts, and the
+    weighted impurity N·Σ nS(1−Σp²) reduces to Σ(nS−(pos²+neg²)/nS) —
+    one shared-literal double chain per candidate on exact integers.
+    Argmin tie-breaks to the smallest threshold via exact double
+    equality (identical operands both engines).
+
+    Scale: one map-side-combinable collapse, the two-phase distributed
+    prefix sum over the value-collapsed frame (the _global_ranks
+    shape — bounded by the value DOMAIN, not volume), and 1-row
+    min/argmin broadcasts. The right-empty candidate is excluded (its
+    impurity is the unsplit baseline)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    g = ev.select(
+        F.floor(F.col("value") * _SPLIT_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        y.alias("y"),
+    ).groupBy("v").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    from pyspark.sql import Window
+
+    from .registry import scoped_persist
+
+    local = scoped_persist(
+        g.repartitionByRange(32, "v").select(
+            "v", "pos", "neg", F.spark_partition_id().alias("pid")
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ptot = local.groupBy("pid").agg(
+        F.sum("pos").alias("tp_p"), F.sum("neg").alias("tn_p")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid",
+        F.coalesce(F.sum("tp_p").over(w_off), F.lit(0)).alias("op"),
+        F.coalesce(F.sum("tn_p").over(w_off), F.lit(0)).alias("on"),
+    )
+    tot = ptot.agg(
+        F.sum("tp_p").cast("long").alias("tp"),
+        F.sum("tn_p").cast("long").alias("tn"),
+    )
+    cum = (
+        local.join(F.broadcast(off), "pid")
+        .select(
+            "v",
+            (F.col("op") + F.sum("pos").over(w_local)).cast("long").alias(
+                "pl"
+            ),
+            (F.col("on") + F.sum("neg").over(w_local)).cast("long").alias(
+                "ql"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    cand = cum.select(
+        "v",
+        "pl",
+        "ql",
+        (F.col("pl") + F.col("ql")).alias("nl"),
+        (F.col("tp") - F.col("pl")).alias("pr"),
+        (F.col("tn") - F.col("ql")).alias("qr"),
+        ((F.col("tp") + F.col("tn")) - (F.col("pl") + F.col("ql"))).alias(
+            "nr"
+        ),
+        (F.col("tp") + F.col("tn")).alias("n_total"),
+    ).where(F.col("nr") > 0)
+    scored = scoped_persist(
+        cand.select("v", "nl", "nr", F.expr(_GINI_W).alias("gw"))
+    )
+    mn = scored.agg(F.min("gw").alias("mg"))
+    best_v = (
+        scored.join(F.broadcast(mn), scored["gw"] == mn["mg"])
+        .agg(F.min("v").alias("v"))
+    )
+    return scored.join(F.broadcast(best_v), "v").select(
+        (F.col("v").cast("double") / _SPLIT_SCALE).alias("split_value"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.col("gw").alias("weighted_gini"),
+    )

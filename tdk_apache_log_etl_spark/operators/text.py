@@ -1815,3 +1815,95 @@ def token_first_seen_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# E181: corpus datasheet card (one-row release summary)
+# --------------------------------------------------------------------------
+
+#: "Short document" cut for the datasheet share (tokens).
+CARD_SHORT_TOKENS = 20
+
+
+@query(
+    "corpus_datasheet_card",
+    oracle=f"""
+        WITH base AS (
+          SELECT sha256(text) AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 lang
+          FROM documents
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) FILTER (WHERE ntok < {CARD_SHORT_TOKENS})
+                   AS BIGINT) AS n_short,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM base
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+          FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS u(tok)
+        )
+        SELECT m.n_docs, m.n_unique_docs,
+               CAST(m.n_docs - m.n_unique_docs AS DOUBLE) / m.n_docs
+                 AS dup_rate,
+               m.total_tokens,
+               CAST(m.total_tokens AS DOUBLE) / m.n_docs AS mean_doc_tokens,
+               CAST(m.n_short AS DOUBLE) / m.n_docs AS short_doc_share,
+               m.n_langs, v.vocab_size
+        FROM m CROSS JOIN v
+    """,
+)
+def corpus_datasheet_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E181: the one-row "datasheet for datasets" summary a corpus
+    release ships with (Gebru et al., CACM 2021): scale (docs, tokens,
+    vocabulary), integrity (exact-duplicate rate by content hash),
+    composition (language count, short-doc share). Every number is the
+    headline figure of a pack operator (E1 dedup, E4 token stats) — the
+    card is what goes in the README; the operators are the drill-down.
+
+    Exactness: counts and integer sums only; the three shares are one
+    double division each on identical operands.
+
+    Scale: two map-side-combinable aggregates — the metrics pass
+    (content hash + token count per doc, no shuffle beyond the final
+    1-row combine) and the vocabulary distinct (token-keyed exchange,
+    the unavoidable cost of an exact vocab count; swap for a HLL at
+    100 TB via E23's sketch path) — crossJoined as two 1-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    m = docs.select(
+        F.sha2(F.col("text"), 256).alias("h"),
+        ntok.alias("ntok"),
+        "lang",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.count(F.when(F.col("ntok") < CARD_SHORT_TOKENS, 1))
+        .cast("long")
+        .alias("n_short"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    v = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return m.crossJoin(F.broadcast(v)).select(
+        "n_docs",
+        "n_unique_docs",
+        (
+            (F.col("n_docs") - F.col("n_unique_docs")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_tokens"
+        ),
+        (F.col("n_short").cast("double") / F.col("n_docs")).alias(
+            "short_doc_share"
+        ),
+        "n_langs",
+        "vocab_size",
+    )

@@ -140,3 +140,89 @@ def test_runs_test_alternating_series(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_datasheet_card_planted(spark, tmp_path):
+    long_text = " ".join(f"w{i}" for i in range(25))
+    docs = [
+        (1, "a b c", "en", "s1"),
+        (2, "a b c", "en", "s1"),  # exact duplicate of doc 1
+        (3, "a b", "fr", "s2"),
+        (4, long_text, "en", "s2"),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r] = QUERIES["corpus_datasheet_card"](spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.n_unique_docs) == (4, 3)
+    assert r.dup_rate == 0.25
+    assert r.total_tokens == 33
+    assert r.mean_doc_tokens == 8.25
+    assert r.short_doc_share == 0.75
+    assert r.n_langs == 2
+    assert r.vocab_size == 28  # {a, b, c} + w0..w24
+    ok, detail = compare(
+        spark,
+        "corpus_datasheet_card",
+        QUERIES["corpus_datasheet_card"],
+        ORACLES["corpus_datasheet_card"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_welch_hand_computed(spark, tmp_path):
+    # purchase [1,2,3] (mean 2, var 1) vs view [2,4,6] (mean 4, var 4):
+    # t = -2 / sqrt(5/3), df = (25/9) / (17/18) = 50/17
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, dt.datetime(2026, 5, 1, 9), i, "purchase", v, "{}"))
+    for i, v in enumerate([2.0, 4.0, 6.0]):
+        rows.append((10 + i, dt.datetime(2026, 5, 1, 9), i, "view", v, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["welch_ttest_purchase_view"](spark, str(tmp_path)).collect()
+    assert (r.n_purchase, r.n_view) == (3, 3)
+    assert (r.mean_purchase, r.mean_view, r.mean_diff) == (2.0, 4.0, -2.0)
+    assert abs(r.t_stat - (-2.0 / (5.0 / 3.0) ** 0.5)) < 1e-12
+    assert abs(r.welch_df - 50.0 / 17.0) < 1e-12
+    ok, detail = compare(
+        spark,
+        "welch_ttest_purchase_view",
+        QUERIES["welch_ttest_purchase_view"],
+        ORACLES["welch_ttest_purchase_view"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_best_split_perfect_separation(spark, tmp_path):
+    # values 1,2 are non-purchase; 3,4 are purchase -> threshold <=2
+    # separates perfectly (weighted gini 0), and beats the 0.333 of
+    # the off-by-one splits.
+    rows = [
+        (1, dt.datetime(2026, 5, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "click", 2.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 3, "purchase", 3.0, "{}"),
+        (4, dt.datetime(2026, 5, 1, 9), 4, "purchase", 4.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["best_split_value_for_purchase"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.split_value == 2.0
+    assert (r.n_left, r.n_right) == (2, 2)
+    assert r.weighted_gini == 0.0
+    ok, detail = compare(
+        spark,
+        "best_split_value_for_purchase",
+        QUERIES["best_split_value_for_purchase"],
+        ORACLES["best_split_value_for_purchase"],
+        str(tmp_path),
+    )
+    assert ok, detail

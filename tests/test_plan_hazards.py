@@ -83,6 +83,10 @@ BNLJ_OK = {
     "daily_revenue_runs_test",   # 1-row total crossJoin over the
                                  # one-row-per-day frame
     "bloom_blocklist_probe",     # 1-row broadcast Bloom word-map
+    "welch_ttest_purchase_view",  # two 1-row moment frames crossJoined
+    "corpus_datasheet_card",     # two 1-row summary frames crossJoined
+    "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
+                                      # broadcasts
     "target_encode_mktsegment",  # 1-row global-moment crossJoin over the
                                  # 25-row (segment x fold) frame
 }
@@ -150,6 +154,8 @@ GLOBAL_WINDOW_OK = {
                                  # delta frame (calendar)
     "daily_revenue_runs_test",   # lag over the one-row-per-day frame
                                  # (calendar)
+    "best_split_value_for_purchase",  # two-phase prefix sum: only the
+                                      # 32-row pid-offset frame
 }
 
 
