@@ -753,11 +753,42 @@ BLOOM_FP_BOUND = 0.01
 
 def _bloom_pos_sql(col: str) -> list:
     """The k bit positions of ``col`` as SQL strings — xxhash64 with k
-    distinct literal salts (pure codegen expressions, no UDF)."""
+    distinct literal salts (pure codegen expressions, no UDF). The
+    hash is TYPE-sensitive (xxhash64 of a string differs from the same
+    number as a long): build and probe must feed identically-typed
+    keys."""
     return [
         f"pmod(xxhash64({col}, {i}), {BLOOM_NUM_BITS})"
         for i in range(BLOOM_K)
     ]
+
+
+def bloom_word_table(df: DataFrame, key_col: str) -> DataFrame:
+    """Distinct-key frame → the Bloom filter as a (widx, word) 64-bit
+    word table: k salted positions per key OR-ed into words. The word
+    table is the MERGEABLE form — two tables over different key sets
+    union by groupBy(widx).bit_or(word), and the merge is idempotent
+    (OR of a word with itself is a no-op), which streaming maintenance
+    exploits for replay safety (streaming/bloom_stream.py)."""
+    pos_list = ", ".join(_bloom_pos_sql(key_col))
+    pos = df.select(F.explode(F.expr(f"array({pos_list})")).alias("p"))
+    return pos.groupBy(F.expr("p div 64").alias("widx")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+        ).alias("word")
+    )
+
+
+def bloom_hit_sql(key_col: str, map_col: str = "bf") -> str:
+    """SQL boolean: every one of ``key_col``'s k bit positions is set in
+    the broadcast word map ``map_col`` — k element_at word tests ANDed,
+    all inside codegen."""
+    tests = [
+        f"(coalesce(element_at({map_col}, ({ps}) div 64), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({ps}) % 64 AS INT))) != 0"
+        for ps in _bloom_pos_sql(key_col)
+    ]
+    return "(" + ") AND (".join(tests) + ")"
 
 
 @query(
@@ -807,26 +838,13 @@ def bloom_blocklist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # build: k positions per key -> 64-bit words -> ONE map row
-    pos_list = ", ".join(_bloom_pos_sql("user_id"))
-    pos = blocked.select(
-        F.explode(F.expr(f"array({pos_list})")).alias("p")
-    )
-    words = pos.groupBy(F.expr("p div 64").alias("widx")).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
-        ).alias("word")
-    )
+    words = bloom_word_table(blocked, "user_id")
     bloom = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("widx", "word"))
         ).alias("bf")
     )
-    tests = [
-        f"(coalesce(element_at(bf, ({ps}) div 64), CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(({ps}) % 64 AS INT))) != 0"
-        for ps in _bloom_pos_sql("user_id")
-    ]
-    hit = F.expr("(" + ") AND (".join(tests) + ")")
+    hit = F.expr(bloom_hit_sql("user_id"))
     probed = ev.select("user_id").crossJoin(F.broadcast(bloom)).select(
         "user_id",
         (F.col("user_id") % BLOOM_BLOCK_MOD == 0).alias("is_blocked"),
