@@ -153,6 +153,9 @@ HEADLINE = [
     "corpus_datasheet_card",
     "welch_ttest_purchase_view",
     "best_split_value_for_purchase",
+    "cmh_conversion_by_hour_band",
+    "unigram_sampling_table",
+    "temporal_split_leakage_audit",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1830,3 +1830,123 @@ def welch_ttest_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_W_T).alias("t_stat"),
         F.expr(_W_DF).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# E185: Cochran-Mantel-Haenszel stratified conversion test
+# --------------------------------------------------------------------------
+
+#: Strata: three fixed hour-of-day bands (diurnal confounder). Bounded
+#: and deterministic, so the per-stratum terms can be laid out as fixed
+#: columns of ONE row — the double additions then happen in a FIXED
+#: expression order (a groupBy-sum over strata would be order-dependent).
+_CMH_BANDS = [(0, 7), (8, 15), (16, 23)]
+
+
+def _cmh_terms(k: int) -> tuple[str, str]:
+    """(a_k − E_k, V_k) as SQL over the stratum-k count columns."""
+    a, n1, m1, n = f"a{k}", f"n1_{k}", f"m1_{k}", f"n_{k}"
+    diff = (
+        f"(CAST({a} AS DOUBLE)"
+        f" - CAST({n1} AS DOUBLE) * {m1} / NULLIF({n}, 0))"
+    )
+    var = (
+        f"(CAST({n1} AS DOUBLE) * ({n} - {n1}) * {m1} * ({n} - {m1})"
+        f" / NULLIF(CAST({n} AS DOUBLE) * {n} * ({n} - 1), 0.0))"
+    )
+    return diff, var
+
+
+_CMH_DIFFS, _CMH_VARS = zip(
+    *[_cmh_terms(k) for k in range(len(_CMH_BANDS))]
+)
+_CMH_CHI2 = (
+    f"((({' + '.join(_CMH_DIFFS)}) * ({' + '.join(_CMH_DIFFS)}))"
+    f" / NULLIF({' + '.join(_CMH_VARS)}, 0.0))"
+)
+
+
+def _cmh_cells_sql() -> str:
+    cols = []
+    for k, (lo, hi) in enumerate(_CMH_BANDS):
+        band = f"hour(ts) BETWEEN {lo} AND {hi}"
+        cols.append(
+            f"CAST(COUNT(*) FILTER (WHERE {band} AND user_id % 2 = 0"
+            f" AND event_type = 'purchase') AS BIGINT) AS a{k}"
+        )
+        cols.append(
+            f"CAST(COUNT(*) FILTER (WHERE {band} AND user_id % 2 = 0)"
+            f" AS BIGINT) AS n1_{k}"
+        )
+        cols.append(
+            f"CAST(COUNT(*) FILTER (WHERE {band}"
+            f" AND event_type = 'purchase') AS BIGINT) AS m1_{k}"
+        )
+        cols.append(
+            f"CAST(COUNT(*) FILTER (WHERE {band}) AS BIGINT) AS n_{k}"
+        )
+    return ", ".join(cols)
+
+
+@query(
+    "cmh_conversion_by_hour_band",
+    oracle=f"""
+        WITH cells AS (
+          SELECT {_cmh_cells_sql()}
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT {', '.join(
+            f'a{k}, n1_{k}, m1_{k}, n_{k}' for k in range(len(_CMH_BANDS))
+        )},
+               {_CMH_CHI2} AS cmh_chi2
+        FROM cells
+    """,
+)
+def cmh_conversion_by_hour_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E185: Cochran-Mantel-Haenszel test — does the even/odd-user "arm"
+    convert differently once the diurnal confounder is STRATIFIED OUT?
+    E85's pooled z-test is vulnerable to Simpson's paradox when arms are
+    unevenly exposed across hours; CMH pools the per-stratum 2×2 tables
+    as χ² = (Σ(aₖ−Eₖ))² / ΣVₖ with the hypergeometric Eₖ, Vₖ — the
+    standard stratified A/B analysis (Mantel & Haenszel 1959).
+
+    Exactness: all 12 stratum cells are exact integers of ONE
+    map-side-combinable pass laid out as fixed COLUMNS of a single row,
+    so the three-term double sums evaluate in a fixed literal order
+    (a groupBy over strata would re-associate them); χ² is one shared
+    literal, NULL on degenerate strata.
+
+    Scale: one aggregate to one row; arithmetic after it is
+    volume-independent."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    hour = F.hour("ts")
+    arm_a = F.col("user_id") % 2 == 0
+    purch = F.col("event_type") == "purchase"
+    aggs = []
+    for k, (lo, hi) in enumerate(_CMH_BANDS):
+        band = hour.between(lo, hi)
+        aggs.extend(
+            [
+                F.count(F.when(band & arm_a & purch, 1))
+                .cast("long")
+                .alias(f"a{k}"),
+                F.count(F.when(band & arm_a, 1))
+                .cast("long")
+                .alias(f"n1_{k}"),
+                F.count(F.when(band & purch, 1))
+                .cast("long")
+                .alias(f"m1_{k}"),
+                F.count(F.when(band, 1)).cast("long").alias(f"n_{k}"),
+            ]
+        )
+    cells = ev.agg(*aggs)
+    out_cols = [
+        c
+        for k in range(len(_CMH_BANDS))
+        for c in (f"a{k}", f"n1_{k}", f"m1_{k}", f"n_{k}")
+    ]
+    return cells.select(*out_cols, F.expr(_CMH_CHI2).alias("cmh_chi2"))

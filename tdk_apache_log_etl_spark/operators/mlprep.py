@@ -294,3 +294,92 @@ def best_split_value_for_purchase(
         F.col("nr").alias("n_right"),
         F.col("gw").alias("weighted_gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# E187: temporal train/val split leakage audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "temporal_split_leakage_audit",
+    oracle="""
+        WITH b AS (
+          SELECT CAST(MIN(ts) AS DATE)
+                 + CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                                  CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+                   AS mid
+          FROM events WHERE user_id IS NOT NULL
+        ), per_user AS (
+          SELECT user_id,
+                 MIN(CAST(ts AS DATE)) AS d_min,
+                 MAX(CAST(ts AS DATE)) AS d_max
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE d_min < b.mid) AS BIGINT)
+                 AS n_train_users,
+               CAST(COUNT(*) FILTER (WHERE d_max >= b.mid) AS BIGINT)
+                 AS n_val_users,
+               CAST(COUNT(*) FILTER (WHERE d_min < b.mid
+                                       AND d_max >= b.mid) AS BIGINT)
+                 AS n_overlap_users,
+               CAST(COUNT(*) FILTER (WHERE d_min < b.mid
+                                       AND d_max >= b.mid) AS DOUBLE)
+                 / NULLIF(COUNT(*) FILTER (WHERE d_max >= b.mid), 0)
+                 AS overlap_share
+        FROM per_user CROSS JOIN b
+    """,
+)
+def temporal_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E187: entity-overlap audit of the time-based train/val split —
+    E12 splits by doc hash (entity-disjoint by construction); production
+    event models split by TIME, and then the same user appears on both
+    sides of the cut: any user-level memorization (IDs, embeddings,
+    target encodings) leaks future behavior into training metrics. This
+    reports how many calendar-midpoint validation users were already
+    seen in training — the number that decides between a time split, a
+    user split, or user-level feature freezing.
+
+    Exactness: per-user min/max day + integer counts; one double
+    division (NULL when the validation side is empty).
+
+    Scale: one user-keyed min/max aggregate (map-side combine), a
+    broadcast 1-row midpoint, one global count row."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    bounds = ev.agg(
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            (
+                F.datediff(
+                    F.max(F.col("ts").cast("date")),
+                    F.min(F.col("ts").cast("date")),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d_min"),
+        F.max(F.col("ts").cast("date")).alias("d_max"),
+    )
+    j = per_user.crossJoin(F.broadcast(bounds))
+    in_train = F.col("d_min") < F.col("mid")
+    in_val = F.col("d_max") >= F.col("mid")
+    return j.agg(
+        F.count(F.when(in_train, 1)).cast("long").alias("n_train_users"),
+        F.count(F.when(in_val, 1)).cast("long").alias("n_val_users"),
+        F.count(F.when(in_train & in_val, 1))
+        .cast("long")
+        .alias("n_overlap_users"),
+        (
+            F.count(F.when(in_train & in_val, 1)).cast("double")
+            / F.nullif(
+                F.count(F.when(in_val, 1)).cast("double"), F.lit(0.0)
+            )
+        ).alias("overlap_share"),
+    )

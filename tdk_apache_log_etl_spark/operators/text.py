@@ -1907,3 +1907,85 @@ def corpus_datasheet_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "vocab_size",
     )
+
+
+# --------------------------------------------------------------------------
+# E186: word2vec unigram sampling table (negative sampling + subsampling)
+# --------------------------------------------------------------------------
+
+#: count^0.75 in the sqrt-only form c^0.75 = sqrt(c·sqrt(c)): two
+#: CORRECTLY-ROUNDED IEEE operations, engine-exact — libm pow(c, 0.75)
+#: is not (last-ulp differences would poison the hash gate). The weight
+#: quantizes to 2-dp fixed point BEFORE the normalizer sum, so Z is an
+#: exact integer under any partitioning.
+_NEG_W = (
+    "CAST(FLOOR(SQRT(c * SQRT(CAST(c AS DOUBLE))) * 100 + 0.5) AS BIGINT)"
+)
+#: word2vec subsampling threshold (Mikolov et al. 2013, eq. 5 form).
+_SUBSAMPLE_T = "1e-4"
+_KEEP_P = (
+    f"LEAST(CAST(1 AS DOUBLE),"
+    f" (SQRT((CAST(c AS DOUBLE) / total_tokens) / {_SUBSAMPLE_T}) + 1.0)"
+    f" * {_SUBSAMPLE_T} / (CAST(c AS DOUBLE) / total_tokens))"
+)
+
+
+@query(
+    "unigram_sampling_table",
+    oracle=f"""
+        WITH cnt AS (
+          SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS u(tok)
+          GROUP BY tok
+        ), w AS (
+          SELECT token, c, {_NEG_W} AS w_int FROM cnt
+        ), z AS (
+          SELECT CAST(SUM(w_int) AS BIGINT) AS z_total,
+                 CAST(SUM(c) AS BIGINT) AS total_tokens
+          FROM w
+        )
+        SELECT w.token, w.c AS n_occurrences, w.w_int,
+               CAST(w.w_int AS DOUBLE) / z.z_total AS neg_sample_prob,
+               {_KEEP_P} AS keep_prob
+        FROM w CROSS JOIN z
+    """,
+)
+def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E186: the word2vec sampling table — per token, the negative-
+    sampling probability ∝ count^{3/4} (the unigram-to-the-3/4 law that
+    up-weights rare words) and the subsampling keep-probability
+    (√(f/t)+1)·t/f that discards ultra-frequent tokens (Mikolov et al.,
+    NeurIPS 2013). The table every skip-gram/contrastive trainer
+    materializes before touching the corpus; pairs with E17's
+    commonness scores (ranking) by supplying the SAMPLING law.
+
+    Exactness: count^0.75 is computed as sqrt(c·sqrt(c)) — two
+    correctly-rounded IEEE ops, bit-equal in both engines, where libm
+    pow() is not — then quantized to a 2-dp integer BEFORE the
+    normalizer, so Z is an exact integer sum; both probabilities are
+    per-row shared-literal double chains.
+
+    Scale: one token-keyed counting aggregate (map-side combine), a
+    1-row (Z, T) crossJoin, and per-row arithmetic — the output is
+    vocabulary-sized, the natural broadcast table for the training
+    job."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = cnt.select("token", "c", F.expr(_NEG_W).alias("w_int"))
+    z = w.agg(
+        F.sum("w_int").cast("long").alias("z_total"),
+        F.sum("c").cast("long").alias("total_tokens"),
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "token",
+        F.col("c").alias("n_occurrences"),
+        "w_int",
+        (F.col("w_int").cast("double") / F.col("z_total")).alias(
+            "neg_sample_prob"
+        ),
+        F.expr(_KEEP_P).alias("keep_prob"),
+    )

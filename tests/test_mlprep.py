@@ -226,3 +226,96 @@ def test_best_split_perfect_separation(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_cmh_balanced_strata_chi2_zero(spark, tmp_path):
+    # Within every hour band the two arms convert identically -> every
+    # stratum's a_k equals its expectation -> chi2 = 0 exactly.
+    rows = []
+    eid = 0
+    for hour in (0, 8, 16):
+        for uid, etype in [
+            (0, "purchase"),
+            (0, "view"),
+            (1, "purchase"),
+            (1, "view"),
+        ]:
+            rows.append(
+                (eid, dt.datetime(2026, 5, 1, hour), uid, etype, 1.0, "{}")
+            )
+            eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["cmh_conversion_by_hour_band"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r.a0, r.n1_0, r.m1_0, r.n_0) == (1, 2, 2, 4)
+    assert r.cmh_chi2 == 0.0
+    ok, detail = compare(
+        spark,
+        "cmh_conversion_by_hour_band",
+        QUERIES["cmh_conversion_by_hour_band"],
+        ORACLES["cmh_conversion_by_hour_band"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_unigram_sampling_hand_computed(spark, tmp_path):
+    # counts: a=4, b=1. w_int(a) = floor(4^0.75*100+0.5) = 283,
+    # w_int(b) = 100, Z = 383; T=5, f_a=0.8, f_b=0.2.
+    pd.DataFrame(
+        [(1, "a a a a b", "en", "s1")],
+        columns=["doc_id", "text", "lang", "source"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.token: r
+        for r in QUERIES["unigram_sampling_table"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows["a"].w_int == 283
+    assert rows["b"].w_int == 100
+    assert rows["a"].neg_sample_prob == 283.0 / 383.0
+    t = 1e-4
+    for tok, f in (("a", 0.8), ("b", 0.2)):
+        expect = min(1.0, ((f / t) ** 0.5 + 1.0) * t / f)
+        assert abs(rows[tok].keep_prob - expect) < 1e-12
+    ok, detail = compare(
+        spark,
+        "unigram_sampling_table",
+        QUERIES["unigram_sampling_table"],
+        ORACLES["unigram_sampling_table"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_temporal_leakage_planted_overlap(spark, tmp_path):
+    # span Jan 1..Jan 10 -> midpoint Jan 5. user 1 active both halves,
+    # user 2 train-only, user 3 val-only -> overlap 1 of 2 val users.
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 9, 9), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 1, 1, 12), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2026, 1, 10, 12), 3, "view", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["temporal_split_leakage_audit"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r.n_train_users, r.n_val_users, r.n_overlap_users) == (2, 2, 1)
+    assert r.overlap_share == 0.5
+    ok, detail = compare(
+        spark,
+        "temporal_split_leakage_audit",
+        QUERIES["temporal_split_leakage_audit"],
+        ORACLES["temporal_split_leakage_audit"],
+        str(tmp_path),
+    )
+    assert ok, detail
