@@ -177,6 +177,30 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # KS drift (concentration.py): the 1-row (n1, n2) totals and
         # the 1-row max-gap scalar
         "totals", "mx",
+        # Welch t-test (concentration.py): the 1-row second-group moments
+        "b",
+        # target encoding (mlprep.py): |segments|- and |folds|-row
+        # marginal frames off the 25-row cell frame
+        "seg", "fld",
+        # two-phase prefix sums (robuststats.py, mlprep.py): the 32-row
+        # pid-offset frame (the _global_ranks shape)
+        "off",
+        # decision stump (mlprep.py): the 1-row min-gini and argmin rows
+        "mn", "best_v",
+        # t-closeness (privacy.py): the ≤11-row sensitive-band marginal
+        "glob",
+        # Spearman (robuststats.py): quantity-rank frame bounded by the
+        # 2-dp quantity DOMAIN (~5k rows at any volume)
+        "rq",
+        # power iteration (similarity.py): the 1-row L∞ norm scalar
+        "nrm",
+        # Bloom probe (sketches.py, bloom_stream.py): the one-row word
+        # map, ≤ m/64 entries by the FILTER SIZE constant
+        "bloom",
+        # datasheet card (text.py): the 1-row vocab count frame
+        "v",
+        # unigram sampling table (text.py): the 1-row (Z, T) normalizer
+        "z",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
