@@ -156,6 +156,7 @@ HEADLINE = [
     "cmh_conversion_by_hour_band",
     "unigram_sampling_table",
     "temporal_split_leakage_audit",
+    "value_auc_for_purchase",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

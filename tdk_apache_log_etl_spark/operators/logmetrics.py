@@ -3282,6 +3282,13 @@ def active_users_7d_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("d")
     ).distinct()
+    return sliding_active_counts(ud)
+
+
+def sliding_active_counts(ud: DataFrame) -> DataFrame:
+    """The E175 delta pipeline over any distinct (user_id, d) frame —
+    shared by the batch query above and the incrementally-maintained
+    streaming activity table (streaming/active_users_stream.py)."""
     w = Window.partitionBy("user_id").orderBy("d")
     runs = ud.select(
         "d",

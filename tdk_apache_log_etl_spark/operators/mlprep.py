@@ -383,3 +383,106 @@ def temporal_split_leakage_audit(
             )
         ).alias("overlap_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# E188: exact ROC AUC of value as a purchase score (U-statistic form)
+# --------------------------------------------------------------------------
+
+_AUC = (
+    "(CAST(u_x2 AS DOUBLE)"
+    " / (2.0 * CAST(n_pos AS DOUBLE) * n_neg))"
+)
+
+
+@query(
+    "value_auc_for_purchase",
+    oracle=f"""
+        WITH vals AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS c_pos,
+                 CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase')
+                   AS BIGINT) AS c_neg
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), ranked AS (
+          SELECT c_pos, c_neg, c_pos + c_neg AS t,
+                 1 + COALESCE(SUM(c_pos + c_neg) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS rank_min
+          FROM vals
+        ), agg AS (
+          SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                 CAST(SUM(c_pos * (2 * rank_min + t - 1)) AS BIGINT)
+                   AS rank_sum_x2
+          FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               rank_sum_x2 - n_pos * (n_pos + 1) AS u_x2,
+               {_AUC} AS auc,
+               ({_AUC} * 2.0 - 1.0) AS gini_coef
+        FROM (
+          SELECT *, rank_sum_x2 - n_pos * (n_pos + 1) AS u_x2 FROM agg
+        )
+    """,
+)
+def value_auc_for_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E188: exact ROC AUC of event `value` as a purchase classifier —
+    THE ranking metric for the features this pack materializes (E176
+    encodings, E183 splits), computed distribution-exactly via the
+    U-statistic identity AUC = U/(n₊·n₋) with tie-averaged ranks
+    (= P(score₊ > score₋) + ½P(tie) — the Mann-Whitney machinery of
+    E134 repointed at its ML reading), plus the Gini coefficient
+    2·AUC−1. No sorted sweep over raw rows, no trapezoid sums.
+
+    Exactness: events collapse to one row per distinct 2-dp value with
+    class counts; tie-averaged rank sums stay integral in doubled units
+    (2·avg_rank = 2·rank_min + t − 1); AUC is one shared-literal double
+    chain from three exact integers.
+
+    Scale: one map-side-combinable collapse; the rank window runs over
+    the value-collapsed frame, bounded by the 2-dp value DOMAIN (≤
+    ~100k rows at ANY corpus size — the E134 argument), then one
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_pos = F.col("event_type") == "purchase"
+    vals = ev.groupBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    ).agg(
+        F.count(F.when(is_pos, 1)).cast("long").alias("c_pos"),
+        F.count(F.when(~is_pos, 1)).cast("long").alias("c_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "c_pos",
+        "c_neg",
+        (F.col("c_pos") + F.col("c_neg")).alias("t"),
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.col("c_pos") + F.col("c_neg")).over(w), F.lit(0)
+            )
+        ).alias("rank_min"),
+    )
+    agg = ranked.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.sum(F.col("c_pos") * (2 * F.col("rank_min") + F.col("t") - 1))
+        .cast("long")
+        .alias("rank_sum_x2"),
+    )
+    return agg.withColumn(
+        "u_x2",
+        F.col("rank_sum_x2") - F.col("n_pos") * (F.col("n_pos") + 1),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u_x2",
+        F.expr(_AUC).alias("auc"),
+        F.expr(f"({_AUC} * 2.0 - 1.0)").alias("gini_coef"),
+    )

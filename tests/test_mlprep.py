@@ -319,3 +319,43 @@ def test_temporal_leakage_planted_overlap(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_auc_perfect_and_tied(spark, tmp_path):
+    # perfect separation: purchases all score above non-purchases -> 1.0
+    rows = [
+        (1, dt.datetime(2026, 5, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "view", 2.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 3, "purchase", 3.0, "{}"),
+        (4, dt.datetime(2026, 5, 1, 9), 4, "purchase", 4.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["value_auc_for_purchase"](spark, str(tmp_path)).collect()
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.auc == 1.0
+    assert r.gini_coef == 1.0
+    # ties: pos [2], neg [1, 2] -> pairs (2>1)=1, (2=2)=0.5 -> AUC 0.75
+    tied = tmp_path / "tied"
+    tied.mkdir()
+    rows = [
+        (1, dt.datetime(2026, 5, 1, 9), 1, "purchase", 2.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 3, "view", 2.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tied / "events.parquet")
+    [r] = QUERIES["value_auc_for_purchase"](spark, str(tied)).collect()
+    assert r.auc == 0.75
+    ok, detail = compare(
+        spark,
+        "value_auc_for_purchase",
+        QUERIES["value_auc_for_purchase"],
+        ORACLES["value_auc_for_purchase"],
+        str(tied),
+    )
+    assert ok, detail

@@ -158,6 +158,9 @@ GLOBAL_WINDOW_OK = {
                                  # (calendar)
     "best_split_value_for_purchase",  # two-phase prefix sum: only the
                                       # 32-row pid-offset frame
+    "value_auc_for_purchase",    # rank prefix-sum over the value-
+                                 # collapsed frame, bounded by the 2-dp
+                                 # value DOMAIN (the E134 argument)
 }
 
 
