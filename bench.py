@@ -157,6 +157,9 @@ HEADLINE = [
     "unigram_sampling_table",
     "temporal_split_leakage_audit",
     "value_auc_for_purchase",
+    "business_day_ship_lag",
+    "ktruss_part_graph",
+    "interpurchase_burstiness",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

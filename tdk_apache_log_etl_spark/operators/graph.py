@@ -1198,3 +1198,90 @@ def link_prediction_resource_alloc(
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E191: k-truss decomposition (triangle-support edge pruning)
+# --------------------------------------------------------------------------
+
+#: 4-truss: every surviving edge must sit in >= k-2 = 2 triangles among
+#: surviving edges.
+TRUSS_K = 4
+#: Fixed prune rounds — the declared truncation that makes the oracle an
+#: unrollable CTE chain (the BFS_ROUNDS convention); the fixture graphs
+#: converge in <= 2.
+TRUSS_ROUNDS = 3
+
+
+def _truss_oracle() -> str:
+    steps = [f"""e0 AS (
+          SELECT src, dst FROM pairs WHERE src < dst
+        )"""]
+    for r in range(TRUSS_ROUNDS):
+        steps.append(f"""a{r} AS (
+          SELECT src, dst FROM e{r}
+          UNION ALL SELECT dst, src FROM e{r}
+        ), s{r} AS (
+          SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS support
+          FROM e{r} e
+          JOIN a{r} x ON x.src = e.src
+          JOIN a{r} y ON y.src = e.dst AND y.dst = x.dst
+          GROUP BY e.src, e.dst
+        ), e{r + 1} AS (
+          SELECT src, dst, support FROM s{r}
+          WHERE support >= {TRUSS_K - 2}
+        )""")
+    return f"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+        ), {", ".join(steps)}
+        SELECT src AS part_a, dst AS part_b, support
+        FROM e{TRUSS_ROUNDS}
+    """
+
+
+@query("ktruss_part_graph", oracle=_truss_oracle())
+def ktruss_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E191: 4-truss of the co-occurrence graph — iteratively delete
+    every edge in fewer than k−2 triangles until (here: for a declared
+    TRUSS_ROUNDS) the survivors form the truss (Cohen 2008). The truss
+    is the EDGE-centric cohesion ladder rung between E29's triangle
+    count (a census) and E125's k-core (vertex degrees can fake
+    cohesion; triangles cannot) — the standard community-core extractor
+    on co-purchase graphs.
+
+    Per round: adjacency = survivors in both orientations; each edge's
+    support = |N(a)∩N(b)| via two keyed joins (the E129 wedge shape
+    restricted to existing edges — zero-support edges drop out of the
+    join, which IS their prune); filter, localCheckpoint, repeat.
+    Output = round-3 survivors with their round-3 support. All-integer
+    ⇒ hash-gated against the unrolled-CTE oracle.
+
+    Scale: per round two keyed equi-joins on the CURRENT edge set (
+    monotonically shrinking) — cost Σ_w deg(w)² like the triangle
+    census, on an ever-smaller graph; per-round localCheckpoint caps
+    lineage exactly as the dedup Pregel loop does."""
+    pairs = significant_pairs(spark, sf_dir)
+    e = pairs.where(F.col("src") < F.col("dst")).select("src", "dst")
+    for _ in range(TRUSS_ROUNDS):
+        e = e.select("src", "dst").localCheckpoint(eager=True)
+        adj = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        x = adj.select(F.col("src").alias("xa"), F.col("dst").alias("w"))
+        y = adj.select(F.col("src").alias("yb"), F.col("dst").alias("w2"))
+        sup = (
+            e.join(x, e["src"] == x["xa"])
+            .join(y, (e["dst"] == y["yb"]) & (x["w"] == y["w2"]))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        e = sup.where(F.col("support") >= TRUSS_K - 2)
+    return e.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        "support",
+    )

@@ -2501,7 +2501,6 @@ def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to |types| × ~40 buckets. Output is vocabulary-bounded at
     any data size."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         ev.select("event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
         .select(
@@ -3337,4 +3336,114 @@ def sliding_active_counts(ud: DataFrame) -> DataFrame:
             F.col("e").alias("win_end"),
             F.sum("delta").over(wcum).cast("long").alias("n_active_users"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E192: interpurchase-gap burstiness (per-user CV classification)
+# --------------------------------------------------------------------------
+
+#: Sample-CV of a user's interpurchase gaps, from exact integer moments.
+#: GREATEST(..., 0) absorbs the last-ulp negative a constant-gap user's
+#: s²/n rounding can produce before SQRT.
+_CV_SQL = (
+    "(SQRT(GREATEST((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+    " / (n - 1), 0.0)) / NULLIF(CAST(s AS DOUBLE) / n, 0.0))"
+)
+#: CV bands: subscription-like (<0.5), Poisson-ish, bursty (>1.5).
+_CV_REGULAR, _CV_BURSTY = 0.5, 1.5
+
+
+@query(
+    "interpurchase_burstiness",
+    oracle=f"""
+        WITH p AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        ), gaps AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(ts - LAG(ts) OVER w)) AS BIGINT) AS g
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          QUALIFY LAG(ts) OVER w IS NOT NULL
+        ), per_user AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(g AS HUGEINT)) AS s,
+                 SUM(CAST(g AS HUGEINT) * g) AS q
+          FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2
+        ), scored AS (
+          SELECT user_id, {_CV_SQL} AS cv FROM per_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users_scored,
+               CAST(COUNT(*) FILTER (WHERE cv < {_CV_REGULAR}) AS BIGINT)
+                 AS n_regular,
+               CAST(COUNT(*) FILTER (WHERE cv >= {_CV_REGULAR}
+                                       AND cv <= {_CV_BURSTY}) AS BIGINT)
+                 AS n_moderate,
+               CAST(COUNT(*) FILTER (WHERE cv > {_CV_BURSTY}) AS BIGINT)
+                 AS n_bursty,
+               CAST(COUNT(*) FILTER (WHERE cv IS NULL) AS BIGINT)
+                 AS n_degenerate
+        FROM scored
+    """,
+)
+def interpurchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E192: classify repeat buyers by the coefficient of variation of
+    their interpurchase gaps — CV<0.5 is subscription-like cadence,
+    CV≈1 memoryless (exponential), CV>1.5 bursty binge buying (the
+    burstiness taxonomy of Goh & Barabási 2008). The behavioral segment
+    a CRM targets differently from RFM's volume view (E-family
+    `customer_rfm_scores`); per-user gap shape is what E97's global gap
+    histogram deliberately marginalizes away.
+
+    Exactness: gaps are whole elapsed seconds (timestampdiff ↔
+    floor(epoch), the E55 convention); per-user Σg/Σg² are exact
+    128-bit; CV is one shared-literal chain (GREATEST clamps the
+    last-ulp negative of a constant-gap user before SQRT; zero-mean →
+    NULL → counted as degenerate, never misclassified).
+
+    Scale: gaps ride one user-keyed exchange (window LAG); per-user
+    moments are the same shuffle's aggregate; the classification is a
+    1-row reduce. Nothing global, nothing quadratic."""
+    p = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    gaps = (
+        p.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec("g")).alias("s"),
+            F.sum(dec("g") * F.col("g")).alias("q"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    scored = per_user.select(F.expr(_CV_SQL).alias("cv"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_scored"),
+        F.count(F.when(F.col("cv") < _CV_REGULAR, 1))
+        .cast("long")
+        .alias("n_regular"),
+        F.count(
+            F.when(
+                (F.col("cv") >= _CV_REGULAR) & (F.col("cv") <= _CV_BURSTY), 1
+            )
+        )
+        .cast("long")
+        .alias("n_moderate"),
+        F.count(F.when(F.col("cv") > _CV_BURSTY, 1))
+        .cast("long")
+        .alias("n_bursty"),
+        F.count(F.when(F.col("cv").isNull(), 1))
+        .cast("long")
+        .alias("n_degenerate"),
     )

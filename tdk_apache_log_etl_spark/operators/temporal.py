@@ -1001,3 +1001,78 @@ def customer_order_span_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "custkey")
         .select("custkey", "n_intervals", "n_islands", "days_covered")
     )
+
+
+# --------------------------------------------------------------------------
+# E190: business-day fulfilment lag by order priority
+# --------------------------------------------------------------------------
+
+#: Weekday-count prefix anchored at a known Monday (1970-01-05):
+#: wb(d) = 5·(m div 7) + min(m mod 7, 5) counts weekdays in [anchor, d),
+#: so business-day lag = wb(ship) − wb(order) — pure integer date
+#: arithmetic, no per-day expansion, no calendar table.
+_BD_SPARK = (
+    "(5 * (datediff({d}, DATE '1970-01-05') div 7)"
+    " + LEAST(datediff({d}, DATE '1970-01-05') % 7, 5))"
+)
+_BD_DUCK = (
+    "(5 * (date_diff('day', DATE '1970-01-05', {d}) // 7)"
+    " + LEAST(date_diff('day', DATE '1970-01-05', {d}) % 7, 5))"
+)
+
+
+@query(
+    "business_day_ship_lag",
+    oracle=f"""
+        WITH lags AS (
+          SELECT o.o_orderpriority AS priority,
+                 {_BD_DUCK.format(d="CAST(l.l_shipdate AS DATE)")}
+                 - {_BD_DUCK.format(d="o.o_orderdate")} AS bd
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(bd) AS DOUBLE) / COUNT(*) AS mean_bd_lag,
+               CAST(MIN(bd) AS BIGINT) AS min_bd_lag,
+               CAST(MAX(bd) AS BIGINT) AS max_bd_lag
+        FROM lags GROUP BY priority
+    """,
+)
+def business_day_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E190: fulfilment lag in BUSINESS days per order priority — the
+    SLA form ops teams actually contract on (E98's calendar-day stats
+    over-penalize weekend spans). Weekdays between two dates come from
+    a closed-form prefix count anchored at a known Monday — wb(d) =
+    5·⌊m/7⌋ + min(m mod 7, 5) with m = days since 1970-01-05 — so the
+    lag is wb(ship)−wb(order): pure integer arithmetic per row, no
+    per-day explode, no calendar dimension join, and immune to the
+    engines' different DAYOFWEEK numbering conventions (no dayofweek
+    call at all).
+
+    Exactness: integer date diffs, integer div/mod, one exact-sum /
+    count division per priority.
+
+    Scale: one fact join (orderkey-keyed) and one 5-row aggregate —
+    the same shape as E98, which this extends."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bd = F.expr(_BD_SPARK.format(d="ship_d")) - F.expr(
+        _BD_SPARK.format(d="o_orderdate")
+    )
+    return (
+        j.select(F.col("o_orderpriority").alias("priority"), bd.alias("bd"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum("bd").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bd_lag"
+            ),
+            F.min("bd").cast("long").alias("min_bd_lag"),
+            F.max("bd").cast("long").alias("max_bd_lag"),
+        )
+    )

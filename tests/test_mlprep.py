@@ -359,3 +359,106 @@ def test_auc_perfect_and_tied(spark, tmp_path):
         str(tied),
     )
     assert ok, detail
+
+
+def test_business_day_lag_weekend_aware(spark, tmp_path):
+    # 2026-01-02 is a Friday. Fri->Mon spans only 1 business day;
+    # Mon->Fri spans 4; same-day is 0.
+    pd.DataFrame(
+        [
+            (1, dt.date(2026, 1, 2), "1-URGENT"),   # Friday
+            (2, dt.date(2026, 1, 5), "2-HIGH"),     # Monday
+            (3, dt.date(2026, 1, 7), "3-MEDIUM"),   # Wednesday
+        ],
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [
+            (1, dt.datetime(2026, 1, 5, 8)),   # Fri -> Mon: 1
+            (2, dt.datetime(2026, 1, 9, 8)),   # Mon -> Fri: 4
+            (3, dt.datetime(2026, 1, 7, 8)),   # same day: 0
+        ],
+        columns=["l_orderkey", "l_shipdate"],
+    ).to_parquet(
+        tmp_path / "lineitem.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    got = {
+        r.priority: r
+        for r in QUERIES["business_day_ship_lag"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["1-URGENT"].mean_bd_lag == 1.0
+    assert got["2-HIGH"].mean_bd_lag == 4.0
+    assert got["3-MEDIUM"].mean_bd_lag == 0.0
+    ok, detail = compare(
+        spark,
+        "business_day_ship_lag",
+        QUERIES["business_day_ship_lag"],
+        ORACLES["business_day_ship_lag"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_ktruss_clique_survives_pendant_pruned(spark, tmp_path):
+    # 4-clique {0,1,2,3}: every edge sits in 2 triangles -> survives the
+    # 4-truss. Pendant edge (4,5): support 0 -> pruned round 1.
+    rows = []
+    okey = 0
+    for basket in [[0, 1, 2, 3]] * 2 + [[4, 5]] * 2:
+        for i, part in enumerate(basket):
+            rows.append((okey, part, 1, i + 1))
+        okey += 1
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = QUERIES["ktruss_part_graph"](spark, str(tmp_path)).collect()
+    got = {(r.part_a, r.part_b): r.support for r in rows}
+    expected_edges = {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+    assert set(got) == expected_edges
+    assert all(s == 2 for s in got.values())
+
+
+def test_burstiness_planted_classes(spark, tmp_path):
+    # user 1: constant 600 s gaps (CV=0, regular); user 2: gaps
+    # [1, 1, 10000] s (CV~1.73, bursty); user 3: two zero gaps
+    # (zero mean -> NULL CV -> degenerate).
+    rows = []
+    eid = 0
+    base = dt.datetime(2026, 5, 1, 9, 0, 0)
+    for k in range(4):  # user 1: purchases every 600 s
+        rows.append(
+            (eid, base + dt.timedelta(seconds=600 * k), 1, "purchase", 1.0, "{}")
+        )
+        eid += 1
+    for secs in [0, 1, 2, 10002]:  # user 2: gaps 1, 1, 10000
+        rows.append(
+            (eid, base + dt.timedelta(seconds=secs), 2, "purchase", 1.0, "{}")
+        )
+        eid += 1
+    for _ in range(3):  # user 3: three purchases same instant
+        rows.append((eid, base, 3, "purchase", 1.0, "{}"))
+        eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["interpurchase_burstiness"](spark, str(tmp_path)).collect()
+    assert r.n_users_scored == 3
+    assert r.n_regular == 1
+    assert r.n_bursty == 1
+    assert r.n_degenerate == 1
+    assert r.n_moderate == 0
+    ok, detail = compare(
+        spark,
+        "interpurchase_burstiness",
+        QUERIES["interpurchase_burstiness"],
+        ORACLES["interpurchase_burstiness"],
+        str(tmp_path),
+    )
+    assert ok, detail
