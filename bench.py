@@ -160,6 +160,8 @@ HEADLINE = [
     "business_day_ship_lag",
     "ktruss_part_graph",
     "interpurchase_burstiness",
+    "daily_count_dispersion",
+    "discount_qty_slope_by_brand",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -2476,3 +2476,91 @@ def skyline_customers_spend_orders(
         (F.col("sx").cast("double") / SCALE).alias("total_spend"),
         F.col("sy").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# E194: grouped OLS — discount-quantity response per brand
+# --------------------------------------------------------------------------
+
+_ELAST_SCALE = 100  # 2-dp fixed point for discount (x) and quantity (y)
+_ELAST_SLOPE = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))"
+)
+_ELAST_R2 = (
+    "((CAST(n * sxy - sx * sy AS DOUBLE)"
+    " * CAST(n * sxy - sx * sy AS DOUBLE))"
+    " / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE), 0.0))"
+)
+
+
+@query(
+    "discount_qty_slope_by_brand",
+    oracle=f"""
+        WITH base AS (
+          SELECT p.p_brand AS brand,
+                 CAST(FLOOR(CAST(l.l_discount AS DOUBLE) * {_ELAST_SCALE}
+                            + 0.5) AS BIGINT) AS x,
+                 CAST(FLOOR(CAST(l.l_quantity AS DOUBLE) * {_ELAST_SCALE}
+                            + 0.5) AS BIGINT) AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), m AS (
+          SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM base GROUP BY brand
+        )
+        SELECT brand, n AS n_lines,
+               {_ELAST_SLOPE} AS qty_per_discount_unit,
+               {_ELAST_R2} AS r_squared
+        FROM m
+    """,
+)
+def discount_qty_slope_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E194: grouped OLS — per brand, the regression slope of quantity
+    on discount (does discounting move volume, and for WHICH brands?)
+    with its R². E138's `ols_value_regression` fits ONE global line;
+    the grouped form is the per-key variant a pricing team actually
+    reads, and it stays a single aggregate: every group's five moments
+    ride one brand-keyed exchange — no per-group iteration, no ML
+    library.
+
+    Exactness: both variables fix to 2-dp integers; per-brand moments
+    are exact 128-bit; slope and R² are shared-literal chains (NULL
+    slope for a brand with constant discount — zero x-variance).
+
+    Scale: fact join (partkey-keyed, AQE-broadcastable dim) → one
+    map-side-combinable aggregate to the |brands| frame (25 rows) →
+    per-row arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount").cast("double") * _ELAST_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("l_quantity").cast("double") * _ELAST_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.expr(_ELAST_SLOPE).alias("qty_per_discount_unit"),
+        F.expr(_ELAST_R2).alias("r_squared"),
+    )

@@ -2117,3 +2117,64 @@ def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_days", "n_above", "n_below", "n_runs", F.expr(_RUNS_Z).alias("z")
     )
+
+
+# --------------------------------------------------------------------------
+# E193: index of dispersion for daily counts (Poisson overdispersion)
+# --------------------------------------------------------------------------
+
+_DISP = (
+    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+    " / NULLIF(CAST(s AS DOUBLE) / n, 0.0)"
+)
+
+
+@query(
+    "daily_count_dispersion",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(c AS HUGEINT)) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS q
+          FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               CAST(s AS DOUBLE) / n AS mean_daily,
+               {_DISP} AS dispersion_index
+        FROM m
+    """,
+)
+def daily_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E193: index of dispersion (variance-to-mean ratio) of each event
+    type's daily counts — the one-number Poisson check: ≈1 means
+    memoryless arrivals (alerting thresholds from √mean are valid), >1
+    overdispersed/bursty (they are not — use E65's seasonal bands or a
+    negative-binomial budget instead). The diagnostic that says WHICH
+    anomaly machinery applies, before any of it runs.
+
+    Exactness: daily counts are exact integers; per-type Σc/Σc² are
+    128-bit; the ratio is one shared-literal chain (sample variance /
+    mean), NULL for an empty mean.
+
+    Scale: one (type, day) counting pass (map-side combine) to a
+    calendar-bounded frame, then a |types|-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("c")).alias("s"),
+        F.sum(dec("c") * F.col("c")).alias("q"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_daily"),
+        F.expr(_DISP).alias("dispersion_index"),
+    )

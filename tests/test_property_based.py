@@ -345,3 +345,71 @@ def test_longest_streak_matches_python_reference(spark, pairs):
         assert r.n_active_days == len(ds)
         assert r.longest_streak == max(streaks)
         assert r.n_streaks == len(streaks)
+
+
+# ---------------------------------------------------------------------------
+# business-day prefix formula: pure-function property vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _wb(d: datetime.date) -> int:
+    """The Monday-anchored closed form from temporal.business_day_ship_lag."""
+    m = (d - datetime.date(1970, 1, 5)).days
+    return 5 * (m // 7) + min(m % 7, 5)
+
+
+@given(
+    st.dates(min_value=datetime.date(1990, 1, 1),
+             max_value=datetime.date(2030, 1, 1)),
+    st.integers(min_value=0, max_value=400),
+)
+def test_business_day_formula_matches_brute_force(start, span):
+    end = start + datetime.timedelta(days=span)
+    brute = sum(
+        1
+        for k in range(span)
+        if (start + datetime.timedelta(days=k)).weekday() < 5
+    )
+    assert _wb(end) - _wb(start) == brute
+
+
+# ---------------------------------------------------------------------------
+# sliding-distinct delta identity: pure-python model vs interval algebra
+# ---------------------------------------------------------------------------
+
+user_day_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # user
+        st.integers(min_value=0, max_value=40),    # day index
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(user_day_sets)
+def test_sliding_delta_identity_matches_naive(pairs):
+    # the +1/-1 boundary-delta construction used by
+    # logmetrics.active_users_7d_sliding, replayed in pure python
+    W = 7
+    ud = sorted(set(pairs))
+    days = [d for _, d in ud]
+    lo, hi = min(days), max(days)
+    deltas: dict[int, int] = {}
+    by_user: dict[int, list[int]] = {}
+    for u, d in ud:
+        by_user.setdefault(u, []).append(d)
+    for u, ds in by_user.items():
+        prev = None
+        for d in sorted(ds):
+            start = d if prev is None or prev + W - 1 < d else prev + W
+            deltas[start] = deltas.get(start, 0) + 1
+            deltas[d + W] = deltas.get(d + W, 0) - 1
+            prev = d
+    run = 0
+    for e in range(lo, hi + 1):
+        run += deltas.get(e, 0)
+        naive = len(
+            {u for u, d in ud if e - (W - 1) <= d <= e}
+        )
+        assert run == naive, (e, run, naive)
