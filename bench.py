@@ -162,6 +162,9 @@ HEADLINE = [
     "interpurchase_burstiness",
     "daily_count_dispersion",
     "discount_qty_slope_by_brand",
+    "epoch_shard_assignment",
+    "doc_length_log2_histogram",
+    "mixture_epoch_plan",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -486,3 +486,74 @@ def value_auc_for_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_AUC).alias("auc"),
         F.expr(f"({_AUC} * 2.0 - 1.0)").alias("gini_coef"),
     )
+
+
+# --------------------------------------------------------------------------
+# E195: deterministic epoch shard assignment (global training shuffle)
+# --------------------------------------------------------------------------
+
+#: Shard count and the epoch being planned (a new epoch = a new salt =
+#: a fresh pseudo-random permutation of docs over shards).
+N_SHARDS = 64
+SHUFFLE_EPOCH = 1
+#: Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)) —
+#: integer arithmetic only, so BOTH engines compute the identical shard
+#: (xxhash64/md5-hex-to-int don't mirror across engines).
+_KNUTH_A = 2_654_435_761
+_SHARD = (
+    f"(((doc_id + {SHUFFLE_EPOCH} * 1000003) * {_KNUTH_A})"
+    f" % 4294967296) % {N_SHARDS}"
+)
+
+
+@query(
+    "epoch_shard_assignment",
+    oracle=f"""
+        WITH assign AS (
+          SELECT {_SHARD} AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                 n_chars
+          FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM assign GROUP BY shard
+    """,
+)
+def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E195: the global training shuffle as a deterministic shard plan —
+    every document lands in one of N_SHARDS shards by a salted Knuth
+    multiplicative hash of its id, and a NEW EPOCH is just a new salt
+    (a fresh pseudo-random permutation with zero data movement until
+    the write). This is how a 100 TB corpus is "shuffled": not a global
+    sort, but a hash-assignment whose per-shard token/byte balance this
+    query reports (imbalanced shards = stragglers in the training job).
+
+    Exactness: pure integer arithmetic (the Knuth constant over a 2³²
+    ring) — engine-identical, unlike xxhash64 (Spark-only) or
+    md5-hex-to-int (no portable hex cast); token/byte sums exact.
+
+    Scale: one narrow projection + one 64-group aggregate; the eventual
+    shard WRITE is `repartition(N_SHARDS, shard)` on the same key —
+    this query is its dry-run audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard_expr = (
+        (
+            (F.col("doc_id") + SHUFFLE_EPOCH * 1_000_003) * _KNUTH_A
+        ) % 4294967296
+    ) % N_SHARDS
+    return (
+        docs.select(
+            shard_expr.cast("long").alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

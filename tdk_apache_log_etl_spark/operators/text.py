@@ -1989,3 +1989,134 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_KEEP_P).alias("keep_prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# E196: per-source log2 document-length histogram (context planning)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_length_log2_histogram",
+    oracle="""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents
+        )
+        SELECT source,
+               CAST(length(printf('%b', ntok)) - 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM t WHERE ntok >= 1
+        GROUP BY 1, 2
+    """,
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E196: per-source power-of-two token-length histogram — bucket k
+    holds 2^k ≤ len < 2^(k+1) — the context-window planning view: what
+    share of each source fits a 2k/8k/32k window, and how many tokens a
+    truncation cut at each boundary would cost (E25's chunker and the
+    packing pack consume exactly this). The bucket index is the length's
+    BINARY digit count minus one (Spark ``bin()``, DuckDB
+    ``printf('%b')`` — the E97 idiom): pure integer string length, no
+    libm log2 to misplace values adjacent to powers of two.
+
+    Scale: one narrow projection and one (source × ~12 buckets)
+    map-side-combinable aggregate — nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select("source", ntok.alias("ntok")).where(F.col("ntok") >= 1)
+    return t.groupBy(
+        "source",
+        (F.length(F.bin("ntok")) - 1).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E197: data-mixture epoch plan (token budget vs source inventory)
+# --------------------------------------------------------------------------
+
+#: Target mixture weights per source (fixed contract literals, the
+#: DoReMi/Pile-style recipe a run config pins) and the run's total token
+#: budget as a multiple of the corpus inventory.
+MIXTURE_WEIGHTS = {f"src{i}": (10 - i) for i in range(10)}  # /55 normalized
+_MIX_DEN = sum(MIXTURE_WEIGHTS.values())
+TOKEN_BUDGET_X = 5  # budget = 5 x total corpus tokens
+#: Repetition ceiling: >4 epochs over the same source measurably decays
+#: quality (Muennighoff et al. 2023) — flagged, not enforced.
+MAX_EPOCHS = 4
+
+_MIX_W_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {w}"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+        WITH inv AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS src_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens FROM inv
+        )
+        SELECT i.source, i.src_tokens,
+               CAST({_MIX_W_CASE} AS BIGINT) AS weight_num,
+               (CAST({_MIX_W_CASE} AS DOUBLE) / {_MIX_DEN})
+                 * ({TOKEN_BUDGET_X} * t.all_tokens) AS target_tokens,
+               ((CAST({_MIX_W_CASE} AS DOUBLE) / {_MIX_DEN})
+                 * ({TOKEN_BUDGET_X} * t.all_tokens)) / i.src_tokens
+                 AS epochs_needed,
+               (((CAST({_MIX_W_CASE} AS DOUBLE) / {_MIX_DEN})
+                 * ({TOKEN_BUDGET_X} * t.all_tokens)) / i.src_tokens)
+                 > {MAX_EPOCHS} AS over_repetition_cap
+        FROM inv i CROSS JOIN tot t
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E197: the data-budget table a pretraining run is planned from —
+    given the pinned mixture weights and a token budget (here 5× the
+    corpus inventory), how many tokens each source must contribute and
+    how many EPOCHS over that source this implies, flagging sources
+    pushed past the ~4-epoch repetition ceiling (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models"). Pairs with E4's
+    mixture SAMPLERS: this plans the recipe, those execute it.
+
+    Exactness: inventory is exact integer token counts; weights and the
+    budget are shared contract literals; targets/epochs are per-row
+    double chains on identical operands.
+
+    Scale: one token-count aggregate to the |sources| frame + a 1-row
+    total crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("src_tokens")
+    )
+    tot = inv.agg(F.sum("src_tokens").cast("long").alias("all_tokens"))
+    w = F.expr(_MIX_W_CASE)
+    target = (w.cast("double") / _MIX_DEN) * (
+        TOKEN_BUDGET_X * F.col("all_tokens")
+    )
+    return inv.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        w.cast("long").alias("weight_num"),
+        target.alias("target_tokens"),
+        (target / F.col("src_tokens")).alias("epochs_needed"),
+        ((target / F.col("src_tokens")) > MAX_EPOCHS).alias(
+            "over_repetition_cap"
+        ),
+    )

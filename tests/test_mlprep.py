@@ -462,3 +462,84 @@ def test_burstiness_planted_classes(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_epoch_shards_conserve_and_mirror(spark, tmp_path):
+    docs = [
+        (i, " ".join(["w"] * (i + 1)), "en", "s1", 5 * (i + 1))
+        for i in range(50)
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["epoch_shard_assignment"](spark, str(tmp_path)).collect()
+    # conservation: every doc and token lands in exactly one shard
+    assert sum(r.n_docs for r in rows) == 50
+    assert sum(r.n_tokens for r in rows) == sum(i + 1 for i in range(50))
+    # python mirror of the salted Knuth hash
+    from tdk_apache_log_etl_spark.operators.mlprep import (
+        _KNUTH_A,
+        N_SHARDS,
+        SHUFFLE_EPOCH,
+    )
+
+    expect = {}
+    for i in range(50):
+        s = (((i + SHUFFLE_EPOCH * 1000003) * _KNUTH_A) % 2**32) % N_SHARDS
+        expect[s] = expect.get(s, 0) + 1
+    assert {r.shard: r.n_docs for r in rows} == expect
+    ok, detail = compare(
+        spark,
+        "epoch_shard_assignment",
+        QUERIES["epoch_shard_assignment"],
+        ORACLES["epoch_shard_assignment"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_length_histogram_power_of_two_edges(spark, tmp_path):
+    docs = [
+        (1, " ".join(["w"] * 7), "en", "sA"),   # 7 tokens -> bucket 2
+        (2, " ".join(["w"] * 8), "en", "sA"),   # 8 tokens -> bucket 3
+        (3, "w", "en", "sB"),                   # 1 token  -> bucket 0
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        (r.source, r.bucket): r.n_docs
+        for r in QUERIES["doc_length_log2_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows == {("sA", 2): 1, ("sA", 3): 1, ("sB", 0): 1}
+
+
+def test_mixture_epoch_plan_hand_computed(spark, tmp_path):
+    # src0: 100 tokens, src1: 50 tokens; budget = 5*150 = 750.
+    # weights 10/55 and 9/55 -> targets 136.36.., 122.72..;
+    # epochs src1 = 122.72../50 = 2.45..; src0 = 1.36.. (neither flagged)
+    docs = [
+        (1, " ".join(["w"] * 100), "en", "src0"),
+        (2, " ".join(["w"] * 50), "en", "src1"),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["mixture_epoch_plan"](spark, str(tmp_path)).collect()
+    }
+    assert got["src0"].src_tokens == 100
+    assert abs(got["src0"].target_tokens - 750 * 10 / 55) < 1e-9
+    assert abs(got["src1"].epochs_needed - 750 * 9 / 55 / 50) < 1e-9
+    assert not got["src0"].over_repetition_cap
+    ok, detail = compare(
+        spark,
+        "mixture_epoch_plan",
+        QUERIES["mixture_epoch_plan"],
+        ORACLES["mixture_epoch_plan"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -85,6 +85,7 @@ BNLJ_OK = {
     "bloom_blocklist_probe",     # 1-row broadcast Bloom word-map
     "welch_ttest_purchase_view",  # two 1-row moment frames crossJoined
     "unigram_sampling_table",    # 1-row (Z, T) normalizer crossJoin
+    "mixture_epoch_plan",        # 1-row inventory-total crossJoin
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
