@@ -779,12 +779,42 @@ def bloom_word_table(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_hit_sql(key_col: str, map_col: str = "bf") -> str:
+def bloom_dense_row(words: DataFrame) -> DataFrame:
+    """Word table → ONE row holding the filter as a DENSE
+    length-(m/64) long array. Spark's MapData does a LINEAR scan per
+    element_at (measured: the probe went superlinear as the filter
+    filled — exp 1.2 in the sf0.01→1 study), so the sparse map is
+    expanded once, on one row in one task, into an array whose
+    element_at is O(1); the probe side then pays k constant-time index
+    reads per row. The expansion is a broadcast range join + one
+    O((m/64)·log(m/64)) sorted assembly — corpus-independent constants
+    — and the broadcast payload is a fixed m/8 bytes (512 KB at the
+    default m)."""
+    n_words = BLOOM_NUM_BITS // 64
+    idx = words.sparkSession.range(n_words).select(
+        F.col("id").alias("widx")
+    )
+    dense = idx.join(F.broadcast(words), "widx", "left").select(
+        "widx",
+        F.coalesce(F.col("word"), F.lit(0).cast("long")).alias("word"),
+    )
+    # order-safe assembly: collect (widx, word) structs, sort by widx,
+    # project — O(n_words log n_words), no per-element map scan
+    return dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(widx, word))),"
+            " x -> x.word)"
+        ).alias("bf")
+    )
+
+
+def bloom_hit_sql(key_col: str, arr_col: str = "bf") -> str:
     """SQL boolean: every one of ``key_col``'s k bit positions is set in
-    the broadcast word map ``map_col`` — k element_at word tests ANDed,
-    all inside codegen."""
+    the broadcast DENSE word array ``arr_col`` — k O(1) element_at index
+    reads ANDed, all inside codegen (arrays index in constant time;
+    maps do not — see bloom_dense_row)."""
     tests = [
-        f"(coalesce(element_at({map_col}, ({ps}) div 64), CAST(0 AS BIGINT))"
+        f"(element_at({arr_col}, CAST(({ps}) div 64 AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST(({ps}) % 64 AS INT))) != 0"
         for ps in _bloom_pos_sql(key_col)
     ]
@@ -837,13 +867,8 @@ def bloom_blocklist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % BLOOM_BLOCK_MOD == 0)
         .distinct()
     )
-    # build: k positions per key -> 64-bit words -> ONE map row
-    words = bloom_word_table(blocked, "user_id")
-    bloom = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("widx", "word"))
-        ).alias("bf")
-    )
+    # build: k positions per key -> 64-bit words -> ONE dense-array row
+    bloom = bloom_dense_row(bloom_word_table(blocked, "user_id"))
     hit = F.expr(bloom_hit_sql("user_id"))
     probed = ev.select("user_id").crossJoin(F.broadcast(bloom)).select(
         "user_id",

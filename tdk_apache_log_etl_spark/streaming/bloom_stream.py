@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-from ..operators.sketches import bloom_hit_sql, bloom_word_table
+from ..operators.sketches import (
+    bloom_dense_row,
+    bloom_hit_sql,
+    bloom_word_table,
+)
 
 
 def merge_batch_bloom(
@@ -100,11 +104,7 @@ def probe_bloom_table(
     shuffles. No false negatives for every key ever merged (asserted
     end-to-end in tests/test_streaming_bloom.py)."""
     words = spark.read.parquet(table_path)
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias(
-            "bf"
-        )
-    )
+    bloom = bloom_dense_row(words)
     return probe.withColumn("__k", F.expr(key_expr)).crossJoin(
         F.broadcast(bloom)
     ).withColumn("bloom_hit", F.expr(bloom_hit_sql("__k"))).drop(

@@ -194,9 +194,10 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "rq",
         # power iteration (similarity.py): the 1-row L∞ norm scalar
         "nrm",
-        # Bloom probe (sketches.py, bloom_stream.py): the one-row word
-        # map, ≤ m/64 entries by the FILTER SIZE constant
-        "bloom",
+        # Bloom probe (sketches.py, bloom_stream.py): the one-row dense
+        # word array (m/8 bytes by the FILTER SIZE constant) and the
+        # ≤ m/64-row sparse word table it is assembled from
+        "bloom", "words",
         # datasheet card (text.py): the 1-row vocab count frame
         "v",
         # unigram sampling table (text.py): the 1-row (Z, T) normalizer
