@@ -165,6 +165,9 @@ HEADLINE = [
     "epoch_shard_assignment",
     "doc_length_log2_histogram",
     "mixture_epoch_plan",
+    "neyman_allocation_by_type",
+    "dup_cluster_size_histogram",
+    "cross_source_duplication",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

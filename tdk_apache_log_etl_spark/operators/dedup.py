@@ -960,3 +960,128 @@ def part_name_deletion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_distance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E199: duplicate-cluster size histogram
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+        WITH clusters AS (
+          SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM documents GROUP BY 1
+        )
+        SELECT sz AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+               CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_removable
+        FROM clusters GROUP BY sz
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E199: the SHAPE of exact duplication — how many content-hash
+    clusters exist at each size, how many docs they hold, and how many
+    a keep-one policy would remove. E1 reports the total dup rate; the
+    histogram is what decides the POLICY (a fat head of giant clusters
+    = boilerplate to hard-drop; a long tail of pairs = mirrors to
+    keep-one) and predicts dedup's yield before running it.
+
+    Scale: one hash aggregate (shuffle carries 32-byte digests, never
+    text), then a ≤|distinct sizes|-row regroup — the classic
+    count-of-counts frame (Good-Turing's input, E139)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        F.sha2(F.col("text"), 256).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.first("sz")).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.first("sz") - 1))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E200: cross-source duplication matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_duplication",
+    oracle="""
+        WITH hs AS (
+          SELECT DISTINCT sha256(text) AS h, source FROM documents
+        ), pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared_hashes
+          FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+        ), inv AS (
+          SELECT source, CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)
+                   AS n_hashes
+          FROM documents GROUP BY source
+        )
+        SELECT p.src_a, p.src_b, p.n_shared_hashes,
+               CAST(p.n_shared_hashes AS DOUBLE) / ia.n_hashes
+                 AS share_of_a,
+               CAST(p.n_shared_hashes AS DOUBLE) / ib.n_hashes
+                 AS share_of_b
+        FROM pairs p
+        JOIN inv ia ON ia.source = p.src_a
+        JOIN inv ib ON ib.source = p.src_b
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E200: which sources copy from which — for every source pair, the
+    number of content hashes they SHARE and that overlap as a share of
+    each side's distinct inventory. The audit that runs before mixture
+    weighting (E197): two sources that are 40% the same corpus must not
+    be weighted as independent evidence, and cross-source overlap is
+    invisible to E199's global histogram.
+
+    Scale: dedup to (hash, source) — shuffle carries digests; the
+    self-join keys on the HASH, so its fan-out per hash is bounded by
+    |sources|² (a by-contract-small label set), never by corpus size;
+    inventories broadcast back onto the ≤|sources|² pair frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = scoped_persist(
+        docs.select(
+            F.sha2(F.col("text"), 256).alias("h"), "source"
+        ).distinct()
+    )
+    a = hs.select("h", F.col("source").alias("src_a"))
+    b = hs.select("h", F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_hashes"))
+    )
+    inv = hs.groupBy("source").agg(
+        F.countDistinct("h").alias("n_hashes")
+    )
+    ia = inv.select(
+        F.col("source").alias("src_a"), F.col("n_hashes").alias("na")
+    )
+    ib = inv.select(
+        F.col("source").alias("src_b"), F.col("n_hashes").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "src_a")
+        .join(F.broadcast(ib), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_hashes",
+            (F.col("n_shared_hashes").cast("double") / F.col("na")).alias(
+                "share_of_a"
+            ),
+            (F.col("n_shared_hashes").cast("double") / F.col("nb")).alias(
+                "share_of_b"
+            ),
+        )
+    )

@@ -3447,3 +3447,90 @@ def interpurchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_degenerate"),
     )
+
+
+# --------------------------------------------------------------------------
+# E198: Neyman optimal sample allocation across event-type strata
+# --------------------------------------------------------------------------
+
+NEYMAN_TOTAL_SAMPLES = 10_000
+_NEYMAN_VSCALE = 100  # 2-dp fixed point for value moments
+#: sample SD from exact integer moments; GREATEST clamps the last-ulp
+#: negative of a constant-value stratum before SQRT.
+_NEYMAN_SD = (
+    "(SQRT(GREATEST((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+    f" / (n - 1), 0.0)) / {_NEYMAN_VSCALE})"
+)
+#: Nh·Sh quantized to an integer BEFORE the cross-stratum sum, so the
+#: normalizer is exact under any partitioning.
+_NEYMAN_P = f"CAST(FLOOR(n * {_NEYMAN_SD} * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "neyman_allocation_by_type",
+    oracle=f"""
+        WITH m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(FLOOR(value * {_NEYMAN_VSCALE} + 0.5)
+                     AS HUGEINT)) AS s,
+                 SUM(CAST(FLOOR(value * {_NEYMAN_VSCALE} + 0.5) AS HUGEINT)
+                     * CAST(FLOOR(value * {_NEYMAN_VSCALE} + 0.5)
+                            AS BIGINT)) AS q
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type
+        ), p AS (
+          SELECT event_type, n, {_NEYMAN_SD} AS sd, {_NEYMAN_P} AS p_int
+          FROM m
+        ), z AS (
+          SELECT CAST(SUM(p_int) AS BIGINT) AS p_tot FROM p
+        )
+        SELECT p.event_type, p.n AS n_events, p.sd AS sd_value,
+               CAST(p.p_int AS DOUBLE) / z.p_tot AS alloc_share,
+               CAST(({NEYMAN_TOTAL_SAMPLES} * p.p_int) // z.p_tot
+                    AS BIGINT) AS n_sampled
+        FROM p CROSS JOIN z
+    """,
+)
+def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E198: Neyman optimal allocation — how a fixed budget of
+    NEYMAN_TOTAL_SAMPLES audit samples should split across event-type
+    strata, nₕ ∝ Nₕ·Sₕ (Neyman 1934): proportional allocation (E31's
+    stratified sampler uses per-stratum fractions) is optimal only when
+    strata variances are EQUAL; weighting by the stratum SD puts audit
+    budget where the metric is noisy, minimizing the variance of the
+    estimated mean for free. This emits the allocation TABLE; E31
+    executes whatever fractions it is given.
+
+    Exactness: per-stratum Σx/Σx² exact 128-bit; Nₕ·Sₕ quantizes to an
+    integer BEFORE the cross-stratum normalizer (an exact sum — a
+    double Σ over strata would be order-dependent); shares are one
+    division, sample counts one integer floor-division.
+
+    Scale: one map-side pass to the |types| frame + a 1-row normalizer
+    crossJoin."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = F.floor(F.col("value") * _NEYMAN_VSCALE + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(sv)).alias("s"),
+        F.sum(dec(sv) * sv).alias("q"),
+    )
+    p = m.select(
+        "event_type",
+        "n",
+        F.expr(_NEYMAN_SD).alias("sd"),
+        F.expr(_NEYMAN_P).alias("p_int"),
+    )
+    z = p.agg(F.sum("p_int").cast("long").alias("p_tot"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("sd").alias("sd_value"),
+        (F.col("p_int").cast("double") / F.col("p_tot")).alias(
+            "alloc_share"
+        ),
+        F.expr(
+            f"CAST(({NEYMAN_TOTAL_SAMPLES} * p_int) div p_tot AS BIGINT)"
+        ).alias("n_sampled"),
+    )

@@ -543,3 +543,71 @@ def test_mixture_epoch_plan_hand_computed(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_neyman_allocates_to_noisy_stratum(spark, tmp_path):
+    # Two strata, equal size 4: type A constant value (SD 0), type B
+    # spread (SD 2 over [1,3,5,7] -> sd=sqrt(20/3)=2.582). Neyman gives
+    # ALL budget to B; proportional would have split 50/50.
+    rows = []
+    eid = 0
+    for v in [5.0, 5.0, 5.0, 5.0]:
+        rows.append((eid, dt.datetime(2026, 5, 1, 9), eid, "view", v, "{}"))
+        eid += 1
+    for v in [1.0, 3.0, 5.0, 7.0]:
+        rows.append(
+            (eid, dt.datetime(2026, 5, 1, 9), eid, "purchase", v, "{}")
+        )
+        eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: r
+        for r in QUERIES["neyman_allocation_by_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view"].sd_value == 0.0
+    assert got["view"].n_sampled == 0
+    assert got["purchase"].alloc_share == 1.0
+    assert got["purchase"].n_sampled == 10000
+    assert abs(got["purchase"].sd_value - (20.0 / 3.0) ** 0.5) < 1e-9
+    ok, detail = compare(
+        spark,
+        "neyman_allocation_by_type",
+        QUERIES["neyman_allocation_by_type"],
+        ORACLES["neyman_allocation_by_type"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_cross_source_duplication_planted(spark, tmp_path):
+    # srcA: {X, Y}; srcB: {X, Z}; srcC: {W}. Shared: (A,B) share X only.
+    docs = [
+        (1, "X X X", "en", "srcA"),
+        (2, "Y Y", "en", "srcA"),
+        (3, "X X X", "en", "srcB"),
+        (4, "Z", "en", "srcB"),
+        (5, "W", "en", "srcC"),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["cross_source_duplication"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.src_a, r.src_b, r.n_shared_hashes) == ("srcA", "srcB", 1)
+    assert r.share_of_a == 0.5
+    assert r.share_of_b == 0.5
+    # cluster-size histogram on the same fixture: X appears twice
+    hist = {
+        r.cluster_size: r
+        for r in QUERIES["dup_cluster_size_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert hist[2].n_clusters == 1 and hist[2].n_removable == 1
+    assert hist[1].n_clusters == 3

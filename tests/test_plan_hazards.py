@@ -86,6 +86,8 @@ BNLJ_OK = {
     "welch_ttest_purchase_view",  # two 1-row moment frames crossJoined
     "unigram_sampling_table",    # 1-row (Z, T) normalizer crossJoin
     "mixture_epoch_plan",        # 1-row inventory-total crossJoin
+    "neyman_allocation_by_type",  # 1-row normalizer crossJoin over the
+                                  # |types| frame
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
