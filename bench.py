@@ -168,6 +168,7 @@ HEADLINE = [
     "neyman_allocation_by_type",
     "dup_cluster_size_histogram",
     "cross_source_duplication",
+    "nearest_centroid_confusion",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

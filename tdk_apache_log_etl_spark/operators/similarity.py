@@ -1973,3 +1973,110 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     return v.select("dim", F.col("v").alias("component_scaled"))
+
+
+# --------------------------------------------------------------------------
+# E201: nearest-centroid confusion matrix (embedding-quality eval)
+# --------------------------------------------------------------------------
+
+#: 4-dp fixed point for components keeps the cross-multiplied distance
+#: numerator inside 128 bits: (x·n)² ≤ (1e4·n)², × dims, with the final
+#: /n² deferred to ONE double division per (vec, label) row.
+_NC_XSCALE = 10_000
+
+
+@query(
+    "nearest_centroid_confusion",
+    oracle=f"""
+        WITH flat AS (
+          SELECT vec_id, label,
+                 CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                            * {_NC_XSCALE} + 0.5) AS BIGINT) AS x
+          FROM embeddings
+        ), cent AS (
+          SELECT label AS clabel, dim,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM flat GROUP BY label, dim
+        ), dist AS (
+          SELECT f.vec_id, f.label AS true_label, c.clabel,
+                 CAST(SUM(
+                   (CAST(f.x AS HUGEINT) * c.n - c.sx)
+                   * (CAST(f.x AS HUGEINT) * c.n - c.sx)
+                 ) AS DOUBLE) / (MAX(c.n) * MAX(c.n)) AS d2
+          FROM flat f JOIN cent c ON c.dim = f.dim
+          GROUP BY f.vec_id, f.label, c.clabel
+        ), best AS (
+          SELECT true_label, clabel AS pred_label
+          FROM dist
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, clabel
+          ) = 1
+        )
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM best GROUP BY 1, 2
+    """,
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E201: the nearest-centroid (Rocchio) confusion matrix — assign
+    every embedding to its closest label centroid and cross-tabulate
+    against the true label: the standard no-training probe of embedding
+    quality (tight, well-separated classes → diagonal mass), sitting
+    between E119's per-label centroids (which it consumes conceptually)
+    and the ANN stack (which assumes the geometry this validates).
+
+    Exactness: squared L2 to a MEAN centroid is computed without ever
+    materializing the mean — Σ_d (x·n − Σx)² is an exact 128-bit
+    integer (the cross-multiplied form; a double mean would make
+    distances partitioning-dependent), with one deferred /n² double
+    division per (vec, label); argmin tie-breaks on the smaller label.
+
+    Scale: the fan-out is |vecs| × |labels| × dims rows — labels×dims
+    is a CONSTANT (640 here), so traffic is linear in vectors; the
+    centroid frame (|labels|·dims rows) broadcasts; argmin is a keyed
+    per-vec window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "xd"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("xd") * _NC_XSCALE + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    flat = scoped_persist(flat)
+    cent = flat.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dist = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(
+            (
+                F.sum(
+                    (F.col("x").cast("decimal(38,0)") * F.col("n")
+                     - F.col("sx"))
+                    * (F.col("x").cast("decimal(38,0)") * F.col("n")
+                       - F.col("sx"))
+                ).cast("double")
+                / (F.max("n") * F.max("n"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    best = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("true_label", F.col("clabel").alias("pred_label"))
+    )
+    return best.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )

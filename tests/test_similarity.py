@@ -395,3 +395,39 @@ def test_embedding_standardize_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_nearest_centroid_perfect_separation(spark, tmp_path):
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    # label 0 clustered at (1, 0), label 1 at (0, 1) -> perfect diagonal
+    rows = [
+        (1, [1.0, 0.1], 0),
+        (2, [0.9, 0.0], 0),
+        (3, [1.1, -0.1], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 0.9], 1),
+        (6, [-0.1, 1.1], 1),
+    ]
+    pd.DataFrame(
+        rows, columns=["vec_id", "embedding", "label"]
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    got = {
+        (r.true_label, r.pred_label): r.n_vecs
+        for r in QUERIES["nearest_centroid_confusion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(0, 0): 3, (1, 1): 3}
+    ok, detail = compare(
+        spark,
+        "nearest_centroid_confusion",
+        QUERIES["nearest_centroid_confusion"],
+        ORACLES["nearest_centroid_confusion"],
+        str(tmp_path),
+    )
+    assert ok, detail
