@@ -169,6 +169,8 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "cross_source_duplication",
     "nearest_centroid_confusion",
+    "duplicate_charge_candidates",
+    "event_type_mix_drift",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1950,3 +1950,129 @@ def cmh_conversion_by_hour_band(
         for c in (f"a{k}", f"n1_{k}", f"m1_{k}", f"n_{k}")
     ]
     return cells.select(*out_cols, F.expr(_CMH_CHI2).alias("cmh_chi2"))
+
+
+# --------------------------------------------------------------------------
+# E203: event-mix drift — 2×k chi-square between calendar halves
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_type_mix_drift",
+    oracle=f"""
+        WITH b AS (
+          SELECT CAST(MIN(ts) AS DATE)
+                 + CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                                  CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+                   AS mid
+          FROM events
+        ), obs AS (
+          SELECT event_type,
+                 CASE WHEN CAST(ts AS DATE) < b.mid THEN 0 ELSE 1 END
+                   AS half,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events CROSS JOIN b GROUP BY 1, 2
+        ), rt AS (
+          SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1
+        ), ct AS (
+          SELECT half, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+          FROM obs
+        ), grid AS (
+          SELECT rt.event_type, ct.half, rt.r, ct.c,
+                 CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN obs ON obs.event_type = rt.event_type
+                       AND obs.half = ct.half
+        ), cells AS (
+          SELECT CAST(SUM(
+            ((CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * (CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * {_CHI2_SCALE})
+            // (CAST(t.n AS HUGEINT) * g.r * g.c)
+          ) AS BIGINT) AS chi2_scaled
+          FROM grid g CROSS JOIN tot t
+        )
+        SELECT t.n AS n_events, t.k AS n_types,
+               t.k - 1 AS dof,
+               CAST(c.chi2_scaled AS DOUBLE) / {_CHI2_SCALE} AS chi2
+        FROM cells c CROSS JOIN tot t
+    """,
+)
+def event_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E203: did the event-type MIX drift between the first and second
+    calendar halves — the 2×k chi-square homogeneity test, the
+    categorical sibling of E156's KS (which tests a CONTINUOUS metric)
+    and the across-time counterpart of E151's type×dow association
+    (within one period). A mix shift is the earliest symptom of
+    instrumentation changes and bot inflows; per-type monitors miss it
+    when totals also move.
+
+    Exactness: the E151 discipline — every cell's (n·o − r·c)²·S //
+    (n·r·c) is an exact integer floor-division, so the cross-cell SUM
+    is exact under any partitioning; one final descale division.
+
+    Scale: one (type, half) aggregate (map-side combine), a bounded
+    2×k grid rebuilt from marginals (zero-fill for types absent in a
+    half), 1-row totals."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            (
+                F.datediff(
+                    F.max(F.col("ts").cast("date")),
+                    F.min(F.col("ts").cast("date")),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    obs = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.when(F.col("ts").cast("date") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    obs = scoped_persist(obs)
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("half").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["event_type", "half"], "left")
+        .select(
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(((CAST(n AS decimal(38,0)) * o"
+                f" - CAST(r AS decimal(38,0)) * c)"
+                f" * (CAST(n AS decimal(38,0)) * o"
+                f" - CAST(r AS decimal(38,0)) * c)"
+                f" * {_CHI2_SCALE})"
+                f" div (CAST(n AS decimal(38,0)) * r * c) AS decimal(38,0))"
+            )
+        )
+        .cast("long")
+        .alias("chi2_scaled")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_types"),
+        (F.col("k") - 1).alias("dof"),
+        (F.col("chi2_scaled").cast("double") / _CHI2_SCALE).alias("chi2"),
+    )

@@ -2564,3 +2564,86 @@ def discount_qty_slope_by_brand(
         F.expr(_ELAST_SLOPE).alias("qty_per_discount_unit"),
         F.expr(_ELAST_R2).alias("r_squared"),
     )
+
+
+# --------------------------------------------------------------------------
+# E202: duplicate-charge candidates (same customer, amount, ±1 day)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "duplicate_charge_candidates",
+    oracle="""
+        WITH o AS (
+          SELECT o_custkey AS custkey, o_orderkey,
+                 CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT) AS amt,
+                 CAST(o_orderdate AS DATE) AS d
+          FROM orders
+        )
+        SELECT a.custkey,
+               CAST(a.amt AS DOUBLE) / 100 AS amount,
+               a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+               CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+        FROM o a JOIN o b
+          ON a.custkey = b.custkey AND a.amt = b.amt
+         AND a.o_orderkey < b.o_orderkey
+         AND b.d BETWEEN a.d - INTERVAL 1 DAY AND a.d + INTERVAL 1 DAY
+    """,
+)
+def duplicate_charge_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E202: double-billing detector — order pairs with the SAME
+    customer, the SAME amount (exact, at cents), placed within ±1
+    calendar day: the deterministic screen a payments team runs before
+    any fuzzy fraud model (true double-charges are exact-amount
+    near-simultaneous repeats). Distinct from E43's event debounce
+    (which collapses same-type bursts) — this yields the PAIRS with
+    their day gap, for human review.
+
+    Scale: the self-join keys on (custkey, exact amount) — a composite
+    that is nearly unique, so per-key fan-out is tiny and NO band/range
+    machinery is needed; the ±1-day check is a residual filter on the
+    keyed join's output. Orderkey ordering dedups the pair symmetric
+    double."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("amt"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        "custkey",
+        F.col("o_orderkey").alias("orderkey_a"),
+        "amt",
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("custkey").alias("custkey_b"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("amt").alias("amt_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("custkey_b"))
+            & (F.col("amt") == F.col("amt_b"))
+            & (F.col("orderkey_a") < F.col("orderkey_b"))
+            & F.col("db").between(
+                F.date_sub(F.col("da"), 1), F.date_add(F.col("da"), 1)
+            ),
+        )
+        .select(
+            "custkey",
+            (F.col("amt").cast("double") / 100).alias("amount"),
+            "orderkey_a",
+            "orderkey_b",
+            F.datediff(F.col("db"), F.col("da")).cast("long").alias(
+                "day_gap"
+            ),
+        )
+    )

@@ -611,3 +611,59 @@ def test_cross_source_duplication_planted(spark, tmp_path):
     }
     assert hist[2].n_clusters == 1 and hist[2].n_removable == 1
     assert hist[1].n_clusters == 3
+
+
+def test_duplicate_charges_planted(spark, tmp_path):
+    pd.DataFrame(
+        [
+            (1, 1, 100.0, dt.date(2026, 1, 10)),   # pair with 2 (+1 day)
+            (2, 1, 100.0, dt.date(2026, 1, 11)),
+            (3, 1, 100.0, dt.date(2026, 1, 20)),   # too far from 1/2
+            (4, 1, 200.0, dt.date(2026, 1, 10)),   # different amount
+            (5, 2, 100.0, dt.date(2026, 1, 10)),   # different customer
+        ],
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).to_parquet(tmp_path / "orders.parquet")
+    rows = QUERIES["duplicate_charge_candidates"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.custkey, r.orderkey_a, r.orderkey_b, r.day_gap) == (1, 1, 2, 1)
+    assert r.amount == 100.0
+    ok, detail = compare(
+        spark,
+        "duplicate_charge_candidates",
+        QUERIES["duplicate_charge_candidates"],
+        ORACLES["duplicate_charge_candidates"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_mix_drift_identical_halves_zero(spark, tmp_path):
+    # same type mix in both calendar halves -> chi2 == 0 exactly
+    rows = []
+    eid = 0
+    for day in (1, 20):  # first and second half
+        for etype, cnt in [("view", 4), ("purchase", 2)]:
+            for _ in range(cnt):
+                rows.append(
+                    (eid, dt.datetime(2026, 1, day, 9), eid, etype, 1.0, "{}")
+                )
+                eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["event_type_mix_drift"](spark, str(tmp_path)).collect()
+    assert (r.n_events, r.n_types, r.dof) == (12, 2, 1)
+    assert r.chi2 == 0.0
+    ok, detail = compare(
+        spark,
+        "event_type_mix_drift",
+        QUERIES["event_type_mix_drift"],
+        ORACLES["event_type_mix_drift"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -88,6 +88,8 @@ BNLJ_OK = {
     "mixture_epoch_plan",        # 1-row inventory-total crossJoin
     "neyman_allocation_by_type",  # 1-row normalizer crossJoin over the
                                   # |types| frame
+    "event_type_mix_drift",      # bounded |types| x 2-halves grid
+                                 # rebuild + 1-row totals crossJoins
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
