@@ -171,6 +171,7 @@ HEADLINE = [
     "nearest_centroid_confusion",
     "duplicate_charge_candidates",
     "event_type_mix_drift",
+    "position_based_attribution",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..sources.apache_log import parse_clf_lines
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
-from .registry import query
+from .registry import query, scoped_persist
 
 # --------------------------------------------------------------------------
 # The reference's three computed metrics (sree-etl-tdk-glue-job.py:52-63)
@@ -3533,4 +3533,119 @@ def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(({NEYMAN_TOTAL_SAMPLES} * p_int) div p_tot AS BIGINT)"
         ).alias("n_sampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E204: position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+#: Credit in millionths: 40% first touch, 40% last, 20% split across
+#: middles (floor division — the standard U-shaped/position-based rule).
+ATTR_SCALE = 1_000_000
+def _pos_credit(idiv: str) -> str:
+    """The 40/20/40 credit CASE; ``idiv`` is the engine's integer-
+    division operator (Spark ``div``, DuckDB ``//``)."""
+    return f"""
+    CASE WHEN k = 1 THEN {ATTR_SCALE}
+         WHEN k = 2 THEN {ATTR_SCALE // 2}
+         WHEN pos = 1 OR pos = k THEN {ATTR_SCALE * 2 // 5}
+         ELSE ({ATTR_SCALE // 5}) {idiv} (k - 2)
+    END
+"""
+
+
+@query(
+    "position_based_attribution",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, ts, event_id, event_type,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS jid
+          FROM events WHERE user_id IS NOT NULL
+        ), touches AS (
+          SELECT user_id, jid, event_type,
+                 ROW_NUMBER() OVER w AS pos,
+                 COUNT(*) OVER (PARTITION BY user_id, jid) AS k
+          FROM seq WHERE event_type <> 'purchase'
+          WINDOW w AS (PARTITION BY user_id, jid ORDER BY ts, event_id)
+        ), converted AS (
+          SELECT DISTINCT user_id, jid FROM seq
+          WHERE event_type = 'purchase'
+        )
+        SELECT t.event_type AS touch_type,
+               CAST(SUM({_pos_credit("//")}) AS BIGINT) AS credit_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n_credited_touches
+        FROM touches t JOIN converted c
+          ON c.user_id = t.user_id AND c.jid = t.jid
+        GROUP BY t.event_type
+    """,
+)
+def position_based_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E204: position-based (U-shaped) multi-touch attribution —
+    completes the attribution ladder: E49 gives ALL credit to the last
+    touch, E137's Markov removal-effect needs the whole transition
+    model; the 40/20/40 rule is the standard middle ground (first touch
+    discovers, last touch converts, middles share 20%). Each purchase's
+    journey is the run of non-purchase touches since the user's
+    previous purchase; journeys without a converting purchase earn
+    nothing.
+
+    Exactness: credits are INTEGER millionths (40/20/40 with one floor
+    division for the middle split — fractional credit never re-sums as
+    doubles), journey ids are prefix counts over a keyed window; sums
+    exact.
+
+    Scale: everything rides ONE user_id exchange (journey ids, per-
+    journey positions via a keyed composite window, the converting-
+    journey semi join); final counts collapse to the |types| frame
+    map-side."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wprev),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    seq = scoped_persist(seq)
+    wj = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id", "jid")
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "jid",
+        "event_type",
+        F.row_number().over(wj).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    converted = (
+        seq.where(F.col("event_type") == "purchase")
+        .select("user_id", "jid")
+        .distinct()
+    )
+    credited = touches.join(converted, ["user_id", "jid"], "left_semi")
+    return credited.groupBy(
+        F.col("event_type").alias("touch_type")
+    ).agg(
+        F.sum(F.expr(_pos_credit("div"))).cast("long").alias(
+            "credit_scaled"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
     )

@@ -667,3 +667,39 @@ def test_mix_drift_identical_halves_zero(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_position_attribution_u_shape(spark, tmp_path):
+    # journey 1 (user 1): view,click,signup,view -> purchase
+    #   k=4: first view 400000, last view 400000, click/signup 100000 each
+    # journey 2 (user 2): click -> purchase: k=1 -> click 1000000
+    # user 3: touches but NO purchase -> nothing credited
+    rows = []
+    eid = 0
+    base = dt.datetime(2026, 5, 1, 9, 0, 0)
+    for i, et in enumerate(["view", "click", "signup", "view", "purchase"]):
+        rows.append((eid, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+        eid += 1
+    for i, et in enumerate(["click", "purchase"]):
+        rows.append((eid, base + dt.timedelta(minutes=i), 2, et, 1.0, "{}"))
+        eid += 1
+    rows.append((eid, base, 3, "view", 1.0, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.touch_type: r.credit_scaled
+        for r in QUERIES["position_based_attribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"view": 800000, "click": 1100000, "signup": 100000}
+    ok, detail = compare(
+        spark,
+        "position_based_attribution",
+        QUERIES["position_based_attribution"],
+        ORACLES["position_based_attribution"],
+        str(tmp_path),
+    )
+    assert ok, detail
