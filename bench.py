@@ -172,6 +172,8 @@ HEADLINE = [
     "duplicate_charge_candidates",
     "event_type_mix_drift",
     "position_based_attribution",
+    "markov_baseline_accuracy",
+    "daily_revenue_mase_baselines",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -3649,3 +3649,69 @@ def position_based_attribution(
         ),
         F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
     )
+
+
+# --------------------------------------------------------------------------
+# E205: majority-class next-event baseline accuracy
+# --------------------------------------------------------------------------
+
+
+@query(
+    "markov_baseline_accuracy",
+    oracle="""
+        WITH trans AS (
+          SELECT event_type AS src,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst
+          FROM events WHERE user_id IS NOT NULL
+        ), counts AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+          FROM trans WHERE dst IS NOT NULL
+          GROUP BY src, dst
+        )
+        SELECT CAST(SUM(t.c) AS BIGINT) AS n_transitions,
+               CAST(SUM(b.best_c) AS BIGINT) AS n_correct_majority,
+               CAST(SUM(b.best_c) AS DOUBLE) / SUM(t.c)
+                 AS baseline_accuracy
+        FROM (SELECT src, CAST(SUM(c) AS BIGINT) AS c
+              FROM counts GROUP BY src) t
+        JOIN (SELECT src, MAX(c) AS best_c FROM counts GROUP BY src) b
+          ON b.src = t.src
+    """,
+)
+def markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E205: the majority-class baseline for next-event prediction —
+    predict each user's next event type as the corpus-wide most common
+    successor of the current type, and report the accuracy that trivial
+    rule achieves. The number every sequence model must beat before it
+    earns its keep; computed directly from E34's transition counts
+    (Σ_src max_dst C / Σ C) without materializing predictions.
+
+    Exactness: integer transition counts off one user-keyed LEAD; the
+    per-src max and the two sums are exact; one final division.
+
+    Scale: one user exchange for the LEAD, then everything lives on the
+    ≤|types|² count frame."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_src = counts.groupBy("src").agg(
+        F.sum("c").cast("long").alias("c_tot"),
+        F.max("c").cast("long").alias("best_c"),
+    )
+    return per_src.agg(
+        F.sum("c_tot").cast("long").alias("n_transitions"),
+        F.sum("best_c").cast("long").alias("n_correct_majority"),
+        (
+            F.sum("best_c").cast("double") / F.sum("c_tot")
+        ).alias("baseline_accuracy"),
+    )

@@ -2178,3 +2178,92 @@ def daily_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.col("n")).alias("mean_daily"),
         F.expr(_DISP).alias("dispersion_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# E206: naive and seasonal-naive forecast baselines (MASE denominators)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_mase_baselines",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * {SCALE}
+                                + 0.5) AS HUGEINT)) AS s
+          FROM orders GROUP BY 1
+        ), lagged AS (
+          SELECT d, s,
+                 LAG(s, 1) OVER (ORDER BY d) AS s1,
+                 LAG(s, 7) OVER (ORDER BY d) AS s7
+          FROM daily
+        ), err AS (
+          SELECT CAST(COUNT(s1) AS BIGINT) AS n1,
+                 SUM(ABS(s - s1)) AS ae1,
+                 CAST(COUNT(s7) AS BIGINT) AS n7,
+                 SUM(ABS(s - s7)) AS ae7
+          FROM lagged
+        )
+        SELECT n1 AS n_naive, n7 AS n_seasonal,
+               CAST(ae1 AS DOUBLE) / {SCALE} / n1 AS mae_naive,
+               CAST(ae7 AS DOUBLE) / {SCALE} / n7 AS mae_seasonal_naive,
+               (CAST(ae7 AS DOUBLE) / n7) / NULLIF(CAST(ae1 AS DOUBLE)
+                 / n1, 0.0) AS seasonal_vs_naive_ratio
+        FROM err
+    """,
+)
+def daily_revenue_mase_baselines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E206: the forecast-evaluation floor — mean absolute error of the
+    naive (yesterday's value) and seasonal-naive (same weekday last
+    week) forecasts of daily revenue. These are the MASE denominators
+    (Hyndman & Koehler 2006): any model the pack fits (E117 Holt, E159
+    Holt-Winters) is only as good as its error RELATIVE to these — and
+    the seasonal/naive ratio by itself already says whether weekly
+    seasonality is real (ratio < 1) before fitting anything.
+
+    Exactness: daily sums are 4-dp integers; absolute errors are exact
+    integer differences summed exactly; three shared-literal divisions.
+
+    Scale: one map-side pass to the calendar frame; lags ride the
+    one-row-per-day window."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("o_totalprice").cast("double") * SCALE + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        ).alias("s")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "s",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("s", 7).over(w).alias("s7"),
+    )
+    err = lagged.agg(
+        F.count("s1").cast("long").alias("n1"),
+        F.sum(F.abs(F.col("s") - F.col("s1"))).alias("ae1"),
+        F.count("s7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("s") - F.col("s7"))).alias("ae7"),
+    )
+    return err.select(
+        F.col("n1").alias("n_naive"),
+        F.col("n7").alias("n_seasonal"),
+        (F.col("ae1").cast("double") / SCALE / F.col("n1")).alias(
+            "mae_naive"
+        ),
+        (F.col("ae7").cast("double") / SCALE / F.col("n7")).alias(
+            "mae_seasonal_naive"
+        ),
+        (
+            (F.col("ae7").cast("double") / F.col("n7"))
+            / F.nullif(
+                F.col("ae1").cast("double") / F.col("n1"), F.lit(0.0)
+            )
+        ).alias("seasonal_vs_naive_ratio"),
+    )

@@ -703,3 +703,59 @@ def test_position_attribution_u_shape(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_markov_baseline_planted(spark, tmp_path):
+    # user 1: view->click, view->click, view->signup (majority successor
+    # of view = click, 2/3 correct); plus click->view, click->view... 
+    # build: v c v c v s  => transitions: v->c, c->v, v->c, c->v, v->s
+    # src v: {c:2, s:1} best 2 of 3; src c: {v:2} best 2 of 2
+    # total 5 transitions, 4 majority-correct -> accuracy 0.8
+    seq = ["view", "click", "view", "click", "view", "signup"]
+    rows = [
+        (i, dt.datetime(2026, 5, 1, 9, i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["markov_baseline_accuracy"](spark, str(tmp_path)).collect()
+    assert (r.n_transitions, r.n_correct_majority) == (5, 4)
+    assert r.baseline_accuracy == 0.8
+    ok, detail = compare(
+        spark,
+        "markov_baseline_accuracy",
+        QUERIES["markov_baseline_accuracy"],
+        ORACLES["markov_baseline_accuracy"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_mase_baselines_planted(spark, tmp_path):
+    # 9 days of revenue [10,20]*4 + [10]: naive AE = |±10| x 8 -> MAE 10;
+    # seasonal-naive (lag 7) compares d8 vs d1 (20 vs 10 -> 10) and
+    # d9 vs d2 (10 vs 20 -> 10) -> MAE 10; ratio 1.0
+    rows = []
+    for i in range(9):
+        price = 10.0 if i % 2 == 0 else 20.0
+        rows.append((i, dt.date(2026, 1, 1 + i), price))
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).to_parquet(tmp_path / "orders.parquet")
+    [r] = QUERIES["daily_revenue_mase_baselines"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r.n_naive, r.n_seasonal) == (8, 2)
+    assert r.mae_naive == 10.0
+    assert r.mae_seasonal_naive == 10.0
+    assert r.seasonal_vs_naive_ratio == 1.0
+    ok, detail = compare(
+        spark,
+        "daily_revenue_mase_baselines",
+        QUERIES["daily_revenue_mase_baselines"],
+        ORACLES["daily_revenue_mase_baselines"],
+        str(tmp_path),
+    )
+    assert ok, detail

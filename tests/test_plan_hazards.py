@@ -161,6 +161,8 @@ GLOBAL_WINDOW_OK = {
                                  # delta frame (calendar)
     "daily_revenue_runs_test",   # lag over the one-row-per-day frame
                                  # (calendar)
+    "daily_revenue_mase_baselines",  # lags over the one-row-per-day
+                                     # frame (calendar)
     "best_split_value_for_purchase",  # two-phase prefix sum: only the
                                       # 32-row pid-offset frame
     "value_auc_for_purchase",    # rank prefix-sum over the value-
