@@ -174,6 +174,7 @@ HEADLINE = [
     "position_based_attribution",
     "markov_baseline_accuracy",
     "daily_revenue_mase_baselines",
+    "acquisition_channel_conversion",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -885,3 +885,84 @@ def seq_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E207: conversion by acquisition channel (first-touch cohorting)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "acquisition_channel_conversion",
+    oracle="""
+        WITH ft AS (
+          SELECT user_id, event_type AS first_type
+          FROM events WHERE user_id IS NOT NULL
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+          ) = 1
+        ), agg AS (
+          SELECT user_id, MIN(ts) AS first_ts,
+                 MIN(ts) FILTER (WHERE event_type = 'purchase')
+                   AS first_purchase
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), firsts AS (
+          SELECT ft.first_type, agg.first_ts, agg.first_purchase
+          FROM ft JOIN agg USING (user_id)
+        )
+        SELECT first_type AS acquisition_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (
+                 WHERE first_purchase IS NOT NULL
+                   AND first_purchase > first_ts) AS BIGINT)
+                 AS n_converted_later,
+               CAST(COUNT(*) FILTER (
+                 WHERE first_purchase IS NOT NULL
+                   AND first_purchase > first_ts) AS DOUBLE)
+                 / COUNT(*) AS conversion_rate
+        FROM firsts GROUP BY first_type
+    """,
+)
+def acquisition_channel_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E207: does HOW a user arrives predict whether they later buy —
+    users cohorted by their very first event type (the acquisition
+    "channel" in this schema), with the share that purchases at any
+    LATER moment. The first-touch complement to E49/E204's
+    purchase-side attribution, and the first split a growth team makes
+    before the full journey machinery (E80) runs. Users whose first
+    event IS a purchase are their own cohort and never count as
+    converted-later (no self-conversion).
+
+    Exactness: per-user first event by the total (ts, event_id) order
+    (MIN_BY ↔ min_by, deterministic under ties), first purchase by
+    filtered MIN; counts and one division.
+
+    Scale: ONE user-keyed aggregate (min_by and filtered min are
+    map-side-combinable), then a |types|-row regroup."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias(
+            "first_type"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") > F.col("first_ts")
+    )
+    return firsts.groupBy(
+        F.col("first_type").alias("acquisition_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when(conv, 1)).cast("long").alias("n_converted_later"),
+        (
+            F.count(F.when(conv, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("conversion_rate"),
+    )

@@ -759,3 +759,39 @@ def test_mase_baselines_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_acquisition_conversion_planted(spark, tmp_path):
+    # user 1: view first, purchases later -> converted view-cohort user
+    # user 2: view first, never purchases -> unconverted
+    # user 3: purchase FIRST -> purchase cohort, NOT converted-later
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 2, 9), 1, "purchase", 1.0, "{}"),
+        (3, dt.datetime(2026, 1, 1, 9), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2026, 1, 1, 9), 3, "purchase", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.acquisition_type: r
+        for r in QUERIES["acquisition_channel_conversion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["view"].n_users, got["view"].n_converted_later) == (2, 1)
+    assert got["view"].conversion_rate == 0.5
+    assert (
+        got["purchase"].n_users,
+        got["purchase"].n_converted_later,
+    ) == (1, 0)
+    ok, detail = compare(
+        spark,
+        "acquisition_channel_conversion",
+        QUERIES["acquisition_channel_conversion"],
+        ORACLES["acquisition_channel_conversion"],
+        str(tmp_path),
+    )
+    assert ok, detail
