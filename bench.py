@@ -175,6 +175,7 @@ HEADLINE = [
     "markov_baseline_accuracy",
     "daily_revenue_mase_baselines",
     "acquisition_channel_conversion",
+    "priority_sla_attainment",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -1076,3 +1076,84 @@ def business_day_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bd").cast("long").alias("max_bd_lag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E208: business-day SLA attainment by order priority
+# --------------------------------------------------------------------------
+
+#: Contracted ship SLAs in BUSINESS days per priority class (fixed
+#: contract literals, mirrored into the oracle).
+SLA_BDAYS = {
+    "1-URGENT": 3,
+    "2-HIGH": 5,
+    "3-MEDIUM": 7,
+    "4-NOT SPECIFIED": 10,
+    "5-LOW": 14,
+}
+
+_SLA_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN priority = '{p}' THEN {d}"
+        for p, d in sorted(SLA_BDAYS.items())
+    )
+    + " ELSE 10 END"
+)
+
+
+@query(
+    "priority_sla_attainment",
+    oracle=f"""
+        WITH lags AS (
+          SELECT o.o_orderpriority AS priority,
+                 {_BD_DUCK.format(d="CAST(l.l_shipdate AS DATE)")}
+                 - {_BD_DUCK.format(d="o.o_orderdate")} AS bd
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT priority,
+               CAST({_SLA_CASE} AS BIGINT) AS sla_bdays,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE bd <= {_SLA_CASE}) AS BIGINT)
+                 AS n_within_sla,
+               CAST(COUNT(*) FILTER (WHERE bd <= {_SLA_CASE}) AS DOUBLE)
+                 / COUNT(*) AS attainment
+        FROM lags GROUP BY priority
+    """,
+)
+def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E208: SLA attainment — the share of order lines shipped within
+    each priority class's contracted business-day budget (the fixed
+    literal SLA table, urgent=3 … low=14). E190 measures the lag
+    DISTRIBUTION; this is the attainment KPI the contract is graded on,
+    computed with the same Monday-anchored weekday prefix (no
+    dayofweek, no calendar dim) so weekend spans never count against
+    the SLA.
+
+    Exactness: integer business-day lags compared against integer
+    literals; counts and one division per priority.
+
+    Scale: identical shape to E190 — one orderkey-keyed fact join, one
+    5-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bd = F.expr(_BD_SPARK.format(d="ship_d")) - F.expr(
+        _BD_SPARK.format(d="o_orderdate")
+    )
+    lags = j.select(
+        F.col("o_orderpriority").alias("priority"), bd.alias("bd")
+    )
+    within = F.col("bd") <= F.expr(_SLA_CASE)
+    return lags.groupBy("priority").agg(
+        F.expr(_SLA_CASE).cast("long").alias("sla_bdays"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.when(within, 1)).cast("long").alias("n_within_sla"),
+        (
+            F.count(F.when(within, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("attainment"),
+    )

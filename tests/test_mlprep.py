@@ -795,3 +795,42 @@ def test_acquisition_conversion_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_sla_attainment_boundary(spark, tmp_path):
+    # URGENT SLA = 3 business days. Mon 1/5 -> Thu 1/8 is exactly 3
+    # (within); Mon -> Fri is 4 (breach). Attainment 0.5.
+    pd.DataFrame(
+        [
+            (1, dt.date(2026, 1, 5), "1-URGENT"),
+            (2, dt.date(2026, 1, 5), "1-URGENT"),
+        ],
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [
+            (1, dt.datetime(2026, 1, 8, 8)),
+            (2, dt.datetime(2026, 1, 9, 8)),
+        ],
+        columns=["l_orderkey", "l_shipdate"],
+    ).to_parquet(
+        tmp_path / "lineitem.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    [r] = QUERIES["priority_sla_attainment"](spark, str(tmp_path)).collect()
+    assert (r.priority, r.sla_bdays, r.n_lines, r.n_within_sla) == (
+        "1-URGENT",
+        3,
+        2,
+        1,
+    )
+    assert r.attainment == 0.5
+    ok, detail = compare(
+        spark,
+        "priority_sla_attainment",
+        QUERIES["priority_sla_attainment"],
+        ORACLES["priority_sla_attainment"],
+        str(tmp_path),
+    )
+    assert ok, detail
