@@ -2501,6 +2501,7 @@ def event_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to |types| × ~40 buckets. Output is vocabulary-bounded at
     any data size."""
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         ev.select("event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
         .select(

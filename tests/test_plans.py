@@ -202,6 +202,13 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "v",
         # unigram sampling table (text.py): the 1-row (Z, T) normalizer
         "z",
+        # event-mix drift (concentration.py): the 2-row halves marginal
+        "ct",
+        # cross-source duplication (dedup.py): |sources|-row inventories
+        "ia", "ib",
+        # nearest-centroid (similarity.py): the |labels|×dims centroid
+        # frame (constants at any corpus size)
+        "cent",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
