@@ -176,6 +176,8 @@ HEADLINE = [
     "daily_revenue_mase_baselines",
     "acquisition_channel_conversion",
     "priority_sla_attainment",
+    "basket_size_wedge_budget",
+    "inactivity_churn_rates",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -383,3 +383,60 @@ def itemcf_holdout_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_eval", "n_cold", "precision_at_k", "hit_rate")
     )
+
+
+# --------------------------------------------------------------------------
+# E209: basket-size histogram with the wedge/pair cost budget
+# --------------------------------------------------------------------------
+
+
+@query(
+    "basket_size_wedge_budget",
+    oracle="""
+        WITH sizes AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT k AS basket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) * k * (k - 1) AS BIGINT) AS pair_budget,
+               CAST(SUM(CAST(COUNT(*) * k * (k - 1) AS BIGINT))
+                    OVER () AS BIGINT) AS total_pair_budget
+        FROM sizes GROUP BY k
+    """,
+)
+def basket_size_wedge_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E209: the basket-size histogram WITH its self-join cost budget —
+    every order of k lines contributes k·(k−1) ordered pairs to the
+    co-occurrence edge build (E28/E29/E129/E164 all start there), so
+    Σ n_k·k·(k−1) is the exact row count of that shuffle BEFORE running
+    it. This is the planning query behind the pack's documented
+    basket-bounded-join claims: one giant basket (k=10⁴) alone costs
+    10⁸ pairs, and this histogram is how you find it first (then cap or
+    salt it, as skew.py does for keys).
+
+    Exactness: pure integer counting; the budget window runs over the
+    ≤|distinct k| frame (bounded by the max basket size, not volume).
+
+    Scale: one orderkey-keyed count (map-side combine) + a regroup on
+    k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hist = sizes.groupBy(F.col("k").alias("basket_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    hist = hist.withColumn(
+        "pair_budget",
+        (
+            F.col("n_orders") * F.col("basket_size")
+            * (F.col("basket_size") - 1)
+        ).cast("long"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.withColumn(
+        "total_pair_budget", F.sum("pair_budget").over(w).cast("long")
+    )

@@ -966,3 +966,75 @@ def acquisition_channel_conversion(
             F.count(F.when(conv, 1)).cast("double") / F.count(F.lit(1))
         ).alias("conversion_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# E210: churn-definition sensitivity (30/60/90-day inactivity)
+# --------------------------------------------------------------------------
+
+CHURN_WINDOWS_DAYS = [30, 60, 90]
+
+
+@query(
+    "inactivity_churn_rates",
+    oracle=f"""
+        WITH lasts AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), b AS (
+          SELECT MAX(last_d) AS corpus_end FROM lasts
+        )
+        SELECT CAST(w.win AS BIGINT) AS window_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (
+                 WHERE l.last_d < b.corpus_end - w.win) AS BIGINT)
+                 AS n_churned,
+               CAST(COUNT(*) FILTER (
+                 WHERE l.last_d < b.corpus_end - w.win) AS DOUBLE)
+                 / COUNT(*) AS churn_rate
+        FROM lasts l
+        CROSS JOIN b
+        CROSS JOIN (SELECT UNNEST(ARRAY{CHURN_WINDOWS_DAYS}) AS win) w
+        GROUP BY w.win
+    """,
+)
+def inactivity_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E210: churn-definition sensitivity — the share of users inactive
+    for more than 30/60/90 days as of corpus end, side by side. "Churn"
+    has no ground truth, only a chosen inactivity window; reporting the
+    ladder (instead of one anointed number) shows how much the KPI is
+    an artifact of the definition — the sensitivity check that belongs
+    next to E78's growth accounting (whose 'churned' state picks ONE
+    window) before anyone optimizes the metric.
+
+    Exactness: per-user last-active day (one keyed MAX), integer date
+    comparisons against a 3-row literal window frame, counts and one
+    division per window.
+
+    Scale: one user-keyed aggregate; the 3-window fan-out is a literal
+    crossJoin on the per-user frame (3× |users| rows, then map-side
+    collapse)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    lasts = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d")
+    )
+    b = lasts.agg(F.max("last_d").alias("corpus_end"))
+    wins = ev.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(w) for w in CHURN_WINDOWS_DAYS])
+        ).alias("win")
+    )
+    j = lasts.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(wins))
+    # date minus an INTEGER COLUMN needs the SQL form (F.date_sub takes
+    # a literal only in this codebase's pinned API usage)
+    churned = F.expr("last_d < corpus_end - win")
+    return j.groupBy(F.col("win").cast("long").alias("window_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when(churned, 1)).cast("long").alias("n_churned"),
+        (
+            F.count(F.when(churned, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("churn_rate"),
+    )

@@ -834,3 +834,64 @@ def test_sla_attainment_boundary(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_wedge_budget_hand_computed(spark, tmp_path):
+    # two baskets of 3 and one of 1: pairs = 2*3*2 + 0 = 12
+    rows = []
+    for okey, k in [(1, 3), (2, 3), (3, 1)]:
+        for i in range(k):
+            rows.append((okey, 100 * okey + i, 1, i + 1))
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.basket_size: r
+        for r in QUERIES["basket_size_wedge_budget"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[3].n_orders == 2 and got[3].pair_budget == 12
+    assert got[1].pair_budget == 0
+    assert got[3].total_pair_budget == 12
+    ok, detail = compare(
+        spark,
+        "basket_size_wedge_budget",
+        QUERIES["basket_size_wedge_budget"],
+        ORACLES["basket_size_wedge_budget"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_churn_ladder_planted(spark, tmp_path):
+    # corpus end = day 100. user1 last day 100 (never churned),
+    # user2 last day 50 (inactive 50d: churned at 30, not at 60/90),
+    # user3 last day 5 (churned at all three)
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 9) + dt.timedelta(days=99), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 1, 9) + dt.timedelta(days=49), 2, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 1, 1, 9) + dt.timedelta(days=4), 3, "view", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.window_days: r
+        for r in QUERIES["inactivity_churn_rates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[30].n_churned == 2
+    assert got[60].n_churned == 1
+    assert got[90].n_churned == 1
+    assert got[30].churn_rate == 2.0 / 3.0
+    ok, detail = compare(
+        spark,
+        "inactivity_churn_rates",
+        QUERIES["inactivity_churn_rates"],
+        ORACLES["inactivity_churn_rates"],
+        str(tmp_path),
+    )
+    assert ok, detail

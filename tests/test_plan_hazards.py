@@ -90,6 +90,8 @@ BNLJ_OK = {
                                   # |types| frame
     "event_type_mix_drift",      # bounded |types| x 2-halves grid
                                  # rebuild + 1-row totals crossJoins
+    "inactivity_churn_rates",    # 1-row corpus-end + 3-row literal
+                                 # window-ladder crossJoins
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
@@ -168,6 +170,8 @@ GLOBAL_WINDOW_OK = {
     "value_auc_for_purchase",    # rank prefix-sum over the value-
                                  # collapsed frame, bounded by the 2-dp
                                  # value DOMAIN (the E134 argument)
+    "basket_size_wedge_budget",  # grand-total window over the
+                                 # ≤|max basket size| histogram frame
 }
 
 
