@@ -178,6 +178,7 @@ HEADLINE = [
     "priority_sla_attainment",
     "basket_size_wedge_budget",
     "inactivity_churn_rates",
+    "supplier_ontime_wilson_ranking",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

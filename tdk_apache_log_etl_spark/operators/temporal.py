@@ -1157,3 +1157,94 @@ def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(within, 1)).cast("double") / F.count(F.lit(1))
         ).alias("attainment"),
     )
+
+
+# --------------------------------------------------------------------------
+# E211: supplier reliability ranking by Wilson lower bound
+# --------------------------------------------------------------------------
+
+#: "On time" = shipped within this many business days of the order.
+ONTIME_BDAYS = 7
+SUPPLIER_TOPK = 20
+
+_SLB_P = "(CAST(k AS DOUBLE) / n)"
+_SLB_DEN = "(1.0 + (1.96 * 1.96) / n)"
+_SLB_CENTER = f"(({_SLB_P} + (1.96 * 1.96) / (2.0 * n)) / {_SLB_DEN})"
+_SLB_HALF = (
+    f"((1.96 * SQRT(({_SLB_P} * (1.0 - {_SLB_P})"
+    f" + (1.96 * 1.96) / (4.0 * n)) / n)) / {_SLB_DEN})"
+)
+_SLB = f"({_SLB_CENTER} - {_SLB_HALF})"
+
+
+@query(
+    "supplier_ontime_wilson_ranking",
+    oracle=f"""
+        WITH lags AS (
+          SELECT l.l_suppkey AS suppkey,
+                 CASE WHEN {_BD_DUCK.format(d="CAST(l.l_shipdate AS DATE)")}
+                        - {_BD_DUCK.format(d="o.o_orderdate")}
+                        <= {ONTIME_BDAYS}
+                      THEN 1 ELSE 0 END AS ontime
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), per AS (
+          SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ontime) AS BIGINT) AS k
+          FROM lags GROUP BY suppkey
+        )
+        SELECT suppkey, n AS n_lines, k AS n_on_time,
+               {_SLB_P} AS rate, {_SLB} AS wilson_lb
+        FROM per
+        ORDER BY wilson_lb DESC, suppkey
+        LIMIT {SUPPLIER_TOPK}
+    """,
+)
+def supplier_ontime_wilson_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E211: rank suppliers by the Wilson LOWER bound of their on-time
+    rate — the "how not to sort by average rating" fix (a 2/2 supplier
+    must not outrank a 95/100 one; the lower confidence bound
+    penalizes small n exactly as much as the evidence warrants).
+    Composes E190's business-day lag with E172's Wilson machinery into
+    the pack's procurement KPI; raw rate is emitted alongside so the
+    re-ranking is visible.
+
+    Exactness: integer business-day lags and counts; the bound is the
+    E172 shared-literal IEEE chain; ties break on suppkey.
+
+    Scale: one orderkey-keyed fact join, one supplier-keyed aggregate,
+    TopK via TakeOrderedAndProject (never a full sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bd = F.expr(_BD_SPARK.format(d="ship_d")) - F.expr(
+        _BD_SPARK.format(d="o_orderdate")
+    )
+    per = (
+        j.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.when(bd <= ONTIME_BDAYS, 1).otherwise(0).alias("ontime"),
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ontime").cast("long").alias("k"),
+        )
+    )
+    scored = per.select(
+        "suppkey",
+        F.col("n").alias("n_lines"),
+        F.col("k").alias("n_on_time"),
+        F.expr(_SLB_P).alias("rate"),
+        F.expr(_SLB).alias("wilson_lb"),
+    )
+    return scored.orderBy(
+        F.desc("wilson_lb"), F.asc("suppkey")
+    ).limit(SUPPLIER_TOPK)

@@ -895,3 +895,44 @@ def test_churn_ladder_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_wilson_ranking_penalizes_small_n(spark, tmp_path):
+    # supplier 1: 2/2 on time (rate 1.0); supplier 2: 95/100 on time.
+    # Raw rate ranks 1 first; the Wilson lower bound ranks 2 first.
+    orders = [(i, dt.date(2026, 1, 5)) for i in range(1, 103)]
+    pd.DataFrame(
+        orders, columns=["o_orderkey", "o_orderdate"]
+    ).to_parquet(tmp_path / "orders.parquet")
+    lines = []
+    # supplier 1: 2 on-time lines (same-day ship)
+    for okey in (1, 2):
+        lines.append((okey, 1, dt.datetime(2026, 1, 5, 8)))
+    # supplier 2: 95 on-time + 5 late (30 days out)
+    for i, okey in enumerate(range(3, 103)):
+        ship = dt.datetime(2026, 1, 5, 8) if i < 95 else dt.datetime(
+            2026, 2, 20, 8
+        )
+        lines.append((okey, 2, ship))
+    pd.DataFrame(
+        lines, columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).to_parquet(
+        tmp_path / "lineitem.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    rows = QUERIES["supplier_ontime_wilson_ranking"](
+        spark, str(tmp_path)
+    ).collect()
+    assert rows[0].suppkey == 2  # 95/100 beats 2/2 on the lower bound
+    assert rows[1].suppkey == 1
+    assert rows[1].rate == 1.0  # ...even though its raw rate is higher
+    assert rows[0].wilson_lb > rows[1].wilson_lb
+    ok, detail = compare(
+        spark,
+        "supplier_ontime_wilson_ranking",
+        QUERIES["supplier_ontime_wilson_ranking"],
+        ORACLES["supplier_ontime_wilson_ranking"],
+        str(tmp_path),
+    )
+    assert ok, detail
