@@ -179,6 +179,7 @@ HEADLINE = [
     "basket_size_wedge_budget",
     "inactivity_churn_rates",
     "supplier_ontime_wilson_ranking",
+    "type_freshness_staleness",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

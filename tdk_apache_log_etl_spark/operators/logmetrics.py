@@ -3716,3 +3716,59 @@ def markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("best_c").cast("double") / F.sum("c_tot")
         ).alias("baseline_accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# E212: per-type freshness staleness (pipeline-lag audit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "type_freshness_staleness",
+    oracle="""
+        WITH per AS (
+          SELECT event_type, MAX(ts) AS last_ts,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type
+        ), g AS (
+          SELECT MAX(last_ts) AS corpus_max FROM per
+        )
+        SELECT per.event_type, per.n_events, per.last_ts,
+               CAST(FLOOR(epoch(g.corpus_max - per.last_ts)) AS BIGINT)
+                 AS staleness_secs,
+               CAST(FLOOR(epoch(g.corpus_max - per.last_ts)) AS BIGINT)
+                 > 86400 AS stale_over_1d
+        FROM per CROSS JOIN g
+    """,
+)
+def type_freshness_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E212: per-stream freshness — how far each event type's newest
+    record lags the corpus high-water mark. When one upstream producer
+    stalls, global row counts barely move but ITS type's staleness
+    grows; anchoring to the corpus max (never wall-clock, which would
+    be nondeterministic and untestable) makes the audit replayable and
+    is exactly how a backfill-tolerant freshness SLO is defined. The
+    E105 expectation suite checks VALUES; this checks ARRIVAL.
+
+    Exactness: per-type MAX timestamps, whole-second lags via the
+    repo's pinned timestampdiff ↔ floor(epoch) convention, a literal
+    1-day flag.
+
+    Scale: one map-side MAX per type + a 1-row high-water crossJoin."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    g = per.agg(F.max("last_ts").alias("corpus_max"))
+    j = per.crossJoin(F.broadcast(g))
+    stale = F.expr("timestampdiff(SECOND, last_ts, corpus_max)").cast(
+        "long"
+    )
+    return j.select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        stale.alias("staleness_secs"),
+        (stale > 86400).alias("stale_over_1d"),
+    )

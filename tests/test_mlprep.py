@@ -936,3 +936,32 @@ def test_wilson_ranking_penalizes_small_n(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_freshness_staleness_planted(spark, tmp_path):
+    rows = [
+        (1, dt.datetime(2026, 1, 10, 12, 0, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 8, 12, 0, 0), 2, "error", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: r
+        for r in QUERIES["type_freshness_staleness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view"].staleness_secs == 0
+    assert not got["view"].stale_over_1d
+    assert got["error"].staleness_secs == 2 * 86400
+    assert got["error"].stale_over_1d
+    ok, detail = compare(
+        spark,
+        "type_freshness_staleness",
+        QUERIES["type_freshness_staleness"],
+        ORACLES["type_freshness_staleness"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -209,6 +209,10 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # nearest-centroid (similarity.py): the |labels|×dims centroid
         # frame (constants at any corpus size)
         "cent",
+        # freshness audit (logmetrics.py): the 1-row corpus high-water
+        "g",
+        # churn ladder (growth.py): 1-row corpus-end + 3-row windows
+        "wins",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
