@@ -180,6 +180,7 @@ HEADLINE = [
     "inactivity_churn_rates",
     "supplier_ontime_wilson_ranking",
     "type_freshness_staleness",
+    "lang_source_association",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

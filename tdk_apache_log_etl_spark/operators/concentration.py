@@ -2076,3 +2076,106 @@ def event_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).alias("dof"),
         (F.col("chi2_scaled").cast("double") / _CHI2_SCALE).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# E213: language x source association (corpus-composition Cramér's V)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lang_source_association",
+    oracle=f"""
+        WITH obs AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2
+        ), rt AS (
+          SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1
+        ), ct AS (
+          SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+          FROM obs
+        ), grid AS (
+          SELECT rt.lang, ct.source, rt.r, ct.c,
+                 CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+        ), cells AS (
+          SELECT CAST(SUM(
+            ((CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * (CAST(t.n AS HUGEINT) * g.o - CAST(g.r AS HUGEINT) * g.c)
+             * {_CHI2_SCALE})
+            // (CAST(t.n AS HUGEINT) * g.r * g.c)
+          ) AS BIGINT) AS chi2_scaled
+          FROM grid g CROSS JOIN tot t
+        )
+        SELECT t.n AS n_docs, t.nr AS n_langs, t.nc AS n_sources,
+               CAST(c.chi2_scaled AS DOUBLE) / {_CHI2_SCALE} AS chi2,
+               sqrt((CAST(c.chi2_scaled AS DOUBLE) / {_CHI2_SCALE})
+                    / (t.n * LEAST(t.nr - 1, t.nc - 1))) AS cramers_v
+        FROM cells c CROSS JOIN tot t
+    """,
+)
+def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E213: is language independent of source in the corpus — Cramér's
+    V over the (lang × source) contingency grid, E151's machinery
+    repointed at CORPUS COMPOSITION: a high V means per-source mixture
+    weights (E197) double as language weights whether intended or not,
+    and language-balanced sampling must stratify by source. The
+    categorical companion to E200's duplication matrix in the
+    before-you-weight audit set.
+
+    Exactness: the E151 discipline — integer-quantized per-cell χ²
+    terms (one exact floor-division each) summed exactly; V is one
+    shared-literal sqrt chain.
+
+    Scale: one (lang × source) counting aggregate, a bounded grid
+    rebuild from marginals with zero-fill, 1-row totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    obs = scoped_persist(obs)
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(((CAST(n AS decimal(38,0)) * o"
+                f" - CAST(r AS decimal(38,0)) * c)"
+                f" * (CAST(n AS decimal(38,0)) * o"
+                f" - CAST(r AS decimal(38,0)) * c)"
+                f" * {_CHI2_SCALE})"
+                f" div (CAST(n AS decimal(38,0)) * r * c) AS decimal(38,0))"
+            )
+        )
+        .cast("long")
+        .alias("chi2_scaled")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_docs"),
+        F.col("nr").alias("n_langs"),
+        F.col("nc").alias("n_sources"),
+        (F.col("chi2_scaled").cast("double") / _CHI2_SCALE).alias("chi2"),
+        F.expr(
+            f"sqrt((CAST(chi2_scaled AS DOUBLE) / {_CHI2_SCALE})"
+            f" / (n * LEAST(nr - 1, nc - 1)))"
+        ).alias("cramers_v"),
+    )

@@ -965,3 +965,29 @@ def test_freshness_staleness_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_lang_source_association_extremes(spark, tmp_path):
+    # perfectly separated: each source carries exactly one language ->
+    # V = 1.0; the 2x2 grid is balanced so chi2 = n.
+    docs = [
+        (1, "a", "en", "sA"),
+        (2, "b", "en", "sA"),
+        (3, "c", "fr", "sB"),
+        (4, "d", "fr", "sB"),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    [r] = QUERIES["lang_source_association"](spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.n_langs, r.n_sources) == (4, 2, 2)
+    assert r.chi2 == 4.0
+    assert r.cramers_v == 1.0
+    ok, detail = compare(
+        spark,
+        "lang_source_association",
+        QUERIES["lang_source_association"],
+        ORACLES["lang_source_association"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -93,6 +93,8 @@ BNLJ_OK = {
     "inactivity_churn_rates",    # 1-row corpus-end + 3-row literal
                                  # window-ladder crossJoins
     "type_freshness_staleness",  # 1-row corpus high-water crossJoin
+    "lang_source_association",   # bounded |langs| x |sources| grid
+                                 # rebuild + 1-row totals crossJoins
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
