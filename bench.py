@@ -181,6 +181,7 @@ HEADLINE = [
     "supplier_ontime_wilson_ranking",
     "type_freshness_staleness",
     "lang_source_association",
+    "part_supplier_hhi_bands",
     "theta_user_set_ops",
     "skew_salted_user_revenue",
     "temperature_mixture_sample",

@@ -2179,3 +2179,87 @@ def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (n * LEAST(nr - 1, nc - 1)))"
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# E215: supplier-concentration HHI bands per part (single-source risk)
+# --------------------------------------------------------------------------
+
+_HHI_SCALE = 1_000_000
+#: DOJ/FTC horizontal-merger bands, in HHI millionths.
+_HHI_HIGH = 250_000
+_HHI_MODERATE = 150_000
+
+
+@query(
+    "part_supplier_hhi_bands",
+    oracle=f"""
+        WITH pq AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+                     AS HUGEINT)) AS q
+          FROM lineitem GROUP BY 1, 2
+        ), per_part AS (
+          SELECT l_partkey,
+                 CAST((SUM(q * q) * {_HHI_SCALE})
+                      // (SUM(q) * SUM(q)) AS BIGINT) AS hhi
+          FROM pq GROUP BY l_partkey
+        ), banded AS (
+          SELECT CASE WHEN hhi = {_HHI_SCALE} THEN 'single-sourced'
+                      WHEN hhi >= {_HHI_HIGH} THEN 'highly-concentrated'
+                      WHEN hhi >= {_HHI_MODERATE} THEN 'moderate'
+                      ELSE 'diversified' END AS band
+          FROM per_part
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM banded
+        )
+        SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS DOUBLE) / t.n_total AS part_share
+        FROM banded b CROSS JOIN tot t
+        GROUP BY b.band, t.n_total
+    """,
+)
+def part_supplier_hhi_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E215: single-source supply risk — each part's supplier
+    Herfindahl-Hirschman index over shipped quantity, banded at the
+    DOJ/FTC merger thresholds (1.0 single-sourced, ≥0.25 highly
+    concentrated, ≥0.15 moderate). E83 deliberately reported CR1/CR4
+    instead of HHI because per-share float squares accumulate in
+    engine-dependent order; the cross-multiplied integer form removes
+    that objection — HHI·S = Σq_s²·S // (Σq_s)² is ONE exact 128-bit
+    floor division per part, no float ever summed.
+
+    Scale: (part, supplier) quantity collapse (map-side combine) → one
+    part-keyed aggregate → a ≤4-row band regroup + 1-row total. The
+    per-part HHI never materializes shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity").cast("double") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(q).alias("q"))
+    per_part = pq.groupBy("l_partkey").agg(
+        F.expr(
+            f"CAST((SUM(q * q) * {_HHI_SCALE})"
+            f" div (SUM(q) * SUM(q)) AS BIGINT)"
+        ).alias("hhi")
+    )
+    band = (
+        F.when(F.col("hhi") == _HHI_SCALE, "single-sourced")
+        .when(F.col("hhi") >= _HHI_HIGH, "highly-concentrated")
+        .when(F.col("hhi") >= _HHI_MODERATE, "moderate")
+        .otherwise("diversified")
+    )
+    banded = per_part.select(band.alias("band"))
+    tot = banded.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("band", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .select(
+            "band",
+            "n_parts",
+            (F.col("n_parts").cast("double") / F.col("n_total")).alias(
+                "part_share"
+            ),
+        )
+    )

@@ -991,3 +991,43 @@ def test_lang_source_association_extremes(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_hhi_bands_planted(spark, tmp_path):
+    # part 1: one supplier -> single-sourced (HHI 1.0);
+    # part 2: two equal suppliers -> HHI 0.5 -> highly-concentrated;
+    # part 3: ten equal suppliers -> HHI 0.1 -> diversified
+    rows = []
+    rows.append((1, 1, 100, 1, 5.0))
+    rows.append((2, 2, 200, 1, 5.0))
+    rows.append((3, 2, 201, 1, 5.0))
+    for s in range(10):
+        rows.append((10 + s, 3, 300 + s, 1, 5.0))
+    pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+        ],
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.band: r
+        for r in QUERIES["part_supplier_hhi_bands"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["single-sourced"].n_parts == 1
+    assert got["highly-concentrated"].n_parts == 1
+    assert got["diversified"].n_parts == 1
+    assert got["diversified"].part_share == 1.0 / 3.0
+    ok, detail = compare(
+        spark,
+        "part_supplier_hhi_bands",
+        QUERIES["part_supplier_hhi_bands"],
+        ORACLES["part_supplier_hhi_bands"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -95,6 +95,7 @@ BNLJ_OK = {
     "type_freshness_staleness",  # 1-row corpus high-water crossJoin
     "lang_source_association",   # bounded |langs| x |sources| grid
                                  # rebuild + 1-row totals crossJoins
+    "part_supplier_hhi_bands",   # 1-row part-count total crossJoin
     "temporal_split_leakage_audit",  # 1-row calendar-midpoint crossJoin
     "corpus_datasheet_card",     # two 1-row summary frames crossJoined
     "best_split_value_for_purchase",  # 1-row totals + 1-row argmin
