@@ -1859,10 +1859,32 @@ def daily_revenue_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E173: Spearman rank correlation (quantity vs extended price)
 # --------------------------------------------------------------------------
 
-_SPEAR_RHO = (
-    "CAST(num AS DOUBLE)"
-    " / NULLIF(SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 0.0)"
-)
+#: Exact-split wide-integer -> double: the moment determinants exceed
+#: 2^53 at sf0.1+, and the ENGINES' native casts round differently there
+#: (Spark goes through BigDecimal, DuckDB composes the two 64-bit halves
+#: — found as a last-ulp rho divergence in the 10x sweep). Splitting at
+#: 2^53 makes both pieces exactly representable, so the one recompose
+#: rounding happens on identical operands in both engines.
+_P53 = 9_007_199_254_740_992  # 2^53
+
+
+def _d128(x: str, idiv: str) -> str:
+    # split |x| (integer division/modulo of NEGATIVES floors in DuckDB
+    # but truncates in Spark — sign is factored out first) and reapply
+    # the sign as a double multiply
+    ax = f"ABS({x})"
+    return (
+        f"((CASE WHEN ({x}) < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * (CAST(({ax}) {idiv} {_P53} AS DOUBLE) * {_P53}.0"
+        f" + CAST(({ax}) % {_P53} AS DOUBLE)))"
+    )
+
+
+def _spear_rho(idiv: str) -> str:
+    return (
+        f"{_d128('num', idiv)}"
+        f" / NULLIF(SQRT({_d128('dx', idiv)} * {_d128('dy', idiv)}), 0.0)"
+    )
 
 
 def _spearman_oracle() -> str:
@@ -1902,7 +1924,7 @@ def _spearman_oracle() -> str:
                  n * syy - sy * sy AS dy
           FROM agg
         )
-        SELECT n AS n_rows, {_SPEAR_RHO} AS rho FROM f
+        SELECT n AS n_rows, {_spear_rho("//")} AS rho FROM f
     """
 
 
@@ -2009,7 +2031,7 @@ def spearman_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
     )
     return f.select(
-        F.col("n").alias("n_rows"), F.expr(_SPEAR_RHO).alias("rho")
+        F.col("n").alias("n_rows"), F.expr(_spear_rho("div")).alias("rho")
     )
 
 

@@ -749,6 +749,16 @@ def test_spearman_perfect_monotone_is_one(spark, tmp_path):
     )
     [r] = QUERIES["spearman_qty_price_corr"](spark, str(anti)).collect()
     assert r.rho == -1.0
+    # lock the negative-sign path of the 2^53-split double conversion
+    # (div truncates in Spark, // floors in DuckDB — sign factored out)
+    ok, detail = compare(
+        spark,
+        "spearman_qty_price_corr",
+        QUERIES["spearman_qty_price_corr"],
+        ORACLES["spearman_qty_price_corr"],
+        str(anti),
+    )
+    assert ok, detail
 
 
 def test_spearman_tied_ranks_average(spark, tmp_path):
