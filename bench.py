@@ -143,6 +143,8 @@ HEADLINE = [
     "embedding_top_eigenvector",
     "hourly_error_rate_wilson",
     "spearman_qty_price_corr",
+    "kendall_tau_qty_discount",
+    "value_kruskal_wallis",
     "degree_assortativity_part_graph",
     "active_users_7d_sliding",
     "target_encode_mktsegment",

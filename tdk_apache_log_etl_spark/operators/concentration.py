@@ -2263,3 +2263,305 @@ def part_supplier_hhi_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E216: Kendall tau-b rank correlation (quantity vs discount)
+# --------------------------------------------------------------------------
+
+from .robuststats import _d128  # noqa: E402  (2^53-split wide-int -> double)
+
+
+def _kendall_tau(idiv: str) -> str:
+    # tau_b = (P - Q) / sqrt((n0 - Tx) * (n0 - Ty)); every operand is an
+    # exact 128-bit integer converted via the 2^53-split (_d128) so the
+    # one recompose rounding happens on identical operands both engines.
+    return (
+        f"({_d128('conc', idiv)} - {_d128('disc', idiv)})"
+        f" / NULLIF(SQRT(({_d128('n0', idiv)} - {_d128('tx', idiv)})"
+        f" * ({_d128('n0', idiv)} - {_d128('ty', idiv)})), 0.0)"
+    )
+
+
+@query(
+    "kendall_tau_qty_discount",
+    oracle=f"""
+        WITH grid AS (
+          SELECT CAST(l_quantity AS BIGINT) AS qv,
+                 CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dv,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem
+          GROUP BY 1, 2
+        ), pq AS (
+          SELECT
+            COALESCE(SUM(CASE WHEN b.dv > a.dv
+              THEN CAST(a.cnt AS HUGEINT) * b.cnt END), 0) AS conc,
+            COALESCE(SUM(CASE WHEN b.dv < a.dv
+              THEN CAST(a.cnt AS HUGEINT) * b.cnt END), 0) AS disc
+          FROM grid a JOIN grid b ON a.qv < b.qv
+        ), qm AS (
+          SELECT SUM((CAST(cq AS HUGEINT) * (cq - 1)) // 2) AS tx
+          FROM (SELECT SUM(cnt) AS cq FROM grid GROUP BY qv)
+        ), dm AS (
+          SELECT SUM((CAST(cd AS HUGEINT) * (cd - 1)) // 2) AS ty
+          FROM (SELECT SUM(cnt) AS cd FROM grid GROUP BY dv)
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 (CAST(SUM(cnt) AS HUGEINT) * (SUM(cnt) - 1)) // 2 AS n0
+          FROM grid
+        )
+        SELECT n_rows,
+               {_d128('conc', '//')} AS concordant,
+               {_d128('disc', '//')} AS discordant,
+               {_kendall_tau('//')} AS tau_b
+        FROM pq, qm, dm, tot
+    """,
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E216: Kendall tau-b between line quantity and discount — the
+    rank-correlation companion to E173's Spearman rho, preferred when
+    the data is heavily tied (both columns here have tiny domains, so
+    ties dominate and tau-b's tie-corrected denominator is the honest
+    choice; Spearman's tie algebra under-penalizes).
+
+    The O(n^2) pair count never touches row pairs: both variables live
+    on bounded DOMAINS (quantity 1..50, discount in 2-dp cents), so the
+    lineitem table collapses to a <=|Q|x|D| contingency grid (<=550
+    cells at ANY corpus size) and concordant/discordant pairs are
+    cell-count products over the grid self-join -- the same
+    domain-collapse argument as E134/E188. Tie terms come off the two
+    marginals; all counts and products accumulate in 128-bit integers
+    (HUGEINT / DECIMAL(38,0)) and reach doubles only through the
+    2^53-split, so tau_b hash-gates at any SF.
+
+    Scale: one map-side-combinable collapse to the grid, a broadcast
+    self-join of a <=550-row frame, two marginal aggregates, and a
+    shared-literal double chain on one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    grid = scoped_persist(
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("qv"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("dv"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pq = (
+        a.join(F.broadcast(b), F.col("a.qv") < F.col("b.qv"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("b.dv") > F.col("a.dv"),
+                        dec(F.col("a.cnt")) * F.col("b.cnt"),
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("conc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("b.dv") < F.col("a.dv"),
+                        dec(F.col("a.cnt")) * F.col("b.cnt"),
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("disc"),
+        )
+    )
+    qm = (
+        grid.groupBy("qv")
+        .agg(F.sum("cnt").alias("cq"))
+        .agg(
+            F.sum(
+                F.expr("CAST((CAST(cq AS DECIMAL(38,0)) * (cq - 1))"
+                       " div 2 AS DECIMAL(38,0))")
+            ).alias("tx")
+        )
+    )
+    dm = (
+        grid.groupBy("dv")
+        .agg(F.sum("cnt").alias("cd"))
+        .agg(
+            F.sum(
+                F.expr("CAST((CAST(cd AS DECIMAL(38,0)) * (cd - 1))"
+                       " div 2 AS DECIMAL(38,0))")
+            ).alias("ty")
+        )
+    )
+    tot = grid.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST((CAST(SUM(cnt) AS DECIMAL(38,0)) * (SUM(cnt) - 1))"
+            " div 2 AS DECIMAL(38,0))"
+        ).alias("n0"),
+    )
+    return (
+        pq.crossJoin(F.broadcast(qm))
+        .crossJoin(F.broadcast(dm))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_rows",
+            F.expr(_d128("conc", "div")).alias("concordant"),
+            F.expr(_d128("disc", "div")).alias("discordant"),
+            F.expr(_kendall_tau("div")).alias("tau_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E217: Kruskal-Wallis rank test for value across event types
+# --------------------------------------------------------------------------
+
+#: chi-square 0.95 critical values for df 1..9 — decimal literals parse
+#: to identical doubles in both engines (round-to-nearest).
+_CHI2_05 = {
+    1: "3.841458820694124",
+    2: "5.991464547107979",
+    3: "7.814727903251179",
+    4: "9.487729036781154",
+    5: "11.070497693516351",
+    6: "12.591587243743977",
+    7: "14.067140449340169",
+    8: "15.50731305586545",
+    9: "16.918977604620448",
+}
+
+
+def _kw_exprs(idiv: str) -> dict[str, str]:
+    nd = _d128("n_tot", idiv)
+    h = (
+        f"(3.0 * {_d128('s_terms', idiv)} / ({nd} * ({nd} + 1.0))"
+        f" - 3.0 * ({nd} + 1.0))"
+    )
+    c = f"(1.0 - {_d128('ties3', idiv)} / ({nd} * {nd} * {nd} - {nd}))"
+    crit = "CASE " + " ".join(
+        f"WHEN k - 1 = {df} THEN {v}" for df, v in _CHI2_05.items()
+    ) + " END"
+    return {
+        "h": h,
+        "c": c,
+        "h_adj": f"({h} / NULLIF({c}, 0.0))",
+        "crit": crit,
+        "reject": f"(({h} / NULLIF({c}, 0.0)) > ({crit}))",
+    }
+
+
+def _kw_oracle() -> str:
+    e = _kw_exprs("//")
+    return f"""
+        WITH vals AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), pv AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS t,
+                 1 + COALESCE(SUM(SUM(c)) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS rank_min
+          FROM vals GROUP BY v
+        ), per AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_i,
+                 SUM(CAST(c AS HUGEINT)
+                     * (2 * pv.rank_min + pv.t - 1)) AS r2
+          FROM vals JOIN pv USING (v)
+          GROUP BY event_type
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n_i) AS BIGINT) AS n_tot,
+                 SUM((r2 * r2) // n_i) AS s_terms
+          FROM per
+        ), tie AS (
+          SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS ties3 FROM pv
+        )
+        SELECT k AS n_groups, n_tot AS n_values,
+               {e['h']} AS h_stat,
+               {e['c']} AS tie_correction,
+               {e['h_adj']} AS h_adj,
+               k - 1 AS df,
+               {e['reject']} AS reject_at_05
+        FROM agg, tie
+    """
+
+
+@query("value_kruskal_wallis", oracle=_kw_oracle())
+def value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E217: Kruskal-Wallis H — the rank-based (distribution-free)
+    counterpart of E169's one-way ANOVA: does the DISTRIBUTION of event
+    value differ across event types, without assuming normal residuals?
+    H = 12/(N(N+1)) * sum(R_i^2/n_i) - 3(N+1), tie-corrected by
+    C = 1 - sum(t^3 - t)/(N^3 - N); with doubled average ranks
+    (2*avg_rank = 2*rank_min + t - 1, always integral) the identity
+    becomes H = 3*S/(N(N+1)) - 3(N+1) with S = sum(R2_i^2 / n_i).
+
+    Exactness: the E188 value-domain collapse bounds the ranked frame by
+    the 2-dp value DOMAIN, doubled rank sums and tie cubes accumulate in
+    128-bit integers, the single inexact step per group is ONE floor
+    division (identical op both engines, same waiver as E169), and the
+    final chain is shared-literal doubles through the 2^53-split. The
+    df<=9 chi-square critical values are shared decimal literals, so the
+    reject flag hash-gates too. All-tied data gives C=0 -> NULL h_adj.
+
+    Scale: one map-side collapse to |types|x|values|, a domain-bounded
+    prefix-sum window, a |types|-row aggregate, two 1-row crossJoins."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vals = scoped_persist(
+        ev.groupBy(F.col("event_type"), sv.alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pv = scoped_persist(
+        vals.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .select(
+            "v",
+            "t",
+            (
+                F.lit(1) + F.coalesce(F.sum("t").over(w), F.lit(0))
+            ).alias("rank_min"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        vals.join(pv, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_i"),
+            F.sum(
+                dec(F.col("c"))
+                * (2 * F.col("rank_min") + F.col("t") - 1)
+            ).alias("r2"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_tot"),
+        F.sum(
+            F.expr("CAST((r2 * r2) div n_i AS DECIMAL(38,0))")
+        ).alias("s_terms"),
+    )
+    tie = pv.agg(
+        F.sum(
+            dec(F.col("t")) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties3")
+    )
+    e = _kw_exprs("div")
+    return (
+        agg.crossJoin(F.broadcast(tie))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("n_tot").alias("n_values"),
+            F.expr(e["h"]).alias("h_stat"),
+            F.expr(e["c"]).alias("tie_correction"),
+            F.expr(e["h_adj"]).alias("h_adj"),
+            (F.col("k") - 1).alias("df"),
+            F.expr(e["reject"]).alias("reject_at_05"),
+        )
+    )

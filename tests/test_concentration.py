@@ -783,3 +783,85 @@ def test_spearman_tied_ranks_average(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_kendall_mixed_ties_exact(spark, tmp_path):
+    # cells: (1,.01)x2, (2,.02), (3,.01) -> n=4, n0=6
+    # concordant: 2x(1,.01)->(2,.02) = 2; discordant: (2,.02)->(3,.01) = 1
+    # tx (qty ties) = 1, ty (discount ties: three .01 rows) = 3
+    # tau_b = (2-1)/sqrt((6-1)*(6-3)) = 1/sqrt(15)
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.01),
+        (2, 2, 1, 1, 1.0, 10.0, 0.01),
+        (3, 3, 1, 1, 2.0, 10.0, 0.02),
+        (4, 4, 1, 1, 3.0, 10.0, 0.01),
+    ]
+    _lineitem(tmp_path, rows)
+    [r] = QUERIES["kendall_tau_qty_discount"](spark, str(tmp_path)).collect()
+    assert r.n_rows == 4
+    assert r.concordant == 2.0
+    assert r.discordant == 1.0
+    assert r.tau_b == pytest.approx(1.0 / 15.0**0.5)
+    ok, detail = compare(
+        spark,
+        "kendall_tau_qty_discount",
+        QUERIES["kendall_tau_qty_discount"],
+        ORACLES["kendall_tau_qty_discount"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_kendall_perfect_concordance_is_one(spark, tmp_path):
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.01),
+        (2, 2, 1, 1, 2.0, 10.0, 0.02),
+        (3, 3, 1, 1, 3.0, 10.0, 0.03),
+    ]
+    _lineitem(tmp_path, rows)
+    [r] = QUERIES["kendall_tau_qty_discount"](spark, str(tmp_path)).collect()
+    assert r.tau_b == 1.0
+
+
+def test_kruskal_wallis_planted_two_groups(spark, tmp_path):
+    # a={1,2}, b={3,4}: doubled ranks 2,4 | 6,8 -> R2=6,14;
+    # S = floor(36/2)+floor(196/2) = 116; H = 3*116/20 - 15 = 2.4;
+    # no ties -> C=1; df=1, chi2_05(1)=3.84 -> not rejected.
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2026, 5, 1, 9), 0, "a", 1.0, "{}"),
+        (1, dt.datetime(2026, 5, 1, 9), 1, "a", 2.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "b", 3.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 3, "b", 4.0, "{}"),
+    ]
+    _events(tmp_path, rows)
+    [r] = QUERIES["value_kruskal_wallis"](spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_values, r.df) == (2, 4, 1)
+    assert r.h_stat == pytest.approx(2.4)
+    assert r.tie_correction == 1.0
+    assert r.reject_at_05 is False
+    ok, detail = compare(
+        spark,
+        "value_kruskal_wallis",
+        QUERIES["value_kruskal_wallis"],
+        ORACLES["value_kruskal_wallis"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_kruskal_wallis_all_tied_null_hadj(spark, tmp_path):
+    # Every value identical: tie cube spans all N -> C = 0 -> h_adj NULL
+    # (and the uncorrected H collapses to exactly 0).
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 5, 1, 9), i, t, 7.0, "{}")
+        for i, t in enumerate(["a", "a", "b", "b", "b"])
+    ]
+    _events(tmp_path, rows)
+    [r] = QUERIES["value_kruskal_wallis"](spark, str(tmp_path)).collect()
+    assert r.h_stat == 0.0
+    assert r.tie_correction == 0.0
+    assert r.h_adj is None

@@ -102,6 +102,9 @@ BNLJ_OK = {
                                       # broadcasts
     "target_encode_mktsegment",  # 1-row global-moment crossJoin over the
                                  # 25-row (segment x fold) frame
+    "kendall_tau_qty_discount",  # <=550-row domain-grid self-join + three
+                                 # 1-row marginal/total crossJoins
+    "value_kruskal_wallis",      # 1-row tie-cube crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -176,6 +179,8 @@ GLOBAL_WINDOW_OK = {
                                  # value DOMAIN (the E134 argument)
     "basket_size_wedge_budget",  # grand-total window over the
                                  # ≤|max basket size| histogram frame
+    "value_kruskal_wallis",      # rank prefix-sum over the value-
+                                 # collapsed frame (2-dp value DOMAIN)
 }
 
 
