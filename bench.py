@@ -145,6 +145,9 @@ HEADLINE = [
     "spearman_qty_price_corr",
     "kendall_tau_qty_discount",
     "value_kruskal_wallis",
+    "feature_hash_collision_audit",
+    "value_decile_calibration",
+    "apdex_by_type",
     "degree_assortativity_part_graph",
     "active_users_7d_sliding",
     "target_encode_mktsegment",

@@ -3772,3 +3772,59 @@ def type_freshness_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.alias("staleness_secs"),
         (stale > 86400).alias("stale_over_1d"),
     )
+
+
+# --------------------------------------------------------------------------
+# E220: Apdex score per event type
+# --------------------------------------------------------------------------
+
+#: Apdex (Application Performance Index, Apdex Alliance spec): satisfied
+#: if the measure is <= T, tolerating if <= 4T, frustrated beyond.
+APDEX_T = 1.0
+
+
+@query(
+    "apdex_by_type",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE value <= {APDEX_T})
+                 AS BIGINT) AS n_satisfied,
+               CAST(COUNT(*) FILTER (WHERE value > {APDEX_T}
+                                       AND value <= 4 * {APDEX_T})
+                 AS BIGINT) AS n_tolerating,
+               CAST(2 * COUNT(*) FILTER (WHERE value <= {APDEX_T})
+                      + COUNT(*) FILTER (WHERE value > {APDEX_T}
+                                           AND value <= 4 * {APDEX_T})
+                 AS DOUBLE) / (2 * COUNT(*)) AS apdex
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E220: Apdex score of event value per type — the third leg of the
+    SRE reporting triple next to E94 (SLO burn) and E172 (Wilson error
+    bounds): a single bounded [0,1] user-satisfaction index,
+    (satisfied + tolerating/2) / n at threshold T / 4T.
+
+    Exactness: the three counters are exact integers and the score is
+    computed cross-multiplied — (2*sat + tol) / (2*n), ONE double
+    division per group, no float ever summed. Threshold compares happen
+    on the raw double column with shared literals, identical both
+    engines.
+
+    Scale: one map-side-combinable aggregate to |types| rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sat = F.col("value") <= APDEX_T
+    tol = (F.col("value") > APDEX_T) & (F.col("value") <= 4 * APDEX_T)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(sat, 1)).cast("long").alias("n_satisfied"),
+        F.count(F.when(tol, 1)).cast("long").alias("n_tolerating"),
+        (
+            (
+                2 * F.count(F.when(sat, 1)) + F.count(F.when(tol, 1))
+            ).cast("double")
+            / (2 * F.count(F.lit(1)))
+        ).alias("apdex"),
+    )

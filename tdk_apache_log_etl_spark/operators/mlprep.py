@@ -16,7 +16,7 @@ one shared-literal IEEE double chain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -556,4 +556,249 @@ def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("long").alias("n_tokens"),
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E218: hashing-trick feature buckets + collision audit
+# --------------------------------------------------------------------------
+
+#: Hashed feature-space width. Deliberately small so the audit SHOWS
+#: collisions at bench scale; production widths (2^18..2^22) make the
+#: same query a near-identity report.
+FEATURE_HASH_D = 64
+#: Engine-portable token hash: polynomial char fold (the E4 fingerprint
+#: convention) re-mixed by two Knuth multipliers — one for the bucket,
+#: one for the hashing-trick sign bit (Weinberger et al. 2009: a signed
+#: hash makes collisions cancel in expectation instead of biasing up).
+_FH_MOD = 1_000_000_007
+_FH_BUCKET_A = 2_654_435_761
+_FH_SIGN_A = 2_246_822_519
+
+
+@query(
+    "feature_hash_collision_audit",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), vocab AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE token <> '' GROUP BY token
+        ), hashed AS (
+          SELECT ((list_reduce(
+                    list_prepend(
+                      CAST(0 AS BIGINT),
+                      list_transform(
+                        range(1, length(token) + 1),
+                        i -> CAST(ascii(substr(token, CAST(i AS INTEGER), 1))
+                               AS BIGINT)
+                      )
+                    ),
+                    (acc, ch) -> (acc * 31 + ch) % {_FH_MOD}
+                  ) * {_FH_BUCKET_A}) % 4294967296) AS hb,
+                 ((list_reduce(
+                    list_prepend(
+                      CAST(0 AS BIGINT),
+                      list_transform(
+                        range(1, length(token) + 1),
+                        i -> CAST(ascii(substr(token, CAST(i AS INTEGER), 1))
+                               AS BIGINT)
+                      )
+                    ),
+                    (acc, ch) -> (acc * 31 + ch) % {_FH_MOD}
+                  ) * {_FH_SIGN_A}) % 4294967296) % 2 AS sb,
+                 c
+          FROM vocab
+        )
+        SELECT CAST(hb % {FEATURE_HASH_D} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS total_count,
+               CAST(SUM(CASE WHEN sb = 0 THEN c ELSE -c END) AS BIGINT)
+                 AS signed_count
+        FROM hashed
+        GROUP BY 1
+    """,
+)
+def feature_hash_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E218: the hashing trick (feature hashing) over the corpus
+    vocabulary, with its collision audit — the fixed-width, vocab-free
+    featurization a 100 TB text pipeline uses when a materialized
+    vocabulary is operationally off the table. Each bucket reports how
+    many DISTINCT tokens landed on it (collisions), the total mass, and
+    the SIGNED mass (Weinberger's sign trick: collisions cancel in
+    expectation — |signed| << total on a collided bucket is the trick
+    visibly working).
+
+    Engine-portable hashing: xxhash64 exists only in Spark, so the
+    bucket comes from the E4 polynomial char fold re-mixed by two Knuth
+    multipliers (bucket and sign draw on DIFFERENT multipliers — the
+    sign must not be a function of the bucket). Pure integer ops both
+    engines.
+
+    Scale: tokens collapse to the VOCABULARY before any hashing (the
+    char fold runs once per distinct token, not once per corpus token),
+    then one |vocab| -> D shuffle. The explode is the unavoidable
+    linear pass; everything downstream is vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.ascii(
+            F.substring(F.col("token"), i, F.lit(1))
+        ).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + ch) % _FH_MOD,
+    )
+    hashed = vocab.select(
+        ((h * _FH_BUCKET_A) % 4294967296).alias("hb"),
+        (((h * _FH_SIGN_A) % 4294967296) % 2).alias("sb"),
+        "c",
+    )
+    return hashed.groupBy(
+        (F.col("hb") % FEATURE_HASH_D).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("c").cast("long").alias("total_count"),
+        F.sum(
+            F.when(F.col("sb") == 0, F.col("c")).otherwise(-F.col("c"))
+        )
+        .cast("long")
+        .alias("signed_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E219: score-decile calibration / cumulative-gains table
+# --------------------------------------------------------------------------
+
+_CAL_DECILES = 10
+
+
+@query(
+    "value_decile_calibration",
+    oracle=f"""
+        WITH vals AS (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS pos
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), ranked AS (
+          SELECT v, t, pos,
+                 COALESCE(SUM(t) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS rank0,
+                 CAST(SUM(t) OVER () AS BIGINT) AS n,
+                 CAST(SUM(pos) OVER () AS BIGINT) AS n_pos
+          FROM vals
+        ), bucketed AS (
+          SELECT (rank0 * {_CAL_DECILES}) // n AS decile,
+                 n, n_pos, t, pos
+          FROM ranked
+        ), per AS (
+          SELECT decile, n, n_pos,
+                 CAST(SUM(t) AS BIGINT) AS n_events,
+                 CAST(SUM(pos) AS BIGINT) AS n_purchases
+          FROM bucketed GROUP BY 1, 2, 3
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n_events, n_purchases,
+               CAST(n_purchases AS DOUBLE) / n_events AS purchase_rate,
+               CAST(SUM(n_events) OVER w AS DOUBLE) / n AS cum_event_share,
+               CAST(SUM(n_purchases) OVER w AS DOUBLE)
+                 / NULLIF(n_pos, 0) AS cum_purchase_share,
+               CAST(n_purchases AS DOUBLE) * n
+                 / (CAST(n_events AS DOUBLE) * NULLIF(n_pos, 0)) AS lift
+        FROM per
+        WINDOW w AS (ORDER BY decile DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E219: calibration / cumulative-gains table of event value read as
+    a purchase score — the reliability diagram behind every "is this
+    score usable for targeting" decision: per value-decile purchase
+    rate (calibration), plus top-down cumulative gains and lift (if you
+    action the top k deciles, what share of purchases do you capture?).
+
+    Decile assignment is VALUE-DOMAIN exact: rows collapse to distinct
+    2-dp values (E188's argument), each value cell goes wholly to
+    decile floor(rank0 * 10 / n) from its cumulative predecessor count
+    — a deterministic whole-cell rule both engines compute identically
+    (no within-tie row splitting, which would be order-dependent).
+    Heavily tied score distributions therefore yield FEWER than 10
+    occupied deciles rather than nondeterministic splits.
+
+    Scale: one map-side collapse to the value domain, domain-bounded
+    prefix windows, then arithmetic on a <=10-row frame."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_pos = F.col("event_type") == "purchase"
+    vals = ev.groupBy(sv.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count(F.when(is_pos, 1)).cast("long").alias("pos"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vals.select(
+        "t",
+        "pos",
+        F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("rank0"),
+        F.sum("t").over(w_all).cast("long").alias("n"),
+        F.sum("pos").over(w_all).cast("long").alias("n_pos"),
+    )
+    per = (
+        ranked.select(
+            F.expr(f"(rank0 * {_CAL_DECILES}) div n").alias("decile"),
+            "n",
+            "n_pos",
+            "t",
+            "pos",
+        )
+        .groupBy("decile", "n", "n_pos")
+        .agg(
+            F.sum("t").cast("long").alias("n_events"),
+            F.sum("pos").cast("long").alias("n_purchases"),
+        )
+    )
+    w_gain = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_events",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / F.col("n_events")).alias(
+            "purchase_rate"
+        ),
+        (
+            F.sum("n_events").over(w_gain).cast("double") / F.col("n")
+        ).alias("cum_event_share"),
+        (
+            F.sum("n_purchases").over(w_gain).cast("double")
+            / F.nullif(F.col("n_pos"), F.lit(0)).cast("double")
+        ).alias("cum_purchase_share"),
+        (
+            F.col("n_purchases").cast("double")
+            * F.col("n")
+            / (
+                F.col("n_events").cast("double")
+                * F.nullif(F.col("n_pos"), F.lit(0)).cast("double")
+            )
+        ).alias("lift"),
     )

@@ -1031,3 +1031,132 @@ def test_hhi_bands_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def _fh_mirror(token: str) -> tuple[int, int]:
+    # pure-Python mirror of the E218 portable token hash
+    h = 0
+    for ch in token:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    bucket = ((h * 2_654_435_761) % 4294967296) % 64
+    sign = 1 if ((h * 2_246_822_519) % 4294967296) % 2 == 0 else -1
+    return bucket, sign
+
+
+def test_feature_hash_python_mirror(spark, tmp_path):
+    docs = [
+        (1, "aa ab aa", "en", "s1"),
+        (2, "ba aa", "en", "s1"),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["feature_hash_collision_audit"](
+        spark, str(tmp_path)
+    ).collect()
+    expected: dict[int, list[int]] = {}
+    for tok, c in {"aa": 3, "ab": 1, "ba": 1}.items():
+        b, s = _fh_mirror(tok)
+        e = expected.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += c
+        e[2] += s * c
+    got = {
+        r.bucket: [r.n_tokens, r.total_count, r.signed_count] for r in rows
+    }
+    assert got == expected
+    # conservation: total mass survives hashing even under collisions
+    assert sum(r.total_count for r in rows) == 5
+    ok, detail = compare(
+        spark,
+        "feature_hash_collision_audit",
+        QUERIES["feature_hash_collision_audit"],
+        ORACLES["feature_hash_collision_audit"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_calibration_planted_top_decile(spark, tmp_path):
+    # 20 distinct values 1..20, purchases exactly at the top two values:
+    # decile 9 = {19, 20} -> rate 1.0, captures 100% of purchases,
+    # lift = (2*20)/(2*2) = 10.
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            dt.datetime(2026, 5, 1, 9),
+            i,
+            "purchase" if i >= 19 else "view",
+            float(i),
+            "{}",
+        )
+        for i in range(1, 21)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    rows_out = {
+        r.decile: r
+        for r in QUERIES["value_decile_calibration"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(rows_out) == list(range(10))
+    top = rows_out[9]
+    assert (top.n_events, top.n_purchases) == (2, 2)
+    assert top.purchase_rate == 1.0
+    assert top.cum_purchase_share == 1.0
+    assert top.cum_event_share == 0.1
+    assert top.lift == 10.0
+    assert rows_out[0].n_purchases == 0
+    ok, detail = compare(
+        spark,
+        "value_decile_calibration",
+        QUERIES["value_decile_calibration"],
+        ORACLES["value_decile_calibration"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_calibration_all_tied_single_decile(spark, tmp_path):
+    # One distinct value -> the whole cell lands in decile 0 (whole-cell
+    # rule: no nondeterministic within-tie splitting).
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 5, 1, 9), i, "view", 5.0, "{}")
+        for i in range(8)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    rows_out = QUERIES["value_decile_calibration"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows_out) == 1
+    assert rows_out[0].decile == 0
+    assert rows_out[0].n_events == 8
+
+
+def test_apdex_hand_computed(spark, tmp_path):
+    # satisfied 0.5, tolerating 2.0, frustrated 10.0 ->
+    # apdex = (2*1 + 1) / (2*3) = 0.5
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2026, 5, 1, 9), 0, "view", 0.5, "{}"),
+        (1, dt.datetime(2026, 5, 1, 9), 1, "view", 2.0, "{}"),
+        (2, dt.datetime(2026, 5, 1, 9), 2, "view", 10.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["apdex_by_type"](spark, str(tmp_path)).collect()
+    assert (r.n_events, r.n_satisfied, r.n_tolerating) == (3, 1, 1)
+    assert r.apdex == 0.5

@@ -181,6 +181,8 @@ GLOBAL_WINDOW_OK = {
                                  # ≤|max basket size| histogram frame
     "value_kruskal_wallis",      # rank prefix-sum over the value-
                                  # collapsed frame (2-dp value DOMAIN)
+    "value_decile_calibration",  # prefix/total windows over the value-
+                                 # collapsed frame (2-dp value DOMAIN)
 }
 
 
