@@ -148,6 +148,8 @@ HEADLINE = [
     "feature_hash_collision_audit",
     "value_decile_calibration",
     "apdex_by_type",
+    "conformal_value_interval",
+    "itemcf_holdout_ndcg",
     "degree_assortativity_part_graph",
     "active_users_7d_sliding",
     "target_encode_mktsegment",

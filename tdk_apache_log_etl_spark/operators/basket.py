@@ -440,3 +440,194 @@ def basket_size_wedge_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn(
         "total_pair_budget", F.sum("pair_budget").over(w).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# E222: held-out NDCG@K for the co-occurrence recommender
+# --------------------------------------------------------------------------
+
+#: 1/log2(i+1) discounts and their left-to-right prefix sums (ideal DCG
+#: at m relevant items), precomputed in Python and embedded as shortest
+#: round-trip literals — both engines parse them to the identical
+#: doubles, so no engine ever evaluates a log.
+_NDCG_G = [
+    "1.0",
+    "0.6309297535714575",
+    "0.5",
+    "0.43067655807339306",
+    "0.38685280723454163",
+]
+_NDCG_IDCG = [
+    "1.0",
+    "1.6309297535714575",
+    "2.1309297535714578",
+    "2.5616063116448506",
+    "2.9484591188793923",
+]
+
+#: Fixed-order DCG chain over the 5 per-rank hit flags (h1..h5 are 0/1
+#: BIGINTs, so each product is exact and the addition order is the
+#: written order in BOTH engines).
+#: Spark parses bare float literals as DECIMAL (DuckDB as DOUBLE) — the
+#: explicit CAST pins both engines to double arithmetic; converting the
+#: exact decimal digits to double reproduces the original double because
+#: the literals are shortest-round-trip reprs.
+_DCG = " + ".join(
+    f"h{i + 1} * CAST({g} AS DOUBLE)" for i, g in enumerate(_NDCG_G)
+)
+#: Ideal DCG for m = least(K, basket_size - 1) relevant items.
+_IDCG = (
+    "CASE m "
+    + " ".join(
+        f"WHEN {i + 1} THEN CAST({v} AS DOUBLE)"
+        for i, v in enumerate(_NDCG_IDCG)
+    )
+    + " END"
+)
+#: Per-row NDCG quantized to 1e-9 fixed point so the cross-row mean is
+#: an exact integer sum (numeric.py discipline; ndcg <= 1 so no
+#: overflow at any row count within 2^53/1e9).
+_NDCG_Q = f"CAST(FLOOR((({_DCG}) / ({_IDCG})) * 1000000000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "itemcf_holdout_ndcg",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+          FROM lineitem
+        ), train AS (
+          SELECT okey, item FROM items WHERE okey % {_CF_TEST_MOD} <> 0
+        ), test AS (
+          SELECT okey, item FROM items WHERE okey % {_CF_TEST_MOD} = 0
+        ), bsize AS (
+          SELECT okey, CAST(COUNT(*) AS BIGINT) AS bs FROM test GROUP BY okey
+        ), pairs AS (
+          SELECT a.item AS src, b.item AS dst, CAST(COUNT(*) AS BIGINT) AS c
+          FROM train a JOIN train b
+            ON a.okey = b.okey AND a.item <> b.item
+          GROUP BY 1, 2
+        ), recs AS (
+          SELECT src, dst, rn
+          FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY src ORDER BY c DESC, dst
+                   ) AS rn
+            FROM pairs
+          ) WHERE rn <= {_CF_K}
+        ), flags AS (
+          SELECT t.okey, t.item,
+                 MAX(CASE WHEN r.rn = 1 AND t2.item IS NOT NULL
+                     THEN 1 ELSE 0 END) AS h1,
+                 MAX(CASE WHEN r.rn = 2 AND t2.item IS NOT NULL
+                     THEN 1 ELSE 0 END) AS h2,
+                 MAX(CASE WHEN r.rn = 3 AND t2.item IS NOT NULL
+                     THEN 1 ELSE 0 END) AS h3,
+                 MAX(CASE WHEN r.rn = 4 AND t2.item IS NOT NULL
+                     THEN 1 ELSE 0 END) AS h4,
+                 MAX(CASE WHEN r.rn = 5 AND t2.item IS NOT NULL
+                     THEN 1 ELSE 0 END) AS h5
+          FROM test t
+          JOIN recs r ON r.src = t.item
+          LEFT JOIN test t2
+            ON t2.okey = t.okey AND t2.item = r.dst
+          GROUP BY t.okey, t.item
+        ), perrow AS (
+          SELECT LEAST({_CF_K}, b.bs - 1) AS m,
+                 h1, h2, h3, h4, h5
+          FROM flags f JOIN bsize b ON b.okey = f.okey
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE m >= 1) AS BIGINT) AS n_eval,
+               CAST(COUNT(*) FILTER (WHERE m < 1) AS BIGINT)
+                 AS n_degenerate,
+               CAST(SUM({_NDCG_Q}) FILTER (WHERE m >= 1) AS DOUBLE)
+                 / 1000000000 / NULLIF(COUNT(*) FILTER (WHERE m >= 1), 0)
+                 AS mean_ndcg
+        FROM perrow
+    """,
+)
+def itemcf_holdout_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E222: NDCG@K of the co-occurrence recommender on held-out baskets
+    — E164 scores WHETHER the relevant items appear in the top-K;
+    NDCG scores WHERE (a hit at rank 1 beats a hit at rank 5), the
+    metric recommender and retrieval changes are actually gated on.
+
+    Exactness without logs: the 1/log2(i+1) discounts and their prefix
+    sums (ideal DCG) are Python-precomputed shortest-round-trip literals
+    — no engine evaluates a log; per-row DCG is a FIXED-ORDER literal
+    chain over five 0/1 rank-hit flags; ideal DCG is a CASE lookup on
+    m = least(K, basket_size-1); and the cross-row mean quantizes each
+    NDCG to 1e-9 fixed point first (numeric.py rule) so the sum is an
+    exact integer in any partitioning. Baskets with no possible
+    relevant item (m=0) are counted, not silently averaged in.
+
+    Scale: same basket-bounded pair join and K-bounded rec frame as
+    E164; the flag pivot keeps eval rows at one row per (basket, item)
+    regardless of K."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = scoped_persist(
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+    )
+    is_test = F.col("okey") % _CF_TEST_MOD == 0
+    train = items.where(~is_test)
+    test = scoped_persist(items.where(is_test))
+    bsize = test.groupBy("okey").agg(
+        F.count(F.lit(1)).cast("long").alias("bs")
+    )
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    recs = (
+        pairs.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _CF_K)
+    )
+    t, t2, r = test.alias("t"), test.alias("t2"), recs.alias("r")
+    hit = F.col("t2.item").isNotNull()
+    flags = (
+        t.join(r, F.col("r.src") == F.col("t.item"))
+        .join(
+            t2,
+            (F.col("t2.okey") == F.col("t.okey"))
+            & (F.col("t2.item") == F.col("r.dst")),
+            "left",
+        )
+        .groupBy(F.col("t.okey").alias("okey"), F.col("t.item"))
+        .agg(
+            *[
+                F.max(
+                    F.when((F.col("r.rn") == i) & hit, 1).otherwise(0)
+                ).alias(f"h{i}")
+                for i in range(1, 6)
+            ]
+        )
+    )
+    perrow = flags.join(bsize, "okey").select(
+        F.least(F.lit(_CF_K), F.col("bs") - 1).alias("m"),
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+    )
+    ok_m = F.col("m") >= 1
+    return perrow.agg(
+        F.count(F.when(ok_m, 1)).cast("long").alias("n_eval"),
+        F.count(F.when(~ok_m, 1)).cast("long").alias("n_degenerate"),
+        (
+            F.sum(F.when(ok_m, F.expr(_NDCG_Q))).cast("double")
+            / 1000000000
+            / F.nullif(F.count(F.when(ok_m, 1)), F.lit(0)).cast("double")
+        ).alias("mean_ndcg"),
+    )

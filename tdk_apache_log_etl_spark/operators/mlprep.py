@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .numeric import SCALE
-from .registry import query
+from .registry import query, scoped_persist
 
 # --------------------------------------------------------------------------
 # E176: out-of-fold target encoding of the customer market segment
@@ -801,4 +801,153 @@ def value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.nullif(F.col("n_pos"), F.lit(0)).cast("double")
             )
         ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E221: split-conformal prediction interval with holdout coverage check
+# --------------------------------------------------------------------------
+
+#: Nominal coverage level (alpha = 0.1). The conformal quantile index is
+#: ceil((1-alpha) * (n_cal + 1)) — the finite-sample-valid choice
+#: (Vovk et al.; Angelopoulos & Bates 2023 tutorial convention).
+_CONF_NUM = 9  # (1-alpha) as the rational 9/10
+_CONF_DEN = 10
+
+from .robuststats import _d128  # noqa: E402
+
+
+def _conformal_oracle() -> str:
+    hw = f"({_d128('qhat', '//')} / (CAST(n_cal AS DOUBLE) * 100.0))"
+    return f"""
+        WITH vals AS (
+          SELECT event_id % 2 = 0 AS is_cal,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), cal AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                 CAST(SUM(v) AS HUGEINT) AS s
+          FROM vals WHERE is_cal
+        ), res AS (
+          SELECT ABS(CAST(v AS HUGEINT) * c.n_cal - c.s) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM vals, cal c WHERE is_cal
+          GROUP BY 1
+        ), q AS (
+          SELECT MIN(r) AS qhat FROM (
+            SELECT r, SUM(cnt) OVER (
+              ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum FROM res
+          ), cal c
+          WHERE cum >= ({_CONF_NUM} * (c.n_cal + 1) + {_CONF_DEN} - 1)
+                       // {_CONF_DEN}
+        ), tst AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(COUNT(*) FILTER (
+                   WHERE ABS(CAST(v AS HUGEINT) * c.n_cal - c.s)
+                         <= q.qhat) AS BIGINT) AS n_covered
+          FROM vals, cal c, q WHERE NOT is_cal
+        )
+        SELECT c.n_cal, t.n_test,
+               {_d128('s', '//')} / (CAST(n_cal AS DOUBLE) * 100.0)
+                 AS pred_mean,
+               {hw} AS halfwidth,
+               CAST(t.n_covered AS DOUBLE) / NULLIF(t.n_test, 0)
+                 AS coverage,
+               CAST(0.9 AS DOUBLE) AS target_coverage
+        FROM cal c, q, tst t
+    """
+
+
+@query("conformal_value_interval", oracle=_conformal_oracle())
+def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E221: split-conformal prediction interval for event value under
+    the global-mean predictor, with its empirical holdout coverage —
+    the distribution-free uncertainty wrapper modern ML pipelines put
+    around ANY point predictor: calibrate |y - yhat| on one half, take
+    the ceil((1-a)(n+1))-th smallest nonconformity as the interval
+    half-width, and the guarantee P(covered) >= 1-a holds with no
+    distributional assumptions. The test-half coverage column is the
+    guarantee audited.
+
+    Exactness: with the global-mean predictor every residual shares one
+    denominator, so |v*n - s| keeps all nonconformities INTEGRAL
+    (128-bit) — the quantile is a counting quantile over the residual
+    DOMAIN (bounded by the 2-dp value domain), the coverage compare is
+    integer-vs-integer, the quantile index is one integer ceil-div, and
+    doubles appear only in the final 2^53-split chain.
+
+    Scale: one pass collapses both halves to the value domain; the only
+    ordered pass is the prefix sum over the bounded residual frame."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vals = scoped_persist(
+        ev.select(
+            (F.col("event_id") % 2 == 0).alias("is_cal"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    cal = vals.where("is_cal").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.sum(dec(F.col("v"))).alias("s"),
+    )
+    res = (
+        vals.where("is_cal")
+        .crossJoin(F.broadcast(cal))
+        .groupBy(
+            F.abs(dec(F.col("v")) * F.col("n_cal") - F.col("s")).alias("r")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        res.select("r", F.sum("cnt").over(w).alias("cum"))
+        .crossJoin(F.broadcast(cal))
+        .where(
+            F.col("cum")
+            >= F.expr(
+                f"({_CONF_NUM} * (n_cal + 1) + {_CONF_DEN} - 1)"
+                f" div {_CONF_DEN}"
+            )
+        )
+        .agg(F.min("r").alias("qhat"))
+    )
+    tst = (
+        vals.where(~F.col("is_cal"))
+        .crossJoin(F.broadcast(cal))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(
+                F.when(
+                    F.abs(dec(F.col("v")) * F.col("n_cal") - F.col("s"))
+                    <= F.col("qhat"),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    hw = f"({_d128('qhat', 'div')} / (CAST(n_cal AS DOUBLE) * 100.0))"
+    return (
+        cal.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_cal",
+            "n_test",
+            F.expr(
+                f"{_d128('s', 'div')} / (CAST(n_cal AS DOUBLE) * 100.0)"
+            ).alias("pred_mean"),
+            F.expr(hw).alias("halfwidth"),
+            (
+                F.col("n_covered").cast("double")
+                / F.nullif(F.col("n_test"), F.lit(0)).cast("double")
+            ).alias("coverage"),
+            F.lit(0.9).alias("target_coverage"),
+        )
     )

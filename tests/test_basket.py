@@ -175,3 +175,44 @@ def test_itemcf_holdout_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_ndcg_planted_baskets(spark, tmp_path):
+    # train: {1,2} x2 and {1,3} -> recs: src1=[2,3], src2=[1], src3=[1]
+    # test basket 5={1,2,4} (bs=3, m=2): item1 hits rank1 (dcg=1),
+    # item2 hits rank1, item4 is cold (dropped). ndcg = 1/idcg(2) each.
+    # test basket 10={3} (bs=1): m=0 -> degenerate, never averaged.
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 3], 5: [1, 2, 4], 10: [3]}
+    _lineitem(baskets).to_parquet(tmp_path / "lineitem.parquet")
+    [r] = QUERIES["itemcf_holdout_ndcg"](spark, str(tmp_path)).collect()
+    assert (r.n_eval, r.n_degenerate) == (2, 1)
+    import math
+
+    ndcg = 1.0 / 1.6309297535714575
+    q = math.floor(ndcg * 1e9 + 0.5)
+    assert r.mean_ndcg == (2 * q) / 1e9 / 2
+    ok, detail = compare(
+        spark,
+        "itemcf_holdout_ndcg",
+        QUERIES["itemcf_holdout_ndcg"],
+        ORACLES["itemcf_holdout_ndcg"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_ndcg_rank_position_matters(spark, tmp_path):
+    # Same single hit, rank 1 vs rank 2: train makes src1's rec list
+    # [2, 3] (2 co-occurs twice, 3 once). A test basket holding {1,3}
+    # hits at rank 2 -> per-row dcg = 0.6309..., lower than a rank-1 hit.
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 3], 5: [1, 3]}
+    _lineitem(baskets).to_parquet(tmp_path / "lineitem.parquet")
+    [r] = QUERIES["itemcf_holdout_ndcg"](spark, str(tmp_path)).collect()
+    # eval rows: item1 (hit 3 at rank2, m=1 -> ndcg=0.6309...),
+    # item3 (rec [1], hit at rank1, m=1 -> ndcg=1.0)
+    import math
+
+    q1 = math.floor(0.6309297535714575 * 1e9 + 0.5)
+    q2 = math.floor(1.0 * 1e9 + 0.5)
+    assert r.n_eval == 2
+    assert r.mean_ndcg == (q1 + q2) / 1e9 / 2

@@ -1160,3 +1160,39 @@ def test_apdex_hand_computed(spark, tmp_path):
     [r] = QUERIES["apdex_by_type"](spark, str(tmp_path)).collect()
     assert (r.n_events, r.n_satisfied, r.n_tolerating) == (3, 1, 1)
     assert r.apdex == 0.5
+
+
+def test_conformal_planted_interval(spark, tmp_path):
+    # calib (even ids): values 1..19 -> mean 10; nonconformities are
+    # 1900*|v-10|; q_idx = ceil(0.9*20) = 18 -> qhat = 1900*9 ->
+    # halfwidth 9.0. test (odd ids): 1.0 (|1-10|<=9 in), 10.0 (in),
+    # 25.0 (out) -> coverage 2/3.
+    import datetime as dt
+
+    rows = [
+        (2 * i, dt.datetime(2026, 5, 1, 9), i, "view", float(i + 1), "{}")
+        for i in range(19)
+    ]
+    rows += [
+        (1, dt.datetime(2026, 5, 1, 9), 100, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 5, 1, 9), 101, "view", 10.0, "{}"),
+        (5, dt.datetime(2026, 5, 1, 9), 102, "view", 25.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["conformal_value_interval"](spark, str(tmp_path)).collect()
+    assert (r.n_cal, r.n_test) == (19, 3)
+    assert r.pred_mean == 10.0
+    assert r.halfwidth == 9.0
+    assert r.coverage == 2.0 / 3.0
+    assert r.target_coverage == 0.9
+    ok, detail = compare(
+        spark,
+        "conformal_value_interval",
+        QUERIES["conformal_value_interval"],
+        ORACLES["conformal_value_interval"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -105,6 +105,10 @@ BNLJ_OK = {
     "kendall_tau_qty_discount",  # <=550-row domain-grid self-join + three
                                  # 1-row marginal/total crossJoins
     "value_kruskal_wallis",      # 1-row tie-cube crossJoin
+    "conformal_value_interval",  # 1-row calib-moment / quantile / test-
+                                 # coverage crossJoins
+    "itemcf_holdout_ndcg",       # 1-row cold-count-free final aggregate
+                                 # (defensive; keyed joins only)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -183,6 +187,9 @@ GLOBAL_WINDOW_OK = {
                                  # collapsed frame (2-dp value DOMAIN)
     "value_decile_calibration",  # prefix/total windows over the value-
                                  # collapsed frame (2-dp value DOMAIN)
+    "conformal_value_interval",  # prefix sum over the residual-DOMAIN
+                                 # frame (bounded by the 2-dp value
+                                 # domain; one residual per value)
 }
 
 
