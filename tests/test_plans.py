@@ -213,6 +213,14 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "g",
         # churn ladder (growth.py): 1-row corpus-end + 3-row windows
         "wins",
+        # Kendall tau-b (concentration.py): 1-row tie marginals off the
+        # <=550-cell domain grid
+        "qm", "dm",
+        # Kruskal-Wallis (concentration.py): the 1-row tie-cube frame
+        "tie",
+        # conformal interval (mlprep.py): 1-row calibration moments /
+        # quantile / test-coverage frames
+        "cal", "tst",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
