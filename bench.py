@@ -150,6 +150,7 @@ HEADLINE = [
     "apdex_by_type",
     "conformal_value_interval",
     "itemcf_holdout_ndcg",
+    "doc_bigram_surprisal",
     "degree_assortativity_part_graph",
     "active_users_7d_sliding",
     "target_encode_mktsegment",

@@ -2120,3 +2120,173 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_repetition_cap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E223: per-document bigram surprisal (exact quarter-bit perplexity filter)
+# --------------------------------------------------------------------------
+
+#: Mantissa scale for the integer log2 lattice: probabilities are
+#: rationals num/den; m = floor(num * 2^31 / den) is the 31-bit fixed
+#: point of p, clamped to >= 1 (a clamp only binds when p < 2^-31 —
+#: "impossible token", where capping surprisal at 31 bits changes no
+#: filtering decision).
+_SURP_SCALE = 2_147_483_648  # 2^31
+_SURP_SQ2 = 8_589_934_592    # 2^33: (mm/2^16)^2 >= 2  <=>  mm^2 >= 2^33
+
+
+def _surprisal_steps(engine: str) -> list[tuple[str, str]]:
+    """(column, expr) chain computing quarter-bit surprisal from exact
+    integer columns num/den (num <= den). All ops are integer compares,
+    shifts and one wide floor-division — bit-identical across engines;
+    no log is ever evaluated. Error < 1/4 bit (lattice) + 2^-15
+    (mantissa truncation) per bigram."""
+    if engine == "spark":
+        wide_m = (
+            f"GREATEST(CAST((CAST(num AS DECIMAL(38,0)) * {_SURP_SCALE})"
+            f" div den AS BIGINT), 1)"
+        )
+        mm = (
+            "CASE WHEN e >= 16 THEN shiftright(m, CAST(e - 16 AS INT))"
+            " ELSE shiftleft(m, CAST(16 - e AS INT)) END"
+        )
+        mm2 = "shiftright(mm * mm, CAST(16 + b1 AS INT))"
+    else:
+        wide_m = (
+            f"CAST(GREATEST((CAST(num AS HUGEINT) * {_SURP_SCALE})"
+            f" // den, 1) AS BIGINT)"
+        )
+        mm = "CASE WHEN e >= 16 THEN m >> (e - 16) ELSE m << (16 - e) END"
+        mm2 = "(mm * mm) >> (16 + b1)"
+    return [
+        ("m", wide_m),
+        ("e", "LENGTH(BIN(m)) - 1"),
+        ("mm", mm),
+        ("b1", f"CASE WHEN mm * mm >= {_SURP_SQ2} THEN 1 ELSE 0 END"),
+        ("mm2", mm2),
+        ("b2", f"CASE WHEN mm2 * mm2 >= {_SURP_SQ2} THEN 1 ELSE 0 END"),
+        ("qbits", "4 * (31 - e) - (2 * b1 + b2)"),
+    ]
+
+
+def _surprisal_oracle() -> str:
+    steps = _surprisal_steps("duck")
+    sel = "SELECT doc_id, k, num, den"
+    chain = ""
+    prev = "scored0"
+    chain += (
+        "scored0 AS (SELECT doc_id, k, c + 1 AS num, c1 + v AS den"
+        " FROM doc_big JOIN big USING (w1, w2) JOIN uni USING (w1), vocab)"
+    )
+    for i, (col, expr) in enumerate(steps):
+        nxt = f"scored{i + 1}"
+        chain += f", {nxt} AS (SELECT *, {expr} AS {col} FROM {prev})"
+        prev = nxt
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents
+        ), vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok
+        ), doc_big AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM tok a JOIN tok b
+            ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+          GROUP BY 1, 2, 3
+        ), big AS (
+          SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c
+          FROM doc_big GROUP BY 1, 2
+        ), uni AS (
+          SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM big GROUP BY 1
+        ), {chain}
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(k * qbits) AS BIGINT) AS surprisal_qbits,
+               CAST(SUM(k * qbits) AS DOUBLE) / 4.0
+                 / SUM(k) AS bits_per_token
+        FROM {prev}
+        GROUP BY doc_id
+    """
+
+
+@query("doc_bigram_surprisal", oracle=_surprisal_oracle())
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E223: per-document surprisal under the E157 corpus bigram LM —
+    the perplexity-style quality filter (CCNet / FineWeb lineage: score
+    each doc by bits-per-token under a cheap LM; gibberish and boilerplate
+    sit in the tails). E157 materializes the MODEL; this scores every
+    document against it.
+
+    The novelty is EXACT reproducibility: no log is ever evaluated.
+    -log2(p) for the rational p = (c+1)/(c1+V) is computed on an integer
+    quarter-bit lattice — 31-bit fixed-point mantissa (one wide floor
+    division), exponent via LENGTH(BIN(m)), two square-and-compare
+    refinement bits — every step an integer op both engines execute
+    identically, so per-doc scores hash-gate at any SF (a libm-log
+    variant would diverge in the last ulp across engines and even across
+    glibc versions — a silent nightmare for reproducible data releases).
+    Lattice error < 1/4 bit + 2^-15 per bigram, uniform over documents;
+    surprisal clips at 31 bits/token where p < 2^-31.
+
+    Scale: doc-bigrams collapse per (doc, w1, w2) map-side; the model
+    join is vocabulary²-bounded on (w1, w2); the only wide frames ever
+    shuffled carry counts, never text. Single-token docs have no bigram
+    and are excluded (they score under the unigram length gates E4/E11
+    instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    doc_big = scoped_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    big = scoped_persist(
+        doc_big.groupBy("w1", "w2").agg(
+            F.sum("k").cast("long").alias("c")
+        )
+    )
+    uni = big.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    scored = (
+        doc_big.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "k",
+            (F.col("c") + 1).cast("long").alias("num"),
+            (F.col("c1") + F.col("v")).cast("long").alias("den"),
+        )
+    )
+    for col, expr in _surprisal_steps("spark"):
+        scored = scored.withColumn(col, F.expr(expr))
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("qbits")).cast("long").alias(
+            "surprisal_qbits"
+        ),
+        (
+            F.sum(F.col("k") * F.col("qbits")).cast("double")
+            / 4.0
+            / F.sum("k").cast("double")
+        ).alias("bits_per_token"),
+    )

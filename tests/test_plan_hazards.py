@@ -109,6 +109,8 @@ BNLJ_OK = {
                                  # coverage crossJoins
     "itemcf_holdout_ndcg",       # 1-row cold-count-free final aggregate
                                  # (defensive; keyed joins only)
+    "doc_bigram_surprisal",      # 1-row vocabulary-size crossJoin
+                                 # (the E157 smoothing denominator)
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

@@ -278,3 +278,61 @@ def test_first_seen_curve_planted_decay(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def _surprisal_mirror(num: int, den: int) -> int:
+    # pure-Python mirror of the E223 quarter-bit lattice
+    m = max((num * 2_147_483_648) // den, 1)
+    e = m.bit_length() - 1
+    mm = m >> (e - 16) if e >= 16 else m << (16 - e)
+    b1 = 1 if mm * mm >= 8_589_934_592 else 0
+    mm2 = (mm * mm) >> (16 + b1)
+    b2 = 1 if mm2 * mm2 >= 8_589_934_592 else 0
+    return 4 * (31 - e) - (2 * b1 + b2)
+
+
+def test_surprisal_lattice_accuracy_bound():
+    # quarter-bit lattice: |qbits/4 - (-log2(num/den))| < 0.25 + 2^-14
+    # for every probability down to the 2^-31 clip.
+    import math
+    import random
+
+    rng = random.Random(42)
+    for _ in range(2000):
+        den = rng.randrange(1, 10**12)
+        num = rng.randrange(1, den + 1)
+        if num * 2_147_483_648 < den:
+            continue  # clip region, checked separately
+        qb = _surprisal_mirror(num, den)
+        true_bits = -math.log2(num / den)
+        assert abs(qb / 4.0 - true_bits) < 0.25 + 2 ** -14, (num, den)
+    # clip region: p < 2^-31 -> capped at 31 bits (q = 124)
+    assert _surprisal_mirror(1, 10**12) == 124
+
+
+def test_doc_surprisal_planted(spark, tmp_path):
+    # corpus: doc1 "a a a" (bigram (a,a) x2), doc2 "a b" ((a,b) x1)
+    # model: c(a,a)=2, c(a,b)=1, c1(a)=3, V=2
+    # p(a,a) = 3/5, p(a,b) = 2/5 -> doc2 is the more surprising doc
+    docs = [(1, "a a a", "en", "s1"), (2, "a b", "en", "s1")]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["doc_bigram_surprisal"](spark, str(tmp_path)).collect()
+    }
+    q_aa = _surprisal_mirror(3, 5)
+    q_ab = _surprisal_mirror(2, 5)
+    assert rows[1].n_bigrams == 2
+    assert rows[1].surprisal_qbits == 2 * q_aa
+    assert rows[2].surprisal_qbits == q_ab
+    assert rows[2].bits_per_token > rows[1].bits_per_token
+    ok, detail = compare(
+        spark,
+        "doc_bigram_surprisal",
+        QUERIES["doc_bigram_surprisal"],
+        ORACLES["doc_bigram_surprisal"],
+        str(tmp_path),
+    )
+    assert ok, detail
