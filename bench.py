@@ -151,6 +151,7 @@ HEADLINE = [
     "conformal_value_interval",
     "itemcf_holdout_ndcg",
     "doc_bigram_surprisal",
+    "doc_length_quantile_normalize",
     "degree_assortativity_part_graph",
     "active_users_7d_sliding",
     "target_encode_mktsegment",

@@ -951,3 +951,126 @@ def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.9).alias("target_coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E224: cross-source quantile normalization (batch-effect correction)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_length_quantile_normalize",
+    oracle="""
+        WITH pooled AS (
+          SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1
+        ), pcum AS (
+          SELECT v, SUM(cnt) OVER (
+            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS cum FROM pooled
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pooled
+        ), src AS (
+          SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2
+        ), scum AS (
+          SELECT source, v, cnt,
+                 SUM(cnt) OVER (
+                   PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_s,
+                 SUM(cnt) OVER (PARTITION BY source) AS n_s
+          FROM src
+        ), targets AS (
+          SELECT source, v, cnt, cum_s,
+                 (cum_s * t.n + n_s - 1) // n_s AS tgt
+          FROM scum, tot t
+        )
+        SELECT source,
+               CAST(v AS BIGINT) AS length,
+               cnt AS n_docs,
+               CAST(cum_s AS BIGINT) AS cum_source,
+               CAST((SELECT MIN(p.v) FROM pcum p WHERE p.cum >= tgt)
+                 AS BIGINT) AS normalized_length
+        FROM targets
+    """,
+)
+def doc_length_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E224: quantile normalization of per-source document-length
+    distributions onto the POOLED corpus distribution — the
+    batch-effect correction genomics normalizes microarrays with,
+    repointed at the corpus problem it solves for training data: two
+    sources whose "long document" means different things get their
+    length (or any score) axes made comparable before thresholds/
+    mixtures treat them as one scale. Each (source, length) cell maps
+    to the pooled value at its within-source quantile: the type-1
+    inverse CDF, normalized = min{ v' : cum_pooled(v') >= ceil(r_s *
+    N / n_s) }.
+
+    Exactness: ranks and targets are exact integers (one ceil-division
+    in integer form), and the inverse-CDF lookup is the E123 as-of
+    machinery (union + ordered carry) — no float appears anywhere.
+
+    Scale: everything after the two map-side collapses lives on
+    DOMAIN-bounded frames (|lengths| and |sources|x|lengths| cells, not
+    docs); the as-of mapping is one union-sort of those two bounded
+    frames. The global windows ride the same waiver as the equidepth
+    family."""
+    docs = load_table(spark, sf_dir, "documents")
+    pooled = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_p = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pcum = pooled.select(
+        F.col("v").alias("pv"), F.sum("cnt").over(w_p).alias("cum")
+    )
+    tot = pooled.agg(F.sum("cnt").cast("long").alias("n"))
+    src = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    targets = (
+        src.select(
+            "source",
+            "v",
+            "cnt",
+            F.sum("cnt").over(w_s).alias("cum_s"),
+            F.sum("cnt").over(w_tot).alias("n_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "v",
+            "cnt",
+            "cum_s",
+            F.expr("(cum_s * n + n_s - 1) div n_s").alias("tgt"),
+            F.lit(1).alias("one"),
+        )
+    )
+    from .temporal import asof_join
+
+    mapped = asof_join(
+        targets,
+        pcum.select(F.lit(1).alias("one"), "cum", "pv"),
+        on="one",
+        left_ts="tgt",
+        right_ts="cum",
+        right_cols=["pv"],
+        direction="forward",
+    )
+    return mapped.select(
+        "source",
+        F.col("v").cast("long").alias("length"),
+        F.col("cnt").alias("n_docs"),
+        F.col("cum_s").cast("long").alias("cum_source"),
+        F.col("pv").cast("long").alias("normalized_length"),
+    )

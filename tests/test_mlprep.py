@@ -1196,3 +1196,46 @@ def test_conformal_planted_interval(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_quantile_normalize_planted_mapping(spark, tmp_path):
+    # s1 = {1,2,3,4}, s2 = {10,20}; pooled cum: 1->1,2->2,3->3,4->4,
+    # 10->5, 20->6 (N=6).
+    # s2: v=10 target ceil(1*6/2)=3 -> 3; v=20 target 6 -> 20.
+    # s1: v=1 -> ceil(6/4)=2 -> 2; v=2 -> 3 -> 3; v=3 -> ceil(4.5)=5
+    # -> 10; v=4 -> 6 -> 20.
+    docs = [
+        (1, "x", "en", "s1", 1),
+        (2, "x", "en", "s1", 2),
+        (3, "x", "en", "s1", 3),
+        (4, "x", "en", "s1", 4),
+        (5, "x", "en", "s2", 10),
+        (6, "x", "en", "s2", 20),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["doc_length_quantile_normalize"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r.source, r.length): r.normalized_length for r in rows}
+    assert got == {
+        ("s1", 1): 2,
+        ("s1", 2): 3,
+        ("s1", 3): 10,
+        ("s1", 4): 20,
+        ("s2", 10): 3,
+        ("s2", 20): 20,
+    }
+    # normalization is monotone within each source
+    for srcname in ("s1", "s2"):
+        ms = [v for (s0, _k), v in sorted(got.items()) if s0 == srcname]
+        assert ms == sorted(ms)
+    ok, detail = compare(
+        spark,
+        "doc_length_quantile_normalize",
+        QUERIES["doc_length_quantile_normalize"],
+        ORACLES["doc_length_quantile_normalize"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -111,6 +111,8 @@ BNLJ_OK = {
                                  # (defensive; keyed joins only)
     "doc_bigram_surprisal",      # 1-row vocabulary-size crossJoin
                                  # (the E157 smoothing denominator)
+    "doc_length_quantile_normalize",  # 1-row pooled-total crossJoin over
+                                      # the DOMAIN-bounded cell frame
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -192,6 +194,9 @@ GLOBAL_WINDOW_OK = {
     "conformal_value_interval",  # prefix sum over the residual-DOMAIN
                                  # frame (bounded by the 2-dp value
                                  # domain; one residual per value)
+    "doc_length_quantile_normalize",  # pooled-CDF prefix sum + as-of
+                                      # carry over the length-DOMAIN
+                                      # frames (equidepth waiver)
 }
 
 
