@@ -292,6 +292,13 @@ HEADLINE = [
     "capped_sessions_per_user",
     "bot_suspect_users",
     "type_hour_association",
+    # table-stats / layout / attribution / robust-location (round-4
+    # continuation)
+    "events_value_ohlc_hourly",
+    "shapley_attribution",
+    "hodges_lehmann_value",
+    "zonemap_prune_audit",
+    "orders_ndv_profile",
 ]
 
 

@@ -24,3 +24,4 @@ from . import growth  # noqa: F401,E402
 from . import concentration  # noqa: F401,E402
 from . import basket  # noqa: F401,E402
 from . import mlprep  # noqa: F401,E402
+from . import tablestats  # noqa: F401,E402

@@ -1038,3 +1038,100 @@ def inactivity_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(churned, 1)).cast("double") / F.count(F.lit(1))
         ).alias("churn_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# E226: exact Shapley-value channel attribution (unanimity-game closed form)
+# --------------------------------------------------------------------------
+
+#: Credit denominator: LCM(1..6) covers every possible touched-set size
+#: (there are only 4 non-purchase event types today; 60 also divides 5
+#: and 6 so the lattice survives new channels), keeping every per-user
+#: credit an exact integer.
+SHAPLEY_LCM = 60
+
+
+@query(
+    "shapley_attribution",
+    oracle=f"""
+        WITH fp AS (
+          SELECT user_id,
+                 MIN(ROW(CAST(ts AS TIMESTAMP), event_id)) AS fkey
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id
+        ), touched AS (
+          SELECT DISTINCT e.user_id, e.event_type AS channel
+          FROM events e JOIN fp ON e.user_id = fp.user_id
+          WHERE e.event_type <> 'purchase'
+            AND ROW(CAST(e.ts AS TIMESTAMP), e.event_id) < fp.fkey
+        ), sized AS (
+          SELECT user_id, channel,
+                 COUNT(*) OVER (PARTITION BY user_id) AS set_size
+          FROM touched
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM({SHAPLEY_LCM} // set_size) AS BIGINT)
+                 AS credit_60ths,
+               CAST(SUM({SHAPLEY_LCM} // set_size) AS DOUBLE)
+                 / {SHAPLEY_LCM} AS shapley_conversions
+        FROM sized
+        GROUP BY channel
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E226: EXACT Shapley-value attribution of conversions to channels,
+    completing the attribution ladder (E49 last-touch, E204 position-
+    based, E131 Markov removal-effect) with the game-theoretic one.
+
+    Model: each converting user u defines a coalition game where a
+    channel set S "converts" iff it covers every channel the user
+    actually touched before their first purchase: v_u(S) = 1[T_u <= S].
+    That is the UNANIMITY game on T_u, whose Shapley value is the closed
+    form phi_i = 1/|T_u| for i in T_u and 0 otherwise; total v over users
+    is a sum of unanimity games, and Shapley values are linear in v, so
+    the exact Shapley attribution — no 2^n subset enumeration, no
+    sampling — is Sum_u 1/|T_u| over users who touched the channel.
+    Credits are integers on the 1/60 lattice (60 = LCM(1..6) covers any
+    touched-set size up to 6 channels), so the engine sums exact
+    integers and divides once at the end.
+
+    T_u = distinct non-purchase event types strictly before u's FIRST
+    purchase, ordered by (ts, event_id); the oracle casts ts to
+    microseconds so tie-breaks match the Spark loader's ns -> us
+    truncation.  Users whose first purchase has no prior touches carry
+    no credit (organic conversions; they are countable as
+    n_converting - sum(n_users over singleton sets) downstream).
+
+    Scale: first-purchase keys collapse per user (map-side min on the
+    (ts,event_id) struct); the touch scan is ONE equi-join on user_id
+    with a residual struct comparison (shuffle-hash/SMJ on user_id,
+    never a cross product); distinct + set-size + final rollup all key
+    on user_id then channel, so the largest shuffle is one pass over
+    pre-purchase events.  Output is |channels| rows."""
+    events = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("fkey"))
+    )
+    touched = (
+        events.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(key < F.col("fkey"))
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    sized = touched.withColumn(
+        "set_size",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+    )
+    credit = (F.lit(SHAPLEY_LCM) / F.col("set_size")).cast("long")
+    return sized.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(credit).cast("long").alias("credit_60ths"),
+        (F.sum(credit).cast("double") / SHAPLEY_LCM).alias(
+            "shapley_conversions"
+        ),
+    )

@@ -2289,3 +2289,130 @@ def daily_revenue_mase_baselines(
             )
         ).alias("seasonal_vs_naive_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# E227: Hodges-Lehmann location estimator (median of Walsh averages)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hodges_lehmann_value",
+    oracle="""
+        WITH cells AS (
+          SELECT CAST(FLOOR(value) AS BIGINT) AS u,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), pairs AS (
+          SELECT a.u + b.u AS s,
+                 CASE WHEN a.u < b.u
+                      THEN CAST(a.c AS HUGEINT) * b.c
+                      ELSE CAST(a.c AS HUGEINT) * (a.c + 1) // 2
+                 END AS w
+          FROM cells a JOIN cells b ON a.u <= b.u
+        ), per_s AS (
+          SELECT s, SUM(w) AS w FROM pairs GROUP BY s
+        ), cum AS (
+          SELECT s, SUM(w) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW
+                 ) AS cw
+          FROM per_s
+        ), tot AS (
+          SELECT SUM(w) AS n_walsh FROM per_s
+        ), med AS (
+          SELECT MIN(CASE WHEN 2 * cw >= n_walsh THEN s END) AS s_lo,
+                 MIN(CASE WHEN 2 * cw >= n_walsh + 1 THEN s END) AS s_hi
+          FROM cum CROSS JOIN tot
+        )
+        SELECT (SELECT CAST(COUNT(value) AS BIGINT) FROM events) AS n_rows,
+               CAST(tot.n_walsh AS DOUBLE) AS n_walsh,
+               (CAST(med.s_lo AS DOUBLE) + med.s_hi) / 4.0 AS hl_estimate
+        FROM med CROSS JOIN tot
+    """,
+)
+def hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E227: Hodges-Lehmann one-sample location estimator of event value
+    — the median of all n(n+1)/2 Walsh averages (x_i + x_j)/2, i <= j.
+    It is the location estimate the Wilcoxon signed-rank test inverts:
+    ~29% breakdown and 0.955 Gaussian efficiency, vs the mean's 0%
+    breakdown and the median's 0.64 efficiency — the right default for
+    skewed, outlier-prone telemetry values (complements E33 MAD and E64
+    winsorization, which REJECT outliers rather than absorb them).
+
+    Computed exactly on the integer-unit value collapse (u = floor(v);
+    the raw column is 2-dp so this is a documented, deterministic
+    coarsening): never materializes n^2 pairs — the cell frame (u, c) is
+    VALUE-DOMAIN-bounded, the i <= j cell grid contributes weight c_i*c_j
+    (c_i*(c_i+1)/2 on the diagonal) to Walsh SUM s = u_i + u_j, and the
+    weighted lower/upper median comes off a prefix sum over the <=2*|u|
+    distinct sums.  hl = (s_lo + s_hi)/4 (sums halve to averages, the
+    two central order statistics average again).
+
+    Exactness: weights are 128-bit integers (counts square at 100 TB);
+    the median thresholds use the division-free form 2*cw >= N (lower)
+    and 2*cw >= N+1 (upper) — exact for both parities of N;
+    the only double math is the final literal division.
+
+    Scale: one map-side-combined aggregate collapses ANY volume to the
+    value-domain cell frame (<=~600 cells/sf here; bounded by value
+    range, not rows); the i<=j grid is a broadcast nested-loop of that
+    bounded frame with itself (waived: domain^2, volume-independent);
+    the prefix sum is a global window over the <=2|u|-row sum-domain
+    frame; N arrives as a 1-row crossJoin."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.filter(F.col("value").isNotNull())
+        .select(F.floor("value").cast("long").alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    a = cells.select(F.col("u").alias("ua"), F.col("c").alias("ca"))
+    b = cells.select(F.col("u").alias("ub"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("ua") <= F.col("ub")).select(
+        (F.col("ua") + F.col("ub")).alias("s"),
+        F.when(
+            F.col("ua") < F.col("ub"), F.col("ca") * F.col("cb")
+        )
+        .otherwise(F.col("ca") * (F.col("ca") + 1) / 2)
+        .cast("decimal(38,0)")
+        .alias("w"),
+    )
+    per_s = pairs.groupBy("s").agg(
+        F.sum("w").cast("decimal(38,0)").alias("w")
+    )
+    cum = per_s.select(
+        "s",
+        F.sum("w")
+        .over(
+            Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("cw"),
+    )
+    tot = per_s.agg(F.sum("w").cast("decimal(38,0)").alias("n_walsh"))
+    med = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("n_walsh"), F.col("s"))
+        ).alias("s_lo"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("n_walsh") + 1, F.col("s"))
+        ).alias("s_hi"),
+    )
+    n_rows = events.agg(
+        F.count("value").cast("long").alias("n_rows")
+    )
+    return (
+        med.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "n_rows",
+            F.col("n_walsh").cast("double").alias("n_walsh"),
+            (
+                (F.col("s_lo").cast("double") + F.col("s_hi")) / 4.0
+            ).alias("hl_estimate"),
+        )
+    )

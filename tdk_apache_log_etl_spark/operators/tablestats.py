@@ -1,0 +1,287 @@
+"""Table-statistics / storage-layout operators (SURVEY.md §2.6 E228–E229).
+
+The reference never inspects its own storage (sree-etl-tdk-glue-job.py
+writes parquet and walks away); a real lakehouse engine maintains TWO
+metadata layers above the bytes it writes:
+
+  * **zone maps** (min/max per file/row-group) — what Parquet row-group
+    stats, Iceberg manifests, and Delta file stats all are.  Whether a
+    predicate can SKIP a zone depends entirely on how the data was
+    clustered when written, so the engine needs an *audit* that prices a
+    layout before committing to it: for each candidate sort order, how
+    many zones does a canonical predicate touch, and what read
+    amplification does the layout leave on the table?
+  * **column statistics** (NDV / null count / bounds) — the ANALYZE
+    TABLE layer the cost-based optimizer joins against when it picks
+    broadcast sides and join orders.
+
+Both are implemented as ordinary aggregates so they run distributed and
+land as broadcast-sized stat frames — exactly the artifacts a catalog
+would persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# E228: zone-map pruning audit — price a clustering layout before writing it
+# --------------------------------------------------------------------------
+
+#: Rows per zone — stands in for a Parquet row group / data file.  The
+#: audit's conclusions are layout-relative, so the exact size only needs
+#: to be constant across the layouts being compared.
+ZONE_ROWS = 1_000
+
+#: Canonical probe predicates: one calendar year each (the BETWEEN shape
+#: every time-filtered dashboard query takes).  A literal frame — its
+#: size never grows with the table.
+PROBE_YEARS = (1995, 1996, 1997, 1998, 1999, 2000)
+
+_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT {y} AS probe_year, DATE '{y}-01-01' AS lo, "
+    f"DATE '{y + 1}-01-01' AS hi"
+    for y in PROBE_YEARS
+)
+
+
+@query(
+    "zonemap_prune_audit",
+    oracle=f"""
+        WITH base AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders
+        ), stored AS (
+          SELECT 'as_stored' AS layout,
+                 o_orderkey // {ZONE_ROWS} AS zone, d
+          FROM base
+        ), sorted_pos AS (
+          SELECT d,
+                 ROW_NUMBER() OVER (ORDER BY d, o_orderkey) - 1 AS pos
+          FROM base
+        ), sorted AS (
+          SELECT 'date_sorted' AS layout,
+                 pos // {ZONE_ROWS} AS zone, d
+          FROM sorted_pos
+        ), zones AS (
+          SELECT layout, zone, MIN(d) AS zmin, MAX(d) AS zmax,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM (SELECT * FROM stored UNION ALL SELECT * FROM sorted)
+          GROUP BY layout, zone
+        ), probes AS ({_PROBES_SQL}),
+        matched AS (
+          SELECT p.probe_year, CAST(COUNT(*) AS BIGINT) AS rows_matched
+          FROM base b JOIN probes p ON b.d >= p.lo AND b.d < p.hi
+          GROUP BY p.probe_year
+        ), hit AS (
+          SELECT z.layout, p.probe_year,
+                 CAST(COUNT(*) AS BIGINT) AS zones_hit,
+                 CAST(SUM(z.n_rows) AS BIGINT) AS rows_scanned
+          FROM zones z JOIN probes p
+            ON z.zmin < p.hi AND z.zmax >= p.lo
+          GROUP BY z.layout, p.probe_year
+        ), totals AS (
+          SELECT layout, CAST(COUNT(*) AS BIGINT) AS zones_total
+          FROM zones GROUP BY layout
+        )
+        SELECT h.layout, h.probe_year, t.zones_total, h.zones_hit,
+               h.rows_scanned, m.rows_matched,
+               CAST(h.rows_scanned AS DOUBLE)
+                 / CAST(m.rows_matched AS DOUBLE) AS read_amplification
+        FROM hit h
+        JOIN totals t ON h.layout = t.layout
+        JOIN matched m ON h.probe_year = m.probe_year
+    """,
+)
+def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E228: zone-map (min/max) pruning audit across candidate layouts.
+
+    Models each run of ZONE_ROWS consecutive rows as one "zone" (a
+    Parquet row group / Iceberg data file), computes the min/max
+    o_orderdate zone map under TWO layouts — the table as stored
+    (orderkey order) and re-clustered by order date — then prices six
+    one-year probe predicates against each: zones touched, rows the scan
+    must read (every row of every overlapping zone), rows that actually
+    match, and the resulting read amplification.  This is the
+    ANALYZE-before-OPTIMIZE step that justifies (or rejects) a
+    re-clustering job: a date-sorted layout sends read_amplification to
+    ~1.0 while the unsorted layout reads the whole table for every year.
+
+    Exactness: all counts are exact integers; the single double division
+    (rows_scanned / rows_matched) is one IEEE op on identical operands.
+
+    Scale: the date-sorted position is a two-phase distributed prefix
+    sum — per-date counts collapse to the calendar-bounded date frame
+    (the ONLY global window runs over that ≤|days| frame), intra-date
+    ranks partition by date; no volume-sized single partition exists.
+    Zone frames are |rows|/ZONE_ROWS small and the probe side is a
+    6-row literal broadcast, so the overlap join is a bounded
+    nested-loop against a literal, never zone x zone.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    stored = base.select(
+        F.lit("as_stored").alias("layout"),
+        (F.col("o_orderkey") / ZONE_ROWS).cast("long").alias("zone"),
+        "d",
+    )
+    # date-sorted global position WITHOUT a global window: cumulative
+    # count of strictly-earlier dates (calendar-bounded frame) + the
+    # per-date rank (partitioned window).
+    per_date = base.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = per_date.select(
+        "d",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("cnt")
+        ).alias("cum_before"),
+    )
+    intra = base.withColumn(
+        "intra_rank",
+        F.row_number().over(
+            Window.partitionBy("d").orderBy("o_orderkey")
+        ),
+    )
+    sorted_ = (
+        intra.join(F.broadcast(cum), "d")
+        .select(
+            F.lit("date_sorted").alias("layout"),
+            (
+                (F.col("cum_before") + F.col("intra_rank") - 1)
+                / ZONE_ROWS
+            )
+            .cast("long")
+            .alias("zone"),
+            "d",
+        )
+    )
+    zones = (
+        stored.unionByName(sorted_)
+        .groupBy("layout", "zone")
+        .agg(
+            F.min("d").alias("zmin"),
+            F.max("d").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    probes = spark.sql(f"SELECT * FROM ({_PROBES_SQL})")
+    matched = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+        )
+        .groupBy("probe_year")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    )
+    hit = (
+        zones.join(
+            F.broadcast(probes),
+            (F.col("zmin") < F.col("hi")) & (F.col("zmax") >= F.col("lo")),
+        )
+        .groupBy("layout", "probe_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("zones_hit"),
+            F.sum("n_rows").cast("long").alias("rows_scanned"),
+        )
+    )
+    totals = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("zones_total")
+    )
+    return (
+        hit.join(F.broadcast(totals), "layout")
+        .join(F.broadcast(matched), "probe_year")
+        .select(
+            "layout",
+            "probe_year",
+            "zones_total",
+            "zones_hit",
+            "rows_scanned",
+            "rows_matched",
+            (
+                F.col("rows_scanned").cast("double")
+                / F.col("rows_matched").cast("double")
+            ).alias("read_amplification"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E229: ANALYZE-style column statistics profile (NDV / nulls / bounds)
+# --------------------------------------------------------------------------
+
+#: (column, numeric?) — bounds are emitted only for numerically-ordered
+#: columns so the output schema stays type-uniform; string/timestamp
+#: bounds would need engine-specific rendering to compare.
+_ORDERS_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def _ndv_oracle() -> str:
+    parts = []
+    for c, num in _ORDERS_COLS:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("orders_ndv_profile", oracle=_ndv_oracle())
+def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E229: the ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS layer —
+    exact NDV, null count, and (for numeric columns) min/max bounds for
+    every column of ``orders``, as the one-row-per-column stat frame a
+    catalog persists and the cost-based optimizer joins against when
+    choosing broadcast sides, join orders, and bucket counts.
+
+    Exactness: NDV and null counts are exact integers; bounds are
+    selections of existing values cast to double (no accumulation).
+
+    Scale: ONE pass — Spark plans the multi-distinct aggregate with an
+    Expand (each row fans out once per column) followed by ordinary
+    partial/final aggregation, so the table is scanned once however many
+    columns are profiled; the oracle's per-column UNION is the readable
+    equivalent.  The result is |columns| rows.  For 100 TB tables where
+    exact NDV is too hot, the HLL sketch rollup (operators/sketches.py)
+    is the drop-in approximate variant of this same frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in _ORDERS_COLS:
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__ndv"))
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nul")
+        )
+        if num:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    wide = orders.agg(*aggs)
+    stack_args = []
+    for c, num in _ORDERS_COLS:
+        mn = f"`{c}__min`" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"`{c}__max`" if num else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', `{c}__ndv`, `{c}__nul`, {mn}, {mx}")
+    stack = (
+        f"stack({len(_ORDERS_COLS)}, {', '.join(stack_args)})"
+        " AS (column_name, ndv, n_nulls, min_num, max_num)"
+    )
+    return wide.select(F.expr(stack))

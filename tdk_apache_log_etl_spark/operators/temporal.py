@@ -1248,3 +1248,80 @@ def supplier_ontime_wilson_ranking(
     return scored.orderBy(
         F.desc("wilson_lb"), F.asc("suppkey")
     ).limit(SUPPLIER_TOPK)
+
+
+# --------------------------------------------------------------------------
+# E225: OHLC candlestick bars (open/high/low/close) per event type x hour
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_value_ohlc_hourly",
+    oracle="""
+        WITH h AS (
+          SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                 value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ) AS rn_a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+                 ) AS rn_d
+          FROM events
+        )
+        SELECT event_type, hour_ts,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+               MAX(value) AS high_value,
+               MIN(value) AS low_value,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM h
+        GROUP BY event_type, hour_ts
+    """,
+)
+def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E225: OHLC (open/high/low/close) candlestick bars — the market-data
+    downsampling every time-series store ships (kdb+/Timescale/Influx),
+    repointed at the event stream: per (event_type, hour) the value of
+    the first event, the extrema, the value of the last event, and the
+    bar volume.  First/last order by (ts, event_id) so ties are
+    deterministic; the bar grid is whatever hours actually occur (gap
+    fill is daily_revenue_gapfilled's job).
+
+    Exactness: open/high/low/close are SELECTIONS of existing doubles
+    (min_by/max_by on the (ts, event_id) struct — no accumulation, so no
+    fixed-point scaling is needed); the oracle's ROW_NUMBER form picks
+    the identical rows.  The oracle casts ts to microseconds so both
+    engines break sub-microsecond ties identically (the Spark loader
+    already truncates ns -> us).
+
+    Scale: ONE map-side-combinable aggregate — min_by/max_by/min/max/
+    count all have partial merge states, so each bar collapses within
+    every input partition before the single exchange on the (type, hour)
+    key.  Output is |types| x |hours| (calendar-bounded), never
+    volume-sized.  This is the shape the streaming twin maintains
+    incrementally (see streaming/, watermarked tumbling windows)."""
+    events = load_table(spark, sf_dir, "events")
+    order_key = F.struct("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.min_by("value", order_key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order_key).alias("close_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

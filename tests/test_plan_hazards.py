@@ -113,6 +113,11 @@ BNLJ_OK = {
                                  # (the E157 smoothing denominator)
     "doc_length_quantile_normalize",  # 1-row pooled-total crossJoin over
                                       # the DOMAIN-bounded cell frame
+    "hodges_lehmann_value",      # value-DOMAIN cell grid self-join
+                                 # (<=~600^2, volume-independent) + 1-row
+                                 # N / n_rows crossJoins
+    "zonemap_prune_audit",       # 6-row literal probe frame broadcast
+                                 # against the zones/base overlap joins
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -197,6 +202,10 @@ GLOBAL_WINDOW_OK = {
     "doc_length_quantile_normalize",  # pooled-CDF prefix sum + as-of
                                       # carry over the length-DOMAIN
                                       # frames (equidepth waiver)
+    "hodges_lehmann_value",      # prefix sum over the <=2|u|-row
+                                 # Walsh-sum DOMAIN frame
+    "zonemap_prune_audit",       # cumulative count over the one-row-
+                                 # per-date frame (calendar-bounded)
 }
 
 

@@ -1,0 +1,235 @@
+"""Planted-fixture pins for the round-4 table-stats / layout pack and the
+OHLC / Shapley / Hodges-Lehmann additions (E225-E229).
+
+Every test hand-computes the expected answer on a fixture small enough to
+verify by eye, asserts it, and then runs the driver-predictive DuckDB
+parity compare on the same fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+from tdk_apache_log_etl_spark.operators.tablestats import ZONE_ROWS
+
+from .parity import compare
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "events.parquet")
+
+
+def _parity(spark, name, tmp_path):
+    ok, detail = compare(
+        spark, name, QUERIES[name], ORACLES[name], str(tmp_path)
+    )
+    assert ok, detail
+
+
+# --------------------------------------------------------------------------
+# E228 zone-map pruning audit
+# --------------------------------------------------------------------------
+
+
+def test_zonemap_sorted_layout_prunes_unsorted_does_not(spark, tmp_path):
+    # 3 * ZONE_ROWS orders; the year CYCLES with the orderkey, so every
+    # as-stored zone contains all three years (no pruning possible),
+    # while the date-sorted layout puts each year in exactly one zone.
+    n = 3 * ZONE_ROWS
+    rows = [
+        (k, 7, dt.datetime(1995 + (k % 3), 1, 1))
+        for k in range(n)
+    ]
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        (r.layout, r.probe_year): r
+        for r in QUERIES["zonemap_prune_audit"](spark, str(tmp_path)).collect()
+    }
+    # probes 1998-2000 match nothing -> dropped; 2 layouts x 3 years remain
+    assert len(out) == 6
+    for y in (1995, 1996, 1997):
+        stored = out[("as_stored", y)]
+        assert stored.zones_total == 3
+        assert stored.zones_hit == 3            # every zone spans all years
+        assert stored.rows_scanned == n
+        assert stored.rows_matched == ZONE_ROWS
+        assert stored.read_amplification == 3.0
+        srt = out[("date_sorted", y)]
+        assert srt.zones_total == 3
+        assert srt.zones_hit == 1               # one year per zone
+        assert srt.rows_scanned == ZONE_ROWS
+        assert srt.read_amplification == 1.0
+    _parity(spark, "zonemap_prune_audit", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E229 NDV / null / bounds column profile
+# --------------------------------------------------------------------------
+
+
+def test_ndv_profile_hand_computed(spark, tmp_path):
+    df = pd.DataFrame(
+        {
+            "o_orderkey": pd.array([1, 2, 3, 4], dtype="Int64"),
+            "o_custkey": pd.array([7, 7, None, 9], dtype="Int64"),
+            "o_orderstatus": ["O", "F", "O", "O"],
+            "o_totalprice": [10.5, 10.5, 20.0, None],
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01", "1995-01-01", "1996-01-01", None]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.column_name: r
+        for r in QUERIES["orders_ndv_profile"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 6
+    assert (out["o_orderkey"].ndv, out["o_orderkey"].n_nulls) == (4, 0)
+    assert (out["o_orderkey"].min_num, out["o_orderkey"].max_num) == (1.0, 4.0)
+    assert (out["o_custkey"].ndv, out["o_custkey"].n_nulls) == (2, 1)
+    assert (out["o_custkey"].min_num, out["o_custkey"].max_num) == (7.0, 9.0)
+    assert (out["o_orderstatus"].ndv, out["o_orderstatus"].n_nulls) == (2, 0)
+    assert out["o_orderstatus"].min_num is None
+    assert (out["o_totalprice"].ndv, out["o_totalprice"].n_nulls) == (2, 1)
+    assert out["o_totalprice"].max_num == 20.0
+    assert (out["o_orderdate"].ndv, out["o_orderdate"].n_nulls) == (2, 1)
+    assert (out["o_orderpriority"].ndv, out["o_orderpriority"].n_nulls) == (
+        1,
+        0,
+    )
+    _parity(spark, "orders_ndv_profile", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E225 OHLC hourly bars
+# --------------------------------------------------------------------------
+
+
+def test_ohlc_open_close_ties_and_extrema(spark, tmp_path):
+    h = dt.datetime(2024, 3, 1, 10, 0, 0)
+    _write_events(
+        tmp_path,
+        [
+            # same-ts open tie -> event_id 1 wins
+            (1, h + dt.timedelta(seconds=5), 1, "view", 5.0, "{}"),
+            (2, h + dt.timedelta(seconds=5), 1, "view", 9.0, "{}"),
+            (3, h + dt.timedelta(minutes=59), 1, "view", 1.0, "{}"),
+            # second hour, single event: open==close==high==low
+            (4, h + dt.timedelta(hours=1), 2, "view", 4.0, "{}"),
+            # other type shares hour 10 but is its own bar
+            (5, h + dt.timedelta(seconds=1), 2, "click", 2.0, "{}"),
+        ],
+    )
+    out = {
+        (r.event_type, r.hour_ts): r
+        for r in QUERIES["events_value_ohlc_hourly"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    bar = out[("view", h)]
+    assert bar.open_value == 5.0
+    assert bar.high_value == 9.0
+    assert bar.low_value == 1.0
+    assert bar.close_value == 1.0
+    assert bar.n_events == 3
+    one = out[("view", h + dt.timedelta(hours=1))]
+    assert (
+        one.open_value,
+        one.high_value,
+        one.low_value,
+        one.close_value,
+        one.n_events,
+    ) == (4.0, 4.0, 4.0, 4.0, 1)
+    assert out[("click", h)].open_value == 2.0
+    _parity(spark, "events_value_ohlc_hourly", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E226 exact Shapley attribution
+# --------------------------------------------------------------------------
+
+
+def test_shapley_unanimity_closed_form(spark, tmp_path):
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    _write_events(
+        tmp_path,
+        [
+            # user 1 touches {click, view} before purchase; the post-
+            # purchase error must NOT earn credit
+            (1, t, 1, "click", 1.0, "{}"),
+            (2, t + m, 1, "view", 1.0, "{}"),
+            (3, t + 2 * m, 1, "purchase", 1.0, "{}"),
+            (4, t + 3 * m, 1, "error", 1.0, "{}"),
+            # user 2 touches {view} only -> full credit to view
+            (5, t, 2, "view", 1.0, "{}"),
+            (6, t + m, 2, "purchase", 1.0, "{}"),
+            # user 3 converts organically (no prior touches) -> no credit
+            (7, t, 3, "purchase", 1.0, "{}"),
+            # user 4 never converts -> no credit
+            (8, t, 4, "click", 1.0, "{}"),
+        ],
+    )
+    out = {
+        r.channel: r
+        for r in QUERIES["shapley_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"click", "view"}
+    assert (out["click"].n_users, out["click"].credit_60ths) == (1, 30)
+    assert out["click"].shapley_conversions == 0.5
+    assert (out["view"].n_users, out["view"].credit_60ths) == (2, 90)
+    assert out["view"].shapley_conversions == 1.5
+    _parity(spark, "shapley_attribution", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E227 Hodges-Lehmann estimator
+# --------------------------------------------------------------------------
+
+
+def test_hodges_lehmann_hand_computed_even(spark, tmp_path):
+    # values 1, 2, 9 -> Walsh averages {1, 1.5, 2, 5, 5.5, 9}; N = 6,
+    # median = (2 + 5) / 2 = 3.5.  The classical estimator absorbs the
+    # 9-outlier (mean would be 4.0, median 2.0).
+    t = dt.datetime(2024, 3, 1)
+    _write_events(
+        tmp_path,
+        [
+            (1, t, 1, "view", 1.0, "{}"),
+            (2, t, 1, "view", 2.0, "{}"),
+            (3, t, 1, "view", 9.0, "{}"),
+        ],
+    )
+    row = QUERIES["hodges_lehmann_value"](spark, str(tmp_path)).collect()[0]
+    assert row.n_rows == 3
+    assert row.n_walsh == 6.0
+    assert row.hl_estimate == 3.5
+    _parity(spark, "hodges_lehmann_value", tmp_path)
+
+
+def test_hodges_lehmann_odd_and_duplicates(spark, tmp_path):
+    # values 1, 1 -> Walsh multiset {1 (x3)}; N = n(n+1)/2 = 3, hl = 1.
+    # duplicate cells exercise the diagonal c(c+1)/2 weight.
+    t = dt.datetime(2024, 3, 1)
+    _write_events(
+        tmp_path,
+        [
+            (1, t, 1, "view", 1.0, "{}"),
+            (2, t, 1, "view", 1.0, "{}"),
+        ],
+    )
+    row = QUERIES["hodges_lehmann_value"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_rows, row.n_walsh, row.hl_estimate) == (2, 3.0, 1.0)
+    _parity(spark, "hodges_lehmann_value", tmp_path)
