@@ -2369,8 +2369,8 @@ def hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
     )
     a = cells.select(F.col("u").alias("ua"), F.col("c").alias("ca"))
-    b = cells.select(F.col("u").alias("ub"), F.col("c").alias("cb"))
-    pairs = a.join(F.broadcast(b), F.col("ua") <= F.col("ub")).select(
+    cells_b = cells.select(F.col("u").alias("ub"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(cells_b), F.col("ua") <= F.col("ub")).select(
         (F.col("ua") + F.col("ub")).alias("s"),
         F.when(
             F.col("ua") < F.col("ub"), F.col("ca") * F.col("cb")
@@ -2402,12 +2402,12 @@ def hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cw") >= F.col("n_walsh") + 1, F.col("s"))
         ).alias("s_hi"),
     )
-    n_rows = events.agg(
+    n_total = events.agg(
         F.count("value").cast("long").alias("n_rows")
     )
     return (
         med.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_total))
         .select(
             "n_rows",
             F.col("n_walsh").cast("double").alias("n_walsh"),

@@ -221,6 +221,13 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # conformal interval (mlprep.py): 1-row calibration moments /
         # quantile / test-coverage frames
         "cal", "tst",
+        # Hodges-Lehmann (robuststats.py): the value-DOMAIN cell frame
+        # (bounded by value range, not volume) and the 1-row N frame
+        "cells_b", "tot",
+        # zone-map audit (tablestats.py): one-row-per-date cumulative
+        # frame (calendar-bounded), the 6-row literal probe frame, and
+        # the 2-row/≤12-row per-layout / per-probe summary frames
+        "cum", "probes", "totals", "matched",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
