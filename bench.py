@@ -299,6 +299,8 @@ HEADLINE = [
     "hodges_lehmann_value",
     "zonemap_prune_audit",
     "orders_ndv_profile",
+    "daily_revenue_haar",
+    "mv_monthly_revenue_rewrite",
 ]
 
 

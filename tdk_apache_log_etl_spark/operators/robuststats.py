@@ -2416,3 +2416,97 @@ def hodges_lehmann_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hl_estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E230: Haar multi-resolution decomposition of the daily revenue series
+# --------------------------------------------------------------------------
+
+#: Decomposition depth: level k aggregates 2^k-day blocks (1..3 → 2/4/8
+#: days). Depth is a constant, so output stays calendar-bounded.
+HAAR_LEVELS = (1, 2, 3)
+
+
+def _haar_oracle() -> str:
+    levels = []
+    for k in HAAR_LEVELS:
+        half = 1 << (k - 1)
+        levels.append(f"""
+          SELECT {k} AS level, d.day_idx // {1 << k} AS block,
+                 CAST(SUM(d.cents) AS BIGINT) AS total_cents,
+                 CAST(SUM(CASE WHEN (d.day_idx // {half}) % 2 = 0
+                               THEN d.cents ELSE -d.cents END) AS BIGINT)
+                   AS detail_cents
+          FROM d GROUP BY 1, 2
+        """)
+    body = " UNION ALL ".join(levels)
+    return f"""
+        WITH d AS (
+          SELECT DATEDIFF('day', DATE '{_EPOCH}',
+                          CAST(o_orderdate AS DATE)) AS day_idx,
+                 CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT) AS cents
+          FROM orders
+        )
+        {body}
+    """
+
+
+@query("daily_revenue_haar", oracle=_haar_oracle())
+def daily_revenue_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E230: unnormalized Haar wavelet decomposition of daily revenue —
+    the multi-resolution view that localizes WHEN a change happened and
+    at WHICH time scale (2/4/8-day blocks), complementing E66 CUSUM
+    (single global changepoint) and E65 seasonal baselines: a big
+    |detail| at level 3 with quiet levels 1-2 is a week-scale regime
+    shift; the reverse is a one-day spike.  Per level k and block b:
+    total = sum of revenue in the 2^k-day block, detail = left-half sum
+    minus right-half sum (the Haar difference on the integer lattice —
+    dropping the 1/2^k normalizer keeps every coefficient an EXACT
+    integer; callers can rescale for energy plots).
+
+    Absent days contribute zero revenue, which is exactly the zero-fill
+    the transform wants — so no calendar spine join is needed at all.
+
+    Exactness: cents are 2-dp fixed-point integers; every coefficient
+    is an exact integer sum; no doubles anywhere.
+
+    Scale: |levels| keyed aggregates straight off the fact scan (the
+    CASE sign rides the map side), each collapsing to a calendar-bounded
+    block frame — no windows, no joins, no spine.  Depth-constant
+    unions keep the plan static; AQE coalesces the tiny shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")
+        ).alias("day_idx"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    parts = []
+    for k in HAAR_LEVELS:
+        half = 1 << (k - 1)
+        sign = F.when(
+            ((F.col("day_idx") / half).cast("long") % 2) == 0,
+            F.col("cents"),
+        ).otherwise(-F.col("cents"))
+        parts.append(
+            d.groupBy(
+                (F.col("day_idx") / (1 << k)).cast("long").alias("block")
+            )
+            .agg(
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.sum(sign).cast("long").alias("detail_cents"),
+            )
+            .select(
+                F.lit(k).alias("level"),
+                "block",
+                "total_cents",
+                "detail_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

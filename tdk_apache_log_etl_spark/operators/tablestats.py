@@ -285,3 +285,87 @@ def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (column_name, ndv, n_nulls, min_num, max_num)"
     )
     return wide.select(F.expr(stack))
+
+
+# --------------------------------------------------------------------------
+# E231: MV-rewrite path, driver-checked end-to-end
+# --------------------------------------------------------------------------
+
+#: cents-fixed revenue — exact integer sums at any parallelism
+_REV = "cast(floor(cast(o_totalprice as double) * 100 + 0.5) as bigint)"
+
+
+@query(
+    "mv_monthly_revenue_rewrite",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               o_orderstatus AS status,
+               CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                 AS BIGINT)) AS DOUBLE)
+                 / COUNT(o_totalprice) AS avg_cents
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def mv_monthly_revenue_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E231: monthly revenue by status answered THROUGH the
+    materialized-view rewrite (planning/mv_rewrite.py) — builds the
+    (day x status) rollup MV, then lets the matcher roll it up to month
+    via the date_trunc lattice and decompose avg into stored sum/count.
+    The oracle computes the same answer directly from the fact table, so
+    the driver's hash check proves the REWRITE path end-to-end: a wrong
+    lattice rule, a lossy merge, or a COUNT(*)/COUNT(expr) mix-up all
+    hash-mismatch here.
+
+    Exactness: revenue is cents-fixed integer sums; avg is one double
+    division of identical integer operands.
+
+    Scale: this is the MV economics in miniature — the monthly query
+    touches only the |days| x |statuses| rollup, never the fact table
+    (tests/test_mv_rewrite.py asserts inputFiles() provenance); at
+    100 TB the same rewrite turns a terabyte scan into kilobytes. The
+    MV build itself is the one fact-table pass, amortized across every
+    query the MV can answer."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..planning import AggQuery, MaterializedView, build_mv, try_rewrite
+
+    tag = hashlib.sha256(sf_dir.encode("utf-8")).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mv_daily_rev_{tag}"
+    )
+    spec = AggQuery(
+        table="orders",
+        keys={
+            "month_day": "date_trunc('day', o_orderdate)",
+            "status": "o_orderstatus",
+        },
+        measures={
+            "rev_cents": ("sum", _REV),
+            "n_orders": ("count", "*"),
+            "n_vals": ("count", _REV),
+        },
+    )
+    mv = MaterializedView("daily_rev", spec, path)
+    build_mv(load_table(spark, sf_dir, "orders"), mv)
+    monthly = AggQuery(
+        table="orders",
+        keys={
+            "month": "date_trunc('month', o_orderdate)",
+            "status": "o_orderstatus",
+        },
+        measures={
+            "rev_cents": ("sum", _REV),
+            "n_orders": ("count", "*"),
+            "avg_cents": ("avg", _REV),
+        },
+    )
+    out = try_rewrite(spark, monthly, mv)
+    if out is None:  # pragma: no cover - matcher contract
+        raise AssertionError("MV rewrite must subsume the monthly query")
+    return out

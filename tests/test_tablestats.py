@@ -1,5 +1,5 @@
 """Planted-fixture pins for the round-4 table-stats / layout pack and the
-OHLC / Shapley / Hodges-Lehmann additions (E225-E229).
+OHLC / Shapley / Hodges-Lehmann / Haar / MV-rewrite additions (E225-E231).
 
 Every test hand-computes the expected answer on a fixture small enough to
 verify by eye, asserts it, and then runs the driver-predictive DuckDB
@@ -233,3 +233,72 @@ def test_hodges_lehmann_odd_and_duplicates(spark, tmp_path):
     row = QUERIES["hodges_lehmann_value"](spark, str(tmp_path)).collect()[0]
     assert (row.n_rows, row.n_walsh, row.hl_estimate) == (2, 3.0, 1.0)
     _parity(spark, "hodges_lehmann_value", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E230 Haar multi-resolution decomposition
+# --------------------------------------------------------------------------
+
+
+def test_haar_hand_computed(spark, tmp_path):
+    # revenue 1.00 / 3.00 / 5.00 on the first three days of the epoch:
+    # L1: block0 total 400c detail -200c, block1 total 500c detail +500c
+    # L2: block0 total 900c detail (100+300)-(500) = -100c
+    # L3: block0 total 900c detail +900c (right half empty = zero-fill)
+    rows = [
+        (1, 7, 1.00, dt.datetime(1992, 1, 1)),
+        (2, 7, 3.00, dt.datetime(1992, 1, 2)),
+        (3, 7, 5.00, dt.datetime(1992, 1, 3)),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        (r.level, r.block): (r.total_cents, r.detail_cents)
+        for r in QUERIES["daily_revenue_haar"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (1, 0): (400, -200),
+        (1, 1): (500, 500),
+        (2, 0): (900, -100),
+        (3, 0): (900, 900),
+    }
+    _parity(spark, "daily_revenue_haar", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E231 MV rewrite, driver-contract form
+# --------------------------------------------------------------------------
+
+
+def test_mv_rewrite_query_matches_direct(spark, tmp_path):
+    rows = [
+        (1, 7, "O", 10.25, dt.datetime(1995, 1, 3)),
+        (2, 7, "O", 20.00, dt.datetime(1995, 1, 9)),
+        (3, 7, "F", 30.00, dt.datetime(1995, 2, 3)),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        (r.month, r.status): r
+        for r in QUERIES["mv_monthly_revenue_rewrite"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    jan_o = out[(dt.datetime(1995, 1, 1), "O")]
+    assert jan_o.rev_cents == 3025
+    assert jan_o.n_orders == 2
+    assert jan_o.avg_cents == 1512.5
+    _parity(spark, "mv_monthly_revenue_rewrite", tmp_path)
