@@ -301,6 +301,8 @@ HEADLINE = [
     "orders_ndv_profile",
     "daily_revenue_haar",
     "mv_monthly_revenue_rewrite",
+    "supplier_ontime_eb_shrunk",
+    "event_feature_psi",
 ]
 
 

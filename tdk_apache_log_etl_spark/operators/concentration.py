@@ -2565,3 +2565,186 @@ def value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(e["reject"]).alias("reject_at_05"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E233: population stability index (PSI) — log-free quarter-bit lattice
+# --------------------------------------------------------------------------
+
+from .text import _surprisal_steps  # noqa: E402  (integer log2 lattice)
+
+#: ln(2)/4 — converts quarter-bit lattice differences to nats (the PSI
+#: convention); shortest-round-trip literal, one multiply per bin.
+_PSI_LN2_Q = "0.17328679513998632"
+#: 1e-9 fixed point for the cross-engine-exact per-feature sum.
+_PSI_SCALE = 1_000_000_000
+
+_PSI_TERM = (
+    f"CAST(FLOOR(ABS(CAST(la AS DOUBLE) / n1 - CAST(lb AS DOUBLE) / n2)"
+    f" * ABS(qb_q - qb_p) * {_PSI_LN2_Q} * {_PSI_SCALE} + 0.5) AS BIGINT)"
+)
+
+_PSI_FEATURES_SPARK = (
+    "stack(2, 'event_type', event_type,"
+    " 'value_log2', CASE WHEN value IS NULL THEN CAST(NULL AS STRING)"
+    " ELSE concat('v', LENGTH(BIN(CAST(FLOOR(value) AS BIGINT) + 1))) END)"
+    " AS (feature, bin)"
+)
+
+
+def _psi_oracle() -> str:
+    def chain(tag: str, out: str, start: str) -> tuple[str, str]:
+        prev = start
+        sql = ""
+        for i, (col, expr) in enumerate(_surprisal_steps("duck")):
+            nxt = f"{tag}{i}"
+            sql += f", {nxt} AS (SELECT *, {expr} AS {col} FROM {prev})"
+            prev = nxt
+        sql += (
+            f", {tag}_done AS (SELECT feature, bin, la, lb, n1, n2"
+            + (", qb_p" if tag == "cq" else "")
+            + f", qbits AS {out} FROM {prev})"
+        )
+        return sql, f"{tag}_done"
+
+    p_sql, p_done = chain("cp", "qb_p", "pin")
+    q_sql, q_done = chain("cq", "qb_q", "qin")
+    return f"""
+        WITH ev AS (
+          SELECT date_diff('day', DATE '1992-01-01',
+                           CAST(ts AS DATE)) AS day_idx,
+                 event_type, value
+          FROM events
+        ), mid AS (
+          SELECT (MIN(day_idx) + MAX(day_idx) + 1) // 2 AS mid_day FROM ev
+        ), binned AS (
+          SELECT f.feature, f.bin,
+                 CASE WHEN ev.day_idx < mid.mid_day THEN 0 ELSE 1 END AS half
+          FROM ev CROSS JOIN mid
+          CROSS JOIN LATERAL (
+            SELECT 'event_type' AS feature, ev.event_type AS bin
+            UNION ALL
+            SELECT 'value_log2',
+                   CASE WHEN ev.value IS NULL THEN NULL
+                        ELSE 'v' || LENGTH(BIN(CAST(FLOOR(ev.value)
+                          AS BIGINT) + 1)) END
+          ) f
+          WHERE f.bin IS NOT NULL
+        ), cells AS (
+          SELECT feature, bin,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS la,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS lb
+          FROM binned GROUP BY feature, bin
+        ), ft AS (
+          SELECT feature, CAST(SUM(la) AS BIGINT) AS n1,
+                 CAST(SUM(lb) AS BIGINT) AS n2
+          FROM cells GROUP BY feature
+        ), pin AS (
+          SELECT c.feature, c.bin, c.la, c.lb, ft.n1, ft.n2,
+                 c.la AS num, ft.n1 AS den
+          FROM cells c JOIN ft ON c.feature = ft.feature
+        ){p_sql}, qin AS (
+          SELECT feature, bin, la, lb, n1, n2, qb_p,
+                 lb AS num, n2 AS den
+          FROM {p_done}
+        ){q_sql}
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM({_PSI_TERM}) AS DOUBLE) / {_PSI_SCALE} AS psi
+        FROM {q_done}
+        GROUP BY feature
+    """
+
+
+@query("event_feature_psi", oracle=_psi_oracle())
+def event_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E233: population stability index — THE industry drift number every
+    model-monitoring stack quotes (rule of thumb: <0.1 stable, 0.1-0.25
+    watch, >0.25 re-fit) — for two event features (type mix; value
+    magnitude via power-of-two buckets), comparing the first calendar
+    half of the data against the second.  Complements the drift family:
+    E104 TVD (bounded, no tail emphasis), E148 KS (max single gap), E203
+    chi-square (significance); PSI weights each bin's share change by
+    its log-ratio, which is what makes it sensitive to tail migration.
+
+    PSI = sum_bins (p_i - q_i) * ln(p_i / q_i), Laplace +1 on both halves
+    so empty bins are defined.  NO log is ever evaluated: ln(p/q) =
+    (qbits(q) - qbits(p)) * ln2/4 on the E223 integer quarter-bit
+    lattice (each half's -log2 runs the num<=den chain against its own
+    total, so no cross-product can overflow), and both factors of each
+    term carry the same sign mathematically, so the product of absolute
+    values is exact up to the documented <=1/2-bit lattice error —
+    deterministic and bit-identical across engines, unlike any libm-ln
+    variant.  Terms quantize to 1e-9 before the per-feature sum.
+
+    Scale: one map-side stack + keyed count collapses any volume to the
+    (feature, bin) frame (|types| + ~10 value buckets); the midpoint is
+    a 1-row crossJoin; the lattice chains are per-bin scalar ops on that
+    tiny frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_idx"),
+        "event_type",
+        "value",
+    )
+    mid = ev.agg(
+        F.expr("CAST((MIN(day_idx) + MAX(day_idx) + 1) DIV 2 AS BIGINT)")
+        .alias("mid_day")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            F.expr(_PSI_FEATURES_SPARK),
+            F.when(F.col("day_idx") < F.col("mid_day"), 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+        .filter(F.col("bin").isNotNull())
+    )
+    cells = binned.groupBy("feature", "bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1)
+        .cast("long")
+        .alias("la"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1)
+        .cast("long")
+        .alias("lb"),
+    )
+    ft = cells.groupBy("feature").agg(
+        F.sum("la").cast("long").alias("n1"),
+        F.sum("lb").cast("long").alias("n2"),
+    )
+    scored = cells.join(F.broadcast(ft), "feature").select(
+        "feature",
+        "bin",
+        "la",
+        "lb",
+        "n1",
+        "n2",
+        F.col("la").alias("num"),
+        F.col("n1").alias("den"),
+    )
+    for col, expr in _surprisal_steps("spark"):
+        scored = scored.withColumn(col, F.expr(expr))
+    scored = scored.select(
+        "feature",
+        "bin",
+        "la",
+        "lb",
+        "n1",
+        "n2",
+        F.col("qbits").alias("qb_p"),
+        F.col("lb").alias("num"),
+        F.col("n2").alias("den"),
+    )
+    for col, expr in _surprisal_steps("spark"):
+        scored = scored.withColumn(col, F.expr(expr))
+    scored = scored.withColumn("qb_q", F.col("qbits"))
+    return scored.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.sum(F.expr(_PSI_TERM)).cast("double") / _PSI_SCALE
+        ).alias("psi"),
+    )

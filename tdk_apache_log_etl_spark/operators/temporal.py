@@ -1325,3 +1325,135 @@ def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E232: empirical-Bayes shrunk on-time ranking (beta-binomial, MoM prior)
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for per-supplier rate moments: rates quantize to
+#: 1e-9 integers BEFORE summing so the prior's mean/variance are exact
+#: integer sums (order-insensitive) in both engines.
+_EB_SCALE = 1_000_000_000
+
+#: Shared-literal double chains over the exact integer inputs
+#: (sp = Σ rate·1e9, sp2 = Σ rate²·1e9, s_n = #suppliers) — identical
+#: text in Spark and DuckDB, so identical IEEE bits.
+_EB_MU = f"((CAST(sp AS DOUBLE) / {_EB_SCALE}.0) / s_n)"
+_EB_EP2 = f"((CAST(sp2 AS DOUBLE) / {_EB_SCALE}.0) / s_n)"
+_EB_V = f"({_EB_EP2} - {_EB_MU} * {_EB_MU})"
+_EB_C = f"(({_EB_MU} * (1.0 - {_EB_MU})) / {_EB_V} - 1.0)"
+_EB_DEGEN = f"({_EB_V} <= 0.0 OR {_EB_C} <= 0.0)"
+_EB_SHRUNK = (
+    f"CASE WHEN {_EB_DEGEN} THEN (CAST(k AS DOUBLE) / n)"
+    f" ELSE (CAST(k AS DOUBLE) + {_EB_MU} * {_EB_C})"
+    f" / (CAST(n AS DOUBLE) + {_EB_C}) END"
+)
+_EB_STRENGTH = (
+    f"CASE WHEN {_EB_DEGEN} THEN CAST(NULL AS DOUBLE) ELSE {_EB_C} END"
+)
+
+
+@query(
+    "supplier_ontime_eb_shrunk",
+    oracle=f"""
+        WITH lags AS (
+          SELECT l.l_suppkey AS suppkey,
+                 CASE WHEN {_BD_DUCK.format(d="CAST(l.l_shipdate AS DATE)")}
+                        - {_BD_DUCK.format(d="o.o_orderdate")}
+                        <= {ONTIME_BDAYS}
+                      THEN 1 ELSE 0 END AS ontime
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), per AS (
+          SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ontime) AS BIGINT) AS k
+          FROM lags GROUP BY suppkey
+        ), q AS (
+          SELECT suppkey, n, k,
+                 CAST(FLOOR((CAST(k AS DOUBLE) / n) * {_EB_SCALE} + 0.5)
+                   AS BIGINT) AS pq,
+                 CAST(FLOOR((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)
+                   * {_EB_SCALE} + 0.5) AS BIGINT) AS p2q
+          FROM per
+        ), prior AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s_n,
+                 CAST(SUM(pq) AS BIGINT) AS sp,
+                 CAST(SUM(p2q) AS BIGINT) AS sp2
+          FROM q
+        )
+        SELECT suppkey, n AS n_lines, k AS n_on_time,
+               (CAST(k AS DOUBLE) / n) AS rate,
+               {_EB_SHRUNK} AS shrunk_rate,
+               {_EB_STRENGTH} AS prior_strength
+        FROM q CROSS JOIN prior
+        ORDER BY shrunk_rate DESC, suppkey
+        LIMIT {SUPPLIER_TOPK}
+    """,
+)
+def supplier_ontime_eb_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E232: empirical-Bayes shrunk on-time ranking — the Bayesian twin
+    of E211's Wilson lower bound.  Each supplier's raw on-time rate is
+    shrunk toward the population prior, with the prior Beta(α, β)
+    estimated from the data itself by method of moments (α+β =
+    μ(1−μ)/Var(p) − 1): shrunk = (k + α)/(n + α + β).  A 2/2 supplier
+    gets pulled hard toward the population mean while a 95/100 supplier
+    barely moves — fixing the same small-sample inversion E211 fixes,
+    but with a posterior MEAN (usable downstream as a probability)
+    instead of a confidence bound.  When every supplier has the same
+    rate the prior is degenerate (Var = 0) and shrunk = raw, with
+    prior_strength NULL.
+
+    Exactness: per-supplier rates quantize to 1e-9 integers before the
+    moment sums, so μ/Var/α+β are shared-literal double chains over
+    identical integer operands in both engines; each shrunk rate is one
+    more such chain.
+
+    Scale: one fact-join aggregate to the |suppliers| frame (same as
+    E211), one 1-row moment crossJoin, TakeOrdered top-K."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bd = F.expr(_BD_SPARK.format(d="ship_d")) - F.expr(
+        _BD_SPARK.format(d="o_orderdate")
+    )
+    per = (
+        j.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.when(bd <= ONTIME_BDAYS, 1).otherwise(0).alias("ontime"),
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ontime").cast("long").alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    q = per.select(
+        "suppkey",
+        "n",
+        "k",
+        F.floor(p * _EB_SCALE + F.lit(0.5)).cast("long").alias("pq"),
+        F.floor(p * p * _EB_SCALE + F.lit(0.5)).cast("long").alias("p2q"),
+    )
+    prior = q.agg(
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+        F.sum("pq").cast("long").alias("sp"),
+        F.sum("p2q").cast("long").alias("sp2"),
+    )
+    scored = q.crossJoin(F.broadcast(prior)).select(
+        "suppkey",
+        F.col("n").alias("n_lines"),
+        F.col("k").alias("n_on_time"),
+        (F.col("k").cast("double") / F.col("n")).alias("rate"),
+        F.expr(_EB_SHRUNK).alias("shrunk_rate"),
+        F.expr(_EB_STRENGTH).alias("prior_strength"),
+    )
+    return scored.orderBy(
+        F.desc("shrunk_rate"), F.asc("suppkey")
+    ).limit(SUPPLIER_TOPK)

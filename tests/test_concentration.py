@@ -865,3 +865,87 @@ def test_kruskal_wallis_all_tied_null_hadj(spark, tmp_path):
     assert r.h_stat == 0.0
     assert r.tie_correction == 0.0
     assert r.h_adj is None
+
+
+# --------------------------------------------------------------------------
+# E233 population stability index (quarter-bit lattice PSI)
+# --------------------------------------------------------------------------
+
+_PSI_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _psi_events(tmp_path, rows):
+    import pandas as _pd
+
+    df = _pd.DataFrame(rows, columns=_PSI_COLS)
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "events.parquet")
+
+
+def test_psi_identical_halves_is_exactly_zero(spark, tmp_path):
+    import datetime as dt
+
+    # days 0-3 -> mid = 2; days {0,1} mirror days {2,3} exactly, so
+    # every p_i == q_i and the lattice difference is identically 0.
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 3):
+        for etype, val in (("click", 1.0), ("view", 8.0), ("click", 8.0)):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(1992, 1, 1 + day), 1, etype, val, "{}")
+            )
+    _psi_events(tmp_path, rows)
+    out = {r.feature: r for r in QUERIES["event_feature_psi"](
+        spark, str(tmp_path)).collect()}
+    assert out["event_type"].psi == 0.0
+    assert out["value_log2"].psi == 0.0
+    assert out["event_type"].n_bins == 2
+    # values 1.0 and 8.0 -> BIN(2)='10' (len 2), BIN(9)='1001' (len 4)
+    assert out["value_log2"].n_bins == 2
+    ok, detail = compare(
+        spark,
+        "event_feature_psi",
+        QUERIES["event_feature_psi"],
+        ORACLES["event_feature_psi"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_psi_hard_shift_crosses_refit_threshold_within_lattice_error(
+    spark, tmp_path
+):
+    import datetime as dt
+    import math
+
+    # half A: 40x click; half B: 40x view — a total mix swap.
+    rows = []
+    eid = 0
+    for day, etype in ((0, "click"), (2, "view")):
+        for _ in range(40):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(1992, 1, 1 + day), 1, etype, 1.0, "{}")
+            )
+    _psi_events(tmp_path, rows)
+    out = {r.feature: r for r in QUERIES["event_feature_psi"](
+        spark, str(tmp_path)).collect()}
+    got = out["event_type"].psi
+    # ground truth with real logs (Laplace +1, totals 42 each):
+    # bins: click (41/42 vs 1/42), view (1/42 vs 41/42)
+    p, q = 41 / 42, 1 / 42
+    true_psi = 2 * (p - q) * math.log(p / q)
+    # lattice error bound: per bin two chains at <1/4 bit each + mantissa
+    # slack, times |p - q|, in nats
+    bound = 2 * abs(p - q) * (0.5 * math.log(2)) + 1e-6
+    assert abs(got - true_psi) <= bound
+    assert got > 0.25  # the industry "re-fit" threshold
+    ok, detail = compare(
+        spark,
+        "event_feature_psi",
+        QUERIES["event_feature_psi"],
+        ORACLES["event_feature_psi"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -1239,3 +1239,88 @@ def test_quantile_normalize_planted_mapping(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_eb_shrinkage_inverts_small_n_and_degenerates_safely(
+    spark, tmp_path
+):
+    # suppliers: 1 -> 2/2, 2 -> 95/100, 3 -> 50/100.  Prior mean is
+    # ~0.817, so the 2/2 supplier shrinks hard toward it and drops
+    # BELOW the 95/100 supplier (the small-sample inversion), while
+    # 50/100 barely moves.
+    orders = [(i, dt.date(2026, 1, 5)) for i in range(1, 203)]
+    pd.DataFrame(
+        orders, columns=["o_orderkey", "o_orderdate"]
+    ).to_parquet(tmp_path / "orders.parquet")
+    lines = []
+    for okey in (1, 2):
+        lines.append((okey, 1, dt.datetime(2026, 1, 5, 8)))
+    for i, okey in enumerate(range(3, 103)):
+        ship = dt.datetime(2026, 1, 5, 8) if i < 95 else dt.datetime(
+            2026, 2, 20, 8
+        )
+        lines.append((okey, 2, ship))
+    for i, okey in enumerate(range(103, 203)):
+        ship = dt.datetime(2026, 1, 5, 8) if i < 50 else dt.datetime(
+            2026, 2, 20, 8
+        )
+        lines.append((okey, 3, ship))
+    pd.DataFrame(
+        lines, columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).to_parquet(
+        tmp_path / "lineitem.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    rows = QUERIES["supplier_ontime_eb_shrunk"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [r.suppkey for r in rows] == [2, 1, 3]
+    by = {r.suppkey: r for r in rows}
+    assert by[1].rate == 1.0 and by[2].rate == 0.95
+    assert by[2].shrunk_rate > by[1].shrunk_rate  # the inversion
+    # hand-computed: c = mu(1-mu)/v - 1 = 0.1497222/0.0505555 - 1
+    assert abs(by[1].prior_strength - 1.9615384615384617) < 1e-12
+    # (2 + mu*c) / (2 + c) with mu = 2.45/3, c = 1.96153846...
+    assert abs(by[1].shrunk_rate - 0.9092233009708736) < 1e-9
+    ok, detail = compare(
+        spark,
+        "supplier_ontime_eb_shrunk",
+        QUERIES["supplier_ontime_eb_shrunk"],
+        ORACLES["supplier_ontime_eb_shrunk"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_eb_shrinkage_degenerate_prior_returns_raw(spark, tmp_path):
+    # both suppliers 1/1 -> zero rate variance -> prior undefined ->
+    # shrunk == raw, prior_strength NULL
+    pd.DataFrame(
+        [(1, dt.date(2026, 1, 5)), (2, dt.date(2026, 1, 5))],
+        columns=["o_orderkey", "o_orderdate"],
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [
+            (1, 1, dt.datetime(2026, 1, 5, 8)),
+            (2, 2, dt.datetime(2026, 1, 5, 8)),
+        ],
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).to_parquet(
+        tmp_path / "lineitem.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    rows = QUERIES["supplier_ontime_eb_shrunk"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.shrunk_rate == r.rate == 1.0 for r in rows)
+    assert all(r.prior_strength is None for r in rows)
+    ok, detail = compare(
+        spark,
+        "supplier_ontime_eb_shrunk",
+        QUERIES["supplier_ontime_eb_shrunk"],
+        ORACLES["supplier_ontime_eb_shrunk"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -118,6 +118,8 @@ BNLJ_OK = {
                                  # N / n_rows crossJoins
     "zonemap_prune_audit",       # 6-row literal probe frame broadcast
                                  # against the zones/base overlap joins
+    "supplier_ontime_eb_shrunk",  # 1-row prior-moment crossJoin
+    "event_feature_psi",         # 1-row calendar-midpoint crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

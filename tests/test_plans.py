@@ -228,6 +228,11 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # frame (calendar-bounded), the 6-row literal probe frame, and
         # the 2-row/≤12-row per-layout / per-probe summary frames
         "cum", "probes", "totals", "matched",
+        # empirical-Bayes shrinkage (temporal.py): the 1-row moment frame
+        "prior",
+        # PSI (concentration.py): the 1-row calendar midpoint and the
+        # |features|-row Laplace totals frame
+        "mid", "ft",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
