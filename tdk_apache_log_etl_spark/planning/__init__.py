@@ -1,5 +1,6 @@
 """Planning-layer services above individual queries: materialized-view
-rewrite (mv_rewrite.py).  Imported explicitly by callers — nothing here
+rewrite (mv_rewrite.py) and the Selinger-style join-order advisor
+(join_order.py).  Imported explicitly by callers — nothing here
 registers driver-contract queries."""
 
 from .mv_rewrite import (  # noqa: F401
@@ -8,4 +9,12 @@ from .mv_rewrite import (  # noqa: F401
     answer,
     build_mv,
     try_rewrite,
+)
+
+from .join_order import (  # noqa: F401,E402
+    JoinPred,
+    TableStats,
+    best_left_deep,
+    collect_table_stats,
+    greedy_order,
 )
