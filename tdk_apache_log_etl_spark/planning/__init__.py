@@ -18,3 +18,10 @@ from .join_order import (  # noqa: F401,E402
     collect_table_stats,
     greedy_order,
 )
+
+from .lsh_tuning import (  # noqa: F401,E402
+    BandingChoice,
+    banding_threshold,
+    candidate_prob,
+    tune_bands,
+)

@@ -38,9 +38,23 @@ STAGING_SCHEMA = (
 )
 
 
-def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K1/K2: partitioned Snappy-Parquet staging write (one write, not the
-    reference's two).
+#: Columnar formats the staging table may be stored in. Parquet is the
+#: default (the reference's choice); ORC is the drop-in alternative for
+#: Hive-centric estates — same partitioning, pruning, and compression
+#: semantics through the identical DataFrameWriter path. (Avro would be
+#: the row-oriented third, but its module isn't bundled in this
+#: container — format-gated rather than stubbed.)
+STAGING_FORMATS = ("parquet", "orc")
+
+
+def write_staging(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """K1/K2: partitioned Snappy columnar staging write (one write, not
+    the reference's two).
 
     Overwrites are DYNAMIC per-partition: only the dates present in the
     frame are replaced, so the nightly job is idempotent for its own day
@@ -48,12 +62,18 @@ def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     whole table on each run, which is exactly the multi-day data-loss
     trap (the reference's daily Glue catalog write has per-partition
     semantics too)."""
+    if fmt not in STAGING_FORMATS:
+        raise ValueError(
+            f"unsupported staging format {fmt!r}; expected one of "
+            f"{STAGING_FORMATS}"
+        )
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .option("compression", "snappy")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
@@ -87,7 +107,10 @@ def write_quarantine(
 
 
 def read_staging(
-    spark: SparkSession, path: str, date: str | None = None
+    spark: SparkSession,
+    path: str,
+    date: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """S4/F3: staging read, partition-pruned when ``date`` is given.
 
@@ -96,7 +119,12 @@ def read_staging(
     arrives — same failure class as the quarantine read fixed in
     pipeline.ingest), and at scale it costs a footer-sampling pass the
     fixed contract makes unnecessary."""
-    df = spark.read.schema(STAGING_SCHEMA).parquet(path)
+    if fmt not in STAGING_FORMATS:
+        raise ValueError(
+            f"unsupported staging format {fmt!r}; expected one of "
+            f"{STAGING_FORMATS}"
+        )
+    df = spark.read.schema(STAGING_SCHEMA).format(fmt).load(path)
     if date is not None:
         df = df.where(F.col("date") == date)
     return df

@@ -227,3 +227,44 @@ def test_read_staging_survives_empty_table(spark, tmp_path):
     df = read_staging(spark, staging, date="2026-08-13")
     assert df.count() == 0
     assert "request_method" in df.columns
+
+
+def test_orc_staging_roundtrip_and_pruning(spark, tmp_path):
+    """The staging table is format-pluggable: the same writer path
+    produces ORC with identical partitioning semantics, the declared-
+    schema read returns the same rows as the parquet table, partition
+    pruning still works, and an unknown format fails loudly."""
+    import pytest as _pytest
+
+    from tdk_apache_log_etl_spark.sinks.staging import write_staging
+    from tdk_apache_log_etl_spark.sources.apache_log import parse_clf_lines
+
+    parsed = parse_clf_lines(
+        spark.createDataFrame([(x,) for x in LINES], "value string")
+    ).drop("_corrupt")
+    parsed = parsed.withColumn(
+        "date",
+        parsed["time"].cast("date").cast("string"),
+    )
+    pq = str(tmp_path / "stage_pq")
+    orc = str(tmp_path / "stage_orc")
+    write_staging(parsed.na.fill({"date": "unknown"}), pq)
+    write_staging(parsed.na.fill({"date": "unknown"}), orc, fmt="orc")
+
+    a = sorted(map(tuple, read_staging(spark, pq).collect()), key=repr)
+    b = sorted(
+        map(tuple, read_staging(spark, orc, fmt="orc").collect()), key=repr
+    )
+    assert a == b and len(a) == len(LINES)
+
+    pruned = read_staging(spark, orc, date="2026-08-13", fmt="orc")
+    assert pruned.count() == len(LINES) - 1  # malformed row has no date
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the ORC scan (same as the parquet assert
+    # in test_plans.test_staging_partition_pruning)
+    assert "PartitionFilters" in plan and "2026-08-13" in plan
+
+    with _pytest.raises(ValueError, match="unsupported staging format"):
+        write_staging(parsed, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError, match="unsupported staging format"):
+        read_staging(spark, orc, fmt="avro")
