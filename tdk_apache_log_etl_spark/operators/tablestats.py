@@ -295,6 +295,43 @@ def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REV = "cast(floor(cast(o_totalprice as double) * 100 + 0.5) as bigint)"
 
 
+def daily_rev_mv_spec():
+    """The (day x status) rollup spec shared by the batch MV build here
+    and the streaming maintenance in streaming/mv_stream.py."""
+    from ..planning import AggQuery
+
+    return AggQuery(
+        table="orders",
+        keys={
+            "month_day": "date_trunc('day', o_orderdate)",
+            "status": "o_orderstatus",
+        },
+        measures={
+            "rev_cents": ("sum", _REV),
+            "n_orders": ("count", "*"),
+            "n_vals": ("count", _REV),
+        },
+    )
+
+
+def monthly_rev_query():
+    """The month-grain query the MV rewrite must subsume."""
+    from ..planning import AggQuery
+
+    return AggQuery(
+        table="orders",
+        keys={
+            "month": "date_trunc('month', o_orderdate)",
+            "status": "o_orderstatus",
+        },
+        measures={
+            "rev_cents": ("sum", _REV),
+            "n_orders": ("count", "*"),
+            "avg_cents": ("avg", _REV),
+        },
+    )
+
+
 @query(
     "mv_monthly_revenue_rewrite",
     oracle="""
@@ -333,39 +370,15 @@ def mv_monthly_revenue_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..planning import AggQuery, MaterializedView, build_mv, try_rewrite
+    from ..planning import MaterializedView, build_mv, try_rewrite
 
     tag = hashlib.sha256(sf_dir.encode("utf-8")).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_mv_daily_rev_{tag}"
     )
-    spec = AggQuery(
-        table="orders",
-        keys={
-            "month_day": "date_trunc('day', o_orderdate)",
-            "status": "o_orderstatus",
-        },
-        measures={
-            "rev_cents": ("sum", _REV),
-            "n_orders": ("count", "*"),
-            "n_vals": ("count", _REV),
-        },
-    )
-    mv = MaterializedView("daily_rev", spec, path)
+    mv = MaterializedView("daily_rev", daily_rev_mv_spec(), path)
     build_mv(load_table(spark, sf_dir, "orders"), mv)
-    monthly = AggQuery(
-        table="orders",
-        keys={
-            "month": "date_trunc('month', o_orderdate)",
-            "status": "o_orderstatus",
-        },
-        measures={
-            "rev_cents": ("sum", _REV),
-            "n_orders": ("count", "*"),
-            "avg_cents": ("avg", _REV),
-        },
-    )
-    out = try_rewrite(spark, monthly, mv)
+    out = try_rewrite(spark, monthly_rev_query(), mv)
     if out is None:  # pragma: no cover - matcher contract
         raise AssertionError("MV rewrite must subsume the monthly query")
     return out

@@ -8,6 +8,7 @@ from .mv_rewrite import (  # noqa: F401
     MaterializedView,
     answer,
     build_mv,
+    rollup_frame,
     try_rewrite,
 )
 

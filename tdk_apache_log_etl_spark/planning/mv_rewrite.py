@@ -98,9 +98,10 @@ class MaterializedView:
             )
 
 
-def build_mv(base: DataFrame, mv: MaterializedView) -> None:
-    """Compute the rollup and persist it at mv.path (overwrite)."""
-    q = mv.query
+def rollup_frame(base: DataFrame, q: AggQuery) -> DataFrame:
+    """The MV's aggregate frame for any slice of the base relation —
+    used by build_mv (full build) and by streaming maintenance (per
+    micro-batch partials, merged additively downstream)."""
     keyed = base.select(
         *[F.expr(e).alias(k) for k, e in q.keys.items()],
         *[
@@ -119,9 +120,12 @@ def build_mv(base: DataFrame, mv: MaterializedView) -> None:
             )
         else:
             aggs.append(getattr(F, agg)(col).alias(out))
-    keyed.groupBy(*q.keys).agg(*aggs).write.mode("overwrite").parquet(
-        mv.path
-    )
+    return keyed.groupBy(*q.keys).agg(*aggs)
+
+
+def build_mv(base: DataFrame, mv: MaterializedView) -> None:
+    """Compute the rollup and persist it at mv.path (overwrite)."""
+    rollup_frame(base, mv.query).write.mode("overwrite").parquet(mv.path)
 
 
 def _match_key(q_expr: str, mv_keys: dict[str, str]) -> "F.Column | None":
