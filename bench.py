@@ -303,6 +303,7 @@ HEADLINE = [
     "mv_monthly_revenue_rewrite",
     "supplier_ontime_eb_shrunk",
     "event_feature_psi",
+    "daily_revenue_bollinger",
 ]
 
 

@@ -2510,3 +2510,121 @@ def daily_revenue_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# E234: Bollinger bands over daily revenue (RANGE window, exact moments)
+# --------------------------------------------------------------------------
+
+#: Window width in CALENDAR days (RANGE frame on the day index, so a
+#: 20-day band means 20 days of wall-clock, not 20 trading rows).
+BOLL_DAYS = 20
+#: Band width in standard deviations.
+BOLL_K = 2
+
+#: Shared double chain over exact integer window moments s (Σcents),
+#: n (rows), s2 (Σcents²): population variance then ±K·σ in currency.
+_BOLL_MEAN = "(CAST(s AS DOUBLE) / n / 100.0)"
+_BOLL_VAR = (
+    "((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / 10000.0)"
+)
+_BOLL_STD = f"SQRT(GREATEST({_BOLL_VAR}, 0.0))"
+_BOLL_UP = f"({_BOLL_MEAN} + {BOLL_K} * {_BOLL_STD})"
+_BOLL_LO = f"({_BOLL_MEAN} - {BOLL_K} * {_BOLL_STD})"
+
+
+@query(
+    "daily_revenue_bollinger",
+    oracle=f"""
+        WITH d AS (
+          SELECT DATEDIFF('day', DATE '{_EPOCH}',
+                          CAST(o_orderdate AS DATE)) AS day_idx,
+                 CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100
+                   + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2
+        ), w AS (
+          SELECT day, cents,
+                 CAST(SUM(cents) OVER win AS BIGINT) AS s,
+                 CAST(COUNT(*) OVER win AS BIGINT) AS n,
+                 CAST(SUM(cents * cents) OVER win AS HUGEINT) AS s2
+          FROM d
+          WINDOW win AS (
+            ORDER BY day_idx
+            RANGE BETWEEN {BOLL_DAYS - 1} PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               n AS n_window,
+               {_BOLL_MEAN} AS sma,
+               {_BOLL_UP} AS upper_band,
+               {_BOLL_LO} AS lower_band,
+               (CAST(cents AS DOUBLE) / 100.0 > {_BOLL_UP}
+                OR CAST(cents AS DOUBLE) / 100.0 < {_BOLL_LO}) AS breach
+        FROM w
+    """,
+)
+def daily_revenue_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E234: Bollinger bands — the rolling mean ± 2σ envelope every
+    monitoring dashboard draws, over daily revenue with a TRUE 20
+    calendar-day RANGE frame (a ROWS frame would silently stretch the
+    window across data gaps).  Completes the volatility family: E63
+    gives the rolling level, E65 the seasonal baseline, this the
+    variance envelope with a breach flag.
+
+    Exactness: window moments are exact integer sums of 2-dp cents (Σc
+    as BIGINT, Σc² as 128-bit — daily sums square past int64 at
+    warehouse scale); mean/σ/bands are one shared-literal double chain
+    (population variance via (Σc² − S²/n)/n, clamped ≥0 against
+    last-ulp negatives before SQRT).
+
+    Scale: facts collapse to the one-row-per-day frame FIRST; the only
+    window runs over that calendar-bounded frame (waived), with a
+    constant 20-day RANGE frame — state per partition is O(window), not
+    O(history)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit(_EPOCH).cast("date"),
+            ).alias("day_idx"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(
+                F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("day_idx", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    win = (
+        Window.orderBy("day_idx")
+        .rangeBetween(-(BOLL_DAYS - 1), Window.currentRow)
+    )
+    w = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(win).cast("long").alias("s"),
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .over(win)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    rev = F.col("cents").cast("double") / 100.0
+    return w.select(
+        "day",
+        rev.alias("revenue"),
+        F.col("n").alias("n_window"),
+        F.expr(_BOLL_MEAN).alias("sma"),
+        F.expr(_BOLL_UP).alias("upper_band"),
+        F.expr(_BOLL_LO).alias("lower_band"),
+        (
+            (rev > F.expr(_BOLL_UP)) | (rev < F.expr(_BOLL_LO))
+        ).alias("breach"),
+    )

@@ -204,6 +204,8 @@ GLOBAL_WINDOW_OK = {
     "doc_length_quantile_normalize",  # pooled-CDF prefix sum + as-of
                                       # carry over the length-DOMAIN
                                       # frames (equidepth waiver)
+    "daily_revenue_bollinger",   # constant 20-day RANGE frame over the
+                                 # one-row-per-day frame (calendar)
     "hodges_lehmann_value",      # prefix sum over the <=2|u|-row
                                  # Walsh-sum DOMAIN frame
     "zonemap_prune_audit",       # cumulative count over the one-row-

@@ -302,3 +302,41 @@ def test_mv_rewrite_query_matches_direct(spark, tmp_path):
     assert jan_o.n_orders == 2
     assert jan_o.avg_cents == 1512.5
     _parity(spark, "mv_monthly_revenue_rewrite", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E234 Bollinger bands
+# --------------------------------------------------------------------------
+
+
+def test_bollinger_breach_and_range_frame(spark, tmp_path):
+    # five 10.00 days then a 100.00 spike: z = 75/33.54... = sqrt(5) > 2
+    # -> breach. An order 30 days later sits OUTSIDE the 20-day RANGE
+    # frame of everything before it (a ROWS frame would wrongly include
+    # the history).
+    rows = [(k, 7, 10.0, dt.datetime(1995, 1, 1 + k)) for k in range(5)]
+    rows.append((5, 7, 100.0, dt.datetime(1995, 1, 6)))
+    rows.append((6, 7, 50.0, dt.datetime(1995, 2, 20)))
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.day.isoformat(): r
+        for r in QUERIES["daily_revenue_bollinger"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 7
+    d5 = out["1995-01-05"]
+    assert (d5.n_window, d5.sma, d5.breach) == (5, 10.0, False)
+    spike = out["1995-01-06"]
+    assert spike.n_window == 6
+    assert spike.sma == 25.0
+    assert spike.breach  # z = sqrt(5) = 2.236 > 2
+    assert spike.upper_band < 100.0
+    gap = out["1995-02-20"]
+    assert gap.n_window == 1  # RANGE frame: 45 days later, empty window
+    assert gap.sma == 50.0 and not gap.breach
+    _parity(spark, "daily_revenue_bollinger", tmp_path)
