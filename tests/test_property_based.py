@@ -413,3 +413,162 @@ def test_sliding_delta_identity_matches_naive(pairs):
             {u for u, d in ud if e - (W - 1) <= d <= e}
         )
         assert run == naive, (e, run, naive)
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann: engine == pure-python mirror for arbitrary small inputs
+# ---------------------------------------------------------------------------
+
+
+def _hl_mirror(values):
+    us = sorted(int(v) for v in values)  # floor of non-negative values
+    walsh = []
+    for i in range(len(us)):
+        for j in range(i, len(us)):
+            walsh.append(us[i] + us[j])
+    walsh.sort()
+    n = len(walsh)
+    k1 = (n + 1) // 2
+    k2 = n // 2 + 1
+    return (walsh[k1 - 1] + walsh[k2 - 1]) / 4.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=12
+    )
+)
+def test_hodges_lehmann_matches_python_mirror(spark, values):
+    import tempfile
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "event_id": range(len(values)),
+            "ts": pd.to_datetime(["2024-01-01"] * len(values)).astype(
+                "datetime64[ms]"
+            ),
+            "user_id": [1] * len(values),
+            "event_type": ["view"] * len(values),
+            "value": [float(v) for v in values],
+            "props": ["{}"] * len(values),
+        }
+    ).to_parquet(d + "/events.parquet")
+    row = QUERIES["hodges_lehmann_value"](spark, d).collect()[0]
+    assert row.hl_estimate == _hl_mirror(values)
+    assert row.n_walsh == len(values) * (len(values) + 1) / 2
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution: unanimity-game conservation for arbitrary journeys
+# ---------------------------------------------------------------------------
+
+_journey = st.lists(
+    st.sampled_from(["click", "view", "error", "signup", "purchase"]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_journey, min_size=1, max_size=5))
+def test_shapley_credit_conservation(spark, journeys):
+    import datetime as dt
+    import tempfile
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    expected_users = 0
+    for uid, journey in enumerate(journeys):
+        touched = set()
+        converted = False
+        for k, etype in enumerate(journey):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=k), uid, etype, 1.0, "{}")
+            )
+            if etype == "purchase" and not converted:
+                converted = True
+                if touched:
+                    expected_users += 1
+            if not converted and etype != "purchase":
+                touched.add(etype)
+    d = tempfile.mkdtemp()
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["ts"] = df["ts"].astype("datetime64[ms]")
+    df.to_parquet(d + "/events.parquet")
+    out = QUERIES["shapley_attribution"](spark, d).collect()
+    # every converting user with >=1 prior touch hands out exactly 60
+    assert sum(r.credit_60ths for r in out) == 60 * expected_users
+
+
+# ---------------------------------------------------------------------------
+# Haar decomposition: conservation + parent-child identities
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),   # day offset
+            st.integers(min_value=0, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_haar_conservation_and_parent_child(spark, orders):
+    import datetime as dt
+    import tempfile
+
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    d = tempfile.mkdtemp()
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(len(orders)),
+            "o_custkey": [7] * len(orders),
+            "o_totalprice": [c / 100.0 for _, c in orders],
+            "o_orderdate": [
+                dt.datetime(1992, 1, 1 + day) for day, _ in orders
+            ],
+        }
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(d + "/orders.parquet")
+    rows = QUERIES["daily_revenue_haar"](spark, d).collect()
+    total = sum(c for _, c in orders)
+    lv = {}
+    for r in rows:
+        lv.setdefault(r.level, {})[r.block] = (r.total_cents, r.detail_cents)
+    for k in (1, 2, 3):
+        assert sum(t for t, _ in lv[k].values()) == total  # conservation
+    # parent-child: total2(b) == total1(2b) + total1(2b+1);
+    # detail2(b) == total1(2b) - total1(2b+1)  (missing child = 0)
+    for b, (t2, d2) in lv[2].items():
+        left = lv[1].get(2 * b, (0, 0))[0]
+        right = lv[1].get(2 * b + 1, (0, 0))[0]
+        assert t2 == left + right
+        assert d2 == left - right
