@@ -304,6 +304,7 @@ HEADLINE = [
     "supplier_ontime_eb_shrunk",
     "event_feature_psi",
     "daily_revenue_bollinger",
+    "orders_fd_audit",
 ]
 
 

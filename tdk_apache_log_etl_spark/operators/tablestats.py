@@ -382,3 +382,85 @@ def mv_monthly_revenue_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:  # pragma: no cover - matcher contract
         raise AssertionError("MV rewrite must subsume the monthly query")
     return out
+
+
+# --------------------------------------------------------------------------
+# E235: functional-dependency audit (profiling / constraint discovery)
+# --------------------------------------------------------------------------
+
+#: Candidate dependencies to audit — the shortlist a profiler tests
+#: before a catalog declares constraints. The first two are the primary
+#: key doing its job (must HOLD); the last two are plausible-but-false
+#: business rules (a customer places orders in many statuses; a day
+#: sees many priorities) that the audit must REFUTE with counts.
+FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(f"""
+          SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 CAST(MAX(d) AS BIGINT) AS max_rhs_distinct,
+                 (SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+          FROM (
+            SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS d
+            FROM orders GROUP BY {lhs}
+          )
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query("orders_fd_audit", oracle=_fd_oracle())
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E235: functional-dependency audit — for each candidate rule
+    lhs → rhs, how many lhs groups carry MORE than one distinct rhs
+    (zero ⇔ the dependency holds).  This is the constraint-discovery
+    pass a catalog/profiler runs before declaring keys and denormalized
+    columns, and the audit that catches silent denormalization drift
+    (an upstream backfill writing two statuses for one order key shows
+    up here before it corrupts joins downstream).  Complements E51's
+    referential-integrity audit (cross-table) with the intra-table
+    dependency layer; E229's ndv == rows is the single-column special
+    case (unique-key discovery).
+
+    Exactness: all counts are exact integers; `holds` is an integer
+    comparison.
+
+    Scale: one keyed aggregate per candidate (map-side partial
+    countDistinct), each collapsing to a 1-row summary — |candidates|
+    bounded scans that AQE runs as cheap parallel jobs; no joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        g = orders.groupBy(lhs).agg(
+            F.countDistinct(rhs).cast("long").alias("d")
+        )
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("d").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating",
+                "max_rhs_distinct",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -340,3 +340,48 @@ def test_bollinger_breach_and_range_frame(spark, tmp_path):
     assert gap.n_window == 1  # RANGE frame: 45 days later, empty window
     assert gap.sma == 50.0 and not gap.breach
     _parity(spark, "daily_revenue_bollinger", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E235 functional-dependency audit
+# --------------------------------------------------------------------------
+
+
+def test_fd_audit_holds_and_refutes(spark, tmp_path):
+    rows = [
+        # custkey 1 violates custkey->status (O and F); custkey 2 clean;
+        # both days carry two priorities -> date->priority violated twice
+        (1, 1, "O", 10.0, dt.datetime(1995, 1, 1), "1-URGENT"),
+        (2, 1, "F", 10.0, dt.datetime(1995, 1, 1), "2-HIGH"),
+        (3, 2, "O", 10.0, dt.datetime(1995, 1, 2), "1-URGENT"),
+        (4, 2, "O", 10.0, dt.datetime(1995, 1, 2), "2-HIGH"),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        (r.lhs, r.rhs): r
+        for r in QUERIES["orders_fd_audit"](spark, str(tmp_path)).collect()
+    }
+    pk = out[("o_orderkey", "o_custkey")]
+    assert (pk.n_groups, pk.n_violating, pk.holds) == (4, 0, True)
+    cs = out[("o_custkey", "o_orderstatus")]
+    assert (cs.n_groups, cs.n_violating, cs.max_rhs_distinct, cs.holds) == (
+        2,
+        1,
+        2,
+        False,
+    )
+    dp = out[("o_orderdate", "o_orderpriority")]
+    assert (dp.n_groups, dp.n_violating, dp.holds) == (2, 2, False)
+    _parity(spark, "orders_fd_audit", tmp_path)
