@@ -305,6 +305,7 @@ HEADLINE = [
     "event_feature_psi",
     "daily_revenue_bollinger",
     "orders_fd_audit",
+    "replay_watermark_audit",
 ]
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .registry import query
+from .registry import query, scoped_persist
 
 
 def asof_join(
@@ -1457,3 +1457,124 @@ def supplier_ontime_eb_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("shrunk_rate"), F.asc("suppkey")
     ).limit(SUPPLIER_TOPK)
+
+
+# --------------------------------------------------------------------------
+# E236: replay watermark audit (how out-of-order is storage order vs
+# event time — the watermark a CDC replay would need)
+# --------------------------------------------------------------------------
+
+#: Lateness quantiles reported (1.0 = max).
+WM_QS = (0.5, 0.95, 0.99, 1.0)
+
+
+@query(
+    "replay_watermark_audit",
+    oracle=f"""
+        WITH r AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 MAX(CAST(o_orderdate AS DATE)) OVER (
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS rmax
+          FROM orders
+        ), l AS (
+          SELECT CAST(date_diff('day', d, rmax) AS DOUBLE) AS late_days
+          FROM r
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN late_days > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_late,
+               quantile_cont(late_days, {WM_QS[0]}) AS p50_late_days,
+               quantile_cont(late_days, {WM_QS[1]}) AS p95_late_days,
+               quantile_cont(late_days, {WM_QS[2]}) AS p99_late_days,
+               quantile_cont(late_days, {WM_QS[3]}) AS max_late_days
+        FROM l
+    """,
+)
+def replay_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E236: watermark sizing for a storage-order replay — before
+    re-streaming a table (CDC backfill, Kafka re-ingest, stream-batch
+    unification) you must know how OUT-OF-ORDER storage order is
+    relative to event time: every watermark smaller than the observed
+    lateness silently drops rows, every larger one holds state longer
+    than needed.  For each row this computes its lateness behind the
+    running event-time high-water mark in arrival (o_orderkey) order,
+    then reports the p50/p95/p99/max lateness — p99 is the watermark a
+    replay should configure, and a huge value is the same signal E228
+    reads from zone maps: the table wants date clustering.
+
+    The running max is the repo's two-phase prefix pattern (never a
+    volume-sized global window): range-partition on the arrival key →
+    per-partition running max (P parallel local windows) → the 32-row
+    per-partition max frame prefix-maxed and broadcast back.  Lateness
+    quantiles run on the shared distributed-selection machinery
+    (_distributed_quantiles — no single-task percentile sort).
+
+    Exactness: lateness is an exact integer day count cast to double;
+    quantile interpolation is the engine-shared pos = q·(n−1) formula.
+    """
+    from .relational import _distributed_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = (
+        orders.select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .repartitionByRange(32, "o_orderkey")
+        .select(
+            "o_orderkey", "d", F.spark_partition_id().alias("pid")
+        )
+    )
+    local = part.select(
+        "pid",
+        "d",
+        F.max("d")
+        .over(
+            Window.partitionBy("pid")
+            .orderBy("o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("lmax"),
+    )
+    pidmax = local.groupBy("pid").agg(F.max("d").alias("pmax"))
+    prevmax = pidmax.select(
+        "pid",
+        F.max("pmax")
+        .over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("offmax"),
+    )
+    late = (
+        local.join(F.broadcast(prevmax), "pid")
+        .select(
+            F.datediff(
+                F.greatest(
+                    F.col("lmax"),
+                    F.coalesce(F.col("offmax"), F.col("lmax")),
+                ),
+                F.col("d"),
+            )
+            .cast("double")
+            .alias("late_days")
+        )
+    )
+    late = scoped_persist(late)
+    stats = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("late_days") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+    )
+    q = _distributed_quantiles(late, "late_days", list(WM_QS))
+    return stats.crossJoin(F.broadcast(q)).select(
+        "n_rows",
+        "n_late",
+        F.get("qs", 0).alias("p50_late_days"),
+        F.get("qs", 1).alias("p95_late_days"),
+        F.get("qs", 2).alias("p99_late_days"),
+        F.get("qs", 3).alias("max_late_days"),
+    )

@@ -120,6 +120,9 @@ BNLJ_OK = {
                                  # against the zones/base overlap joins
     "supplier_ontime_eb_shrunk",  # 1-row prior-moment crossJoin
     "event_feature_psi",         # 1-row calendar-midpoint crossJoin
+    "replay_watermark_audit",    # 1-row quantile-array crossJoin +
+                                 # the _distributed_quantiles target
+                                 # broadcasts
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -206,6 +209,8 @@ GLOBAL_WINDOW_OK = {
                                       # frames (equidepth waiver)
     "daily_revenue_bollinger",   # constant 20-day RANGE frame over the
                                  # one-row-per-day frame (calendar)
+    "replay_watermark_audit",    # 32-row pid-offset prefix max + the
+                                 # _global_ranks pid-offset window
     "hodges_lehmann_value",      # prefix sum over the <=2|u|-row
                                  # Walsh-sum DOMAIN frame
     "zonemap_prune_audit",       # cumulative count over the one-row-

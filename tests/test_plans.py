@@ -233,6 +233,9 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # PSI (concentration.py): the 1-row calendar midpoint and the
         # |features|-row Laplace totals frame
         "mid", "ft",
+        # replay watermark audit (temporal.py): the 32-row per-partition
+        # prefix-max frame
+        "prevmax",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

@@ -385,3 +385,45 @@ def test_fd_audit_holds_and_refutes(spark, tmp_path):
     dp = out[("o_orderdate", "o_orderpriority")]
     assert (dp.n_groups, dp.n_violating, dp.holds) == (2, 2, False)
     _parity(spark, "orders_fd_audit", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E236 replay watermark audit
+# --------------------------------------------------------------------------
+
+
+def test_replay_watermark_hand_computed(spark, tmp_path):
+    # arrival order 1..5 with event days 3,1,2,5,4 -> running max
+    # 3,3,3,5,5 -> lateness 0,2,1,0,1: n_late=3, sorted [0,0,1,1,2],
+    # p50 = 1.0, p95 = 1.8 (pos 3.8), p99 = 1.96, max = 2.0
+    days = [3, 1, 2, 5, 4]
+    rows = [
+        (k + 1, 7, 10.0, dt.datetime(1995, 1, d)) for k, d in enumerate(days)
+    ]
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    r = QUERIES["replay_watermark_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.n_late) == (5, 3)
+    assert r.p50_late_days == 1.0
+    assert abs(r.p95_late_days - 1.8) < 1e-12
+    assert abs(r.p99_late_days - 1.96) < 1e-12
+    assert r.max_late_days == 2.0
+    _parity(spark, "replay_watermark_audit", tmp_path)
+
+
+def test_replay_watermark_sorted_table_is_zero(spark, tmp_path):
+    # a perfectly date-clustered table needs no watermark at all
+    rows = [
+        (k, 7, 10.0, dt.datetime(1995, 1, 1 + k)) for k in range(6)
+    ]
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[ms]")
+    df.to_parquet(tmp_path / "orders.parquet")
+    r = QUERIES["replay_watermark_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_late, r.max_late_days) == (0, 0.0)
+    _parity(spark, "replay_watermark_audit", tmp_path)
