@@ -306,6 +306,7 @@ HEADLINE = [
     "daily_revenue_bollinger",
     "orders_fd_audit",
     "replay_watermark_audit",
+    "rake_keyphrases",
 ]
 
 

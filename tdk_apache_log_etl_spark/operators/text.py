@@ -2290,3 +2290,185 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k").cast("double")
         ).alias("bits_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# E237: RAKE keyphrase extraction (gaps-and-islands + degree/frequency)
+# --------------------------------------------------------------------------
+
+#: Candidate phrases are maximal stopword-delimited runs, chunked to at
+#: most this many words (the practical RAKE cap — unbounded runs in
+#: low-stopword text otherwise blow up phrase strings and scores).
+RAKE_MAX_LEN = 4
+RAKE_TOPK = 20
+
+_RAKE_STOPSET = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _rake_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents
+        ), nonstop AS (
+          SELECT doc_id, w, ord,
+                 ord - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY ord
+                 ) AS island
+          FROM tok WHERE w NOT IN ({_RAKE_STOPSET}) AND w <> ''
+        ), chunked AS (
+          SELECT doc_id, w, ord, island,
+                 (ROW_NUMBER() OVER (
+                    PARTITION BY doc_id, island ORDER BY ord
+                  ) - 1) // {RAKE_MAX_LEN} AS chunk
+          FROM nonstop
+        ), sized AS (
+          SELECT *, CAST(COUNT(*) OVER (
+                   PARTITION BY doc_id, island, chunk
+                 ) AS BIGINT) AS plen
+          FROM chunked
+        ), wstats AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS deg
+          FROM sized GROUP BY w
+        ), wscore AS (
+          SELECT w, CAST(FLOOR(CAST(deg AS DOUBLE) / freq * 1000000000
+                   + 0.5) AS BIGINT) AS sq
+          FROM wstats
+        ), occ AS (
+          SELECT s.doc_id, s.island, s.chunk,
+                 string_agg(s.w, ' ' ORDER BY s.ord) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(ws.sq) AS BIGINT) AS score_q
+          FROM sized s JOIN wscore ws ON s.w = ws.w
+          GROUP BY s.doc_id, s.island, s.chunk
+        )
+        SELECT phrase, MAX(n_words) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(score_q) AS DOUBLE) / 1000000000 AS rake_score
+        FROM occ
+        GROUP BY phrase
+        ORDER BY MAX(score_q) DESC, phrase
+        LIMIT {RAKE_TOPK}
+    """
+
+
+@query("rake_keyphrases", oracle=_rake_oracle())
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E237: RAKE keyphrase extraction (Rose et al. 2010) — the
+    stopword-delimited phrase miner every lightweight corpus-exploration
+    stack ships: candidate phrases are maximal runs of non-stopwords
+    (the SQL gaps-and-islands pattern: ord − row_number is constant
+    within a run), capped at RAKE_MAX_LEN words; each word scores
+    degree/frequency (degree = Σ lengths of the phrases it appears in —
+    words that live in long phrases score higher), and a phrase scores
+    the sum of its words' scores.  Complements the retrieval family:
+    E39/E40 rank documents for a query, E118 (distinctive tokens)
+    ranks single words; this surfaces multi-word candidate TERMS.
+
+    Exactness: freq/deg/phrase lengths are exact integers; each word
+    score is ONE double division quantized to 1e-9 integers, so phrase
+    scores are exact integer sums (identical text ⇒ identical word
+    multiset ⇒ identical score in any engine or order); top-K breaks
+    ties on the phrase text.
+
+    Scale: tokens explode map-side; islands/chunks are per-doc windows
+    (bounded partitions); word stats collapse to the vocabulary frame;
+    the score join is a keyed equi-join on the word; TakeOrdered ships
+    K rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("ord0", "w"),
+    ).select("doc_id", (F.col("ord0") + 1).alias("ord"), "w")
+    nonstop = (
+        tok.filter(~F.col("w").isin(*STOPWORDS) & (F.col("w") != ""))
+        .select(
+            "doc_id",
+            "w",
+            "ord",
+            (
+                F.col("ord")
+                - F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("ord")
+                )
+            ).alias("island"),
+        )
+    )
+    chunked = nonstop.select(
+        "doc_id",
+        "w",
+        "ord",
+        "island",
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "island").orderBy("ord")
+                )
+                - 1
+            )
+            / RAKE_MAX_LEN
+        )
+        .cast("long")
+        .alias("chunk"),
+    )
+    sized = scoped_persist(
+        chunked.select(
+            "*",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id", "island", "chunk"))
+            .cast("long")
+            .alias("plen"),
+        )
+    )
+    wscore = (
+        sized.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "w",
+            F.floor(
+                F.col("deg").cast("double") / F.col("freq") * 1_000_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    occ = (
+        sized.join(wscore, "w")
+        .groupBy("doc_id", "island", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("sq").cast("long").alias("score_q"),
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_q").alias("sq_max"),
+        )
+        .orderBy(F.desc("sq_max"), F.asc("phrase"))
+        .limit(RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("sq_max").cast("double") / 1_000_000_000).alias(
+                "rake_score"
+            ),
+        )
+    )

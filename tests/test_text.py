@@ -336,3 +336,63 @@ def test_doc_surprisal_planted(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+# ---------------------------------------------------------------------------
+# E237 RAKE keyphrases: hand-computed degree/frequency pin + chunk cap
+# ---------------------------------------------------------------------------
+
+
+def test_rake_hand_computed(spark, tmp_path):
+    # stopwords include 'of' and 'and'. islands: [deep learning],
+    # [deep systems], [learning]. freq deep=2 learning=2 systems=1;
+    # deg deep=2+2=4, learning=2+1=3, systems=2; scores 2.0/1.5/2.0.
+    # phrases: 'deep systems'=4.0 > 'deep learning'=3.5 > 'learning'=1.5
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["deep learning of deep systems and learning"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [43],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["rake_keyphrases"](spark, str(tmp_path)).collect()
+    assert [(r.phrase, r.rake_score, r.n_occurrences) for r in rows] == [
+        ("deep systems", 4.0, 1),
+        ("deep learning", 3.5, 1),
+        ("learning", 1.5, 1),
+    ]
+    ok, detail = compare(
+        spark,
+        "rake_keyphrases",
+        QUERIES["rake_keyphrases"],
+        ORACLES["rake_keyphrases"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_rake_caps_runaway_islands(spark, tmp_path):
+    # six consecutive non-stopwords -> chunks of 4 + 2, never one
+    # 6-word phrase
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["alpha beta gamma delta epsilon zeta"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [35],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["rake_keyphrases"](spark, str(tmp_path)).collect()
+    phrases = {r.phrase: r.n_words for r in rows}
+    assert phrases == {"alpha beta gamma delta": 4, "epsilon zeta": 2}
+    ok, detail = compare(
+        spark,
+        "rake_keyphrases",
+        QUERIES["rake_keyphrases"],
+        ORACLES["rake_keyphrases"],
+        str(tmp_path),
+    )
+    assert ok, detail
