@@ -307,6 +307,7 @@ HEADLINE = [
     "orders_fd_audit",
     "replay_watermark_audit",
     "rake_keyphrases",
+    "kanon_generalization_plan",
 ]
 
 

@@ -502,3 +502,151 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_g").alias("group_size"),
         F.expr(_TCLOSE).alias("t_closeness"),
     )
+
+
+# --------------------------------------------------------------------------
+# E238: k-anonymity generalization planner (lattice search, one shuffle)
+# --------------------------------------------------------------------------
+
+#: Anonymity target: every quasi-identifier group must hold >= K people.
+KANON_TARGET = 5
+
+#: Location ladder: nation (L0) -> region (L1) -> suppressed (L2).
+#: Balance ladder: 100-wide (L0) -> 1000-wide (L1) -> 5000-wide (L2)
+#: -> suppressed (L3).  Cost of a lattice point = sum of levels (the
+#: standard generalization-height information-loss proxy).
+_LOC_LEVELS = 3
+_BAL_LEVELS = 4
+
+
+def _kanon_keys(engine: str) -> list[tuple[int, int, str, str]]:
+    """(loc_level, bal_level, loc_expr, bal_expr) for every lattice
+    point — identical SQL text in both engines."""
+    s = "STRING" if engine == "spark" else "VARCHAR"
+    loc = [
+        f"CAST(c_nationkey AS {s})",
+        f"CAST(n_regionkey AS {s})",
+        "'*'",
+    ]
+    bal = [
+        f"CAST(CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS {s})",
+        f"CAST(CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS {s})",
+        f"CAST(CAST(FLOOR(c_acctbal / 5000) AS BIGINT) AS {s})",
+        "'*'",
+    ]
+    return [
+        (li, lb, loc[li], bal[lb])
+        for li in range(_LOC_LEVELS)
+        for lb in range(_BAL_LEVELS)
+    ]
+
+
+def _kanon_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT {li} AS loc_level, {lb} AS bal_level,"
+        f" {le} AS loc_key, {be} AS bal_key"
+        for li, lb, le, be in _kanon_keys("duck")
+    )
+    return f"""
+        WITH base AS (
+          SELECT c.c_nationkey, c.c_acctbal, n.n_regionkey
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), fanned AS (
+          SELECT f.* FROM base CROSS JOIN LATERAL ({arms}) f
+        ), cells AS (
+          SELECT loc_level, bal_level, loc_key, bal_key,
+                 CAST(COUNT(*) AS BIGINT) AS sz
+          FROM fanned GROUP BY 1, 2, 3, 4
+        ), combos AS (
+          SELECT loc_level, bal_level,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(MIN(sz) AS BIGINT) AS k_min,
+                 loc_level + bal_level AS cost,
+                 MIN(sz) >= {KANON_TARGET} AS meets_k
+          FROM cells GROUP BY loc_level, bal_level
+        ), winner AS (
+          SELECT MIN(ROW(cost, loc_level, bal_level)) AS w
+          FROM combos WHERE meets_k
+        )
+        SELECT loc_level, bal_level, n_groups, k_min, cost, meets_k,
+               (meets_k AND ROW(cost, loc_level, bal_level)
+                 = (SELECT w FROM winner)) AS chosen
+        FROM combos
+    """
+
+
+@query("kanon_generalization_plan", oracle=_kanon_oracle())
+def kanon_generalization_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E238: k-anonymity generalization PLANNER — where E73 audits one
+    release shape, this searches the whole generalization lattice
+    (nation→region→* × four balance-band widths) and marks the
+    cheapest point whose smallest quasi-identifier group still holds
+    ≥ K people: the Samarati/Incognito decision of which columns to
+    coarsen BEFORE a release, made from data, with the cost/anonymity
+    trade-off of every alternative visible in one frame.
+
+    One shuffle total: each customer fans out to |lattice| (12) rows
+    map-side, ONE keyed aggregate sizes every group of every lattice
+    point, and a second tiny aggregate collapses to the 12-row combo
+    frame; the winner is the lexicographic MIN of (cost, levels) among
+    points meeting K — deterministic, no floating point anywhere.
+
+    Scale: fan-out is a constant 12×; group cells are bounded by the
+    QI domains (≤ 25·|bands|), so the combo frame never grows with
+    volume."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    base = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    arms = []
+    for li, lb, le, be in _kanon_keys("spark"):
+        arms.append(
+            f"({li}, {lb}, {le}, {be})"
+        )
+    fanned = base.select(
+        F.explode(
+            F.expr(
+                "array" + "(" + ", ".join(
+                    f"struct({li} AS loc_level, {lb} AS bal_level, "
+                    f"{le} AS loc_key, {be} AS bal_key)"
+                    for li, lb, le, be in _kanon_keys("spark")
+                ) + ")"
+            )
+        ).alias("g")
+    ).select("g.loc_level", "g.bal_level", "g.loc_key", "g.bal_key")
+    cells = fanned.groupBy(
+        "loc_level", "bal_level", "loc_key", "bal_key"
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    combos = cells.groupBy("loc_level", "bal_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_min"),
+    ).select(
+        "loc_level",
+        "bal_level",
+        "n_groups",
+        "k_min",
+        (F.col("loc_level") + F.col("bal_level")).alias("cost"),
+        (F.col("k_min") >= KANON_TARGET).alias("meets_k"),
+    )
+    winner = combos.filter("meets_k").agg(
+        F.min(F.struct("cost", "loc_level", "bal_level")).alias("w")
+    )
+    return combos.crossJoin(F.broadcast(winner)).select(
+        "loc_level",
+        "bal_level",
+        "n_groups",
+        "k_min",
+        "cost",
+        "meets_k",
+        (
+            F.col("meets_k")
+            & (
+                F.struct("cost", "loc_level", "bal_level") == F.col("w")
+            )
+        ).alias("chosen"),
+    )

@@ -123,6 +123,7 @@ BNLJ_OK = {
     "replay_watermark_audit",    # 1-row quantile-array crossJoin +
                                  # the _distributed_quantiles target
                                  # broadcasts
+    "kanon_generalization_plan",  # 1-row lattice-winner crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

@@ -236,6 +236,8 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # replay watermark audit (temporal.py): the 32-row per-partition
         # prefix-max frame
         "prevmax",
+        # k-anon planner (privacy.py): the 1-row lattice-winner frame
+        "winner",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []

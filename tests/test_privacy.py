@@ -140,3 +140,47 @@ def test_dp_histogram_noise_is_deterministic_and_bounded(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_kanon_planner_picks_cheapest_meeting_point(spark, tmp_path):
+    import pandas as pd
+
+    # 10 customers, one nation, balances 0..900 in 100 steps: 100-wide
+    # bands are all singletons (k_min = 1, fails), 1000-wide bands put
+    # everyone in one group (k = 10).  Cheapest meeting point is
+    # (loc L0, bal L1) at cost 1.
+    pd.DataFrame(
+        {
+            "c_custkey": range(10),
+            "c_nationkey": [0] * 10,
+            "c_acctbal": [100.0 * i for i in range(10)],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0], "n_regionkey": [0], "n_name": ["X"]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    out = {
+        (r.loc_level, r.bal_level): r
+        for r in QUERIES["kanon_generalization_plan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 12
+    raw = out[(0, 0)]
+    assert (raw.k_min, raw.meets_k, raw.chosen) == (1, False, False)
+    win = out[(0, 1)]
+    assert (win.n_groups, win.k_min, win.cost) == (1, 10, 1)
+    assert win.meets_k and win.chosen
+    assert sum(1 for r in out.values() if r.chosen) == 1
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "kanon_generalization_plan",
+        QUERIES["kanon_generalization_plan"],
+        ORACLES["kanon_generalization_plan"],
+        str(tmp_path),
+    )
+    assert ok, detail
