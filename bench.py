@@ -308,6 +308,7 @@ HEADLINE = [
     "replay_watermark_audit",
     "rake_keyphrases",
     "kanon_generalization_plan",
+    "snm_part_name_pairs",
 ]
 
 

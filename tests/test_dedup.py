@@ -343,3 +343,35 @@ def test_deletion_pairs_substitution_and_suffix(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_snm_pairs_neighbors_within_window(spark, tmp_path):
+    import pandas as pd
+
+    # sorted order: [anvil red, anvil rod, zeta box]; only the adjacent
+    # anvil pair is within edit distance 3 — found WITHOUT any blocking
+    # attribute (SNM's point vs the brand/type-blocked E14 matcher)
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": ["anvil red", "anvil rod", "zeta box", "anvil red"],
+            "p_brand": ["B1", "B2", "B3", "B4"],
+            "p_type": ["t"] * 4,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    rows = QUERIES["snm_part_name_pairs"](spark, str(tmp_path)).collect()
+    assert [(r.name_a, r.name_b, r.rank_gap, r.edit_dist) for r in rows] == [
+        ("anvil red", "anvil rod", 1, 1)
+    ]
+    ok, detail = compare(
+        spark,
+        "snm_part_name_pairs",
+        QUERIES["snm_part_name_pairs"],
+        ORACLES["snm_part_name_pairs"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -212,6 +212,8 @@ GLOBAL_WINDOW_OK = {
                                  # one-row-per-day frame (calendar)
     "replay_watermark_audit",    # 32-row pid-offset prefix max + the
                                  # _global_ranks pid-offset window
+    "snm_part_name_pairs",       # _global_ranks 32-row pid-offset
+                                 # window (vocabulary ranking)
     "hodges_lehmann_value",      # prefix sum over the <=2|u|-row
                                  # Walsh-sum DOMAIN frame
     "zonemap_prune_audit",       # cumulative count over the one-row-
