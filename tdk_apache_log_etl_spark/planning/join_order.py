@@ -179,3 +179,34 @@ def greedy_order(stats, preds):
         tot += best_e
         del remaining[best_s.name]
     return order, costs, tot
+
+
+#: Spark's default spark.sql.autoBroadcastJoinThreshold.
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
+
+
+def annotate_strategies(
+    order,
+    stats,
+    row_bytes: dict,
+    threshold: int = BROADCAST_THRESHOLD_BYTES,
+):
+    """Physical-strategy advice for a chosen left-deep order: at each
+    step, broadcast the incoming table when its estimated bytes
+    (rows · row_bytes[name]) fit the threshold, else shuffle (SMJ/SHJ —
+    Spark's pick).  Returns [(table, strategy, est_bytes)] for steps
+    1..n-1.  This is the explicit form of the decision AQE makes at
+    runtime — useful when writing the query, to know which joins to
+    hint and which dimension tables to keep denormalization-free."""
+    by_name = {s.name: s for s in stats}
+    out = []
+    for name in order[1:]:
+        est = by_name[name].rows * row_bytes.get(name, 64)
+        out.append(
+            (
+                name,
+                "broadcast" if est <= threshold else "shuffle",
+                est,
+            )
+        )
+    return out

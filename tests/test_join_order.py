@@ -85,3 +85,19 @@ def test_collect_table_stats_one_pass(spark, tmp_path):
     ts = collect_table_stats(df, "t", ["k", "v"])
     assert ts.rows == 4
     assert ts.ndv == {"k": 3, "v": 2}
+
+
+def test_strategy_annotation_broadcasts_dims_only():
+    from tdk_apache_log_etl_spark.planning.join_order import (
+        annotate_strategies,
+    )
+
+    order, _, _ = best_left_deep(STAR_STATS, STAR_PREDS)
+    ann = annotate_strategies(
+        order, STAR_STATS, {"nation": 32, "customer": 64, "orders": 64}
+    )
+    strategies = {name: s for name, s, _ in ann}
+    assert strategies["orders"] == "shuffle"  # 1.5M x 64B >> 10MB
+    # whichever dimension joins second is broadcast-sized
+    dim = [n for n in order[1:] if n != "orders"][0]
+    assert strategies[dim] == "broadcast"
