@@ -309,6 +309,7 @@ HEADLINE = [
     "rake_keyphrases",
     "kanon_generalization_plan",
     "snm_part_name_pairs",
+    "ip_longest_prefix_route",
 ]
 
 

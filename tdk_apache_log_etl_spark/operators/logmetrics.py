@@ -3828,3 +3828,130 @@ def apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.count(F.lit(1)))
         ).alias("apdex"),
     )
+
+
+# --------------------------------------------------------------------------
+# E240: longest-prefix-match IP routing classification
+# --------------------------------------------------------------------------
+
+#: Literal routing table: (route, prefix_len, network_base_u32) — nested
+#: prefixes on purpose (10.0.0.0/8 ⊃ /16 ⊃ /17, /24), so only a true
+#: LPM resolves them. 10.0.0.0 = 167772160; 10.0.128.0/17 covers the
+#: high half of the synthesized user octet; 10.0.42.0/24 is a canary.
+IP_ROUTES = (
+    ("core", 8, 167_772_160),
+    ("dc-east", 16, 167_772_160),
+    ("dc-east-hi", 17, 167_804_928),
+    ("canary", 24, 167_782_912),
+)
+
+_ROUTES_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS route, {l} AS plen, CAST({b} AS BIGINT) AS base"
+    for n, l, b in IP_ROUTES
+)
+_LENS = sorted({l for _, l, _ in IP_ROUTES})
+
+
+@query(
+    "ip_longest_prefix_route",
+    oracle=f"""
+        WITH ips AS (
+          SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                   || CAST(event_id % 256 AS VARCHAR) AS ip,
+                 (user_id % 256) * 256 + (event_id % 256)
+                   + 167772160 AS u32
+          FROM events
+        ), per_ip AS (
+          SELECT ip, MIN(u32) AS u32,
+                 CAST(COUNT(*) AS BIGINT) AS n_requests
+          FROM ips GROUP BY ip
+        ), fanned AS (
+          SELECT p.ip, p.n_requests, l.plen AS probe_len,
+                 (p.u32 >> (32 - l.plen)) << (32 - l.plen) AS masked
+          FROM per_ip p CROSS JOIN (
+            {" UNION ALL ".join(f"SELECT {l} AS plen" for l in _LENS)}
+          ) l
+        ), routes AS ({_ROUTES_SQL}),
+        matched AS (
+          SELECT f.ip, f.n_requests, r.route, r.plen
+          FROM fanned f JOIN routes r
+            ON f.probe_len = r.plen AND f.masked = r.base
+        ), winner AS (
+          SELECT ip, n_requests,
+                 MAX(plen) AS prefix_len,
+                 ARG_MAX(route, plen) AS route
+          FROM matched GROUP BY ip, n_requests
+        )
+        SELECT route, prefix_len,
+               CAST(COUNT(*) AS BIGINT) AS n_ips,
+               CAST(SUM(n_requests) AS BIGINT) AS n_requests
+        FROM winner GROUP BY route, prefix_len
+    """,
+)
+def ip_longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E240: longest-prefix-match routing classification — the router /
+    geo-IP / tenant-attribution lookup done the way a distributed engine
+    must: NEVER a per-row scan of the prefix table. Each distinct client
+    IP fans out to the |distinct prefix lengths| masked keys (a CONSTANT
+    ≤ 33× for IPv4) and equi-joins the broadcast route table on
+    (prefix_len, masked_network); the most-specific match wins via
+    max/max_by. Traffic is pre-aggregated per IP first, so the fan-out
+    runs on the ADDRESS vocabulary, not the request volume — the same
+    vocabulary-collapse move as E14/E239.
+
+    Parses the synthesized CLF lines like the other clf_* queries (the
+    oracle reproduces the IP arithmetic from events directly), so the
+    regex parse path is exercised end-to-end.
+
+    Exactness: u32 addresses, masks, and counts are all integers; ties
+    are impossible (one route per (len, base)).
+
+    Scale: one keyed per-IP aggregate (map-side combinable), constant
+    fan-out, broadcast equi-join against the route literal, two tiny
+    rollups. The route table can grow to real BGP size (~10⁶ rows) and
+    this stays a broadcast hash join."""
+    parsed = _parsed_clf(spark, sf_dir)
+    oct_ = F.split(F.col("ip"), "\\.")
+    per_ip = (
+        parsed.groupBy(F.col("ip_address").alias("ip"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_requests"))
+        .select(
+            "ip",
+            "n_requests",
+            (
+                F.element_at(oct_, 1).cast("long") * 16_777_216
+                + F.element_at(oct_, 2).cast("long") * 65_536
+                + F.element_at(oct_, 3).cast("long") * 256
+                + F.element_at(oct_, 4).cast("long")
+            ).alias("u32"),
+        )
+    )
+    fanned = per_ip.select(
+        "ip",
+        "n_requests",
+        F.explode(
+            F.array(*[F.lit(l) for l in _LENS])
+        ).alias("probe_len"),
+        "u32",
+    ).select(
+        "ip",
+        "n_requests",
+        "probe_len",
+        F.expr(
+            "shiftleft(shiftright(u32, 32 - probe_len), 32 - probe_len)"
+        ).alias("masked"),
+    )
+    routes = spark.sql(f"SELECT * FROM ({_ROUTES_SQL})")
+    matched = fanned.join(
+        F.broadcast(routes),
+        (F.col("probe_len") == F.col("plen"))
+        & (F.col("masked") == F.col("base")),
+    )
+    winner = matched.groupBy("ip", "n_requests").agg(
+        F.max("plen").alias("prefix_len"),
+        F.max_by("route", "plen").alias("route"),
+    )
+    return winner.groupBy("route", "prefix_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ips"),
+        F.sum("n_requests").cast("long").alias("n_requests"),
+    )

@@ -427,3 +427,40 @@ def test_replay_watermark_sorted_table_is_zero(spark, tmp_path):
     r = QUERIES["replay_watermark_audit"](spark, str(tmp_path)).collect()[0]
     assert (r.n_late, r.max_late_days) == (0, 0.0)
     _parity(spark, "replay_watermark_audit", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E240 longest-prefix-match routing
+# --------------------------------------------------------------------------
+
+
+def test_lpm_prefers_most_specific_route(spark, tmp_path):
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    _write_events(
+        tmp_path,
+        [
+            # user 42 -> 10.0.42.x -> canary /24 beats /17? (42 < 128,
+            # so /17 doesn't even match) and beats /16 and /8 by length
+            (1, t, 42, "view", 1.0, "{}"),
+            # user 200 -> 10.0.200.x -> dc-east-hi /17 beats /16
+            (2, t, 200, "view", 1.0, "{}"),
+            # user 5 -> 10.0.5.x -> only /16 and /8 match -> dc-east
+            (3, t, 5, "view", 1.0, "{}"),
+            (4, t, 5, "view", 1.0, "{}"),
+        ],
+    )
+    out = {
+        r.route: r
+        for r in QUERIES["ip_longest_prefix_route"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"canary", "dc-east-hi", "dc-east"}
+    assert (out["canary"].prefix_len, out["canary"].n_requests) == (24, 1)
+    assert (out["dc-east-hi"].prefix_len, out["dc-east-hi"].n_requests) == (
+        17,
+        1,
+    )
+    assert (out["dc-east"].prefix_len, out["dc-east"].n_ips,
+            out["dc-east"].n_requests) == (16, 2, 2)
+    _parity(spark, "ip_longest_prefix_route", tmp_path)
