@@ -2712,6 +2712,14 @@ def event_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lb"),
     )
+    return psi_from_cells(cells)
+
+
+def psi_from_cells(cells: DataFrame) -> DataFrame:
+    """Lattice PSI from a Laplace-smoothed cell frame (feature, bin,
+    la, lb) — shared by the batch halves query above and the streaming
+    drift monitor (streaming/drift_stream.py), which feeds la from a
+    frozen baseline table and lb from live maintained counts."""
     ft = cells.groupBy("feature").agg(
         F.sum("la").cast("long").alias("n1"),
         F.sum("lb").cast("long").alias("n2"),
