@@ -310,6 +310,7 @@ HEADLINE = [
     "kanon_generalization_plan",
     "snm_part_name_pairs",
     "ip_longest_prefix_route",
+    "ab_sequential_obf",
 ]
 
 

@@ -2756,3 +2756,192 @@ def psi_from_cells(cells: DataFrame) -> DataFrame:
             F.sum(F.expr(_PSI_TERM)).cast("double") / _PSI_SCALE
         ).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# E241: group-sequential A/B monitoring (O'Brien-Fleming boundaries)
+# --------------------------------------------------------------------------
+
+#: O'Brien-Fleming SQUARED z boundaries for K=5 equally-spaced looks at
+#: two-sided alpha=0.05: z_k = 2.0403 * sqrt(K/k), squared so the
+#: comparison is against E85's sqrt-free z^2 statistic. Constants are
+#: the classic published values (Jennison & Turnbull table 2.3 shape).
+OBF_K = 5
+OBF_Z2 = (20.8141, 10.4070, 6.9380, 5.2035, 4.1628)
+
+#: E85's z^2 chain over exact integer columns (n_a, conv_a, n_b, conv_b)
+#: — identical text in both engines.
+_OBF_Z2_EXPR = (
+    "((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+    " * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+    " / NULLIF((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    " * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    " * (1.0 / n_a + 1.0 / n_b), 0.0))"
+)
+
+_OBF_BOUND_SQL = "CASE " + " ".join(
+    f"WHEN look = {k + 1} THEN {b}" for k, b in enumerate(OBF_Z2)
+) + " END"
+
+
+@query(
+    "ab_sequential_obf",
+    oracle=f"""
+        WITH ev AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                   AS day_idx,
+                 event_type
+          FROM events
+        ), per_user AS (
+          SELECT user_id, MIN(day_idx) AS first_day,
+                 MIN(CASE WHEN event_type = 'purchase' THEN day_idx END)
+                   AS conv_day
+          FROM ev GROUP BY user_id
+        ), bounds AS (
+          SELECT MIN(day_idx) AS d0, MAX(day_idx) AS d1 FROM ev
+        ), fanned AS (
+          SELECT u.user_id, u.first_day, u.conv_day, l.look,
+                 b.d0 + ((b.d1 - b.d0) * l.look + {OBF_K} - 1)
+                   // {OBF_K} AS cutoff
+          FROM per_user u CROSS JOIN bounds b
+          CROSS JOIN (
+            {" UNION ALL ".join(f"SELECT {k} AS look"
+                                for k in range(1, OBF_K + 1))}
+          ) l
+        ), looks AS (
+          SELECT look, MAX(cutoff) AS cutoff_day,
+                 CAST(COUNT(*) FILTER (WHERE first_day <= cutoff
+                   AND user_id % 2 = 0) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) FILTER (WHERE conv_day <= cutoff
+                   AND user_id % 2 = 0) AS BIGINT) AS conv_a,
+                 CAST(COUNT(*) FILTER (WHERE first_day <= cutoff
+                   AND user_id % 2 = 1) AS BIGINT) AS n_b,
+                 CAST(COUNT(*) FILTER (WHERE conv_day <= cutoff
+                   AND user_id % 2 = 1) AS BIGINT) AS conv_b
+          FROM fanned GROUP BY look
+        ), scored AS (
+          SELECT look, cutoff_day, n_a, conv_a, n_b, conv_b,
+                 {_OBF_Z2_EXPR} AS z2,
+                 {_OBF_BOUND_SQL} AS z2_boundary
+          FROM looks
+        ), first_x AS (
+          SELECT MIN(CASE WHEN z2 >= z2_boundary THEN look END) AS fx
+          FROM scored
+        )
+        SELECT s.look, s.cutoff_day, s.n_a, s.conv_a, s.n_b, s.conv_b,
+               s.z2, s.z2_boundary,
+               COALESCE(s.z2 >= s.z2_boundary, FALSE) AS crossed,
+               COALESCE(s.look = f.fx, FALSE) AS is_first_crossing
+        FROM scored s CROSS JOIN first_x f
+    """,
+)
+def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E241: group-sequential experiment monitoring with O'Brien-Fleming
+    stopping boundaries — the guard rail against the peeking problem:
+    re-running E85's fixed-horizon z-test on every dashboard refresh
+    inflates false positives severalfold, while OBF spends almost no
+    alpha early (|z| must beat 4.56 at the first of five looks) and
+    converges to ~2.04 at the end, preserving the overall 0.05 level.
+    Each look scores the CUMULATIVE cohorts as of its calendar cutoff
+    (users enter at their first event; conversions count once
+    purchased), flags boundary crossings, and marks the FIRST crossing
+    — the early-stop decision an experimentation platform automates.
+
+    Exactness: cutoffs and cumulative counts are exact integers (the
+    constant 5x user fan-out mirrors E238's lattice move); z² reuses
+    E85's sqrt-free fixed double chain; boundaries are literal squared
+    constants, so 'crossed' is a pure comparison.
+
+    Scale: one per-user aggregate, a 1-row calendar-bounds crossJoin,
+    constant 5x fan-out, one (look x arm) rollup to a 5-row frame —
+    nothing volume-sized past the first aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_idx"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day_idx").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day_idx"))
+        ).alias("conv_day"),
+    )
+    bounds = ev.agg(
+        F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1")
+    )
+    fanned = (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "first_day",
+            "conv_day",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, OBF_K + 1)])
+            ).alias("look"),
+            "d0",
+            "d1",
+        )
+        .select(
+            "user_id",
+            "first_day",
+            "conv_day",
+            "look",
+            F.expr(
+                f"d0 + ((d1 - d0) * look + {OBF_K} - 1) DIV {OBF_K}"
+            ).alias("cutoff"),
+        )
+    )
+    is_a = F.col("user_id") % 2 == 0
+    looks = fanned.groupBy("look").agg(
+        F.max("cutoff").alias("cutoff_day"),
+        F.count(F.when((F.col("first_day") <= F.col("cutoff")) & is_a, 1))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when((F.col("conv_day") <= F.col("cutoff")) & is_a, 1))
+        .cast("long")
+        .alias("conv_a"),
+        F.count(
+            F.when((F.col("first_day") <= F.col("cutoff")) & ~is_a, 1)
+        )
+        .cast("long")
+        .alias("n_b"),
+        F.count(
+            F.when((F.col("conv_day") <= F.col("cutoff")) & ~is_a, 1)
+        )
+        .cast("long")
+        .alias("conv_b"),
+    )
+    scored = looks.select(
+        "look",
+        "cutoff_day",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(_OBF_Z2_EXPR).alias("z2"),
+        F.expr(_OBF_BOUND_SQL).alias("z2_boundary"),
+    )
+    first_x = scored.agg(
+        F.min(
+            F.when(F.col("z2") >= F.col("z2_boundary"), F.col("look"))
+        ).alias("fx")
+    )
+    return scored.crossJoin(F.broadcast(first_x)).select(
+        "look",
+        "cutoff_day",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "z2",
+        "z2_boundary",
+        F.coalesce(
+            F.col("z2") >= F.col("z2_boundary"), F.lit(False)
+        ).alias("crossed"),
+        F.coalesce(F.col("look") == F.col("fx"), F.lit(False)).alias(
+            "is_first_crossing"
+        ),
+    )

@@ -949,3 +949,65 @@ def test_psi_hard_shift_crosses_refit_threshold_within_lattice_error(
         str(tmp_path),
     )
     assert ok, detail
+
+
+# --------------------------------------------------------------------------
+# E241 group-sequential O'Brien-Fleming monitoring
+# --------------------------------------------------------------------------
+
+
+def test_obf_extreme_effect_crosses_at_first_look(spark, tmp_path):
+    import datetime as dt
+
+    # 30 even-id users all convert on day 0, 30 odd-id users never do:
+    # z^2 = 1 / (0.25 * (2/30)) = 60 >> 20.81, so the FIRST look already
+    # crosses; later looks stay crossed but only look 1 is the stop.
+    rows = []
+    eid = 0
+    for u in range(0, 60, 2):
+        eid += 1
+        rows.append((eid, dt.datetime(1992, 1, 1), u, "purchase", 1.0, "{}"))
+    for u in range(1, 60, 2):
+        eid += 1
+        rows.append((eid, dt.datetime(1992, 1, 1), u, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(1992, 1, 5), 1, "view", 1.0, "{}"))
+    _psi_events(tmp_path, rows)
+    out = {r.look: r for r in QUERIES["ab_sequential_obf"](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    assert out[1].crossed and out[1].is_first_crossing
+    assert out[2].crossed and not out[2].is_first_crossing
+    assert (out[1].n_a, out[1].conv_a, out[1].n_b, out[1].conv_b) == (
+        30, 30, 30, 0)
+    assert abs(out[1].z2 - 60.0) < 1e-9
+    ok, detail = compare(
+        spark,
+        "ab_sequential_obf",
+        QUERIES["ab_sequential_obf"],
+        ORACLES["ab_sequential_obf"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_obf_degenerate_pool_never_crosses(spark, tmp_path):
+    import datetime as dt
+
+    # everyone converts -> pooled rate 1 -> z^2 NULL -> crossed FALSE
+    rows = [
+        (u + 1, dt.datetime(1992, 1, 1 + (u % 3)), u, "purchase", 1.0, "{}")
+        for u in range(8)
+    ]
+    _psi_events(tmp_path, rows)
+    out = QUERIES["ab_sequential_obf"](spark, str(tmp_path)).collect()
+    assert all(not r.crossed and not r.is_first_crossing for r in out)
+    assert all(r.z2 is None for r in out)
+    ok, detail = compare(
+        spark,
+        "ab_sequential_obf",
+        QUERIES["ab_sequential_obf"],
+        ORACLES["ab_sequential_obf"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -124,6 +124,8 @@ BNLJ_OK = {
                                  # the _distributed_quantiles target
                                  # broadcasts
     "kanon_generalization_plan",  # 1-row lattice-winner crossJoin
+    "ab_sequential_obf",         # 1-row calendar-bounds + 1-row
+                                 # first-crossing crossJoins
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

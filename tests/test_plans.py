@@ -238,6 +238,13 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         "prevmax",
         # k-anon planner (privacy.py): the 1-row lattice-winner frame
         "winner",
+        # OBF sequential monitoring (concentration.py): the 1-row
+        # calendar-bounds and first-crossing frames
+        "bounds", "first_x",
+        # LPM routing (logmetrics.py): the literal route table — a
+        # production BGP table (~1e6 short rows, tens of MB) is still
+        # the textbook broadcast side
+        "routes",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
