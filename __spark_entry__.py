@@ -89,12 +89,14 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (minhash_lsh_neardup, simhash_neardup,
     ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
     embedding_cosine_neardup, ann_recall_eval, bpe_train_merges,
-    semdedup_prune, kcore_part_graph) are genuinely
+    semdedup_prune, kcore_part_graph, greedy_coverage_select) are genuinely
     non-SQL-expressible (LSH bucketing / iterative k-means / iterative
-    BPE / data-dependent fixpoint; bpe_train_merges and
-    kcore_part_graph are instead pinned against pure-Python reference
-    implementations in tests/test_chunking.py and tests/test_graph.py,
-    semdedup_prune against planted duplicate groups) →
+    BPE / iterative greedy set cover / data-dependent fixpoint;
+    bpe_train_merges, kcore_part_graph, and greedy_coverage_select are
+    instead pinned against pure-Python reference implementations in
+    tests/test_chunking.py, tests/test_graph.py, and
+    tests/test_hygiene.py, semdedup_prune against planted duplicate
+    groups) →
     driver's rows-only check. Every approx/sketch aggregate
     (clf_user_count_approx, events_value_percentiles_approx,
     hll_user_rollup, cms_user_frequency, kll_quantile_rollup,

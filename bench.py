@@ -311,6 +311,7 @@ HEADLINE = [
     "snm_part_name_pairs",
     "ip_longest_prefix_route",
     "ab_sequential_obf",
+    "greedy_coverage_select",
 ]
 
 

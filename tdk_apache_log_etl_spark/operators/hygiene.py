@@ -155,3 +155,108 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("ng").alias("n_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# E242: greedy vocabulary-coverage document selection (coreset picking)
+# --------------------------------------------------------------------------
+
+#: Selection budget — constant, so the driver loop is bounded.
+COVERAGE_K = 10
+
+
+@query("greedy_coverage_select")
+def greedy_coverage_select(spark: SparkSession, sf_dir: str):
+    """E242: greedy maximum-coverage document selection — the classic
+    (1 − 1/e)-approximate coreset picker for data selection: repeatedly
+    take the document that covers the most vocabulary not yet covered
+    by the picks so far.  This is the "small, maximally diverse sample"
+    every pipeline needs (tokenizer warm-up sets, eval seeds, human
+    review batches), and the submodular-selection shape (facility
+    location / coverage) behind modern data-pruning papers.
+
+    Distributed like the E76 BPE trainer: the (doc, token) pair frame
+    is built ONCE and persisted; each of the COVERAGE_K rounds is one
+    anti-join against the covered-vocabulary frame, one map-side-
+    combined per-doc count, and a limit(1).collect() of the single
+    winner row (ties break on doc_id) — the driver only ever sees K
+    winner tuples, and the covered frame is re-persisted per round with
+    the previous round unpersisted, so lineage stays O(1).
+
+    No SQL oracle: the greedy recurrence is data-dependent and
+    iterative (same class as bpe_train_merges / kcore); correctness is
+    pinned against a pure-Python mirror plus the coverage-monotonicity
+    invariant in tests/test_hygiene.py — the driver records the
+    rows-only check.
+
+    Output: (rank, doc_id, new_tokens, cum_covered, coverage_frac)."""
+    from .registry import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    # coverage unit: token BIGRAMS — the corpus vocabulary is tiny by
+    # construction, so unigram coverage saturates after one pick; bigram
+    # coverage (~|V|^2 units) is also what tokenizer-warmup selection
+    # actually optimizes (merge-pair exposure).
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    pairs = scoped_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat_ws("\u0001", a, b),
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    vocab_total = pairs.select("tok").distinct().count()
+    covered = None  # DataFrame[tok] of covered vocabulary
+    picked = []
+    cum = 0
+    remaining = pairs
+    for rank in range(1, COVERAGE_K + 1):
+        win = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not win or win[0].gain == 0:
+            break
+        doc_id, gain = win[0].doc_id, win[0].gain
+        cum += gain
+        picked.append(
+            (rank, doc_id, gain, cum, float(cum) / vocab_total)
+        )
+        win_toks = pairs.filter(F.col("doc_id") == doc_id).select("tok")
+        new_covered = (
+            win_toks
+            if covered is None
+            else covered.unionByName(win_toks).distinct()
+        ).persist()
+        new_covered.count()  # materialize before dropping the parent
+        if covered is not None:
+            covered.unpersist()
+        covered = new_covered
+        new_remaining = remaining.join(
+            win_toks.withColumnRenamed("tok", "wtok"),
+            remaining["tok"] == F.col("wtok"),
+            "left_anti",
+        ).persist()
+        new_remaining.count()
+        if remaining is not pairs:
+            remaining.unpersist()
+        remaining = new_remaining
+    if covered is not None:
+        covered.unpersist()
+    if remaining is not pairs:
+        remaining.unpersist()
+    return spark.createDataFrame(
+        picked,
+        "rank int, doc_id long, new_tokens long, cum_covered long, "
+        "coverage_frac double",
+    )

@@ -66,3 +66,73 @@ def test_blocklist_scrub_strips_exactly_blocked_tokens(spark, tmp_path):
     assert got[2].n_blocked == 0
     assert not got[2].dropped
     assert got[2].clean_text == "fast query on a small table"
+
+
+# --------------------------------------------------------------------------
+# E242 greedy coverage selection: python-mirror pin + submodularity
+# --------------------------------------------------------------------------
+
+
+def _coverage_mirror(texts, k):
+    sets = {}
+    for doc_id, text in texts:
+        ws = [w for w in text.split(" ") if w]
+        sets[doc_id] = set(zip(ws, ws[1:]))
+    covered, out = set(), []
+    for rank in range(1, k + 1):
+        best = None
+        for doc_id in sorted(sets):
+            gain = len(sets[doc_id] - covered)
+            if best is None or gain > best[1]:
+                best = (doc_id, gain)
+        if best is None or best[1] == 0:
+            break
+        covered |= sets[best[0]]
+        out.append((rank, best[0], best[1], len(covered)))
+    return out
+
+
+def test_greedy_coverage_matches_python_mirror(spark, tmp_path):
+    import pandas as pd
+
+    texts = [
+        (1, "a b c d"),          # bigrams {ab, bc, cd}
+        (2, "a b c d e f"),      # superset of 1 + {de, ef}
+        (3, "x y x y"),          # {xy, yx}
+        (4, "c d e f"),          # subset of 2
+        (5, "p q"),              # {pq}
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [t[0] for t in texts],
+            "text": [t[1] for t in texts],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t[1]) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    got = [
+        (r.rank, r.doc_id, r.new_tokens, r.cum_covered)
+        for r in QUERIES["greedy_coverage_select"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == _coverage_mirror(texts, 10)
+    # doc 2 first (5 bigrams), then 3 (2 new), then 5 (1); docs 1 and 4
+    # add nothing and must never be picked
+    assert [g[1] for g in got] == [2, 3, 5]
+
+
+def test_greedy_coverage_gains_are_submodular(spark):
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    from .conftest import SF_DIR_SMOKE
+
+    rows = QUERIES["greedy_coverage_select"](spark, SF_DIR_SMOKE).collect()
+    gains = [r.new_tokens for r in rows]
+    assert gains == sorted(gains, reverse=True)  # diminishing returns
+    assert rows[-1].cum_covered == sum(gains)
+    for r in rows:
+        assert 0 < r.coverage_frac <= 1.0
