@@ -312,6 +312,7 @@ HEADLINE = [
     "ip_longest_prefix_route",
     "ab_sequential_obf",
     "greedy_coverage_select",
+    "conversion_logrank_test",
 ]
 
 

@@ -1135,3 +1135,196 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_conversions"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E243: log-rank test — do two cohorts share a survival curve?
+# --------------------------------------------------------------------------
+
+#: chi-square(1) critical value at alpha = 0.05 (literal constant).
+_LOGRANK_CRIT = 3.841458820694124
+#: 1e-9 fixed point for the cross-engine-exact O-E and variance sums.
+_LR_SCALE = 1_000_000_000
+
+#: Per-event-time terms over exact integers (d1, d = d1+d2,
+#: n1, n = n1+n2): observed-minus-expected and the hypergeometric
+#: variance, quantized BEFORE the grid sum — identical text both
+#: engines.
+_LR_OE_Q = (
+    f"CAST(FLOOR((d1 - CAST(d AS DOUBLE) * n1 / n) * {_LR_SCALE} + 0.5)"
+    " AS BIGINT)"
+)
+_LR_V_Q = (
+    "CAST(FLOOR(CASE WHEN n > 1 THEN"
+    " (CAST(d AS DOUBLE) * n1 / n) * (CAST(n2 AS DOUBLE) / n)"
+    " * (CAST(n - d AS DOUBLE) / (n - 1))"
+    f" ELSE 0.0 END * {_LR_SCALE} + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "conversion_logrank_test",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MAX(CAST(ts AS DATE)) AS corpus_end FROM events
+        ), per_user AS (
+          SELECT user_id, user_id % 2 AS cohort,
+                 MIN(CAST(ts AS DATE)) AS first_day,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) AS conv_day
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), labeled AS (
+          SELECT cohort,
+                 CASE WHEN u.conv_day IS NOT NULL
+                      THEN date_diff('day', u.first_day, u.conv_day)
+                      ELSE date_diff('day', u.first_day, b.corpus_end)
+                 END AS t,
+                 CASE WHEN u.conv_day IS NOT NULL
+                      THEN 1 ELSE 0 END AS churned
+          FROM per_user u, bounds b
+        ), grid AS (
+          SELECT t,
+                 CAST(SUM(CASE WHEN cohort = 0 THEN churned
+                   ELSE 0 END) AS BIGINT) AS d1g,
+                 CAST(SUM(CASE WHEN cohort = 1 THEN churned
+                   ELSE 0 END) AS BIGINT) AS d2g,
+                 CAST(SUM(CASE WHEN cohort = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS m1,
+                 CAST(SUM(CASE WHEN cohort = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS m2
+          FROM labeled GROUP BY t
+        ), risk AS (
+          SELECT t, d1g AS d1, d2g AS d2,
+                 CAST(SUM(m1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n1,
+                 CAST(SUM(m2) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n2
+          FROM grid
+        ), terms AS (
+          SELECT t, d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
+          FROM risk WHERE d1 + d2 > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+               CAST(SUM(d1) AS BIGINT) AS observed_1,
+               CAST(SUM({_LR_OE_Q}) AS DOUBLE) / {_LR_SCALE}
+                 AS oe_sum,
+               CASE WHEN SUM({_LR_V_Q}) > 0 THEN
+                 (CAST(SUM({_LR_OE_Q}) AS DOUBLE) / {_LR_SCALE})
+                 * (CAST(SUM({_LR_OE_Q}) AS DOUBLE) / {_LR_SCALE})
+                 / (CAST(SUM({_LR_V_Q}) AS DOUBLE) / {_LR_SCALE})
+               END AS logrank_z2,
+               COALESCE(CASE WHEN SUM({_LR_V_Q}) > 0 THEN
+                 (CAST(SUM({_LR_OE_Q}) AS DOUBLE) / {_LR_SCALE})
+                 * (CAST(SUM({_LR_OE_Q}) AS DOUBLE) / {_LR_SCALE})
+                 / (CAST(SUM({_LR_V_Q}) AS DOUBLE) / {_LR_SCALE})
+                 > {_LOGRANK_CRIT} END, FALSE) AS reject_at_05
+        FROM terms
+    """,
+)
+def conversion_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E243: log-rank (Mantel-Cox) test on time-to-first-purchase —
+    completes the survival family: E127 DRAWS a Kaplan-Meier curve,
+    this DECIDES whether two cohorts (user-id parity = the assignment
+    hash) share one. The survival time is days from first touch to
+    first purchase, with never-purchasers right-censored at corpus end
+    — the censoring-correct version of "which arm converts faster"
+    that E85's endpoint z-test cannot ask. At each distinct conversion
+    time the observed cohort-0 conversions are compared to their
+    hypergeometric expectation d·n1/n given the at-risk sets, and
+    z² = (Σ(O−E))²/ΣV is read against the literal χ²(1) critical
+    value.
+
+    Exactness: at-risk suffix counts are exact integers off the
+    duration GRID; each per-time O−E and variance term is ONE shared
+    double chain quantized to 1e-9 integers before the grid sum, so the
+    statistic is bit-identical at any parallelism; a zero total
+    variance (no churn, or one cohort empty) yields NULL z² and a FALSE
+    reject rather than a divide-by-zero.
+
+    Scale: the E127 split — one per-user aggregate, collapse to the
+    calendar-bounded duration grid, two suffix-count windows over that
+    grid (waived), one 1-row reduce."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    bounds = events.agg(
+        F.max(F.col("ts").cast("date")).alias("corpus_end")
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("conv_day"),
+    )
+    labeled = per_user.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff(F.col("conv_day"), F.col("first_day")),
+        )
+        .otherwise(F.datediff(F.col("corpus_end"), F.col("first_day")))
+        .alias("t"),
+        F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    grid = labeled.groupBy("t").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("churned")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("m2"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("m1").over(wdesc).cast("long").alias("n1"),
+        F.sum("m2").over(wdesc).cast("long").alias("n2"),
+    )
+    terms = risk.filter(F.col("d1") + F.col("d2") > 0).select(
+        "t",
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("d"),
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("n"),
+    )
+    z2 = (
+        "CASE WHEN vq > 0 THEN"
+        f" (CAST(oeq AS DOUBLE) / {_LR_SCALE})"
+        f" * (CAST(oeq AS DOUBLE) / {_LR_SCALE})"
+        f" / (CAST(vq AS DOUBLE) / {_LR_SCALE}) END"
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_event_times"),
+            F.sum("d1").cast("long").alias("observed_1"),
+            F.sum(F.expr(_LR_OE_Q)).cast("long").alias("oeq"),
+            F.sum(F.expr(_LR_V_Q)).cast("long").alias("vq"),
+        )
+        .select(
+            "n_event_times",
+            "observed_1",
+            (F.col("oeq").cast("double") / _LR_SCALE).alias("oe_sum"),
+            F.expr(z2).alias("logrank_z2"),
+            F.coalesce(
+                F.expr(z2) > _LOGRANK_CRIT, F.lit(False)
+            ).alias("reject_at_05"),
+        )
+    )

@@ -878,3 +878,66 @@ def test_seq_pattern_supports_gapped_order(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+# --------------------------------------------------------------------------
+# E243 log-rank test (time-to-first-purchase)
+# --------------------------------------------------------------------------
+
+
+def test_logrank_detects_faster_converting_cohort(spark, tmp_path):
+    import datetime as dt
+
+    # 20 even-id users all convert on day 1; 20 odd-id users never do
+    # (censored at corpus end, day 30). One event time (t=1):
+    # O1=20, E1=10, V = 20*(1/2)*(1/2)*(20/39) = 100/39
+    # -> z^2 = 100 / (100/39) = 39 exactly -> reject.
+    rows = []
+    eid = 0
+    d0 = dt.datetime(1992, 1, 1)
+    for u in range(0, 40, 2):
+        eid += 1
+        rows.append((eid, d0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, d0 + dt.timedelta(days=1), u, "purchase", 1.0,
+                     "{}"))
+    for u in range(1, 40, 2):
+        eid += 1
+        rows.append((eid, d0, u, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, d0 + dt.timedelta(days=30), 1, "view", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    r = QUERIES["conversion_logrank_test"](spark, str(tmp_path)).collect()[0]
+    assert r.n_event_times == 1
+    assert r.observed_1 == 20
+    assert abs(r.oe_sum - 10.0) < 1e-9
+    assert abs(r.logrank_z2 - 39.0) < 1e-6
+    assert r.reject_at_05
+    ok, detail = compare(
+        spark,
+        "conversion_logrank_test",
+        QUERIES["conversion_logrank_test"],
+        ORACLES["conversion_logrank_test"],
+        str(tmp_path),
+    )
+    assert ok, detail
+
+
+def test_logrank_no_conversions_is_null_safe(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (u + 1, dt.datetime(1992, 1, 1 + (u % 5)), u, "view", 1.0, "{}")
+        for u in range(10)
+    ]
+    _write_events(tmp_path, rows)
+    r = QUERIES["conversion_logrank_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_event_times, r.logrank_z2, r.reject_at_05) == (0, None, False)
+    ok, detail = compare(
+        spark,
+        "conversion_logrank_test",
+        QUERIES["conversion_logrank_test"],
+        ORACLES["conversion_logrank_test"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -126,6 +126,7 @@ BNLJ_OK = {
     "kanon_generalization_plan",  # 1-row lattice-winner crossJoin
     "ab_sequential_obf",         # 1-row calendar-bounds + 1-row
                                  # first-crossing crossJoins
+    "conversion_logrank_test",   # 1-row corpus-end crossJoin
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded
@@ -216,6 +217,9 @@ GLOBAL_WINDOW_OK = {
                                  # _global_ranks pid-offset window
     "snm_part_name_pairs",       # _global_ranks 32-row pid-offset
                                  # window (vocabulary ranking)
+    "conversion_logrank_test",   # at-risk suffix counts over the
+                                 # duration grid (calendar-bounded,
+                                 # same shape as retention_survival_km)
     "hodges_lehmann_value",      # prefix sum over the <=2|u|-row
                                  # Walsh-sum DOMAIN frame
     "zonemap_prune_audit",       # cumulative count over the one-row-
