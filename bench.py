@@ -313,6 +313,8 @@ HEADLINE = [
     "ab_sequential_obf",
     "greedy_coverage_select",
     "conversion_logrank_test",
+    "dedup_savings_report",
+    "join_skew_report",
 ]
 
 

@@ -260,3 +260,67 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
         "rank int, doc_id long, new_tokens long, cum_covered long, "
         "coverage_frac double",
     )
+
+
+# --------------------------------------------------------------------------
+# E244: dedup savings report (what would exact dedup buy?)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_savings_report",
+    oracle="""
+        WITH sized AS (
+          SELECT text,
+                 CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), per_text AS (
+          SELECT text, MAX(n_tok) AS n_tok,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM sized GROUP BY text
+        )
+        SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_unique,
+               CAST(SUM(n_copies * n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens_unique,
+               CAST(SUM((n_copies - 1) * n_tok) AS DOUBLE)
+                 / SUM(n_copies * n_tok) AS token_savings_frac
+        FROM per_text
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E244: the dedup BUSINESS CASE in one row — before running the E1/E2
+    pipelines, how many documents and (more importantly) TOKENS would
+    exact text dedup remove?  Token savings is the number that prices
+    the job: training cost scales with tokens, and a corpus where 30%
+    of tokens sit in duplicate copies pays for a lot of dedup compute.
+    (Near-dup savings come on top — this reports the exact-dup floor
+    the LSH pipeline then extends.)
+
+    Exactness: token counts and copy counts are exact integers; the
+    savings fraction is one double division.
+
+    Scale: ONE keyed aggregate on the text (at 100 TB: on sha256(text)
+    like media_dedup_by_hash, so the shuffle carries digests, never
+    documents), then a 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_text = sized.groupBy("text").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return per_text.agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_unique"),
+        F.sum(F.col("n_copies") * F.col("n_tok"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum("n_tok").cast("long").alias("n_tokens_unique"),
+        (
+            F.sum((F.col("n_copies") - 1) * F.col("n_tok")).cast("double")
+            / F.sum(F.col("n_copies") * F.col("n_tok"))
+        ).alias("token_savings_frac"),
+    )

@@ -464,3 +464,96 @@ def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# E245: join skew report — price a join's hot keys before running it
+# --------------------------------------------------------------------------
+
+JOIN_SKEW_TOPK = 10
+
+
+@query(
+    "join_skew_report",
+    oracle=f"""
+        WITH l AS (
+          SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+          FROM lineitem GROUP BY 1
+        ), o AS (
+          SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+          FROM orders GROUP BY 1
+        ), j AS (
+          SELECT l.k, l.cl, o.co, CAST(l.cl * o.co AS BIGINT) AS out_rows
+          FROM l JOIN o ON l.k = o.k
+        ), tot AS (
+          SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys
+          FROM j
+        )
+        SELECT j.k AS join_key, j.cl AS left_rows, j.co AS right_rows,
+               j.out_rows,
+               CAST(j.out_rows AS DOUBLE) / tot.total_out
+                 AS output_share,
+               CAST(j.out_rows AS DOUBLE) * tot.n_keys / tot.total_out
+                 AS skew_ratio
+        FROM j CROSS JOIN tot
+        ORDER BY j.out_rows DESC, j.k
+        LIMIT {JOIN_SKEW_TOPK}
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E245: join-skew pricing — BEFORE shuffling the lineitem⋈orders
+    join, which keys will dominate its output?  Per key the output
+    contribution is cl·co (the join's multiplicity product); the report
+    lists the top keys with their share of total output and their
+    skew ratio (contribution ÷ the uniform per-key average — the number
+    AQE's skew-join threshold reasons about, and the trigger for the
+    salting strategy in operators/skew.py).  Pairs with the planning
+    layer: join_order prices ORDER, this prices the HOT KEYS of a
+    chosen join.
+
+    Exactness: counts and products are exact integers; the two ratios
+    are single double divisions against the same 1-row totals.
+
+    Scale: two map-side-combined keyed counts, one equi-join of the
+    per-key COUNT frames (never the facts), a 1-row totals crossJoin,
+    TakeOrdered top-K."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cl"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    j = li.join(orders, "k").select(
+        "k",
+        "cl",
+        "co",
+        (F.col("cl") * F.col("co")).cast("long").alias("out_rows"),
+    )
+    tot = j.agg(
+        F.sum("out_rows").cast("long").alias("total_out"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("join_key"),
+            F.col("cl").alias("left_rows"),
+            F.col("co").alias("right_rows"),
+            "out_rows",
+            (
+                F.col("out_rows").cast("double") / F.col("total_out")
+            ).alias("output_share"),
+            (
+                F.col("out_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("total_out")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("join_key"))
+        .limit(JOIN_SKEW_TOPK)
+    )

@@ -136,3 +136,33 @@ def test_greedy_coverage_gains_are_submodular(spark):
     assert rows[-1].cum_covered == sum(gains)
     for r in rows:
         assert 0 < r.coverage_frac <= 1.0
+
+
+def test_dedup_savings_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b", "a b", "c"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 3, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    r = QUERIES["dedup_savings_report"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_docs_unique) == (3, 2)
+    assert (r.n_tokens, r.n_tokens_unique) == (5, 3)
+    assert r.token_savings_frac == 0.4  # the duplicate "a b" copy
+    ok, detail = compare(
+        spark,
+        "dedup_savings_report",
+        QUERIES["dedup_savings_report"],
+        ORACLES["dedup_savings_report"],
+        str(tmp_path),
+    )
+    assert ok, detail

@@ -127,6 +127,8 @@ BNLJ_OK = {
     "ab_sequential_obf",         # 1-row calendar-bounds + 1-row
                                  # first-crossing crossJoins
     "conversion_logrank_test",   # 1-row corpus-end crossJoin
+    "join_skew_report",          # 1-row totals crossJoin over the
+                                 # per-key COUNT frame
 }
 
 #: empty-partition (global) windows acceptable ONLY over provably bounded

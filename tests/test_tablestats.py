@@ -464,3 +464,34 @@ def test_lpm_prefers_most_specific_route(spark, tmp_path):
     assert (out["dc-east"].prefix_len, out["dc-east"].n_ips,
             out["dc-east"].n_requests) == (16, 2, 2)
     _parity(spark, "ip_longest_prefix_route", tmp_path)
+
+
+# --------------------------------------------------------------------------
+# E245 join skew report
+# --------------------------------------------------------------------------
+
+
+def test_join_skew_flags_hot_key(spark, tmp_path):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [7, 7, 7],
+            "o_orderdate": pd.to_datetime(["1995-01-01"] * 3),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+    orders.to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1] * 8 + [2, 3],
+            "l_partkey": list(range(10)),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = QUERIES["join_skew_report"](spark, str(tmp_path)).collect()
+    assert rows[0].join_key == 1
+    assert (rows[0].left_rows, rows[0].right_rows, rows[0].out_rows) == (
+        8, 1, 8)
+    assert rows[0].output_share == 0.8
+    assert abs(rows[0].skew_ratio - 2.4) < 1e-12  # 8 / (10/3)
+    assert len(rows) == 3
+    _parity(spark, "join_skew_report", tmp_path)
