@@ -315,6 +315,7 @@ HEADLINE = [
     "conversion_logrank_test",
     "dedup_savings_report",
     "join_skew_report",
+    "wav_frame_features",
 ]
 
 

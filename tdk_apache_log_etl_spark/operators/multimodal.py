@@ -824,3 +824,97 @@ def y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the mapper."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return sample_y4m_frames(docs)
+
+
+# ---------------------------------------------------------------------------
+# E246: frame-level audio features (the windowed-DSP batch shape)
+# ---------------------------------------------------------------------------
+
+#: Analysis frame length in samples — every real audio featurizer
+#: (fbank/MFCC/VAD) is built on exactly this framing step.
+WAV_FRAME = 64
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_in_frame int, mean_square double, "
+    "zero_crossings long"
+)
+
+
+def _wav_frame_batches(batches):
+    import pandas as pd
+
+    out_cols = ("doc_id", "frame_idx", "n_in_frame", "mean_square",
+                "zero_crossings")
+    for pdf in batches:
+        rows = {c: [] for c in out_cols}
+        for doc_id in pdf["doc_id"]:
+            payload = make_synthetic_wav(int(doc_id))
+            _rate, s = decode_wav(payload)
+            s64 = s.astype("int64")
+            n = len(s64)
+            for f in range((n + WAV_FRAME - 1) // WAV_FRAME):
+                lo = f * WAV_FRAME
+                hi = min(lo + WAV_FRAME, n)
+                seg = s64[lo:hi]
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(f)
+                rows["n_in_frame"].append(hi - lo)
+                rows["mean_square"].append(
+                    float(int((seg * seg).sum())) / (hi - lo)
+                )
+                rows["zero_crossings"].append(
+                    int(((seg[:-1] >= 0) != (seg[1:] >= 0)).sum())
+                )
+        yield pd.DataFrame(rows)
+
+
+def extract_wav_frames(ids: DataFrame) -> DataFrame:
+    """REAL framed audio features over a (doc_id) frame — one output row
+    per WAV_FRAME-sample analysis window, batch/stream-agnostic."""
+    return ids.mapInPandas(_wav_frame_batches, AUDIO_FRAME_SCHEMA)
+
+
+@query(
+    "wav_frame_features",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, CAST(256 + doc_id % 256 AS INT) AS n
+          FROM documents
+        ), smp AS (
+          SELECT doc_id, n, unnest(range(n)) AS i
+          FROM dims
+        ), vals AS (
+          SELECT doc_id, n, i, CAST(i // {WAV_FRAME} AS INT) AS f,
+                 (37 * i + doc_id) % 2048 - 1024 AS s
+          FROM smp
+        )
+        SELECT doc_id, f AS frame_idx,
+               CAST(COUNT(*) AS INT) AS n_in_frame,
+               CAST(SUM(s * s) AS DOUBLE) / COUNT(*) AS mean_square,
+               CAST(COUNT(*) FILTER (
+                 WHERE i < n - 1 AND (i + 1) % {WAV_FRAME} <> 0
+                   AND (s >= 0) <>
+                       ((37 * (i + 1) + doc_id) % 2048 - 1024 >= 0)
+               ) AS BIGINT) AS zero_crossings
+        FROM vals GROUP BY doc_id, f
+    """,
+)
+def wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E246: FRAMED audio features — the 64-sample analysis-window
+    framing every real featurizer (fbank, MFCC, VAD energy gates) is
+    built on, over the same zero-library RIFF/PCM decode as
+    wav_feature_extract: per frame, the decoded samples' mean-square
+    energy and intra-frame zero crossings (the boundary pair between
+    frames belongs to neither).  Where E60 proves whole-file decode,
+    this proves the per-window batch SHAPE — swap the two lines of
+    energy math for a filterbank and it is a production extractor.
+
+    Exactness: per-frame sample-square sums are exact integers from the
+    decoded PCM; the oracle recomputes the synthetic waveform's closed
+    form per frame, so the driver hash-checks framing boundaries, tail
+    frames (n is not a multiple of 64), and the crossing convention.
+
+    Scale: mapInPandas (Arrow-batched) with ~n/64 output rows per doc —
+    embarrassingly parallel, no shuffle at all until a consumer
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_wav_frames(docs)

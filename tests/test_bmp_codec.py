@@ -219,3 +219,53 @@ def test_y4m_frame_sampler_strides_and_averages(spark):
         w, h, _fps, frames = decode_y4m(make_synthetic_y4m(r.doc_id))
         arr = frames[r.frame_idx].astype("int64")
         assert r.mean_intensity == float(int(arr.sum())) / (w * h) / 255
+
+
+def test_wav_frame_features_framing_and_tail(spark, tmp_path):
+    """E246: frame boundaries, the 1-sample tail frame, and the
+    intra-frame crossing convention, against a direct decode."""
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+    from tdk_apache_log_etl_spark.operators.multimodal import (
+        WAV_FRAME,
+        decode_wav,
+        make_synthetic_wav,
+    )
+
+    from .parity import compare
+
+    # doc 0 -> n=256 (exactly 4 frames); doc 1 -> n=257 (1-sample tail)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["x", "y"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [1, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in QUERIES["wav_frame_features"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(k for k in rows if k[0] == 0) == [(0, f) for f in range(4)]
+    assert sorted(k for k in rows if k[0] == 1) == [(1, f) for f in range(5)]
+    tail = rows[(1, 4)]
+    assert (tail.n_in_frame, tail.zero_crossings) == (1, 0)
+    # spot-check one frame against a direct decode
+    _r, s = decode_wav(make_synthetic_wav(0))
+    seg = s.astype("int64")[:WAV_FRAME]
+    f0 = rows[(0, 0)]
+    assert f0.mean_square == float(int((seg * seg).sum())) / WAV_FRAME
+    assert f0.zero_crossings == int(
+        ((seg[:-1] >= 0) != (seg[1:] >= 0)).sum()
+    )
+    ok, detail = compare(
+        spark,
+        "wav_frame_features",
+        QUERIES["wav_frame_features"],
+        ORACLES["wav_frame_features"],
+        str(tmp_path),
+    )
+    assert ok, detail
