@@ -2525,12 +2525,24 @@ BOLL_K = 2
 #: Shared double chain over exact integer window moments s (Σcents),
 #: n (rows), s2 (Σcents²): population variance then ±K·σ in currency.
 _BOLL_MEAN = "(CAST(s AS DOUBLE) / n / 100.0)"
-_BOLL_VAR = (
-    "((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / 10000.0)"
-)
-_BOLL_STD = f"SQRT(GREATEST({_BOLL_VAR}, 0.0))"
-_BOLL_UP = f"({_BOLL_MEAN} + {BOLL_K} * {_BOLL_STD})"
-_BOLL_LO = f"({_BOLL_MEAN} - {BOLL_K} * {_BOLL_STD})"
+
+
+def _boll_exprs(idiv: str) -> dict:
+    """Band expression set per engine: s2 is 128-bit (daily cents sums
+    square past 2^53 even at sf0.1), so its double conversion must go
+    through the _d128 exact split — a plain CAST differs in the last
+    ulp between Spark's decimal and DuckDB's hugeint (the SCALE.md
+    cast-portability rule; caught by the sf0.1 full sweep)."""
+    var = (
+        f"(({_d128('s2', idiv)} - CAST(s AS DOUBLE) * s / n)"
+        " / n / 10000.0)"
+    )
+    std = f"SQRT(GREATEST({var}, 0.0))"
+    return {
+        "mean": _BOLL_MEAN,
+        "up": f"({_BOLL_MEAN} + {BOLL_K} * {std})",
+        "lo": f"({_BOLL_MEAN} - {BOLL_K} * {std})",
+    }
 
 
 @query(
@@ -2556,11 +2568,12 @@ _BOLL_LO = f"({_BOLL_MEAN} - {BOLL_K} * {_BOLL_STD})"
         )
         SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
                n AS n_window,
-               {_BOLL_MEAN} AS sma,
-               {_BOLL_UP} AS upper_band,
-               {_BOLL_LO} AS lower_band,
-               (CAST(cents AS DOUBLE) / 100.0 > {_BOLL_UP}
-                OR CAST(cents AS DOUBLE) / 100.0 < {_BOLL_LO}) AS breach
+               {_boll_exprs("//")["mean"]} AS sma,
+               {_boll_exprs("//")["up"]} AS upper_band,
+               {_boll_exprs("//")["lo"]} AS lower_band,
+               (CAST(cents AS DOUBLE) / 100.0 > {_boll_exprs("//")["up"]}
+                OR CAST(cents AS DOUBLE) / 100.0
+                  < {_boll_exprs("//")["lo"]}) AS breach
         FROM w
     """,
 )
@@ -2617,14 +2630,15 @@ def daily_revenue_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
     )
     rev = F.col("cents").cast("double") / 100.0
+    e = _boll_exprs("DIV")
     return w.select(
         "day",
         rev.alias("revenue"),
         F.col("n").alias("n_window"),
-        F.expr(_BOLL_MEAN).alias("sma"),
-        F.expr(_BOLL_UP).alias("upper_band"),
-        F.expr(_BOLL_LO).alias("lower_band"),
+        F.expr(e["mean"]).alias("sma"),
+        F.expr(e["up"]).alias("upper_band"),
+        F.expr(e["lo"]).alias("lower_band"),
         (
-            (rev > F.expr(_BOLL_UP)) | (rev < F.expr(_BOLL_LO))
+            (rev > F.expr(e["up"])) | (rev < F.expr(e["lo"]))
         ).alias("breach"),
     )

@@ -1,5 +1,6 @@
-"""Planted-fixture pins for the round-4 table-stats / layout pack and the
-OHLC / Shapley / Hodges-Lehmann / Haar / MV-rewrite additions (E225-E231).
+"""Planted-fixture pins for the round-4 table-stats / layout pack and
+adjacent additions (E225-E231, E234 Bollinger, E236 replay watermark,
+E240 LPM routing, E245 join skew).
 
 Every test hand-computes the expected answer on a fixture small enough to
 verify by eye, asserts it, and then runs the driver-predictive DuckDB
