@@ -579,32 +579,33 @@ HITS_SCALE = 10**6
 
 def _hits_oracle() -> str:
     steps = [
-        f"h0 AS (SELECT cust, CAST({HITS_SCALE} AS BIGINT) AS h FROM custs)"
+        f"h0 AS MATERIALIZED (SELECT cust, CAST({HITS_SCALE} AS BIGINT)"
+        f" AS h FROM custs)"
     ]
     for k in range(HITS_ITERS):
-        steps.append(f"""ar{k + 1} AS (
+        steps.append(f"""ar{k + 1} AS MATERIALIZED (
           SELECT e.part, CAST(SUM(h.h) AS BIGINT) AS a
           FROM edges e JOIN h{k} h ON h.cust = e.cust
           GROUP BY e.part
         )""")
-        steps.append(f"""a{k + 1} AS (
+        steps.append(f"""a{k + 1} AS MATERIALIZED (
           SELECT part, (a * {HITS_SCALE}) // m.mx AS a
           FROM ar{k + 1}, (SELECT MAX(a) AS mx FROM ar{k + 1}) m
         )""")
-        steps.append(f"""hr{k + 1} AS (
+        steps.append(f"""hr{k + 1} AS MATERIALIZED (
           SELECT e.cust, CAST(SUM(a.a) AS BIGINT) AS h
           FROM edges e JOIN a{k + 1} a ON a.part = e.part
           GROUP BY e.cust
         )""")
-        steps.append(f"""h{k + 1} AS (
+        steps.append(f"""h{k + 1} AS MATERIALIZED (
           SELECT cust, (h * {HITS_SCALE}) // m.mx AS h
           FROM hr{k + 1}, (SELECT MAX(h) AS mx FROM hr{k + 1}) m
         )""")
     return f"""
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        ), custs AS (SELECT DISTINCT cust FROM edges),
+        ), custs AS MATERIALIZED (SELECT DISTINCT cust FROM edges),
         {", ".join(steps)}
         SELECT 'part' AS node_type, part AS node_key, a AS score
         FROM a{HITS_ITERS}
