@@ -53,7 +53,7 @@ def _oracle() -> str:
         )"""
     ]
     for k in range(PR_ITERS):
-        steps.append(f"""pr{k + 1} AS (
+        steps.append(f"""pr{k + 1} AS MATERIALIZED (
           SELECT n.node,
                  CAST({base} + COALESCE(SUM(
                    ({DAMP_NUM} * p.rank) // ({DAMP_DEN} * e.outdeg)
@@ -64,17 +64,17 @@ def _oracle() -> str:
           GROUP BY n.node
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), deg AS (
+        ), deg AS MATERIALIZED (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
           FROM pairs GROUP BY src
-        ), edges AS (
+        ), edges AS MATERIALIZED (
           SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)
-        ), nodes AS (
+        ), nodes AS MATERIALIZED (
           SELECT DISTINCT src AS node FROM pairs
         ), {", ".join(steps)}
         SELECT node AS part_key, rank AS pagerank
@@ -230,7 +230,7 @@ def _bfs_oracle() -> str:
         )"""
     ]
     for k in range(BFS_ROUNDS):
-        steps.append(f"""l{k + 1} AS (
+        steps.append(f"""l{k + 1} AS MATERIALIZED (
           SELECT n.node, least(n.level, m.cand) AS level
           FROM l{k} n LEFT JOIN (
             SELECT p.dst AS node, MIN(l.level) + 1 AS cand
@@ -240,12 +240,12 @@ def _bfs_oracle() -> str:
           ) m ON m.node = n.node
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), nodes AS (
+        ), nodes AS MATERIALIZED (
           SELECT DISTINCT src AS node FROM pairs
         ), {", ".join(steps)}
         SELECT node AS part_key, level AS bfs_level
@@ -314,30 +314,30 @@ def _lpa_oracle() -> str:
         )"""
     ]
     for k in range(LPA_ROUNDS):
-        steps.append(f"""votes{k} AS (
+        steps.append(f"""votes{k} AS MATERIALIZED (
           SELECT e.dst AS node, l.label, COUNT(*) AS cnt
           FROM edges e JOIN lp{k} l ON e.src = l.node
           GROUP BY e.dst, l.label
-        ), pick{k} AS (
+        ), pick{k} AS MATERIALIZED (
           SELECT node, label,
                  row_number() OVER (
                    PARTITION BY node ORDER BY cnt DESC, label
                  ) AS rn
           FROM votes{k}
-        ), lp{k + 1} AS (
+        ), lp{k + 1} AS MATERIALIZED (
           SELECT n.node, CAST(COALESCE(p.label, n.node) AS BIGINT) AS label
           FROM lp{k} n LEFT JOIN (SELECT node, label FROM pick{k}
                                   WHERE rn = 1) p
             ON n.node = p.node
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), edges AS (SELECT src, dst FROM pairs),
-        nodes AS (SELECT DISTINCT src AS node FROM pairs),
+        ), edges AS MATERIALIZED (SELECT src, dst FROM pairs),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM pairs),
         {", ".join(steps)}
         SELECT label AS community, count(*) AS n_members
         FROM lp{LPA_ROUNDS} GROUP BY label
@@ -728,10 +728,10 @@ def _sssp_oracle() -> str:
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), deg AS (
+        ), deg AS MATERIALIZED (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
           FROM pairs GROUP BY src
-        ), edges AS (
+        ), edges AS MATERIALIZED (
           SELECT src, dst, CAST(1 + 100 // n_coorders AS BIGINT) AS cost
           FROM pairs
         ), {", ".join(steps)}
@@ -806,7 +806,7 @@ def _ppr_oracle() -> str:
         )"""
     ]
     for k in range(PR_ITERS):
-        steps.append(f"""pr{k + 1} AS (
+        steps.append(f"""pr{k + 1} AS MATERIALIZED (
           SELECT n.node,
                  CAST(CASE WHEN n.node = (SELECT src FROM deg
                                           ORDER BY outdeg DESC, src LIMIT 1)
@@ -820,17 +820,17 @@ def _ppr_oracle() -> str:
           GROUP BY n.node
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), deg AS (
+        ), deg AS MATERIALIZED (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
           FROM pairs GROUP BY src
-        ), edges AS (
+        ), edges AS MATERIALIZED (
           SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)
-        ), nodes AS (
+        ), nodes AS MATERIALIZED (
           SELECT DISTINCT src AS node FROM pairs
         ), {", ".join(steps)}
         SELECT node AS part_key, rank AS ppr
@@ -928,12 +928,12 @@ def _closeness_oracle() -> str:
           ) GROUP BY src, node
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), nodes AS (
+        ), nodes AS MATERIALIZED (
           SELECT DISTINCT src AS node FROM pairs
         ), {", ".join(steps)}, tot AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes
@@ -1021,12 +1021,12 @@ _ASSORT_R = (
 @query(
     "degree_assortativity_part_graph",
     oracle=f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
-        ), deg AS (
+        ), deg AS MATERIALIZED (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
           FROM pairs GROUP BY src
         ), j AS (
@@ -1233,7 +1233,7 @@ def _truss_oracle() -> str:
           WHERE support >= {TRUSS_K - 2}
         )""")
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey

@@ -1807,13 +1807,13 @@ def _eig_oracle() -> str:
           FROM (SELECT DISTINCT i FROM cint)
         )"""]
     for k in range(_EIG_ROUNDS):
-        steps.append(f"""m{k} AS (
+        steps.append(f"""m{k} AS MATERIALIZED (
           SELECT c.i AS dim, CAST(SUM(c.c * v.v) AS HUGEINT) AS mv
           FROM cint c JOIN v{k} v ON v.dim = c.j
           GROUP BY c.i
-        ), n{k} AS (
+        ), n{k} AS MATERIALIZED (
           SELECT MAX(ABS(mv)) AS nrm FROM m{k}
-        ), v{k + 1} AS (
+        ), v{k + 1} AS MATERIALIZED (
           SELECT m.dim,
                  CAST((m.mv * {_EIG_VSCALE}) // NULLIF(n.nrm, 0) AS BIGINT)
                    AS v
