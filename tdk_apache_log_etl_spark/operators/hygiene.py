@@ -175,13 +175,16 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     review batches), and the submodular-selection shape (facility
     location / coverage) behind modern data-pruning papers.
 
-    Distributed like the E76 BPE trainer: the (doc, token) pair frame
-    is built ONCE and persisted; each of the COVERAGE_K rounds is one
-    anti-join against the covered-vocabulary frame, one map-side-
-    combined per-doc count, and a limit(1).collect() of the single
-    winner row (ties break on doc_id) — the driver only ever sees K
-    winner tuples, and the covered frame is re-persisted per round with
-    the previous round unpersisted, so lineage stays O(1).
+    Distributed like the E76 BPE trainer: the (doc, bigram) pair frame
+    and per-doc totals are built ONCE and persisted; each of the
+    COVERAGE_K rounds computes gain(doc) = |S_doc| − |S_doc ∩ covered|
+    with ONE broadcast semi-join against the covered-vocabulary frame
+    (bounded by K × the largest doc's vocabulary — broadcast-sized by
+    contract) plus a map-side count, then limit(1).collect()s the single
+    winner row (ties break on doc_id). The driver only ever sees K
+    winner tuples; the covered frame is re-persisted per round with the
+    previous round unpersisted, so lineage stays O(1) and the pair set
+    is never rewritten.
 
     No SQL oracle: the greedy recurrence is data-dependent and
     iterative (same class as bpe_train_merges / kcore); correctness is
@@ -211,17 +214,41 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("tok") != "")
         .distinct()
+        # right-size for the K re-scans: a vanilla 200-shuffle-partition
+        # session would otherwise launch 200 tasks per round on this
+        # frame; core count is the honest width at any cluster size
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     vocab_total = pairs.select("tok").distinct().count()
-    covered = None  # DataFrame[tok] of covered vocabulary
+    doc_tot = scoped_persist(
+        pairs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("tot")
+        )
+    )
+    covered = None  # DataFrame[tok]; bounded by K x max doc vocabulary
     picked = []
     cum = 0
-    remaining = pairs
     for rank in range(1, COVERAGE_K + 1):
+        if covered is None:
+            gains = doc_tot.select(
+                "doc_id", F.col("tot").alias("gain")
+            )
+        else:
+            # gain(doc) = |S_doc| - |S_doc ∩ covered| — ONE broadcast
+            # semi-join per round instead of rewriting the pair set
+            cov_cnt = (
+                pairs.join(F.broadcast(covered), "tok", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("cov"))
+            )
+            gains = doc_tot.join(cov_cnt, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.col("tot") - F.coalesce(F.col("cov"), F.lit(0))
+                ).alias("gain"),
+            )
         win = (
-            remaining.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
             .collect()
         )
@@ -237,24 +264,15 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
             win_toks
             if covered is None
             else covered.unionByName(win_toks).distinct()
-        ).persist()
+        ).coalesce(1).persist()  # broadcast-sized by contract — keep it
+        # one partition so vanilla 200-partition sessions don't pay 200
+        # tasks per round on a few-kB frame
         new_covered.count()  # materialize before dropping the parent
         if covered is not None:
             covered.unpersist()
         covered = new_covered
-        new_remaining = remaining.join(
-            win_toks.withColumnRenamed("tok", "wtok"),
-            remaining["tok"] == F.col("wtok"),
-            "left_anti",
-        ).persist()
-        new_remaining.count()
-        if remaining is not pairs:
-            remaining.unpersist()
-        remaining = new_remaining
     if covered is not None:
         covered.unpersist()
-    if remaining is not pairs:
-        remaining.unpersist()
     return spark.createDataFrame(
         picked,
         "rank int, doc_id long, new_tokens long, cum_covered long, "

@@ -245,6 +245,9 @@ def test_no_forced_broadcast_of_unbounded_dimension():
         # production BGP table (~1e6 short rows, tens of MB) is still
         # the textbook broadcast side
         "routes",
+        # greedy coverage (hygiene.py): the covered-vocabulary frame,
+        # bounded by K x the largest doc's bigram vocabulary
+        "covered",
     }
     src = pathlib.Path(__file__).resolve().parent.parent / "tdk_apache_log_etl_spark"
     bad = []
