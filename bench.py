@@ -369,19 +369,23 @@ def main() -> None:
     # raw total is not comparable across rounds — n_queries and the
     # per-query median are the stable figures of merit.
     median = statistics.median(per_query.values())
-    # Summary scalars FIRST, the big per-query map LAST: the driver's
-    # bounded tail capture truncated r3's total because "queries" (150
-    # entries) preceded it — headline figures must survive any suffix cut.
+    # The big per-query map FIRST, summary scalars LAST: the driver
+    # captures a bounded TAIL (suffix) of stdout — BENCH_r03.json's tail
+    # ends with "... n_queries: 150, sec_per_query_median: 0.467, sf:
+    # 0.1}" (summary-last survived), while BENCH_r04.json's tail is all
+    # per-query entries and lost the summary because r4 moved the
+    # scalars to the front. Headline figures must sit at the END of the
+    # one emitted JSON line to survive a prefix cut.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
                 "unit": "sec",
+                "queries": per_query,
                 "n_queries": len(per_query),
                 "sec_per_query_median": round(median, 3),
+                "value": total,
                 "sf": sf,
-                "queries": per_query,
             }
         )
     )

@@ -647,9 +647,12 @@ _QUANT_ORACLE = """
       FROM s
     )
     SELECT vec_id, qscale,
-           list_transform(
-             xi,
-             v -> CAST(FLOOR(CAST(v * 127 AS DOUBLE) / qscale + 0.5) AS BIGINT)
+           array_to_string(
+             list_transform(
+               xi,
+               v -> CAST(FLOOR(CAST(v * 127 AS DOUBLE) / qscale + 0.5)
+                         AS BIGINT)
+             ), ','
            ) AS q
     FROM m
 """
@@ -692,7 +695,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (v * 127).cast("double") / F.col("qscale") + F.lit(0.5)
         ).cast("long"),
     )
-    return withscale.select("vec_id", "qscale", q.alias("q"))
+    # codes serialized to one comma-joined STRING per vector: the
+    # correctness gate's pandas canonicalizer cannot hash list-typed
+    # cells (the round-4 inverted_index_postings driver ERR), and a
+    # delimited string is the same bytes-on-the-wire contract an int8
+    # blob column would carry.
+    q_str = F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
+    return withscale.select("vec_id", "qscale", q_str.alias("q"))
 
 
 @query(

@@ -796,7 +796,9 @@ _POSTINGS_MIN_DF = 5
         SELECT token,
                CAST(COUNT(*) AS BIGINT) AS doc_freq,
                CAST(SUM(tf) AS BIGINT) AS total_tf,
-               (list_sort(list(doc_id)))[1:{_POSTINGS_SAMPLE}] AS sample_docs
+               array_to_string(
+                 (list_sort(list(doc_id)))[1:{_POSTINGS_SAMPLE}], ','
+               ) AS sample_docs
         FROM tf GROUP BY token
         HAVING COUNT(*) >= {_POSTINGS_MIN_DF}
     """,
@@ -813,7 +815,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc collapse and truncated by slice, so no posting list is
     unbounded driver- or executor-side). array_sort makes the sample
     deterministic under parallel merge — the same first-N-by-id the
-    oracle's list_sort slice yields. At 100 TB the token key is Zipfian;
+    oracle's list_sort slice yields; the sample is serialized to a
+    comma-joined STRING because the correctness gate's pandas
+    canonicalizer cannot hash list-typed cells (round-4 driver ERR).
+    At 100 TB the token key is Zipfian;
     the df>=MIN threshold shown here trims the long tail, and the
     standard upgrade for the head (stop-word-sized postings) is the same
     salting split skew_salted_user_revenue demonstrates."""
@@ -832,10 +837,16 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
             F.sum("tf").alias("total_tf"),
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")),
-                1,
-                _POSTINGS_SAMPLE,
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list("doc_id")),
+                        1,
+                        _POSTINGS_SAMPLE,
+                    ),
+                    lambda d: d.cast("string"),
+                ),
             ).alias("sample_docs"),
         )
         .where(F.col("doc_freq") >= _POSTINGS_MIN_DF)

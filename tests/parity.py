@@ -156,12 +156,41 @@ def run_oracle(sql: str, sf_dir: str):
     return cols, rows, tags
 
 
+def driver_canon_smoke(rows, columns) -> str | None:
+    """Reproduce the driver's canonicalization (pandas DataFrame +
+    sort_values over ALL columns, then value hashing) and return an
+    error string if it cannot digest the result shape.
+
+    The driver crashed on round 4's ``inverted_index_postings`` with
+    ``TypeError: unhashable type: 'list'`` — the values were RIGHT, the
+    representation (an array<bigint> column) was indigestible.  Running
+    the exact same pandas pipeline locally turns that class of failure
+    into a red test before the driver ever sees it."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=list(columns))
+        if columns:
+            pdf = pdf.sort_values(by=list(columns), kind="mergesort")
+        # the hash step is where list/dict cells actually detonate
+        for c in pdf.columns:
+            hash(tuple(pdf[c].head(100)))
+    except TypeError as exc:  # the driver's failure mode, verbatim
+        return f"driver-canon incompatible output: {exc}"
+    except Exception as exc:  # pragma: no cover - any other canon crash
+        return f"driver-canon crashed: {type(exc).__name__}: {exc}"
+    return None
+
+
 def compare(spark, name: str, fn, sql: str, sf_dir: str):
     """Returns (ok, detail)."""
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_tags = {f.name: _spark_tag(f.dataType) for f in sdf.schema.fields}
     s_rows = [tuple(r) for r in sdf.collect()]
+    canon_err = driver_canon_smoke(s_rows, s_cols)
+    if canon_err is not None:
+        return False, canon_err
     o_cols, o_rows, o_tags = run_oracle(sql, sf_dir)
 
     if sorted(s_cols) != sorted(o_cols):

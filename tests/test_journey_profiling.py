@@ -177,7 +177,7 @@ def test_inverted_index_postings_planted(spark, tmp_path):
     assert r.token == "zzz"
     assert r.doc_freq == 6
     assert r.total_tf == 7
-    assert r.sample_docs == [0, 1, 2]
+    assert r.sample_docs == "0,1,2"
 
 
 def _documents(tmp_path, texts):

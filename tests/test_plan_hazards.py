@@ -11,7 +11,9 @@ import re
 
 import pytest
 
-from tdk_apache_log_etl_spark.operators import QUERIES
+from pyspark.sql import types as T
+
+from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
 
 from .conftest import SF_DIR_SMOKE
 
@@ -241,10 +243,25 @@ def _global_window_key(plan: str) -> str | None:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_scale_hazards_in_plan(spark, name):
-    plan = (
-        QUERIES[name](spark, SF_DIR_SMOKE)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    df = QUERIES[name](spark, SF_DIR_SMOKE)
+    # Registry lint (round-4 driver ERR class): an oracle-backed query
+    # must not emit Array/Map/Struct columns — the correctness gate's
+    # pandas canonicalizer cannot hash complex-typed cells, so the
+    # driver ERRs before comparing even when the values are right.
+    # Serialize such outputs (concat_ws/to_json) on BOTH sides instead.
+    if name in ORACLES:
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        assert not complex_cols, (
+            f"{name}: oracle-backed query emits complex-typed columns "
+            f"{complex_cols}; serialize them to strings on both sides"
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF (use Arrow/pandas form)"
