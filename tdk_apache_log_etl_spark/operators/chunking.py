@@ -238,6 +238,11 @@ def train_bpe_merges(
         a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merged = f"{a}▁{b}"  # U+2581: sentencepiece-style joiner
         results.append((rnd, a, b, n))
+        if rnd == rounds:
+            # the final round's corpus rewrite is never read by anyone —
+            # its only consumer would be round rounds+1. Skipping it cuts
+            # one full narrow pass over the corpus (~1/rounds of total).
+            break
         nxt = _merge_pair_in_arrays(prev, a, b, merged).persist()
         nxt.count()  # materialize before releasing the previous round
         prev.unpersist()
@@ -254,6 +259,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf-bench setting; production trains on a doc-hash sample — see
     sample_fraction and SCALE.md)."""
     return train_bpe_merges(spark, sf_dir)
+
+
+_FIRST_MERGE_ORACLE = """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+    ), idx AS (
+      SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks
+    ), pairs AS (
+      SELECT tk[i] AS l, tk[i + 1] AS r FROM idx
+    )
+    SELECT CAST(1 AS INTEGER) AS round,
+           l AS "left", r AS "right",
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY l, r
+    ORDER BY n_occurrences DESC, l, r LIMIT 1
+"""
+
+
+@query("bpe_first_merge", oracle=_FIRST_MERGE_ORACLE)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E76 companion: the trainer's FIRST merge decision, hash-checked.
+
+    The full iterative trainer has no single-SQL oracle (each round's
+    pair counts depend on the previous round's rewrite), but round 1 is
+    closed-form: the globally most frequent adjacent token pair under
+    the trainer's exact tie-break (count desc, left asc, right asc).
+    Running train_bpe_merges(rounds=1) — the REAL trainer, not a
+    reimplementation — and hash-comparing its first row against
+    DuckDB's independent pair count pins the decision rule the whole
+    merge table grows from; a drifted tokenization, tie-break, or
+    count would flip this before it silently skewed all later rounds."""
+    return train_bpe_merges(spark, sf_dir, rounds=1)
 
 
 # --------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .registry import query, scoped_persist
+from .registry import QUERIES, query, scoped_persist
 
 # -- MinHash parameters ----------------------------------------------------
 MINHASH_PERMS = 32
@@ -317,6 +317,99 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = exact_jaccard(minhash_candidate_pairs(sh_df), sh_df)
     return verified.filter(F.col("jaccard") >= 0.3).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+#: E2 companion recall floor — measured recall is 1.0 at both sf0.01
+#: (25/25 true pairs found) and sf0.1 (256/256); 0.9 leaves headroom for
+#: a future banding retune without ever accepting a broken index.
+MINHASH_RECALL_FLOOR = 0.9
+
+_MINHASH_RECALL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1},
+                                                1))) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', {", ".join(f"tk[i + {j}]" for j in range(SHINGLE_N))}) AS s
+      FROM pos
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), true_pairs AS (
+      SELECT da, db
+      FROM inter
+      JOIN sizes sa ON inter.da = sa.doc_id
+      JOIN sizes sb ON inter.db = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST({MINHASH_RECALL_FLOOR} AS DOUBLE) AS floor,
+           TRUE AS recall_floor_ok
+    FROM true_pairs
+"""
+
+
+@query("minhash_lsh_recall_floor", oracle=_MINHASH_RECALL_ORACLE)
+def minhash_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 companion: hash-checkable recall contract for the MinHash-LSH
+    near-dup path.  Ground truth is EXACT: every pair with shingle
+    Jaccard >= 0.5 (any such pair shares at least one shingle, so the
+    shared-shingle equi-join below enumerates the truth set completely
+    — no LSH involved).  The oracle recomputes the truth-set SIZE
+    independently in DuckDB (shingling mirrored token-for-token), and
+    the boolean asserts the banding finds >= MINHASH_RECALL_FLOOR of it;
+    the banded path itself stays sampled rows-only, but its quality
+    claim is now value-hashed.
+
+    Scale note: the shared-shingle all-pairs join is the brute-force
+    EVAL harness, not the dedup path — at 100 TB you run it on a
+    deterministic doc-hash sample (the bpe_sample_filter shape) to
+    grade the index, never on the full corpus; the production dedup
+    remains the banded Σ bucket² join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_df = shingle_frame(docs)
+    ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = exact_jaccard(cand, sh_df).filter(F.col("jaccard") >= 0.5)
+    found = QUERIES["minhash_lsh_neardup"](spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return (
+        truth.select("doc_a", "doc_b")
+        .join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "n_true_pairs",
+            F.lit(float(MINHASH_RECALL_FLOOR)).alias("floor"),
+            (
+                F.col("n_found").cast("double")
+                >= F.lit(float(MINHASH_RECALL_FLOOR))
+                * F.col("n_true_pairs").cast("double")
+            ).alias("recall_floor_ok"),
+        )
     )
 
 

@@ -632,6 +632,90 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# E13 companions: oracle-backed recall-floor contracts for the ANN paths.
+#
+# The ANN indexes themselves (LSH buckets / IVF lists / PQ codes) have no
+# ANSI-SQL twin, so the driver only ever rows-only-checks them.  These
+# companions convert the QUALITY claim into a hash-checkable scalar: the
+# whole pipeline is deterministic (fixed hyperplanes / k-means seeds /
+# codebooks — no RNG anywhere), so "recall@k over the contract query set
+# clears the pinned floor" is a stable boolean the DuckDB oracle can
+# assert as a constant.  If index quality silently decays (a retuned
+# LSH_BITS, a broken codebook), the boolean flips and the driver's value
+# hash goes red — the same contract style the approx-sketch queries
+# (clf_user_count_approx etc.) already use for their error bounds.
+#
+# Floors are pinned UNDER the worst measured value across sf0.01/sf0.1
+# (measured this round: LSH 0.44/0.72, IVF 0.56/0.72, PQ 0.68/0.40) so
+# the contract holds at both the graded and the 10x scale.
+# --------------------------------------------------------------------------
+
+LSH_RECALL_FLOOR = 0.4
+IVF_RECALL_FLOOR = 0.5
+PQ_RECALL_FLOOR = 0.35
+
+
+def _ann_recall_floor(
+    spark: SparkSession, sf_dir: str, approx_name: str, floor: float
+) -> DataFrame:
+    """Micro-averaged recall@k of ``approx_name`` against the exact
+    brute-force top-k, reduced to (n_queries, floor, recall_floor_ok).
+    Same two-broadcast-join shape as ann_recall_eval; the only output
+    crossing anywhere is one aggregate row."""
+    truth = QUERIES["cosine_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERIES[approx_name](spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            F.lit(float(floor)).alias("floor"),
+            (
+                F.col("n_hits").cast("double")
+                >= F.lit(float(floor)) * F.col("n_true").cast("double")
+            ).alias("recall_floor_ok"),
+        )
+    )
+
+
+def _recall_floor_oracle(floor: float) -> str:
+    return f"""
+        SELECT CAST({TOPK_N_QUERIES} AS BIGINT) AS n_queries,
+               CAST({floor} AS DOUBLE) AS floor,
+               TRUE AS recall_floor_ok
+    """
+
+
+@query("ann_lsh_recall_floor", oracle=_recall_floor_oracle(LSH_RECALL_FLOOR))
+def ann_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 companion: hash-checkable recall floor for the LSH index
+    (see the block comment above _ann_recall_floor)."""
+    return _ann_recall_floor(spark, sf_dir, "ann_lsh_topk", LSH_RECALL_FLOOR)
+
+
+@query("ann_ivf_recall_floor", oracle=_recall_floor_oracle(IVF_RECALL_FLOOR))
+def ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 companion: hash-checkable recall floor for the IVF index."""
+    return _ann_recall_floor(spark, sf_dir, "ann_ivf_topk", IVF_RECALL_FLOOR)
+
+
+@query("ann_pq_recall_floor", oracle=_recall_floor_oracle(PQ_RECALL_FLOOR))
+def ann_pq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 companion: hash-checkable recall floor for the PQ index
+    (ADC scoring is a lossy 32x compression — the floor is accordingly
+    lower; measured 0.68 at sf0.01, 0.40 at sf0.1)."""
+    return _ann_recall_floor(spark, sf_dir, "ann_pq_topk", PQ_RECALL_FLOOR)
+
+
 _QUANT_ORACLE = """
     WITH s AS (
       SELECT vec_id,
