@@ -273,6 +273,7 @@ _FIRST_MERGE_ORACLE = """
            l AS "left", r AS "right",
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM pairs GROUP BY l, r
+    HAVING COUNT(*) >= 2
     ORDER BY n_occurrences DESC, l, r LIMIT 1
 """
 

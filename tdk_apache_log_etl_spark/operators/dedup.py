@@ -399,7 +399,12 @@ def minhash_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(found, ["doc_a", "doc_b"], "left")
         .agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+            # coalesce OUTSIDE the sum too: over an empty truth set SUM
+            # yields NULL and the floor boolean would go NULL instead of
+            # the vacuous TRUE (0 >= floor*0) the oracle pins
+            F.coalesce(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0)
+            ).alias("n_found"),
         )
         .select(
             "n_true_pairs",

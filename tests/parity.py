@@ -172,9 +172,12 @@ def driver_canon_smoke(rows, columns) -> str | None:
         pdf = pd.DataFrame(rows, columns=list(columns))
         if columns:
             pdf = pdf.sort_values(by=list(columns), kind="mergesort")
-        # the hash step is where list/dict cells actually detonate
+        # the hash step is where list/dict cells actually detonate;
+        # hash EVERY row — an object-dtype surprise first appearing
+        # after row 100 of the sorted frame must fail here, not at the
+        # driver (the collect above already paid the real cost)
         for c in pdf.columns:
-            hash(tuple(pdf[c].head(100)))
+            hash(tuple(pdf[c]))
     except TypeError as exc:  # the driver's failure mode, verbatim
         return f"driver-canon incompatible output: {exc}"
     except Exception as exc:  # pragma: no cover - any other canon crash

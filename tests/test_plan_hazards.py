@@ -24,6 +24,11 @@ BNLJ_OK = {
     "ann_lsh_topk",            # same bounded query set
     "ann_ivf_topk",            # same bounded query set
     "ann_recall_eval",         # composes the two waived queries above
+    "minhash_lsh_recall_floor",  # truth side is the bounded n-gram
+                                 # Jaccard pair set (quality companion)
+    "ann_lsh_recall_floor",    # composes the waived bounded top-k pair
+    "ann_ivf_recall_floor",    # same bounded TOPK_N_QUERIES broadcast
+    "ann_pq_recall_floor",     # same bounded TOPK_N_QUERIES broadcast
     "tpch_q11_important_parts",   # 1-row global-total crossJoin
     "tpch_q22_sales_opportunity",  # 1-row average-balance crossJoin
     "tpch_q15_top_supplier",   # 1-row max-revenue crossJoin
