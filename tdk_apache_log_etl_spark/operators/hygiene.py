@@ -26,6 +26,8 @@ the driver-mandated LLM-pipeline pack (SURVEY.md §2 extension rows).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,16 +177,20 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     review batches), and the submodular-selection shape (facility
     location / coverage) behind modern data-pruning papers.
 
-    Distributed like the E76 BPE trainer: the (doc, bigram) pair frame
-    and per-doc totals are built ONCE and persisted; each of the
-    COVERAGE_K rounds computes gain(doc) = |S_doc| − |S_doc ∩ covered|
-    with ONE broadcast semi-join against the covered-vocabulary frame
-    (bounded by K × the largest doc's vocabulary — broadcast-sized by
-    contract) plus a map-side count, then limit(1).collect()s the single
-    winner row (ties break on doc_id). The driver only ever sees K
-    winner tuples; the covered frame is re-persisted per round with the
-    previous round unpersisted, so lineage stays O(1) and the pair set
-    is never rewritten.
+    Distributed as a K-pass greedy over a per-doc set frame: the
+    DISTINCT bigram-set frame (doc_id, toks array, tot) is built ONCE
+    and persisted — one row per document, so every later pass touches a
+    frame that is |docs| rows, not |doc x bigram| pairs.  The covered
+    vocabulary lives DRIVER-side as a plain set (bounded by
+    COVERAGE_K × the largest doc's distinct-bigram count — the same
+    boundedness contract the earlier broadcast-DataFrame form carried)
+    and is shipped per round as a broadcast variable into one
+    Arrow-batched pandas UDF that computes |S_doc ∩ covered|;
+    gain = tot − overlap.  Each round is then ONE job — a map-side
+    TakeOrdered(1) over the persisted per-doc frame (no shuffle, no
+    per-round persist churn) — and the winner row carries its own token
+    array back, so updating the covered set costs no extra scan.  Ties
+    break on doc_id asc.
 
     No SQL oracle: the greedy recurrence is data-dependent and
     iterative (same class as bpe_train_merges / kcore); correctness is
@@ -193,6 +199,8 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     rows-only check.
 
     Output: (rank, doc_id, new_tokens, cum_covered, coverage_frac)."""
+    from pyspark.sql.functions import pandas_udf
+
     from .registry import scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -200,84 +208,71 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     # construction, so unigram coverage saturates after one pick; bigram
     # coverage (~|V|^2 units) is also what tokenizer-warmup selection
     # actually optimizes (merge-pair exposure).
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    pairs = scoped_persist(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
-                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
-                    lambda a, b: F.concat_ws("\u0001", a, b),
-                )
-            ).alias("tok"),
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.array_remove(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws("\u0001", a, b),
+            ),
+            "",
         )
-        .filter(F.col("tok") != "")
-        .distinct()
+    )
+    doc_toks = scoped_persist(
+        docs.select(
+            "doc_id",
+            bigrams.alias("toks"),
+            F.size(bigrams).cast("long").alias("tot"),
+        )
         # right-size for the K re-scans: a vanilla 200-shuffle-partition
         # session would otherwise launch 200 tasks per round on this
         # frame; core count is the honest width at any cluster size
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    vocab_total = pairs.select("tok").distinct().count()
-    doc_tot = scoped_persist(
-        pairs.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("tot")
-        )
+    vocab_total = (
+        doc_toks.select(F.explode("toks").alias("tok")).distinct().count()
     )
-    covered = None  # DataFrame[tok]; bounded by K x max doc vocabulary
+    covered: set = set()  # bounded by K x max doc distinct bigrams
     picked = []
     cum = 0
     for rank in range(1, COVERAGE_K + 1):
-        if covered is None:
-            gains = doc_tot.select(
-                "doc_id", F.col("tot").alias("gain")
-            )
+        if not covered:
+            gain = F.col("tot")
+            cov_bc = None
         else:
-            # gain(doc) = |S_doc| - |S_doc ∩ covered| — ONE broadcast
-            # semi-join per round instead of rewriting the pair set
-            cov_cnt = (
-                pairs.join(F.broadcast(covered), "tok", "left_semi")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("cov"))
-            )
-            gains = doc_tot.join(cov_cnt, "doc_id", "left").select(
-                "doc_id",
-                (
-                    F.col("tot") - F.coalesce(F.col("cov"), F.lit(0))
-                ).alias("gain"),
-            )
+            cov_bc = spark.sparkContext.broadcast(covered)
+
+            @pandas_udf("long")
+            def n_overlap(toks: pd.Series) -> pd.Series:
+                cov = cov_bc.value
+                return toks.map(
+                    lambda ts: sum(1 for t in ts if t in cov)
+                ).astype("int64")
+
+            gain = F.col("tot") - n_overlap("toks")
         win = (
-            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+            doc_toks.select("doc_id", "toks", gain.alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
             .collect()
         )
+        if cov_bc is not None:
+            cov_bc.unpersist()
         if not win or win[0].gain == 0:
             break
-        doc_id, gain = win[0].doc_id, win[0].gain
-        cum += gain
+        cum += int(win[0].gain)
         picked.append(
-            (rank, doc_id, gain, cum, float(cum) / vocab_total)
+            (rank, win[0].doc_id, int(win[0].gain), cum, cum / vocab_total)
         )
-        win_toks = pairs.filter(F.col("doc_id") == doc_id).select("tok")
-        new_covered = (
-            win_toks
-            if covered is None
-            else covered.unionByName(win_toks).distinct()
-        ).coalesce(1).persist()  # broadcast-sized by contract — keep it
-        # one partition so vanilla 200-partition sessions don't pay 200
-        # tasks per round on a few-kB frame
-        new_covered.count()  # materialize before dropping the parent
-        if covered is not None:
-            covered.unpersist()
-        covered = new_covered
-    if covered is not None:
-        covered.unpersist()
+        covered.update(win[0].toks)
     return spark.createDataFrame(
         picked,
         "rank int, doc_id long, new_tokens long, cum_covered long, "
         "coverage_frac double",
     )
+
+
 
 
 # --------------------------------------------------------------------------
