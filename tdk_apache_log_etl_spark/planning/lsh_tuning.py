@@ -65,32 +65,36 @@ def tune_bands(
         raise ValueError(f"n_hashes must be >= 1 (got {n_hashes})")
     best: BandingChoice | None = None
     for r in range(1, n_hashes + 1):
-        b = n_hashes // r
-        if b < 1:
-            break
-        fp = 0.0
-        fn = 0.0
-        for i in range(grid):
-            s = (i + 0.5) / grid
-            p = candidate_prob(s, b, r)
-            if s < threshold:
-                fp += p
-            else:
-                fn += 1.0 - p
-        fp /= grid
-        fn /= grid
-        cost = fp_weight * fp + fn_weight * fn
-        cand = BandingChoice(
-            bands=b,
-            rows=r,
-            n_hashes_used=b * r,
-            threshold_est=banding_threshold(b, r),
-            fp_area=fp,
-            fn_area=fn,
-            cost=cost,
-        )
-        # strict < : ties resolve to the smaller r (cheaper signatures)
-        if best is None or cand.cost < best.cost:
-            best = cand
+        # EVERY b up to the budget, not just the maximal one: with a
+        # skewed fp_weight a smaller band count at the same row count
+        # can price lower (fewer bands = fewer accidental candidates),
+        # and the docstring promises the full (b, r) enumeration.
+        # Still tiny scalar work: sum_r n/r = O(n log n) combos.
+        for b in range(1, n_hashes // r + 1):
+            fp = 0.0
+            fn = 0.0
+            for i in range(grid):
+                s = (i + 0.5) / grid
+                p = candidate_prob(s, b, r)
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= grid
+            fn /= grid
+            cost = fp_weight * fp + fn_weight * fn
+            cand = BandingChoice(
+                bands=b,
+                rows=r,
+                n_hashes_used=b * r,
+                threshold_est=banding_threshold(b, r),
+                fp_area=fp,
+                fn_area=fn,
+                cost=cost,
+            )
+            # strict < : ties resolve to the smaller r (cheaper
+            # signatures), then the smaller b (iteration order)
+            if best is None or cand.cost < best.cost:
+                best = cand
     assert best is not None
     return best

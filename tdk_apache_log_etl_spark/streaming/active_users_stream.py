@@ -28,13 +28,14 @@ Swap-write crash protocol shared with sketch_rollup/bloom_stream.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.logmetrics import sliding_active_counts
+
+from .state_swap import recover_state, swap_write
 
 
 def merge_batch_user_days(
@@ -54,19 +55,14 @@ def merge_batch_user_days(
         )
         .distinct()
     )
+    # heal a crash inside a previous swap window before reading state
+    recover_state(table_path)
     if os.path.exists(table_path):
         existing = spark.read.parquet(table_path)
         merged = existing.unionByName(fresh).distinct()
     else:
         merged = fresh
-    tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = table_path + "._old"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_write(merged, table_path)
 
 
 def write_active_users_stream(

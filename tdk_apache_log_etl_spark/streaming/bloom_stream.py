@@ -26,7 +26,6 @@ replay converges.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +36,7 @@ from ..operators.sketches import (
     bloom_hit_sql,
     bloom_word_table,
 )
+from .state_swap import recover_state, swap_write
 
 
 def merge_batch_bloom(
@@ -54,6 +54,8 @@ def merge_batch_bloom(
         ),
         "k",
     )
+    # heal a crash inside a previous swap window before reading state
+    recover_state(table_path)
     if os.path.exists(table_path):
         existing = spark.read.parquet(table_path)
         merged = (
@@ -63,14 +65,7 @@ def merge_batch_bloom(
         )
     else:
         merged = fresh
-    tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = table_path + "._old"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_write(merged, table_path)
 
 
 def write_bloom_stream(

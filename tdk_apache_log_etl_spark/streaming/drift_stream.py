@@ -11,7 +11,10 @@ monitor never rescans history AND never evaluates a libm log.
 Counts are ADDITIVE, not idempotent, so replay safety uses the batch-id
 exactly-once protocol shared with mv_stream.py / view_maintenance.py:
 per-batch swap directories committed by their _SUCCESS marker;
-already-committed ids are skipped on redelivery.
+already-committed ids are skipped on redelivery.  Each committed dir
+holds the FULL merged count table, so retention prunes everything older
+than the commit's predecessor — without it state grows
+O(batches x state size) on a long-running stream.
 
 Scale: each batch collapses map-side to its ≤(|types| + ~10 magnitude
 buckets) cell frame before touching the state; the PSI read joins two
@@ -28,6 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.concentration import _PSI_FEATURES_SPARK, psi_from_cells
+from .state_swap import prune_batch_dirs
 
 _COUNT_SCHEMA = T.StructType(
     [
@@ -89,6 +93,12 @@ def apply_drift_batch(
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
     delta.write.mode("overwrite").parquet(_state_path(state_dir, batch_id))
+    # retention: each committed dir holds the FULL merged table, so only
+    # this commit and its predecessor (read-side race) stay live
+    prune_batch_dirs(
+        state_dir,
+        {batch_id} | ({committed[-1]} if committed else set()),
+    )
 
 
 def maintain_drift_stream(

@@ -20,11 +20,12 @@ Swap-write crash protocol shared with the other three modules.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
+
+from .state_swap import recover_state, swap_write
 
 
 def merge_batch_watermarks(
@@ -42,6 +43,8 @@ def merge_batch_watermarks(
         F.max(F.col(ts_col)).alias("last_ts"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+    # heal a crash inside a previous swap window before reading state
+    recover_state(table_path)
     if os.path.exists(table_path):
         existing = spark.read.parquet(table_path)
         merged = (
@@ -58,14 +61,7 @@ def merge_batch_watermarks(
         )
     else:
         merged = fresh
-    tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = table_path + "._old"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_write(merged, table_path)
 
 
 def write_freshness_stream(

@@ -35,6 +35,7 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.tablestats import daily_rev_mv_spec, monthly_rev_query
 from ..planning import MaterializedView, rollup_frame, try_rewrite
+from .state_swap import prune_batch_dirs
 
 _MV_SCHEMA = T.StructType(
     [
@@ -92,6 +93,12 @@ def apply_mv_batch(
         merged = delta
     merged.write.mode("overwrite").parquet(
         _state_path(state_dir, batch_id)
+    )
+    # retention: committed dirs are full snapshots; keep only this
+    # commit and its predecessor (read-side race), prune the rest
+    prune_batch_dirs(
+        state_dir,
+        {batch_id} | ({committed[-1]} if committed else set()),
     )
 
 

@@ -27,11 +27,12 @@ Swap-write crash protocol shared with the other four modules.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
+
+from .state_swap import recover_state, swap_write
 
 
 def _partial_bars(
@@ -83,21 +84,18 @@ def merge_batch_bars(
     value_col: str = "value",
 ) -> None:
     """One micro-batch → partial bars → min/max-merge into the persisted
-    bar-state table (swap-write for crash atomicity)."""
+    bar-state table (crash-RECOVERABLE swap-write — see state_swap;
+    a die between the two renames is healed by recover_state at the
+    next merge entry, not lost)."""
     spark = batch_df.sparkSession
     fresh = _partial_bars(batch_df, type_col, ts_col, id_col, value_col)
+    # heal a crash inside a previous swap window before reading state
+    recover_state(table_path)
     if os.path.exists(table_path):
         merged = _merge_bars(spark.read.parquet(table_path), fresh)
     else:
         merged = fresh
-    tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = table_path + "._old"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_write(merged, table_path)
 
 
 def write_ohlc_stream(

@@ -35,6 +35,8 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.sketches import HLL_LGK
 
+from .state_swap import recover_state, swap_write
+
 
 def _merge_batch_sketches(
     batch_df: DataFrame,
@@ -54,6 +56,8 @@ def _merge_batch_sketches(
     fresh = batch_df.groupBy(*dims).agg(
         F.hll_sketch_agg(F.col(key), F.lit(lgk)).alias("hll")
     )
+    # heal a crash inside a previous swap window before reading state
+    recover_state(table_path)
     if os.path.exists(table_path):
         # the swap protocol guarantees table_path is absent or complete,
         # so a plain (non-declared-schema) read can't see a half-write
@@ -65,19 +69,7 @@ def _merge_batch_sketches(
         )
     else:
         merged = fresh
-    tmp = table_path + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    # swap: the sketch table is small (one row per grain cell), so the
-    # rename window is milliseconds; a crash between rm and rename is
-    # healed by the next batch replay re-deriving the union.
-    import shutil
-
-    old = table_path + "._old"
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_write(merged, table_path)
 
 
 def write_sketch_rollup_stream(

@@ -1,0 +1,77 @@
+"""Crash-RECOVERABLE swap-write for the small foreachBatch state tables.
+
+The incremental streaming operators (OHLC bars, active-user day sets,
+Bloom blocklists, freshness watermarks, sketch rollups) maintain a small
+parquet state table that each micro-batch rewrites via
+write-tmp → rename-away-live → rename-tmp-into-place.  The double rename
+is NOT atomic: a process dying between the two renames leaves no live
+table, and a naive next batch would silently restart state from that one
+batch (all prior accumulation lost) while the orphaned ``._old`` copy
+rots on disk.
+
+``recover_state`` heals exactly that window — call it at merge entry,
+BEFORE the ``os.path.exists(table_path)`` read-side check — and
+``swap_write`` performs the swap itself so the five modules share one
+audited implementation instead of five drifting copies.
+
+Local-filesystem semantics are deliberate: this state layer is the
+single-node test double for what is a transactional table format
+(Delta/Iceberg) on a real cluster, where commit atomicity comes from
+the table format, not from renames.  The recover/swap contract here
+mirrors that design: recovery is idempotent, the state table is tiny
+(one row per grain cell), and the swap window is milliseconds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def recover_state(table_path: str) -> None:
+    """Heal a crash inside the swap window: if the live table is missing
+    but its ``._old`` predecessor survives, the writer died between the
+    two renames — rename the predecessor back so the next merge resumes
+    from the full accumulated state instead of restarting from one
+    batch.  Idempotent; a no-op whenever the live table exists."""
+    old = table_path + "._old"
+    if not os.path.exists(table_path) and os.path.exists(old):
+        os.rename(old, table_path)
+
+
+def swap_write(merged: DataFrame, table_path: str) -> None:
+    """Write ``merged`` to ``table_path`` via tmp-then-double-rename.
+    Crash-recoverable (see module docstring), not atomic: pair every
+    read of ``table_path`` with a prior :func:`recover_state` call."""
+    tmp = table_path + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = table_path + "._old"
+    if os.path.exists(table_path):
+        os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def prune_batch_dirs(state_dir: str, keep_ids: set[int]) -> None:
+    """Retention for the batch-id exactly-once state layout
+    (``batch=<id>/...`` dirs committed by their _SUCCESS marker, as in
+    drift_stream / mv_stream): the state is CUMULATIVE — each committed
+    dir holds the full merged table — so after committing batch N only
+    N itself and its predecessor (kept for readers that resolved the
+    latest id just before the commit) are live.  Everything older is
+    garbage that would otherwise grow O(batches x state size) on a
+    long-running stream.  Unknown dir names are left alone."""
+    if not os.path.isdir(state_dir):
+        return
+    for name in os.listdir(state_dir):
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid not in keep_ids:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)

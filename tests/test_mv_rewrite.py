@@ -93,7 +93,7 @@ def test_monthly_rollup_scans_only_the_mv(spark, tmp_path):
     assert got is not None
     # plan provenance: every input file comes from the MV, none from base
     files = got.inputFiles()
-    assert files and all("/mv/" in f or f.endswith("/mv") or "mv" in f for f in files)
+    assert files and all("/mv/" in f for f in files)
     assert not any("orders.parquet" in f for f in files)
 
     direct, used = answer(spark, monthly, [], base)

@@ -111,3 +111,28 @@ def test_drift_replay_does_not_double_count(spark, tmp_path):
         tuple(r) for r in read_live_counts(spark, state).collect()
     ) == before
     assert before[0][2] == 7
+
+
+def test_state_retention_keeps_only_commit_and_predecessor(spark, tmp_path):
+    """Committed dirs are full snapshots, so after batch N only N and
+    N's predecessor may remain — without pruning a long-running stream
+    grows O(batches x state size) (round-4 advice)."""
+    import os
+
+    state = str(tmp_path / "state")
+    for i in range(4):
+        df = spark.read.parquet(
+            str(_write(tmp_path / f"b{i}.parquet", _rows([("click", 1.0)], i))
+                or (tmp_path / f"b{i}.parquet"))
+        )
+        apply_drift_batch(df, state, i)
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    assert dirs == ["batch=2", "batch=3"]
+    # the live read still resolves to the latest commit
+    total = sum(
+        r.cnt
+        for r in read_live_counts(spark, state)
+        .filter("feature = 'event_type'")
+        .collect()
+    )
+    assert total == 4

@@ -117,3 +117,31 @@ def test_late_event_wins_open(spark, tmp_path):
     assert v.low_value == 0.5
     assert v.high_value == 9.0
     assert v.n_events == 3
+
+
+def test_swap_crash_window_is_recovered(spark, tmp_path):
+    """A writer dying BETWEEN the two swap renames leaves no live table
+    but a complete '._old' predecessor; the next merge must resume from
+    the full accumulated state, not silently restart from one batch
+    (round-4 advice on merge_batch_bars)."""
+    import os
+
+    table = str(tmp_path / "bars")
+    d1 = tmp_path / "d1.parquet"
+    d2 = tmp_path / "d2.parquet"
+    _write(d1, BATCH1)
+    _write(d2, BATCH2)
+    merge_batch_bars(spark.read.parquet(str(d1)), table)
+    # simulate the crash window: live table renamed away, tmp never
+    # renamed into place
+    os.rename(table, table + "._old")
+    merge_batch_bars(spark.read.parquet(str(d2)), table)
+    bars = {
+        (r.event_type, r.hour_ts): r for r in read_bars(spark, table).collect()
+    }
+    v = bars[("view", H)]
+    assert v.open_value == 5.0   # batch-1 open survived the crash
+    assert v.high_value == 9.0   # batch-1 high survived
+    assert v.low_value == 1.0    # batch-2 low merged in
+    assert v.n_events == 4       # 2 + 2 view events in hour 10
+    assert not os.path.exists(table + "._old")  # orphan cleaned up
