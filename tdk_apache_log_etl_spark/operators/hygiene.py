@@ -219,16 +219,17 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
             "",
         )
     )
+    # Keep the scan's NATURAL partitioning (input-split-sized): the
+    # per-round TakeOrdered is a narrow map over this frame, so task
+    # count should track data volume — one task at bench scale, one per
+    # split at 100 TB — rather than a fixed repartition width that costs
+    # a shuffle here and 32 near-empty Python-worker tasks per round.
     doc_toks = scoped_persist(
         docs.select(
             "doc_id",
             bigrams.alias("toks"),
             F.size(bigrams).cast("long").alias("tot"),
         )
-        # right-size for the K re-scans: a vanilla 200-shuffle-partition
-        # session would otherwise launch 200 tasks per round on this
-        # frame; core count is the honest width at any cluster size
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     vocab_total = (
         doc_toks.select(F.explode("toks").alias("tok")).distinct().count()

@@ -517,7 +517,11 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two map-side-combined keyed counts, one equi-join of the
     per-key COUNT frames (never the facts), a 1-row totals crossJoin,
-    TakeOrdered top-K."""
+    TakeOrdered top-K.  The per-key join frame feeds BOTH the totals
+    aggregate and the final projection, so it is scoped_persist-ed —
+    without it each keyed fact aggregation runs twice."""
+    from .registry import scoped_persist
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("k"))
@@ -528,11 +532,13 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderkey").alias("k"))
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
     )
-    j = li.join(orders, "k").select(
-        "k",
-        "cl",
-        "co",
-        (F.col("cl") * F.col("co")).cast("long").alias("out_rows"),
+    j = scoped_persist(
+        li.join(orders, "k").select(
+            "k",
+            "cl",
+            "co",
+            (F.col("cl") * F.col("co")).cast("long").alias("out_rows"),
+        )
     )
     tot = j.agg(
         F.sum("out_rows").cast("long").alias("total_out"),

@@ -160,9 +160,11 @@ def _py_bpe_reference(texts, rounds):
 
 
 def test_bpe_train_matches_reference_on_planted_fixture(spark, tmp_path):
+    # full-corpus trainer pin (the registered query runs the sampled
+    # configuration; the trainer itself is exercised unsampled here)
     import pandas as pd
 
-    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators.chunking import train_bpe_merges
 
     texts = [
         "x y x y x y z",     # (x,y) dominates; overlapping "y x" chains
@@ -182,7 +184,7 @@ def test_bpe_train_matches_reference_on_planted_fixture(spark, tmp_path):
 
     got = [
         (r["round"], r["left"], r["right"], r["n_occurrences"])
-        for r in QUERIES["bpe_train_merges"](spark, str(tmp_path)).collect()
+        for r in train_bpe_merges(spark, str(tmp_path)).collect()
     ]
     want = _py_bpe_reference(texts, 5)
     assert got == want
@@ -190,27 +192,42 @@ def test_bpe_train_matches_reference_on_planted_fixture(spark, tmp_path):
     assert any(left == "a" and right == "a" for _, left, right, _ in want)
 
 
-def test_bpe_train_matches_reference_on_fixture_corpus(spark):
+def test_bpe_train_registered_query_matches_sampled_reference(spark):
+    # the REGISTERED query trains on the documented deterministic
+    # doc-hash sample (BPE_BENCH_SAMPLE) — pin it against the
+    # pure-Python reference over exactly the sampled texts
     import duckdb
 
     from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        BPE_BENCH_SAMPLE,
+        bpe_sample_filter,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
 
     from .conftest import SF_DIR_CORRECT
 
-    texts = [
-        r[0]
-        for r in duckdb.sql(
-            f"SELECT text FROM '{SF_DIR_CORRECT}/documents.parquet' "
-            "ORDER BY doc_id"
+    docs = load_table(spark, SF_DIR_CORRECT, "documents")
+    sampled_ids = sorted(
+        r.doc_id
+        for r in docs.filter(bpe_sample_filter(BPE_BENCH_SAMPLE))
+        .select("doc_id")
+        .collect()
+    )
+    assert 0 < len(sampled_ids) < docs.count()
+    all_texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR_CORRECT}/documents.parquet'"
         ).fetchall()
-    ]
+    )
+    sampled_texts = [all_texts[i] for i in sampled_ids]
     got = [
         (r["round"], r["left"], r["right"], r["n_occurrences"])
         for r in QUERIES["bpe_train_merges"](
             spark, SF_DIR_CORRECT
         ).collect()
     ]
-    assert got == _py_bpe_reference(texts, 5)
+    assert got == _py_bpe_reference(sampled_texts, 5)
 
 
 @pytest.mark.parametrize("fraction", [0.5, 0.1])
