@@ -1486,6 +1486,21 @@ def corpus_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exact_jaccard_pairs. The capped vocabulary IS the operator's declared
 #: vector space (rare-token cosine), so the oracle matches exactly.
 _TF_DF_CAP_DEN = 20
+#: ABSOLUTE posting-length cap, alongside the relative one: the relative
+#: cap alone scales with the corpus (df <= n/20 lets every posting list
+#: grow 10x when docs grow 10x, and the self-join's pair work grows
+#: ~100x — measured exponent 2.07 on the sf0.1 -> sf1 study, round 6).
+#: Capping the list length absolutely bounds each token's pair work at
+#: C(cap, 2) regardless of corpus size, making total candidates linear
+#: in VOCABULARY — the same absolute-frequency bar ES more-like-this
+#: (max_doc_freq) and PPJoin-family prefix filters apply. Tokens this
+#: common across an unbounded corpus are stopwords for the rare-token
+#: vector space anyway. 256 sits just above the relative cap at the
+#: bench sf0.1 (5000 docs, n/20 = 250), so results at BOTH test scales
+#: are exactly what the relative-only rule produced, and every larger
+#: corpus gets the constant bound: C(256,2) ≈ 33k pairs per token,
+#: linear-in-vocabulary totals.
+_TF_DF_ABS_CAP = 256
 _TF_COS_MIN = 0.30
 
 
@@ -1506,6 +1521,7 @@ _TF_COS_MIN = 0.30
           SELECT t.doc_id, t.token, t.tf
           FROM tf t JOIN df USING (token) CROSS JOIN nd
           WHERE df.df >= 2 AND df.df * {_TF_DF_CAP_DEN} <= nd.n_docs
+            AND df.df <= {_TF_DF_ABS_CAP}
         ), norms AS (
           SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm2
           FROM kept GROUP BY doc_id
@@ -1533,13 +1549,17 @@ def doc_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity (complements minhash_lsh_neardup, which approximates
     Jaccard; this is exact cosine on TF vectors).
 
-    Scale: the join key is the token, and the df cap bounds each token's
-    contribution to at most (n_docs/20 choose 2) pairs while killing the
-    head tokens that would otherwise dominate cost with noise — the same
-    frequency-prune every production similarity self-join (PPJoin, ES
-    more-like-this) applies. Dot products and norms are exact BIGINT sums;
-    cosine is one sqrt + one division over identical operands, so the
-    threshold verdict is bit-identical in both engines."""
+    Scale: the join key is the token, and the df caps bound each token's
+    contribution — relatively (df <= n_docs/20: kill the head tokens that
+    dominate cost with noise) AND absolutely (df <= _TF_DF_ABS_CAP: bound
+    every posting list, so per-token pair work is C(cap, 2) at ANY corpus
+    size and total candidates are linear in vocabulary, not quadratic in
+    documents — the round-6 scaling study measured exponent 2.07 without
+    it). The same frequency prune every production similarity self-join
+    (PPJoin, ES more-like-this max_doc_freq) applies. Dot products and
+    norms are exact BIGINT sums; cosine is one sqrt + one division over
+    identical operands, so the threshold verdict is bit-identical in
+    both engines."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -1556,6 +1576,7 @@ def doc_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("df") >= 2)
             & (F.col("df") * _TF_DF_CAP_DEN <= F.col("n_docs"))
+            & (F.col("df") <= _TF_DF_ABS_CAP)
         )
         .select("doc_id", "token", "tf")
     )
