@@ -157,6 +157,11 @@ def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataF
     @pandas_udf("array<string>")
     def merge_pair(col: pd.Series) -> pd.Series:
         def one(ts):
+            if ts is None:
+                # preserve the F.aggregate fold's NULL semantics: a NULL
+                # token array (NULL text upstream) stays NULL instead of
+                # crashing the whole training job on len(None)
+                return None
             out = []
             i = 0
             n = len(ts)

@@ -26,8 +26,6 @@ the driver-mandated LLM-pipeline pack (SURVEY.md §2 extension rows).
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,6 +164,12 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Selection budget — constant, so the driver loop is bounded.
 COVERAGE_K = 10
 
+#: Candidate batch per Spark job in the threshold-batched greedy: caps
+#: driver memory at M x max-doc-bigram-set regardless of corpus size,
+#: while usually letting ALL K picks resolve from one distributed
+#: TakeOrdered(M) (the threshold certificate below).
+COVERAGE_BATCH = 4096
+
 
 @query("greedy_coverage_select")
 def greedy_coverage_select(spark: SparkSession, sf_dir: str):
@@ -177,20 +181,34 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     review batches), and the submodular-selection shape (facility
     location / coverage) behind modern data-pruning papers.
 
-    Distributed as a K-pass greedy over a per-doc set frame: the
-    DISTINCT bigram-set frame (doc_id, toks array, tot) is built ONCE
-    and persisted — one row per document, so every later pass touches a
-    frame that is |docs| rows, not |doc x bigram| pairs.  The covered
-    vocabulary lives DRIVER-side as a plain set (bounded by
-    COVERAGE_K × the largest doc's distinct-bigram count — the same
-    boundedness contract the earlier broadcast-DataFrame form carried)
-    and is shipped per round as a broadcast variable into one
-    Arrow-batched pandas UDF that computes |S_doc ∩ covered|;
-    gain = tot − overlap.  Each round is then ONE job — a map-side
-    TakeOrdered(1) over the persisted per-doc frame (no shuffle, no
-    per-round persist churn) — and the winner row carries its own token
-    array back, so updating the covered set costs no extra scan.  Ties
-    break on doc_id asc.
+    Distributed as THRESHOLD-BATCHED greedy over a per-doc set frame:
+    the DISTINCT bigram-set frame (doc_id, toks array, tot) is built
+    ONCE and persisted — one row per document, so every pass touches a
+    frame that is |docs| rows, not |doc x bigram| pairs.  One
+    distributed TakeOrdered(COVERAGE_BATCH) by (gain desc, doc_id asc)
+    — gain evaluated JVM-side as ``tot − size(array_intersect(toks,
+    covered))`` with the covered set shipped as one constant-folded
+    literal — pulls the top M candidates WITH their bigram sets to the
+    driver (Arrow, bounded at M × max-doc-set regardless of corpus
+    size).  The driver then runs exact greedy over the batch, holding
+    a SUBMODULARITY CERTIFICATE: every uncollected doc's current gain
+    is ≤ its collect-time gain ≤ the batch's M-th gain (the
+    threshold), so any in-batch pick whose recomputed gain STRICTLY
+    beats the threshold is globally exact — including the doc_id-asc
+    tie-break, since an uncollected tie would need gain > threshold.
+    When the certificate runs out (or gains fall to the threshold), a
+    fresh TakeOrdered re-collects with exact gains — whose first row
+    is always an exact pick, so the loop is bounded by K jobs and in
+    practice finishes in ONE (threshold ≈ the M-th doc's marginal
+    coverage, far below the K-th pick's gain on any corpus with a
+    coverage-rich head).
+
+    CELF lazy greedy was tried and rejected: on a redundant corpus the
+    tot-based upper bounds stay far above true gains after pick 1, so
+    the lazy frontier degenerates into evaluating (and collecting!)
+    nearly every document every round — 90x slower at sf0.1.  The
+    round-5 shape (one TakeOrdered(1) + pandas-UDF overlap scan per
+    round) was exact but paid K full Arrow scans; this pays one.
 
     No SQL oracle: the greedy recurrence is data-dependent and
     iterative (same class as bpe_train_merges / kcore); correctness is
@@ -199,8 +217,6 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     rows-only check.
 
     Output: (rank, doc_id, new_tokens, cum_covered, coverage_frac)."""
-    from pyspark.sql.functions import pandas_udf
-
     from .registry import scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -225,7 +241,13 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     # split at 100 TB — rather than a fixed repartition width that costs
     # a shuffle here and 32 near-empty Python-worker tasks per round.
     doc_toks = scoped_persist(
-        docs.select(
+        # NULL text would carry a NULL toks array and NULL/-1 tot; if
+        # such a row ever won a round, int(win[0].gain) would TypeError
+        # and covered.update(None) would follow.  A NULL document covers
+        # nothing, so it can never be a useful pick — drop it up front
+        # (the explode-based pairs frame this replaced dropped them
+        # implicitly).
+        docs.filter(F.col("text").isNotNull()).select(
             "doc_id",
             bigrams.alias("toks"),
             F.size(bigrams).cast("long").alias("tot"),
@@ -237,36 +259,60 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     covered: set = set()  # bounded by K x max doc distinct bigrams
     picked = []
     cum = 0
-    for rank in range(1, COVERAGE_K + 1):
+    done = False
+    while len(picked) < COVERAGE_K and not done:
         if not covered:
             gain = F.col("tot")
-            cov_bc = None
         else:
-            cov_bc = spark.sparkContext.broadcast(covered)
-
-            @pandas_udf("long")
-            def n_overlap(toks: pd.Series) -> pd.Series:
-                cov = cov_bc.value
-                return toks.map(
-                    lambda ts: sum(1 for t in ts if t in cov)
-                ).astype("int64")
-
-            gain = F.col("tot") - n_overlap("toks")
-        win = (
+            # JVM-only overlap for the re-collect path: both sides are
+            # distinct, so size(intersect) == |S_doc ∩ covered|.
+            gain = F.col("tot") - F.size(
+                F.array_intersect(F.col("toks"), F.lit(sorted(covered)))
+            )
+        batch = (
             doc_toks.select("doc_id", "toks", gain.alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
-            .limit(1)
-            .collect()
+            .limit(COVERAGE_BATCH)
+            .toPandas()
         )
-        if cov_bc is not None:
-            cov_bc.unpersist()
-        if not win or win[0].gain == 0:
+        if batch.empty:
             break
-        cum += int(win[0].gain)
-        picked.append(
-            (rank, win[0].doc_id, int(win[0].gain), cum, cum / vocab_total)
-        )
-        covered.update(win[0].toks)
+        # full => every doc is in memory; otherwise the M-th collect-time
+        # gain upper-bounds every uncollected doc's CURRENT gain
+        # (submodularity: gains only shrink as covered grows)
+        full = len(batch) < COVERAGE_BATCH
+        threshold = int(batch["gain"].iloc[-1])
+        cands = [
+            (int(r.doc_id), set(r.toks))
+            for r in batch.itertuples(index=False)
+        ]
+        fresh = True  # row 0 of a fresh batch is always an exact pick
+        while len(picked) < COVERAGE_K:
+            best_id, best_gain, best_set = None, -1, None
+            for doc_id, s in cands:
+                g = len(s - covered) if covered else len(s)
+                if g > best_gain or (g == best_gain and doc_id < best_id):
+                    best_id, best_gain, best_set = doc_id, g, s
+            if best_gain == 0 and (full or fresh):
+                done = True  # exact global max gain is zero
+                break
+            if not fresh and not full and best_gain <= threshold:
+                break  # certificate exhausted — re-collect exact gains
+            if best_gain == 0:
+                break  # stale threshold — re-collect
+            cum += best_gain
+            picked.append(
+                (
+                    len(picked) + 1,
+                    best_id,
+                    best_gain,
+                    cum,
+                    cum / vocab_total,
+                )
+            )
+            covered.update(best_set)
+            cands = [c for c in cands if c[0] != best_id]
+            fresh = False
     return spark.createDataFrame(
         picked,
         "rank int, doc_id long, new_tokens long, cum_covered long, "

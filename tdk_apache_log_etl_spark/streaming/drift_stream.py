@@ -117,6 +117,11 @@ def maintain_drift_stream(
 
 
 def read_live_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    # Snapshot-lifetime note: the keep-2 retention in apply_drift_batch
+    # guarantees the dir resolved here survives exactly ONE further
+    # commit.  Materialize (or re-read) promptly; a reader that sits on
+    # this lazy frame across two commits loses its snapshot (see
+    # state_swap.prune_batch_dirs).
     committed = _committed_batches(state_dir)
     if not committed:
         return spark.createDataFrame([], _COUNT_SCHEMA)

@@ -118,7 +118,12 @@ def maintain_mv_stream(
 
 
 def read_mv_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The rollup at the highest committed batch (empty on cold start)."""
+    """The rollup at the highest committed batch (empty on cold start).
+
+    Snapshot-lifetime note: keep-2 retention in apply_mv_batch means the
+    dir resolved here survives exactly ONE further commit — materialize
+    promptly, don't hold the lazy frame across two commits (see
+    state_swap.prune_batch_dirs)."""
     committed = _committed_batches(state_dir)
     if not committed:
         return spark.createDataFrame([], _MV_SCHEMA)

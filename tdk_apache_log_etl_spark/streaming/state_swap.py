@@ -39,6 +39,12 @@ def recover_state(table_path: str) -> None:
     old = table_path + "._old"
     if not os.path.exists(table_path) and os.path.exists(old):
         os.rename(old, table_path)
+    elif os.path.exists(table_path) and os.path.exists(old):
+        # Crash AFTER os.rename(tmp, table_path) but BEFORE the rmtree:
+        # the live table is the newer state and ``._old`` is its stale
+        # predecessor.  Left in place it would wedge the NEXT swap_write
+        # (os.rename(table_path, old) raises ENOTEMPTY), so clear it here.
+        shutil.rmtree(old)
 
 
 def swap_write(merged: DataFrame, table_path: str) -> None:
@@ -48,6 +54,10 @@ def swap_write(merged: DataFrame, table_path: str) -> None:
     tmp = table_path + "._tmp"
     merged.write.mode("overwrite").parquet(tmp)
     old = table_path + "._old"
+    if os.path.exists(old):
+        # Stale predecessor from a crash after the final rename (see
+        # recover_state) — must go first or the rename below ENOTEMPTYs.
+        shutil.rmtree(old)
     if os.path.exists(table_path):
         os.rename(table_path, old)
     os.rename(tmp, table_path)
@@ -63,7 +73,15 @@ def prune_batch_dirs(state_dir: str, keep_ids: set[int]) -> None:
     N itself and its predecessor (kept for readers that resolved the
     latest id just before the commit) are live.  Everything older is
     garbage that would otherwise grow O(batches x state size) on a
-    long-running stream.  Unknown dir names are left alone."""
+    long-running stream.  Unknown dir names are left alone.
+
+    CONCURRENT-READER LIMIT: the keep-2 window tolerates exactly ONE
+    in-flight commit between a reader resolving ``committed[-1]`` and
+    materializing the DataFrame.  If two commits can land inside a
+    single reader's resolve→materialize gap (very slow readers, very
+    fast triggers), pass a larger ``keep_ids`` set from the caller —
+    the function prunes whatever is NOT in ``keep_ids``, so the window
+    is the caller's policy, not this function's."""
     if not os.path.isdir(state_dir):
         return
     for name in os.listdir(state_dir):

@@ -354,3 +354,19 @@ def test_winnow_shift_invariant_shared_fingerprints(spark, tmp_path):
     pos1 = {r.fp_hash: r.fp_pos for r in fps if r.doc_id == 1}
     shifted = [h for h in h0 & h1 if pos1[h] - pos0[h] == 113 - 37]
     assert len(shifted) >= 10
+
+
+def test_merge_pair_udf_preserves_null_arrays(spark):
+    # ADVICE r6: the Arrow-batched rewrite must keep the F.aggregate
+    # fold's NULL semantics — a NULL token array (NULL text upstream)
+    # propagates as NULL instead of raising TypeError on len(None)
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        _merge_pair_in_arrays,
+    )
+
+    toks = spark.createDataFrame(
+        [(["a", "b", "c"],), (None,), (["a", "b", "a", "b"],)],
+        "tk array<string>",
+    )
+    got = [r.tk for r in _merge_pair_in_arrays(toks, "a", "b", "ab").collect()]
+    assert got == [["ab", "c"], None, ["ab", "ab"]]

@@ -166,3 +166,25 @@ def test_dedup_savings_hand_computed(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_greedy_coverage_ignores_null_text_docs(spark, tmp_path):
+    # ADVICE r6: NULL text must not surface as a NULL-gain winner (the
+    # old explode-based pairs frame dropped such docs implicitly; the
+    # per-doc-set frame must drop them explicitly)
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", None, "a b"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [5, 0, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    rows = QUERIES["greedy_coverage_select"](spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in rows] == [1]  # doc 3's bigram ⊂ doc 1's
+    assert all(r.new_tokens > 0 for r in rows)
