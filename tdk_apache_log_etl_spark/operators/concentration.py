@@ -1178,10 +1178,10 @@ _POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
 #: Each 128-bit digest seeds FOUR replicas (8 hex chars each): replica
 #: b = 4·(g−1)+j reads chars [8(j−1)+1, 8j] of md5(event_id, g) — a 4×
 #: cut in hash work over one-digest-per-replica.
+#: The Spark side renders the same contract column-wise (one
+#: conv(substring(h{g}, 8(j−1)+1, 8), 16, 10) per replica) inside
+#: poisson_bootstrap_value_ci — positions and CASE table identical.
 _BOOT_H = "md5(concat(event_id, '_', g))"
-_BOOT_U_SPARK = (
-    "CAST(conv(substring(h, (j - 1) * 8 + 1, 8), 16, 10) AS BIGINT)"
-)
 _BOOT_U_DUCK = (
     "CAST(('0x' || substring(h, (j - 1) * 8 + 1, 8)) AS BIGINT)"
 )
@@ -1253,68 +1253,102 @@ def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin to an 8-bin inverse-CDF draw); replicate sums are exact
     BIGINTs, each mean one fixed division, so the whole CI hash-gates.
 
-    Scale: B× row amplification of a 2-column frame, collapsing
-    map-side to B rows before the only exchange; the rank window runs
-    on the 64-row replicate frame. Hash work is amortized 4× by reading
-    four 32-bit draws out of every 128-bit digest, and the radix
-    conversion is native per engine (a shared-string digit polynomial
-    cost 5.7 s of a 9.1 s sf0.1 wall; the digest split took the query
-    to 3.8 s)."""
+    Scale: ONE pass over the 2-column fact frame with 2B+2
+    accumulators — per event the B weights render as B codegen'd CASE
+    columns off the 16 digests (draw definitions IDENTICAL to the
+    oracle's unnest pipeline: replica b = 4(g−1)+j reads hex chars
+    [8(j−1)+1, 8j] of md5(event_id, g)), and the global agg
+    partial-combines map-side, so nothing is ever exploded: the
+    earlier explode form materialized B rows per event (384 M rows at
+    sf1) through a hash aggregate just to sum them back to B rows, and
+    that row churn — not the md5s — dominated its 33.5 s sf1 wall.
+    The B-row quantile pick then happens driver-side on the single
+    collected row (sorting 64 floats; the distributed part is the one
+    fact pass).  Hash work stays amortized 4× (four 32-bit draws per
+    128-bit digest) with native radix conversion per engine (a
+    shared-string digit polynomial cost 5.7 s of a 9.1 s sf0.1 wall).
+    Empty input yields the oracle's (0, B, NULL, NULL, NULL) row."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     base = ev.select(
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("sx"),
     )
-    rep = base.select(
-        "event_id",
+    n_digests = BOOT_B // 4
+    # The digest+draw projection is CPU-bound (16 md5 + 64 radix
+    # conversions per event), so rebalance the 2-column frame to full
+    # core width before it: at bench scale the parquet is one split and
+    # would otherwise run single-threaded; at cluster scale the tiny
+    # per-row shuffle cost is dwarfed by the per-row hash work.  Sums
+    # are exact integers, so round-robin placement cannot change the
+    # result.
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    hashed = base.select(
         "sx",
-        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 4))).alias("g"),
+        *[
+            F.expr(f"md5(concat(event_id, '_', {g}))").alias(f"h{g}")
+            for g in range(1, n_digests + 1)
+        ],
     )
-    per = (
-        rep.select("sx", "g", F.expr(_BOOT_H).alias("h"))
-        .select(
-            "sx",
-            "g",
-            "h",
-            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+    # one u column per replica so conv/substring evaluate once each
+    # (not once per CASE branch), then the shared-table CASE per replica
+    u_cols = []
+    for g in range(1, n_digests + 1):
+        for j in range(1, 5):
+            b = (g - 1) * 4 + j
+            u_cols.append(
+                F.expr(
+                    f"CAST(conv(substring(h{g}, {(j - 1) * 8 + 1}, 8),"
+                    " 16, 10) AS BIGINT)"
+                ).alias(f"u{b}")
+            )
+    drawn = hashed.select("sx", *u_cols)
+    w_tmpl = (
+        "CAST(CASE "
+        + " ".join(
+            "WHEN u{b} < %d THEN %d" % (t, k) for k, t in enumerate(_POIS_T)
         )
-        .select(
-            "sx",
-            ((F.col("g") - 1) * 4 + F.col("j")).alias("b"),
-            F.expr(_BOOT_U_SPARK).alias("u"),
-        )
-        .select("sx", "b", F.expr(_BOOT_W).alias("w"))
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("w") * F.col("sx")).alias("ws"),
-            F.sum("w").alias("wn"),
-        )
+        + " ELSE 8 END AS BIGINT)"
     )
-    means = per.select(
-        "b",
-        (
-            F.col("ws").cast("double")
-            / (F.lit(100.0) * F.nullif(F.col("wn"), F.lit(0)).cast("double"))
-        ).alias("m"),
+    # weights materialize ONCE as columns, so each CASE evaluates once
+    # per row (not once in SUM(w*sx) and again in SUM(w))
+    weighted = drawn.select(
+        "sx",
+        *[
+            F.expr(w_tmpl.format(b=b)).alias(f"w{b}")
+            for b in range(1, BOOT_B + 1)
+        ],
     )
-    ranked = means.select(
-        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    aggs = []
+    for b in range(1, BOOT_B + 1):
+        aggs.append(F.expr(f"SUM(w{b} * sx)").alias(f"ws{b}"))
+        aggs.append(F.expr(f"SUM(w{b})").alias(f"wn{b}"))
+    aggs.append(F.count(F.lit(1)).alias("n_events"))
+    aggs.append(F.sum("sx").alias("tot"))
+    row = weighted.agg(*aggs).collect()[0]
+    means = []
+    for b in range(1, BOOT_B + 1):
+        wn = row[f"wn{b}"]
+        m = row[f"ws{b}"] / (100.0 * wn) if wn else None
+        means.append((m, b))
+    ranked = sorted(
+        means,
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0.0, t[1]),
     )
-    lo = ranked.where(F.col("rn") == 2).select(F.col("m").alias("boot_lo"))
-    hi = ranked.where(F.col("rn") == BOOT_B - 1).select(
-        F.col("m").alias("boot_hi")
+    n_events = int(row["n_events"])
+    point_mean = row["tot"] / (100.0 * n_events) if n_events else None
+    return spark.createDataFrame(
+        [
+            (
+                n_events,
+                BOOT_B,
+                point_mean,
+                ranked[1][0],
+                ranked[BOOT_B - 2][0],
+            )
+        ],
+        "n_events long, n_replicas long, point_mean double, "
+        "boot_lo double, boot_hi double",
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("sx").alias("tot")
-    ).select(
-        "n_events",
-        F.lit(BOOT_B).cast("long").alias("n_replicas"),
-        (
-            F.col("tot").cast("double")
-            / (F.lit(100.0) * F.col("n_events").cast("double"))
-        ).alias("point_mean"),
-    )
-    return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
 
 
 # --------------------------------------------------------------------------
