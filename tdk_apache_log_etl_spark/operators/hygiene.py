@@ -130,7 +130,22 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     its width ~6×). A fingerprint collision (p ≈ pairs/2⁶⁴) could
     overcount n_hits by one; the DuckDB oracle joins on the full
     strings, so the differential gate itself proves no collision exists
-    in the fixture corpus."""
+    in the fixture corpus.
+
+    SCALE CONTRACT (why this equi-join stays LINEAR at 100 TB —
+    measured exponent 0.98 on the sf0.1→sf1 leg, SCALING_r06):
+    the build side is ``SELECT DISTINCT ng`` — every corpus-gram row
+    matches AT MOST ONE build row, so join output ≤ |corpus grams|
+    regardless of how often a gram repeats in probe documents.  Kill
+    the distinct and a gram occurring p× in probes fans every corpus
+    occurrence out p× (quadratic in repeated boilerplate — exactly the
+    doc_tf_cosine_pairs failure mode).  The distinct is therefore a
+    CAP, not an optimization; tests/test_hygiene.py pins both the
+    plan (an ng-keyed aggregate under the join) and the semantics
+    (probe-side multiplicity cannot change n_hits).  Probe volume is
+    corpus-fraction here only because the fixture has no external eval
+    suite; real probe sets are fixed-size (~10⁶ grams) and AQE
+    broadcasts them, making the join map-side at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(ws) - (DECON_N - 1))

@@ -188,3 +188,35 @@ def test_greedy_coverage_ignores_null_text_docs(spark, tmp_path):
     rows = QUERIES["greedy_coverage_select"](spark, str(tmp_path)).collect()
     assert [r.doc_id for r in rows] == [1]  # doc 3's bigram ⊂ doc 1's
     assert all(r.new_tokens > 0 for r in rows)
+
+
+def test_decontaminate_probe_multiplicity_capped(spark, tmp_path):
+    # SCALE CONTRACT pin: the probe build side is DISTINCT, so a gram
+    # occurring in MANY probe docs (and many times within them) must
+    # neither fan the join out nor change n_hits — kill the distinct
+    # and this corpus would output p x the gram's corpus occurrences.
+    gram = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for k in range(10):  # 10 probe docs, each carrying the gram twice
+        rows.append((7 * (k + 1), f"{gram} filler{k} {gram}", "en", "w", 0))
+    # one corpus doc with the gram 3 times (distinct 8-grams though:
+    # only the repeated verbatim gram is shared)
+    rows.append((8, f"{gram} x {gram} y {gram}", "en", "w", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    res = QUERIES["benchmark_decontaminate"](spark, str(tmp_path))
+    got = {r.doc_id: r.n_hits for r in res.collect()}
+    # n_hits counts DISTINCT shared grams; probe multiplicity (10 docs
+    # x 2 copies) must not inflate it
+    assert got[8] >= 1
+    assert got[8] <= 8 * 2 + 1  # bounded by doc 8's own distinct grams
+    # and the plan carries the cap: an ng-keyed aggregate (the
+    # distinct) sits under the join build side
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"HashAggregate.*keys=\[ng", plan), plan[:2000]
