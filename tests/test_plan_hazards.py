@@ -280,3 +280,203 @@ def test_no_scale_hazards_in_plan(spark, name):
         assert name in GLOBAL_WINDOW_OK, (
             f"{name}: global window over '{key}' without a waiver"
         )
+
+
+# ---------------------------------------------------------------------------
+# Self-checking waivers (round-7): every GLOBAL_WINDOW_OK entry claims its
+# frame is BOUNDED (calendar / domain / constant, not data volume).  The
+# static comment is now enforced at runtime: each waived query executes at
+# sf0.1, the executed plan's global-partition Window nodes are located, and
+# the row count actually flowing through each frame (the first descendant
+# row metric) is asserted against the documented bound.  A future edit that
+# turns a bounded frame volume-linear fails HERE with numbers, instead of
+# warning 'No Partition Defined' in the driver log.
+# ---------------------------------------------------------------------------
+
+SF_DIR_WINDOW = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="session")
+def window_bound_probes(spark):
+    from pyspark.sql import functions as F
+
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR_WINDOW, "orders")
+    events = load_table(spark, SF_DIR_WINDOW, "events")
+    docs = load_table(spark, SF_DIR_WINDOW, "documents")
+    o = orders.agg(
+        F.countDistinct("o_orderdate").alias("days"),
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1).alias(
+            "span_days"
+        ),
+        F.countDistinct(F.date_trunc("month", "o_orderdate")).alias(
+            "months"
+        ),
+    ).collect()[0]
+    e = events.agg(
+        (
+            F.datediff(F.max("ts"), F.min("ts")) + 1
+        ).alias("span_days"),
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("hours"),
+        F.countDistinct("event_type").alias("types"),
+        F.countDistinct(F.round("value", 2)).alias("value_domain"),
+    ).collect()[0]
+    n_customers = load_table(spark, SF_DIR_WINDOW, "customer").count()
+    doc_lengths = docs.select("n_chars").distinct().count()
+    doc_len_cells = docs.select("source", "n_chars").distinct().count()
+    li = load_table(spark, SF_DIR_WINDOW, "lineitem")
+    ship_span = (
+        orders.agg(F.min("o_orderdate").alias("lo"))
+        .crossJoin(li.agg(F.max("l_shipdate").alias("hi")))
+        .select((F.datediff("hi", "lo") + 2).alias("s"))
+        .collect()[0]
+        .s
+    )
+    return {
+        "days_orders": int(o.days),
+        "span_days_orders": int(o.span_days),
+        "months_orders": int(o.months),
+        "span_days_events": int(e.span_days),
+        "hours_events": int(e.hours),
+        "types_events": int(e.types),
+        "value_domain": int(e.value_domain),
+        "n_customers": int(n_customers),
+        "doc_length_domain": int(doc_lengths),
+        "doc_length_cells": int(doc_len_cells),
+        "order_ship_span_days": int(ship_span),
+    }
+
+
+#: name -> bound expression over the probes (None = the waiver claims the
+#: Spark plan has NO global window at all; assert exactly that).  Bounds
+#: carry 2x-ish slack — the point is catching volume-linear frames
+#: (>=60k rows at sf0.1), not exact row accounting.
+GLOBAL_WINDOW_BOUNDS = {
+    "moving_avg_daily_revenue": lambda p: p["span_days_orders"] + 2,
+    "daily_revenue_interpolated": lambda p: p["span_days_orders"] + 2,
+    "ntile_customer_quartiles": lambda p: p["n_customers"],
+    "pack_token_offsets": lambda p: 33,  # N_GROUPS=32 offset frame
+    "pack_sequences_greedy": None,  # oracle-side only
+    "equidepth_price_histogram": lambda p: 33,  # pid-offset frame
+    "price_quartiles_disc": lambda p: 33,
+    "user_activity_gini": lambda p: 33,
+    "key_skew_audit": lambda p: 33,
+    "whale_revenue_share": lambda p: 33,
+    "value_ks_drift": lambda p: 33,
+    "token_first_seen_curve": lambda p: 33,
+    "spearman_qty_price_corr": lambda p: 33,
+    "best_split_value_for_purchase": lambda p: 33,
+    "replay_watermark_audit": lambda p: 33,
+    "snm_part_name_pairs": lambda p: 33,
+    "orders_month_over_month": lambda p: p["months_orders"] + 1,
+    "pareto_abc_brands": lambda p: 26,
+    "brand_revenue_top5_other": lambda p: 26,
+    "slo_burn_rate": lambda p: p["hours_events"] + 2,
+    "rolling_purchase_error_corr": lambda p: p["span_days_events"] + 2,
+    "type_hour_association": lambda p: p["types_events"] * 24,
+    "skyline_customers_spend_orders": lambda p: 5000,  # buckets*log n
+    "monthly_revenue_holt": lambda p: p["months_orders"] + 1,
+    # delta frame spans placement through last shipment + 1
+    "order_backlog_curve": lambda p: p["order_ship_span_days"] + 2,
+    "retention_survival_km": lambda p: p["span_days_events"] + 2,
+    "seasonal_index_monthly": lambda p: p["months_orders"] + 1,
+    "mannwhitney_value_by_cohort": lambda p: p["value_domain"] + 2,
+    "error_burst_viterbi": lambda p: p["hours_events"] + 2,
+    "hybrid_rrf_retrieval": lambda p: 2 * 20 + 2,  # 2x RRF_DEPTH
+    "isotonic_conversion_by_activity": lambda p: 2 * (20 + 1),  # ISO_CAP
+    "poisson_bootstrap_value_ci": None,  # single-pass agg since r7
+    "error_purchase_xcorr_lags": None,  # lag join, no window
+    "daily_revenue_sax": lambda p: p["span_days_orders"] + 2,
+    "hourly_count_anomaly_ewma": None,  # applyInPandas walk, no window
+    "daily_revenue_holt_winters": None,  # applyInPandas walk, no window
+    "active_users_7d_sliding": lambda p: p["span_days_events"] + 2,
+    "daily_revenue_runs_test": lambda p: p["span_days_orders"] + 2,
+    "daily_revenue_mase_baselines": lambda p: p["span_days_orders"] + 2,
+    "value_auc_for_purchase": lambda p: p["value_domain"] + 2,
+    "basket_size_wedge_budget": lambda p: 100,  # max basket-size grid
+    "value_kruskal_wallis": lambda p: p["value_domain"] + 2,
+    "value_decile_calibration": lambda p: p["value_domain"] + 2,
+    "conformal_value_interval": lambda p: 2 * p["value_domain"] + 2,
+    # as-of union frame: |source x n_chars| cells + |n_chars| pooled rows
+    "doc_length_quantile_normalize": lambda p: p["doc_length_cells"]
+    + p["doc_length_domain"]
+    + 2,
+    "daily_revenue_bollinger": lambda p: p["span_days_orders"] + 2,
+    "conversion_logrank_test": lambda p: p["span_days_events"] + 2,
+    "hodges_lehmann_value": lambda p: 2 * p["value_domain"] + 3,
+    "zonemap_prune_audit": lambda p: p["span_days_orders"] + 2,
+}
+
+
+def _walk_exec(node, out):
+    out.append(node)
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        _walk_exec(node.executedPlan(), out)
+        return
+    for i in range(node.children().size()):
+        _walk_exec(node.children().apply(i), out)
+    if "QueryStage" in name:
+        try:
+            _walk_exec(node.plan(), out)
+        except Exception:
+            pass
+
+
+def _frame_rows(window_node):
+    """Rows flowing through a Window node: the first descendant exposing
+    a row metric (Window itself only reports spillSize)."""
+    sub = []
+    for i in range(window_node.children().size()):
+        _walk_exec(window_node.children().apply(i), sub)
+    for n in sub:
+        mets = n.metrics()
+        for key in ("numOutputRows", "shuffleRecordsWritten", "recordsRead"):
+            if mets.contains(key):
+                v = mets.apply(key).value()
+                if v is not None and v >= 0:
+                    return int(v)
+    return None
+
+
+def test_waiver_table_covers_every_global_window_waiver():
+    missing = GLOBAL_WINDOW_OK - set(GLOBAL_WINDOW_BOUNDS)
+    assert not missing, (
+        f"waived queries without a runtime bound entry: {sorted(missing)}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GLOBAL_WINDOW_BOUNDS))
+def test_waived_global_window_frames_are_bounded(
+    spark, name, window_bound_probes
+):
+    bound_fn = GLOBAL_WINDOW_BOUNDS[name]
+    df = QUERIES[name](spark, SF_DIR_WINDOW)
+    df.collect()
+    nodes = []
+    _walk_exec(df._jdf.queryExecution().executedPlan(), nodes)
+    global_windows = []
+    for n in nodes:
+        if "Window" not in n.nodeName():
+            continue
+        try:
+            if n.partitionSpec().isEmpty():
+                global_windows.append(n)
+        except Exception:
+            continue
+    if bound_fn is None:
+        assert not global_windows, (
+            f"{name}: waiver claims NO global window, found "
+            f"{[n.nodeName() for n in global_windows]}"
+        )
+        return
+    bound = bound_fn(window_bound_probes)
+    for w in global_windows:
+        rows = _frame_rows(w)
+        assert rows is not None, f"{name}: no row metric under Window"
+        assert rows <= bound, (
+            f"{name}: global window frame has {rows} rows at sf0.1, "
+            f"documented bound is {bound} — the waiver's boundedness "
+            "argument no longer holds"
+        )
