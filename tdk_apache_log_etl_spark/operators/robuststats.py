@@ -2559,7 +2559,7 @@ def _boll_exprs(idiv: str) -> dict:
           SELECT day, cents,
                  CAST(SUM(cents) OVER win AS BIGINT) AS s,
                  CAST(COUNT(*) OVER win AS BIGINT) AS n,
-                 CAST(SUM(cents * cents) OVER win AS HUGEINT) AS s2
+                 SUM(CAST(cents AS HUGEINT) * cents) OVER win AS s2
           FROM d
           WINDOW win AS (
             ORDER BY day_idx
