@@ -40,16 +40,19 @@ MINSUP = 2
 @query(
     "frequent_part_triples",
     oracle=f"""
-        WITH b AS (
+        WITH b AS MATERIALIZED (
           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pr AS MATERIALIZED (
+          SELECT a.l_orderkey, a.l_partkey AS p1, c.l_partkey AS p2
+          FROM b a
+          JOIN b c ON a.l_orderkey = c.l_orderkey
+                 AND a.l_partkey < c.l_partkey
         )
-        SELECT a.l_partkey AS p1, c.l_partkey AS p2, d.l_partkey AS p3,
+        SELECT pr.p1, pr.p2, d.l_partkey AS p3,
                COUNT(*) AS support
-        FROM b a
-        JOIN b c ON a.l_orderkey = c.l_orderkey
-               AND a.l_partkey < c.l_partkey
-        JOIN b d ON a.l_orderkey = d.l_orderkey
-               AND c.l_partkey < d.l_partkey
+        FROM pr
+        JOIN b d ON pr.l_orderkey = d.l_orderkey
+               AND pr.p2 < d.l_partkey
         GROUP BY 1, 2, 3
         HAVING COUNT(*) >= {MINSUP}
     """,
@@ -57,10 +60,15 @@ MINSUP = 2
 def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E119: frequent 3-itemsets of parts co-ordered in ≥ MINSUP
     baskets, via the A-priori downward-closure prune. The oracle is the
-    direct 3-way self-join; the Spark plan inserts the level-2 prune so
-    the widest join only expands candidates whose leading pair is
-    already frequent — exactness is unaffected because the final
-    HAVING recounts every surviving triple."""
+    direct 3-way self-join, staged through a MATERIALIZED pair CTE so
+    every oracle join carries the orderkey equality — the flat form let
+    DuckDB's optimizer at sf1 stats pick the inequality-only (c, d)
+    pair first, an IEJoin whose cross-order output is ~10^13 rows
+    (>50 min vs ~1 min staged; found by the round-7 sf1 parity sweep).
+    The Spark plan inserts the level-2 prune so the widest join only
+    expands candidates whose leading pair is already frequent —
+    exactness is unaffected because the final HAVING recounts every
+    surviving triple."""
     li = load_table(spark, sf_dir, "lineitem")
     b = scoped_persist(
         li.select("l_orderkey", "l_partkey").distinct()
