@@ -1268,40 +1268,33 @@ def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit digest) with native radix conversion per engine (a
     shared-string digit polynomial cost 5.7 s of a 9.1 s sf0.1 wall).
     Empty input yields the oracle's (0, B, NULL, NULL, NULL) row."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    base = ev.select(
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("sx"),
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_boot_v"
     )
     n_digests = BOOT_B // 4
-    # The digest+draw projection is CPU-bound (16 md5 + 64 radix
-    # conversions per event), so rebalance the 2-column frame to full
-    # core width before it: at bench scale the parquet is one split and
-    # would otherwise run single-threaded; at cluster scale the tiny
-    # per-row shuffle cost is dwarfed by the per-row hash work.  Sums
-    # are exact integers, so round-robin placement cannot change the
-    # result.
-    base = base.repartition(spark.sparkContext.defaultParallelism)
-    hashed = base.select(
-        "sx",
-        *[
-            F.expr(f"md5(concat(event_id, '_', {g}))").alias(f"h{g}")
-            for g in range(1, n_digests + 1)
-        ],
+    # The whole plan renders as ONE SQL string (a ~200-Column builder
+    # version measured 2x slower per call — the py4j round-trips and
+    # per-Column analysis dominated a sub-second executor job).  The
+    # REPARTITION hint rebalances the 2-column frame to full core width
+    # before the CPU-bound digest+draw projection (16 md5 + 64 radix
+    # conversions per event): at bench scale the parquet is one split
+    # and would otherwise run single-threaded; at cluster scale the
+    # tiny per-row shuffle cost is dwarfed by the per-row hash work,
+    # and the sums are exact integers, so round-robin placement cannot
+    # change the result.  u columns materialize once per replica (not
+    # once per CASE branch), w columns once per replica (not once in
+    # SUM(w*sx) and again in SUM(w)).
+    width = spark.sparkContext.defaultParallelism
+    hsel = ", ".join(
+        f"md5(concat(event_id, '_', {g})) AS h{g}"
+        for g in range(1, n_digests + 1)
     )
-    # one u column per replica so conv/substring evaluate once each
-    # (not once per CASE branch), then the shared-table CASE per replica
-    u_cols = []
-    for g in range(1, n_digests + 1):
-        for j in range(1, 5):
-            b = (g - 1) * 4 + j
-            u_cols.append(
-                F.expr(
-                    f"CAST(conv(substring(h{g}, {(j - 1) * 8 + 1}, 8),"
-                    " 16, 10) AS BIGINT)"
-                ).alias(f"u{b}")
-            )
-    drawn = hashed.select("sx", *u_cols)
+    usel = ", ".join(
+        f"CAST(conv(substring(h{g}, {(j - 1) * 8 + 1}, 8), 16, 10)"
+        f" AS BIGINT) AS u{(g - 1) * 4 + j}"
+        for g in range(1, n_digests + 1)
+        for j in range(1, 5)
+    )
     w_tmpl = (
         "CAST(CASE "
         + " ".join(
@@ -1309,22 +1302,29 @@ def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " ELSE 8 END AS BIGINT)"
     )
-    # weights materialize ONCE as columns, so each CASE evaluates once
-    # per row (not once in SUM(w*sx) and again in SUM(w))
-    weighted = drawn.select(
-        "sx",
-        *[
-            F.expr(w_tmpl.format(b=b)).alias(f"w{b}")
-            for b in range(1, BOOT_B + 1)
-        ],
+    wsel = ", ".join(
+        f"{w_tmpl.format(b=b)} AS w{b}" for b in range(1, BOOT_B + 1)
     )
-    aggs = []
-    for b in range(1, BOOT_B + 1):
-        aggs.append(F.expr(f"SUM(w{b} * sx)").alias(f"ws{b}"))
-        aggs.append(F.expr(f"SUM(w{b})").alias(f"wn{b}"))
-    aggs.append(F.count(F.lit(1)).alias("n_events"))
-    aggs.append(F.sum("sx").alias("tot"))
-    row = weighted.agg(*aggs).collect()[0]
+    aggs = ", ".join(
+        f"SUM(w{b} * sx) AS ws{b}, SUM(w{b}) AS wn{b}"
+        for b in range(1, BOOT_B + 1)
+    )
+    row = spark.sql(
+        f"""
+        SELECT {aggs}, COUNT(1) AS n_events, SUM(sx) AS tot
+        FROM (
+          SELECT sx, {wsel} FROM (
+            SELECT sx, {usel} FROM (
+              SELECT sx, {hsel} FROM (
+                SELECT /*+ REPARTITION({width}) */ event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS sx
+                FROM events_boot_v WHERE value IS NOT NULL
+              )
+            )
+          )
+        )
+        """
+    ).collect()[0]
     means = []
     for b in range(1, BOOT_B + 1):
         wn = row[f"wn{b}"]
