@@ -41,6 +41,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class _DuckTimeout(Exception):
+    """Control-flow sentinel for the duck-timeout path: a bare
+    RuntimeError here would also catch genuine RuntimeErrors raised
+    during the Spark phase (query build/collect) and record a FAIL
+    with no error detail."""
+
+
 def connect(duckdb, sf):
     con = duckdb.connect()
     for t in TABLES:
@@ -118,7 +125,7 @@ def main():
                 rec["duck_timeout"] = args.duck_timeout
                 rec["match"] = None
                 con = connect(duckdb, args.sf_dir)
-                raise RuntimeError("duck_timeout")
+                raise _DuckTimeout
             finally:
                 timer.cancel()
             idx = sorted(range(len(cols)), key=lambda k: cols[k])
@@ -137,7 +144,7 @@ def main():
                     rec["first_diff"] = [
                         "row-count", f"{len(s)} vs {len(o)}"
                     ]
-        except RuntimeError:
+        except _DuckTimeout:
             pass
         except Exception as e:
             rec["match"] = False

@@ -308,6 +308,15 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
                 g = len(s - covered) if covered else len(s)
                 if g > best_gain or (g == best_gain and doc_id < best_id):
                     best_id, best_gain, best_set = doc_id, g, s
+            if best_id is None:
+                # Candidate list exhausted with fewer than K picks: every
+                # doc in the batch was already picked (possible only when
+                # the whole corpus fits in one batch, since
+                # COVERAGE_BATCH > COVERAGE_K).  `full` therefore holds
+                # and stopping is globally exact — there is no document
+                # left to pick anywhere.
+                done = True
+                break
             if best_gain == 0 and (full or fresh):
                 done = True  # exact global max gain is zero
                 break

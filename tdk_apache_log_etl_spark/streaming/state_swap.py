@@ -51,13 +51,20 @@ def swap_write(merged: DataFrame, table_path: str) -> None:
     """Write ``merged`` to ``table_path`` via tmp-then-double-rename.
     Crash-recoverable (see module docstring), not atomic: pair every
     read of ``table_path`` with a prior :func:`recover_state` call."""
+    # Heal BOTH crash windows at entry, BEFORE the tmp write can
+    # materialize a lazy ``merged`` plan that reads ``table_path``: if
+    # the live table is missing, the orphaned ``._old`` is the ONLY
+    # surviving copy of accumulated state (crash between the two
+    # renames) and must be renamed back, never rmtree'd — the previous
+    # unconditional pre-clean would have silently destroyed it for any
+    # caller that skipped recover_state.  When the live table exists,
+    # this clears the stale predecessor so the rename below doesn't
+    # ENOTEMPTY.  Idempotent; callers that already recovered (all five
+    # in-tree ones do, before building ``merged``) pay a stat call.
+    recover_state(table_path)
+    old = table_path + "._old"
     tmp = table_path + "._tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    old = table_path + "._old"
-    if os.path.exists(old):
-        # Stale predecessor from a crash after the final rename (see
-        # recover_state) — must go first or the rename below ENOTEMPTYs.
-        shutil.rmtree(old)
     if os.path.exists(table_path):
         os.rename(table_path, old)
     os.rename(tmp, table_path)

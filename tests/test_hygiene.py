@@ -190,6 +190,32 @@ def test_greedy_coverage_ignores_null_text_docs(spark, tmp_path):
     assert all(r.new_tokens > 0 for r in rows)
 
 
+def test_greedy_coverage_small_corpus_exhausts_cleanly(spark, tmp_path):
+    # ADVICE r7: fewer docs than COVERAGE_K, every one with positive
+    # gain and pairwise-disjoint bigram sets — the candidate scan must
+    # stop when the list is exhausted, not append a (None, -1) pick and
+    # crash on covered.update(None).
+    import pandas as pd
+
+    texts = [(i, f"w{i}a w{i}b w{i}c") for i in range(1, 6)]  # 5 < K=10
+    pd.DataFrame(
+        {
+            "doc_id": [t[0] for t in texts],
+            "text": [t[1] for t in texts],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t[1]) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    rows = QUERIES["greedy_coverage_select"](spark, str(tmp_path)).collect()
+    got = [(r.rank, r.doc_id, r.new_tokens, r.cum_covered) for r in rows]
+    assert got == _coverage_mirror(texts, 10)
+    assert len(rows) == 5  # all five picked, then clean stop
+    assert rows[-1].coverage_frac == 1.0
+
+
 def test_decontaminate_probe_multiplicity_capped(spark, tmp_path):
     # SCALE CONTRACT pin: the probe build side is DISTINCT, so a gram
     # occurring in MANY probe docs (and many times within them) must

@@ -69,6 +69,23 @@ def test_swap_write_survives_stale_old_without_recover(spark, tmp_path):
     assert not os.path.exists(live + "._old")
 
 
+def test_swap_write_restores_old_when_live_missing(spark, tmp_path):
+    # ADVICE r7: crash point 1 (live renamed away, tmp never renamed
+    # in) followed by a swap_write whose caller skipped recover_state.
+    # The old unconditional pre-clean rmtree'd ._old — the ONLY
+    # surviving copy — before the merged plan materialized; the
+    # entry-point recover_state must rename it back first, so a lazy
+    # merged plan that reads the live table still sees the full
+    # accumulated state.
+    live = str(tmp_path / "state")
+    swap_write(_state_df(spark, [1, 2]), live)
+    merged = spark.read.parquet(live).unionByName(_state_df(spark, [3]))
+    os.rename(live, live + "._old")  # crash point 1
+    swap_write(merged, live)  # no recover_state by the caller
+    assert _read_vals(spark, live) == [1, 2, 3]
+    assert not os.path.exists(live + "._old")
+
+
 def test_full_cycle_with_recover_between_every_batch(spark, tmp_path):
     live = str(tmp_path / "state")
     for upto in range(1, 5):
