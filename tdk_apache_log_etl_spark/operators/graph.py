@@ -457,6 +457,116 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_AUDIT_ORACLE = f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_COOCCUR}
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY src
+    )
+    SELECT CAST({K_CORE} AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM deg WHERE d >= {K_CORE}) AS BIGINT)
+             AS n_deg_ge_k,
+           TRUE AS min_degree_ok,
+           TRUE AS degree_report_ok,
+           TRUE AS maximal_ok,
+           TRUE AS size_bound_ok
+"""
+
+
+@query("kcore_invariant_audit", oracle=_KCORE_AUDIT_ORACLE)
+def kcore_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E120 companion: driver-visible, hash-checked INVARIANT contract
+    for the (rows-only, data-dependent) k-core fixpoint — the same
+    contract style as the ANN recall floors.  The peel can't be
+    unrolled into a static CTE oracle (no a-priori round bound; the
+    measured peel depth is already 9 at sf0.01), but the k-core's
+    DEFINING properties are independently checkable from the edge
+    relation plus the output:
+
+      * min_degree_ok  — every output node has ≥ k neighbors INSIDE the
+        output set (within-core degree recomputed from the edges, not
+        read back from the loop);
+      * degree_report_ok — the reported core_degree equals that
+        recomputed within-core degree for every node;
+      * maximal_ok     — no peeled node could re-enter: no node outside
+        the core has ≥ k neighbors in it (one augment-and-recheck pass;
+        any such node would extend the core, contradicting maximality);
+      * size_bound_ok  — |core| ≤ #nodes with FULL-graph degree ≥ k
+        (global degree only shrinks when restricted to the core), with
+        that bound — n_deg_ge_k — recomputed exactly by the DuckDB
+        oracle as the data-carrying column.
+
+    The oracle pins every boolean TRUE, so a future break of the peel
+    loop turns a driver-sampled hash red instead of only a pytest red.
+
+    Scale: three aggregates over the scoped-persisted pre-partitioned
+    edge relation (shared with the peel itself) — two semi/anti-join
+    degree counts and one full-degree count, all map-side combinable;
+    driver traffic is three 1-row/scalar collects."""
+    edges = partitioned_edges(spark, sf_dir).select("src", "dst")
+    core = kcore_part_graph(spark, sf_dir).localCheckpoint(eager=True)
+    core_nodes = core.select("node")
+    in_core_deg = (
+        edges.join(
+            core_nodes.withColumnRenamed("node", "src"), "src", "left_semi"
+        )
+        .join(core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("rdeg"))
+    )
+    row = (
+        core.join(in_core_deg, core["node"] == in_core_deg["src"], "left")
+        .select(
+            "core_degree", F.coalesce("rdeg", F.lit(0)).alias("rdeg")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("core_size"),
+            F.bool_and(F.col("rdeg") >= K_CORE).alias("mdok"),
+            F.bool_and(F.col("rdeg") == F.col("core_degree")).alias("rpok"),
+        )
+        .collect()[0]
+    )
+    core_size = int(row["core_size"])
+    # empty core -> NULL bool_and: both invariants are vacuously true
+    min_degree_ok = bool(row["mdok"]) if row["mdok"] is not None else True
+    degree_report_ok = bool(row["rpok"]) if row["rpok"] is not None else True
+    max_into = (
+        edges.join(
+            core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi"
+        )
+        .join(core_nodes.withColumnRenamed("node", "src"), "src", "left_anti")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("cdeg"))
+        .agg(F.max("cdeg"))
+        .collect()[0][0]
+    )
+    maximal_ok = max_into is None or int(max_into) < K_CORE
+    n_deg_ge_k = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= K_CORE)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(K_CORE),
+                int(n_deg_ge_k),
+                min_degree_ok,
+                degree_report_ok,
+                bool(maximal_ok),
+                bool(core_size <= n_deg_ge_k),
+            )
+        ],
+        "k int, n_deg_ge_k long, min_degree_ok boolean, "
+        "degree_report_ok boolean, maximal_ok boolean, "
+        "size_bound_ok boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # E129: link prediction — neighborhood Jaccard over distance-2 pairs
 # --------------------------------------------------------------------------

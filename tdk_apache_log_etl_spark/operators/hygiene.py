@@ -186,6 +186,49 @@ COVERAGE_K = 10
 COVERAGE_BATCH = 4096
 
 
+def _doc_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DISTINCT bigram-set frame (doc_id, toks, tot) —
+    the coverage universe shared by greedy_coverage_select and its
+    oracle-checked audit companion.  One row per document."""
+    from .registry import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    # coverage unit: token BIGRAMS — the corpus vocabulary is tiny by
+    # construction, so unigram coverage saturates after one pick; bigram
+    # coverage (~|V|^2 units) is also what tokenizer-warmup selection
+    # actually optimizes (merge-pair exposure).
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.array_remove(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws("\u0001", a, b),
+            ),
+            "",
+        )
+    )
+    # Keep the scan's NATURAL partitioning (input-split-sized): the
+    # per-round TakeOrdered is a narrow map over this frame, so task
+    # count should track data volume — one task at bench scale, one per
+    # split at 100 TB — rather than a fixed repartition width that costs
+    # a shuffle here and 32 near-empty Python-worker tasks per round.
+    doc_toks = scoped_persist(
+        # NULL text would carry a NULL toks array and NULL/-1 tot; if
+        # such a row ever won a round, int(win[0].gain) would TypeError
+        # and covered.update(None) would follow.  A NULL document covers
+        # nothing, so it can never be a useful pick — drop it up front
+        # (the explode-based pairs frame this replaced dropped them
+        # implicitly).
+        docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            bigrams.alias("toks"),
+            F.size(bigrams).cast("long").alias("tot"),
+        )
+    )
+    return doc_toks
+
+
 @query("greedy_coverage_select")
 def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     """E242: greedy maximum-coverage document selection — the classic
@@ -232,42 +275,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
     rows-only check.
 
     Output: (rank, doc_id, new_tokens, cum_covered, coverage_frac)."""
-    from .registry import scoped_persist
-
-    docs = load_table(spark, sf_dir, "documents")
-    # coverage unit: token BIGRAMS — the corpus vocabulary is tiny by
-    # construction, so unigram coverage saturates after one pick; bigram
-    # coverage (~|V|^2 units) is also what tokenizer-warmup selection
-    # actually optimizes (merge-pair exposure).
-    ws = F.split(F.col("text"), " ")
-    bigrams = F.array_distinct(
-        F.array_remove(
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
-                lambda a, b: F.concat_ws("\u0001", a, b),
-            ),
-            "",
-        )
-    )
-    # Keep the scan's NATURAL partitioning (input-split-sized): the
-    # per-round TakeOrdered is a narrow map over this frame, so task
-    # count should track data volume — one task at bench scale, one per
-    # split at 100 TB — rather than a fixed repartition width that costs
-    # a shuffle here and 32 near-empty Python-worker tasks per round.
-    doc_toks = scoped_persist(
-        # NULL text would carry a NULL toks array and NULL/-1 tot; if
-        # such a row ever won a round, int(win[0].gain) would TypeError
-        # and covered.update(None) would follow.  A NULL document covers
-        # nothing, so it can never be a useful pick — drop it up front
-        # (the explode-based pairs frame this replaced dropped them
-        # implicitly).
-        docs.filter(F.col("text").isNotNull()).select(
-            "doc_id",
-            bigrams.alias("toks"),
-            F.size(bigrams).cast("long").alias("tot"),
-        )
-    )
+    doc_toks = _doc_bigram_frame(spark, sf_dir)
     vocab_total = (
         doc_toks.select(F.explode("toks").alias("tok")).distinct().count()
     )
@@ -341,6 +349,116 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str):
         picked,
         "rank int, doc_id long, new_tokens long, cum_covered long, "
         "coverage_frac double",
+    )
+
+
+_GREEDY_AUDIT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT DISTINCT doc_id, tk[i] || chr(1) || tk[i + 1] AS b
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM toks)
+    ), cnts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot FROM bg GROUP BY doc_id
+    ), first AS (
+      SELECT doc_id, tot FROM cnts ORDER BY tot DESC, doc_id LIMIT 1
+    )
+    SELECT CAST({COVERAGE_K} AS INT) AS k,
+           CAST((SELECT COUNT(DISTINCT b) FROM bg) AS BIGINT) AS vocab_total,
+           CAST((SELECT doc_id FROM first) AS BIGINT) AS first_doc_id,
+           CAST((SELECT tot FROM first) AS BIGINT) AS first_gain,
+           TRUE AS first_pick_ok,
+           TRUE AS gains_monotone_ok,
+           TRUE AS cum_consistent_ok,
+           TRUE AS union_matches_ok,
+           TRUE AS stop_ok
+"""
+
+
+@query("greedy_coverage_audit", oracle=_GREEDY_AUDIT_ORACLE)
+def greedy_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E242 companion: driver-visible, hash-checked INVARIANT contract
+    for the (rows-only, data-dependent) greedy coverage selection —
+    the same contract style as the ANN recall floors.  The greedy
+    recurrence itself has no ANSI-SQL unroll, but its defining
+    properties do: the FIRST pick is the global argmax |bigram set|
+    (doc_id-asc ties) — recomputed independently by both engines — and
+    the pick sequence must have strictly positive non-increasing gains
+    (submodularity), an exact running-sum cum_covered whose final value
+    equals the independently recomputed size of the union of the picked
+    documents' bigram sets, and a stop condition of "K picks or full
+    coverage".  The DuckDB oracle mirrors the bigram universe
+    token-for-token (same chr(1) pair separator) and pins every
+    boolean TRUE, so any future break of the greedy loop turns a
+    driver-sampled hash red instead of only a pytest red.
+
+    Scale: the audit adds one explode-distinct count over the persisted
+    per-doc set frame (shared via scoped_persist with the greedy run)
+    plus a ≤K-row membership recount — O(corpus bigrams) with map-side
+    combine, no new shuffle shape."""
+    picks = greedy_coverage_select(spark, sf_dir).collect()  # ≤ K rows
+    doc_toks = _doc_bigram_frame(spark, sf_dir)  # scoped_persist-shared
+    vocab_total = (
+        doc_toks.select(F.explode("toks").alias("tok")).distinct().count()
+    )
+    first = (
+        doc_toks.filter(F.col("tot") > 0)
+        .orderBy(F.desc("tot"), F.asc("doc_id"))
+        .limit(1)
+        .collect()
+    )
+    first_doc = int(first[0].doc_id) if first else None
+    first_tot = int(first[0].tot) if first else None
+    gains = [int(r.new_tokens) for r in picks]
+    cums = [int(r.cum_covered) for r in picks]
+    gains_ok = bool(
+        all(g > 0 for g in gains) and gains == sorted(gains, reverse=True)
+    )
+    run = 0
+    cum_ok = True
+    for r, g, c in zip(picks, gains, cums):
+        run += g
+        if c != run or float(r.coverage_frac) != (
+            c / vocab_total if vocab_total else 0.0
+        ):
+            cum_ok = False
+    first_ok = bool(
+        not picks
+        or (int(picks[0].doc_id) == first_doc and gains[0] == first_tot)
+    )
+    ids = [int(r.doc_id) for r in picks]
+    union_sz = (
+        doc_toks.filter(F.col("doc_id").isin(ids))
+        .select(F.explode("toks").alias("tok"))
+        .distinct()
+        .count()
+        if ids
+        else 0
+    )
+    last_cum = cums[-1] if cums else 0
+    union_ok = bool(last_cum == union_sz)
+    stop_ok = bool(len(picks) == COVERAGE_K or last_cum == vocab_total)
+    return spark.createDataFrame(
+        [
+            (
+                int(COVERAGE_K),
+                int(vocab_total),
+                first_doc,
+                first_tot,
+                first_ok,
+                gains_ok,
+                cum_ok,
+                union_ok,
+                stop_ok,
+            )
+        ],
+        "k int, vocab_total long, first_doc_id long, first_gain long, "
+        "first_pick_ok boolean, gains_monotone_ok boolean, "
+        "cum_consistent_ok boolean, union_matches_ok boolean, "
+        "stop_ok boolean",
     )
 
 

@@ -244,3 +244,32 @@ def test_resource_alloc_star_leaves(spark, tmp_path):
     for r in rows:
         assert r.ra_scaled == RA_SCALE // 3
         assert r.common_neighbors == 1
+
+
+def test_kcore_invariant_audit_planted_and_parity(spark, tmp_path):
+    # planted clique+pendant+cycle graph: all invariants must hold and
+    # n_deg_ge_k must count exactly the nodes with full-graph degree >= 3
+    baskets = (
+        [[1, 2, 3, 4]] * 2
+        + [[1, 5]] * 2
+        + [[6, 7], [7, 8], [8, 9], [9, 6]] * 2
+    )
+    sf = _lineitem(tmp_path, baskets)
+    r = QUERIES["kcore_invariant_audit"](spark, sf).collect()[0]
+    # node 1 has degree 4 (clique + pendant); 2,3,4 have 3; others < 3
+    assert (r.k, r.n_deg_ge_k) == (3, 4)
+    assert r.min_degree_ok and r.degree_report_ok
+    assert r.maximal_ok and r.size_bound_ok
+    # oracle parity on the planted graph too
+    from tdk_apache_log_etl_spark.operators import ORACLES
+
+    from .parity import compare
+
+    ok, detail = compare(
+        spark,
+        "kcore_invariant_audit",
+        QUERIES["kcore_invariant_audit"],
+        ORACLES["kcore_invariant_audit"],
+        sf,
+    )
+    assert ok, detail

@@ -246,3 +246,37 @@ def test_decontaminate_probe_multiplicity_capped(spark, tmp_path):
     import re
 
     assert re.search(r"HashAggregate.*keys=\[ng", plan), plan[:2000]
+
+
+def test_greedy_coverage_audit_small_and_planted(spark, tmp_path):
+    # Same 5-doc disjoint corpus as the exhaustion test: every invariant
+    # must hold, first pick is doc 1 (ties broken doc_id-asc at tot=2),
+    # and the oracle mirror must hash-match on a planted corpus.
+    import pandas as pd
+
+    texts = [(i, f"w{i}a w{i}b w{i}c") for i in range(1, 6)]
+    pd.DataFrame(
+        {
+            "doc_id": [t[0] for t in texts],
+            "text": [t[1] for t in texts],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t[1]) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
+
+    from .parity import compare
+
+    r = QUERIES["greedy_coverage_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.vocab_total, r.first_doc_id, r.first_gain) == (10, 1, 2)
+    assert r.first_pick_ok and r.gains_monotone_ok
+    assert r.cum_consistent_ok and r.union_matches_ok and r.stop_ok
+    ok, detail = compare(
+        spark,
+        "greedy_coverage_audit",
+        QUERIES["greedy_coverage_audit"],
+        ORACLES["greedy_coverage_audit"],
+        str(tmp_path),
+    )
+    assert ok, detail
