@@ -44,6 +44,22 @@ DAMP_NUM, DAMP_DEN = 85, 100
 #: graph applies before any ranking pass.
 MIN_COOCCUR = 2
 
+def _iter_parallelism(spark: SparkSession) -> int:
+    """Partition count for PERSISTED iteration relations and per-round
+    localCheckpoint frames: the cluster's core count, NOT the session's
+    shuffle-partition default.  Two reasons. (1) ``localCheckpoint``
+    materializes through the RDD path, which AQE's partition coalescing
+    never touches — under a vanilla 200-partition session every
+    per-round frame otherwise carries 200 (mostly empty) partitions
+    into every subsequent round, and task-scheduling overhead dominates
+    the iteration (measured ~9x on hits_purchase_graph at sf1).
+    (2) The edge relation is scanned once per round, so its partition
+    count should equal the machine's parallelism — one wave of tasks —
+    rather than whatever the session default happens to be.  On a real
+    cluster defaultParallelism is the total executor-core count, so the
+    same sizing holds at 1000 executors."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
 
 def _oracle() -> str:
     base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # (1-d)·S
@@ -103,6 +119,15 @@ def significant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_coorders"))
         .where(F.col("n_coorders") >= MIN_COOCCUR)
         .select("src", "dst", "n_coorders")
+        # The persisted frame is re-scanned once per round by every
+        # iterative consumer (SSSP, triangle, link prediction), so its
+        # partition count must track the cluster's core count, not the
+        # session's shuffle default — under a vanilla 200-partition
+        # session the cached 200-way layout made each SSSP relaxation
+        # round a 200-task stage over ~thousands of rows.  coalesce
+        # (not repartition): it folds the aggregate's reduce stage into
+        # p_iter tasks without a second shuffle.
+        .coalesce(_iter_parallelism(spark))
     )
 
 
@@ -113,7 +138,9 @@ def partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     across back-to-back queries over the same corpus."""
     pairs = significant_pairs(spark, sf_dir)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    return scoped_persist(pairs.join(deg, "src").repartition("src"))
+    return scoped_persist(
+        pairs.join(deg, "src").repartition(_iter_parallelism(spark), "src")
+    )
 
 
 @query("pagerank_part_graph", oracle=_oracle())
@@ -129,7 +156,6 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration shuffle is O(|nodes|), never O(|edges|)."""
     edges = partitioned_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-
     base = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
@@ -271,6 +297,7 @@ def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-combine is one co-located join per round."""
     edges = partitioned_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    p_iter = _iter_parallelism(spark)
     levels = nodes.select(
         "node",
         F.when(F.col("node") % SEED_MOD == 0, F.lit(0))
@@ -284,7 +311,7 @@ def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf0.1, 1.5 s with the per-round localCheckpoint). The frame is
         # (node, level) longs — O(|nodes|) — so materializing it per
         # round is the cheap side of that trade at any scale.
-        levels = levels.localCheckpoint(eager=True)
+        levels = levels.coalesce(p_iter).localCheckpoint(eager=True)
         frontier = (
             edges.join(levels, edges["src"] == levels["node"])
             .where(F.col("level").isNotNull())
@@ -369,9 +396,10 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     |communities| rows."""
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    p_iter = _iter_parallelism(spark)
     labels = nodes.select("node", F.col("node").cast("long").alias("label"))
     for _ in range(LPA_ROUNDS):
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.coalesce(p_iter).localCheckpoint(eager=True)
         votes = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("vnode"), "label")
@@ -432,8 +460,9 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: no ANSI-SQL fixpoint (aggregation over the
     recursive relation is not legal in WITH RECURSIVE)."""
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
+    p_iter = _iter_parallelism(spark)
     alive = edges.select(F.col("src").alias("node")).distinct()
-    alive = alive.localCheckpoint(eager=True)
+    alive = alive.coalesce(p_iter).localCheckpoint(eager=True)
     n_alive = alive.count()
     while n_alive > 0:
         deg = (
@@ -446,7 +475,7 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.filter(F.col("deg") >= K_CORE)
             .select(F.col("src").alias("node"), "deg")
         )
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = survivors.coalesce(p_iter).localCheckpoint(eager=True)
         n_next = survivors.count()
         if n_next == n_alive:
             return survivors.select("node", F.col("deg").alias("core_degree"))
@@ -742,7 +771,8 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same 4 steps as chained CTEs).
 
     Scale shape: the DISTINCT (cust, part) edge relation is paid once
-    behind scoped_persist and pre-partitioned on cust; each iteration
+    behind scoped_persist and pre-partitioned on BOTH join keys (one
+    copy by cust, one by part); each iteration
     moves only the 2-long score frames (O(|custs|) / O(|parts|) rows —
     never O(|edges|), the per-part/per-cust sums collapse map-side), and
     each normalization broadcasts a single 1-row MAX. Lineage stays a
@@ -753,16 +783,26 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    edges = scoped_persist(
+    p_iter = _iter_parallelism(spark)
+    # TWO persisted copies of the DISTINCT (cust, part) edge relation,
+    # hash-partitioned at the cluster's core count on each join key:
+    # the a-step joins by cust, the h-step by part, so with both copies
+    # pre-partitioned the per-round exchanges move ONLY the score
+    # frames (shuffled to match the cached side's p_iter partitioning)
+    # — the edge bytes never re-shuffle during iteration, under ANY
+    # session's shuffle-partition default.  The second copy is derived
+    # from the first (one extra shuffle paid once, at p_iter width).
+    edges_by_cust = scoped_persist(
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
-        .repartition("cust")
+        .repartition(p_iter, "cust")
     )
+    edges_by_part = scoped_persist(edges_by_cust.repartition(p_iter, "part"))
     h = (
-        edges.select("cust")
+        edges_by_cust.select("cust")
         .distinct()
         .select("cust", F.lit(HITS_SCALE).cast("long").alias("h"))
     )
@@ -772,20 +812,23 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max), so without truncation the lazy plan quadruples per round —
         # localCheckpoint keeps every round's plan O(1) deep, the same
         # discipline the LPA/k-core loops use. The checkpointed frames are
-        # 2 longs per node.
+        # 2 longs per node, coalesced to p_iter so the round's task count
+        # never inherits the session's shuffle default.
         ar = (
-            edges.join(h, "cust")
+            edges_by_cust.join(h, "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("a"))
+            .coalesce(p_iter)
             .localCheckpoint(eager=True)
         )
         a = ar.crossJoin(ar.agg(F.max("a").alias("mx"))).select(
             "part", F.expr(f"(a * {HITS_SCALE}) div mx").alias("a")
         )
         hr = (
-            edges.join(a, "part")
+            edges_by_part.join(a, "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("h"))
+            .coalesce(p_iter)
             .localCheckpoint(eager=True)
         )
         h = hr.crossJoin(hr.agg(F.max("h").alias("mx"))).select(
@@ -879,13 +922,14 @@ def weighted_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
     )
     dist = src0
+    p_iter = _iter_parallelism(spark)
     for _ in range(_SSSP_ROUNDS):
         # dist feeds BOTH the relaxation join and the min-combine union;
         # truncate lineage per round (the BFS/LPA discipline) or each
         # round duplicates the whole prior subplan — 2^K copies by
         # round K (measured 18 s at sf0.1 without, ~1 s with). The frame
         # is (node, dist) longs — O(|reached|) — cheap to materialize.
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.coalesce(p_iter).localCheckpoint(eager=True)
         relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("cost")).alias("dist"),
@@ -987,7 +1031,9 @@ def ppr_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     for _ in range(PR_ITERS):
-        contribs = edges.join(ranks, edges["src"] == ranks["node"]).select(
+        contribs = edges.join(
+            ranks, edges["src"] == ranks["node"]
+        ).select(
             F.col("dst"),
             F.expr(
                 f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
@@ -1083,13 +1129,14 @@ def hub_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     tot = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    p_iter = _iter_parallelism(spark)
     dist = nodes.where(F.col("node") % SEED_MOD == 0).select(
         F.col("node").alias("source"),
         "node",
         F.lit(0).cast("long").alias("dist"),
     )
     for _ in range(BFS_ROUNDS):
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.coalesce(p_iter).localCheckpoint(eager=True)
         relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
             "source",
             F.col("dst").alias("node"),
