@@ -135,6 +135,14 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (real training runs thousands; the shape per round is identical).
 BPE_TRAIN_ROUNDS = 5
 
+#: Rows collected per pair-count job by the certificate-batched trainer
+#: (bounded driver transfer: 2 strings + 1 long per row).  Every merge
+#: the certificate can prove exact resolves from ONE collected table, so
+#: the number of distributed jobs is the number of REWRITES, not the
+#: number of merges — the same threshold-batching discipline as
+#: operators/hygiene.py's greedy coverage.
+BPE_MERGE_BATCH = 4096
+
 
 def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataFrame:
     """Rewrite every token array, replacing adjacent (a, b) with the
@@ -152,6 +160,19 @@ def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataF
     loop over an Arrow batch is both asymptotically and measurably
     faster, and the semantics are pinned byte-identical to the fold by
     the pure-Python reference in tests/test_chunking.py."""
+    return _merge_pairs_in_arrays(toks, [(a, b, merged)])
+
+
+def _merge_pairs_in_arrays(
+    toks: DataFrame, merges: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Apply a SEQUENCE of merges in one Arrow pass: each (a, b, merged)
+    is the same greedy left-to-right non-overlapping rewrite as
+    :func:`_merge_pair_in_arrays`, applied in list order inside a single
+    pandas-UDF scan.  Callers pass token-DISJOINT merges (the batched
+    trainer's certificate guarantees it), so the composed result is
+    byte-identical to chaining one rewrite pass per merge — at 1/k the
+    Arrow transfers."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -162,19 +183,21 @@ def _merge_pair_in_arrays(toks: DataFrame, a: str, b: str, merged: str) -> DataF
                 # token array (NULL text upstream) stays NULL instead of
                 # crashing the whole training job on len(None)
                 return None
-            out = []
-            i = 0
-            n = len(ts)
-            while i < n:
-                if ts[i] == a and i + 1 < n and ts[i + 1] == b:
-                    # merged != a, so a fresh merge can never be the
-                    # left half of another merge in the same round
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(ts[i])
-                    i += 1
-            return out
+            for a, b, merged in merges:
+                out = []
+                i = 0
+                n = len(ts)
+                while i < n:
+                    if ts[i] == a and i + 1 < n and ts[i + 1] == b:
+                        # merged != a, so a fresh merge can never be the
+                        # left half of another merge in the same round
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(ts[i])
+                        i += 1
+                ts = out
+            return ts
 
         return col.map(one)
 
@@ -243,7 +266,7 @@ def train_bpe_merges(
     results = []
     prev = toks
     grandparent = None  # released only after the job that reads `prev`
-    for rnd in range(1, rounds + 1):
+    while len(results) < rounds:
         pairs = prev.select(
             F.explode(
                 F.expr(
@@ -253,11 +276,11 @@ def train_bpe_merges(
                 )
             ).alias("p")
         )
-        top = (
+        tbl = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(BPE_MERGE_BATCH)
             .collect()
         )
         # the collect above just materialized `prev`'s persisted blocks
@@ -266,17 +289,62 @@ def train_bpe_merges(
         if grandparent is not None:
             grandparent.unpersist()
             grandparent = None
-        if not top or top[0]["n"] < 2:
+        if not tbl or tbl[0]["n"] < 2:
             break
-        a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
-        merged = f"{a}▁{b}"  # U+2581: sentencepiece-style joiner
-        results.append((rnd, a, b, n))
-        if rnd == rounds:
-            # the final round's corpus rewrite is never read by anyone —
-            # its only consumer would be round rounds+1. Skipping it cuts
-            # one full narrow pass over the corpus (~1/rounds of total).
+        # ---- certificate-batched merge emission ----------------------
+        # The first row of a FRESH count table is always the exact next
+        # merge (nothing has morphed yet — identical to the old
+        # TakeOrdered(1)).  Further rows stay exact while (a) they share
+        # no token with any merge already emitted this batch (their own
+        # count is then unchanged), and (b) their count strictly exceeds
+        # `hazard` — the max OLD count over every pair that a prior
+        # in-batch merge can morph (pairs sharing a token with it; any
+        # rewritten/new pair's post-merge count is bounded by its
+        # parent's old count, and the table's truncation bound covers
+        # rows below the collect).  Strict >, so no morphing pair can
+        # even tie and lex-steal the round.  When the certificate runs
+        # out, rewrite once and recount — the SEQUENTIAL trainer's merge
+        # table, at one distributed job per BATCH instead of per merge.
+        trunc = tbl[-1]["n"] if len(tbl) == BPE_MERGE_BATCH else 0
+        touched: set[str] = set()
+        hazard = trunc
+        batch: list[tuple[str, str, int]] = []
+        for row in tbl:
+            if len(results) + len(batch) >= rounds:
+                break
+            l, r, n = row["l"], row["r"], int(row["n"])
+            if n < 2:
+                break  # below min-support here; the recount decides stop
+            if batch:
+                if l in touched or r in touched or n <= hazard:
+                    break
+            batch.append((l, r, n))
+            touched.update((l, r))
+            hazard = max(
+                [hazard]
+                + [
+                    int(q["n"])
+                    for q in tbl
+                    if (q["l"] in touched or q["r"] in touched)
+                    and not any(
+                        q["l"] == bl and q["r"] == br for bl, br, _ in batch
+                    )
+                ]
+            )
+        start = len(results) + 1
+        results.extend(
+            (start + i, l, r, n) for i, (l, r, n) in enumerate(batch)
+        )
+        if len(results) >= rounds:
+            # the final rewrite is never read by anyone — its only
+            # consumer would be the next recount. Skipping it cuts one
+            # full narrow pass over the corpus.
             break
-        nxt = _merge_pair_in_arrays(prev, a, b, merged).persist()
+        # token-disjoint by construction → one composed Arrow pass
+        nxt = _merge_pairs_in_arrays(
+            prev,
+            [(l, r, f"{l}▁{r}") for l, r, _ in batch],  # U+2581 joiner
+        ).persist()
         grandparent = prev
         prev = nxt
     if grandparent is not None:

@@ -630,6 +630,17 @@ def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parsed_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # The regex parse is the expensive half of every clf_* query, and its
+    # parallelism is capped by the SCAN's split count — a bench-scale
+    # events.parquet is one ~20 MB file, i.e. ONE task doing all the
+    # regex work on a 32-core machine.  When the scan is under-split,
+    # spread the raw events across the cluster's cores first (one cheap
+    # narrow-column shuffle buys a 32x-parallel parse).  At production
+    # scale the input has >= cores splits and this is a no-op — no
+    # shuffle is ever added to an already-parallel read.
+    p = max(8, spark.sparkContext.defaultParallelism)
+    if events.rdd.getNumPartitions() < p:
+        events = events.repartition(p)
     return parse_clf_lines(synthesize_clf_lines(events))
 
 

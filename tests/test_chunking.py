@@ -370,3 +370,36 @@ def test_merge_pair_udf_preserves_null_arrays(spark):
     )
     got = [r.tk for r in _merge_pair_in_arrays(toks, "a", "b", "ab").collect()]
     assert got == [["ab", "c"], None, ["ab", "ab"]]
+
+
+def test_bpe_batched_certificate_adversarial(spark, tmp_path):
+    # Adversarial fixture for the certificate-batched trainer: the top
+    # pair (a,b) shares tokens with several equal-count runners-up, so
+    # every later merge depends on the rewrite (new pairs like (a▁b, c)
+    # can win rounds), and equal counts force the strict-> hazard rule.
+    # The batched loop must still emit the SEQUENTIAL trainer's table.
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators.chunking import train_bpe_merges
+
+    texts = [
+        "a b c a b c a b c",   # (a,b)=3, (b,c)=3, (c,a)=2 -> chained
+        "p q p q",             # (p,q)=2 ties with (c,a) and (q,p)
+        "b c d b c d",         # boosts (b,c), adds (c,d)=2
+        "a b a b",             # boosts (a,b); (b,a) appears
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = [
+        (r["round"], r["left"], r["right"], r["n_occurrences"])
+        for r in train_bpe_merges(spark, str(tmp_path), rounds=8).collect()
+    ]
+    assert got == _py_bpe_reference(texts, 8)
