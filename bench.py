@@ -93,6 +93,8 @@ HEADLINE = [
     "semdedup_prune",
     "frequent_part_triples",
     "kcore_part_graph",
+    "kcore_invariant_audit",
+    "greedy_coverage_audit",
     "join_size_estimate_cms",
     "cdc_chunk_docs",
     "ann_pq_topk",
