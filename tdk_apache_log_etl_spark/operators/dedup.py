@@ -668,9 +668,19 @@ def connected_components(
     compile time and driver memory flat however many rounds run. At
     cluster scale use ``checkpoint()`` (reliable storage) so a lost
     executor replays one round, not the whole history."""
+    # The iteration-partitioning rule (operators/graph.py
+    # _iter_parallelism): checkpointed per-round frames materialize via
+    # the RDD path where AQE never coalesces, so under a vanilla
+    # 200-partition session every round otherwise drags 200 near-empty
+    # partitions (at ~20 ms/task of pure scheduling overhead on this
+    # class of box, that is ~4 s per round before any real work).
+    # Pre-partitioning edges on the join key (d) also means each round's
+    # join shuffles only the label frame, to match the cached layout.
+    p_iter = max(8, pairs.sparkSession.sparkContext.defaultParallelism)
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .repartition(p_iter, "d")
         .localCheckpoint(eager=True)
     )
     # Only edge-touched nodes can ever change label — the loop runs on
@@ -683,6 +693,7 @@ def connected_components(
         edges.select(F.col("s").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
+        .coalesce(p_iter)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -706,6 +717,7 @@ def connected_components(
                     < F.col("label")
                 ).alias("chg"),
             )
+            .coalesce(p_iter)
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("chg")).count()
