@@ -57,8 +57,16 @@ def connect(duckdb, sf):
     return con
 
 
-def canon(v):
+def canon(v, duck=False):
+    """Driver-fidelity canon.  ``duck=True`` reproduces the driver's
+    pandas fetch, where DuckDB DECIMAL arrives as float64; Spark
+    DECIMAL stays a Decimal object on the driver, so the two can never
+    hash-equal — a decimal-typed output must FAIL here like it fails
+    remotely (round-8 ab_sequential_obf)."""
     from datetime import date, datetime
+    from decimal import Decimal
+    if duck and isinstance(v, Decimal):
+        return repr(float(v))
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, (datetime, date)):
@@ -130,7 +138,8 @@ def main():
                 timer.cancel()
             idx = sorted(range(len(cols)), key=lambda k: cols[k])
             o = sorted(
-                [tuple(canon(r[k]) for k in idx) for r in raw], key=repr
+                [tuple(canon(r[k], duck=True) for k in idx) for r in raw],
+                key=repr,
             )
             rec["duck_s"] = round(time.time() - t0, 2)
             rec["rows"] = len(s)

@@ -2813,9 +2813,12 @@ _OBF_Z2_EXPR = (
     " * (1.0 / n_a + 1.0 / n_b), 0.0))"
 )
 
-_OBF_BOUND_SQL = "CASE " + " ".join(
+#: Bare decimal literals parse as DECIMAL in BOTH engines; the driver
+#: canonicalizes Spark Decimal objects and DuckDB float64 differently,
+#: so the CASE is cast to DOUBLE once here (shared by query + oracle).
+_OBF_BOUND_SQL = "CAST(CASE " + " ".join(
     f"WHEN look = {k + 1} THEN {b}" for k, b in enumerate(OBF_Z2)
-) + " END"
+) + " END AS DOUBLE)"
 
 
 @query(

@@ -147,6 +147,20 @@ def run_oracle(sql: str, sf_dir: str):
             )
     tbl = con.execute(sql).fetch_arrow_table()
     con.close()
+    # Driver-fidelity (round-8 ab_sequential_obf): the driver fetches the
+    # oracle through pandas, where DuckDB DECIMAL columns arrive as
+    # float64, while Spark DecimalType cells stay Decimal objects — so a
+    # decimal-typed output hash-mismatches at the driver even when values
+    # are identical.  The old harness kept BOTH sides as Decimal and
+    # matched locally where the driver failed.  Reproduce the driver:
+    # cast oracle-side decimals to float64 before tagging/extracting.
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_decimal(f.type):
+            tbl = tbl.set_column(
+                i,
+                pa.field(f.name, pa.float64()),
+                tbl.column(i).cast(pa.float64()),
+            )
     cols = tbl.column_names
     tags = {f.name: _arrow_tag(f.type) for f in tbl.schema}
     cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]

@@ -236,6 +236,19 @@ GLOBAL_WINDOW_OK = {
 }
 
 
+def _has_decimal(t: T.DataType) -> bool:
+    """True if a DecimalType lurks anywhere in the (possibly nested) type."""
+    if isinstance(t, T.DecimalType):
+        return True
+    if isinstance(t, T.ArrayType):
+        return _has_decimal(t.elementType)
+    if isinstance(t, T.MapType):
+        return _has_decimal(t.keyType) or _has_decimal(t.valueType)
+    if isinstance(t, T.StructType):
+        return any(_has_decimal(f.dataType) for f in t.fields)
+    return False
+
+
 def _global_window_key(plan: str) -> str | None:
     for line in plan.splitlines():
         m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
@@ -266,6 +279,20 @@ def test_no_scale_hazards_in_plan(spark, name):
             f"{name}: oracle-backed query emits complex-typed columns "
             f"{complex_cols}; serialize them to strings on both sides"
         )
+    # Registry lint (round-8 driver FAIL class, ab_sequential_obf): a
+    # DecimalType output column hash-mismatches at the driver even when
+    # every value is identical — DuckDB decimals reach the driver as
+    # float64 while Spark decimals stay Decimal objects.  Bare decimal
+    # literals (e.g. CASE ... THEN 4.1628) are the usual source; CAST
+    # the expression to DOUBLE on both sides.  Applied to ALL registered
+    # queries (rows-only ones included) so the class stays extinct.
+    decimal_cols = [
+        f.name for f in df.schema.fields if _has_decimal(f.dataType)
+    ]
+    assert not decimal_cols, (
+        f"{name}: query emits DecimalType columns {decimal_cols}; "
+        f"CAST to DOUBLE on both the Spark and oracle sides"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, (
@@ -280,6 +307,74 @@ def test_no_scale_hazards_in_plan(spark, name):
         assert name in GLOBAL_WINDOW_OK, (
             f"{name}: global window over '{key}' without a waiver"
         )
+
+
+def test_no_decimal_in_oracle_outputs():
+    """Oracle-side companion to the DecimalType lint: a DECIMAL column in
+    the DuckDB oracle output reaches the driver as float64 via a silent
+    decimal->double conversion, which can drift from Spark's DOUBLE
+    arithmetic (e.g. SUM over DECIMAL vs SUM over DOUBLE).  Keep both
+    sides DOUBLE at the SQL level.  DESCRIBE is planning-only, so this
+    sweeps all oracles in seconds."""
+    import duckdb
+
+    from tdk_apache_log_etl_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_SMOKE}/{t}.parquet'"
+        )
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [c for c, ctype, *_ in cols if "DECIMAL" in ctype.upper()]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, (
+        f"oracles emit DECIMAL columns (driver sees lossy float64): "
+        f"{offenders}; CAST to DOUBLE in the oracle SQL"
+    )
+
+
+def test_decimal_lint_catches_planted_offender(spark):
+    """The lint must actually fire on the round-8 failure shape: a bare
+    decimal literal in a CASE (pre-fix ab_sequential_obf) produces a
+    DecimalType output column."""
+    df = spark.sql(
+        "SELECT CASE WHEN 1 = 1 THEN 4.1628 ELSE 20.8141 END AS z2_boundary"
+    )
+    assert _has_decimal(df.schema["z2_boundary"].dataType)
+    # nested variants must be caught too
+    nested = spark.sql("SELECT array(1.5) AS a, struct(2.5 AS x) AS s")
+    assert _has_decimal(nested.schema["a"].dataType)
+    assert _has_decimal(nested.schema["s"].dataType)
+
+
+def test_parity_reproduces_driver_decimal_mismatch(spark):
+    """Round-8 driver-blindness regression: a query whose Spark output is
+    DECIMAL while the oracle's identical values arrive as float64 must
+    FAIL local parity (the driver hash-mismatches this shape).  Before
+    the round-9 run_oracle change, both sides canonicalized as Decimal
+    and this passed locally while failing remotely."""
+    from .conftest import SF_DIR_SMOKE
+    from .parity import compare
+
+    def planted(spark, sf_dir):
+        return spark.sql(
+            "SELECT 1 AS look, CASE WHEN 1 = 1 THEN 4.1628 END AS z2b"
+        )
+
+    ok, detail = compare(
+        spark,
+        "planted_decimal",
+        planted,
+        "SELECT 1 AS look, CASE WHEN 1 = 1 THEN 4.1628 END AS z2b",
+        SF_DIR_SMOKE,
+    )
+    assert not ok, "decimal output must mismatch like the driver does"
+    assert "dec" in detail, detail
 
 
 # ---------------------------------------------------------------------------
