@@ -307,6 +307,7 @@ def train_bpe_merges(
         # table, at one distributed job per BATCH instead of per merge.
         trunc = tbl[-1]["n"] if len(tbl) == BPE_MERGE_BATCH else 0
         touched: set[str] = set()
+        batch_pairs: set[tuple[str, str]] = set()
         hazard = trunc
         batch: list[tuple[str, str, int]] = []
         for row in tbl:
@@ -319,18 +320,33 @@ def train_bpe_merges(
                 if l in touched or r in touched or n <= hazard:
                     break
             batch.append((l, r, n))
+            batch_pairs.add((l, r))
+            fresh = {l, r} - touched
             touched.update((l, r))
-            hazard = max(
-                [hazard]
-                + [
-                    int(q["n"])
-                    for q in tbl
-                    if (q["l"] in touched or q["r"] in touched)
-                    and not any(
-                        q["l"] == bl and q["r"] == br for bl, br, _ in batch
-                    )
-                ]
-            )
+            if l == r:
+                # A self-pair merge (a,a)->M leaves LEFTOVER a's whose
+                # new neighbors ((M,a),(a,M),(M,M)) are bounded only by
+                # THIS pair's own old count — which the batch-pair
+                # exclusion below deliberately hides.  Fold n into the
+                # hazard; since the table is count-desc no later row can
+                # strictly exceed it, so a self-pair closes the batch.
+                hazard = max(hazard, n)
+            # Incremental hazard: a non-batch row contributes the first
+            # time one of its tokens becomes touched (tokens only ever
+            # get added, and a row sharing a touched token can never
+            # later join the batch — the acceptance check rejects it),
+            # so scanning rows matching the NEWLY touched tokens once is
+            # equivalent to the full rescan, at O(|tbl|) per accept.
+            if fresh:
+                hazard = max(
+                    [hazard]
+                    + [
+                        int(q["n"])
+                        for q in tbl
+                        if (q["l"] in fresh or q["r"] in fresh)
+                        and (q["l"], q["r"]) not in batch_pairs
+                    ]
+                )
         start = len(results) + 1
         results.extend(
             (start + i, l, r, n) for i, (l, r, n) in enumerate(batch)

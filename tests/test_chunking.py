@@ -403,3 +403,39 @@ def test_bpe_batched_certificate_adversarial(spark, tmp_path):
         for r in train_bpe_merges(spark, str(tmp_path), rounds=8).collect()
     ]
     assert got == _py_bpe_reference(texts, 8)
+
+
+def test_bpe_batched_certificate_self_pair(spark, tmp_path):
+    # ADVICE r8 (high): a SELF-pair merge (a,a)->M leaves leftover a's
+    # that spawn new pairs ((M,a),(a,M),(M,M)) bounded by the self-pair's
+    # OWN old count, which the batch-pair hazard exclusion hides.  On
+    # this corpus the sequential table is [(a,a,10),(a▁a,a,5),(c,d,3)]
+    # but the pre-fix batched loop emitted (c,d,3) as round 2 — the
+    # self-pair must CLOSE the batch (its own count joins the hazard).
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators.chunking import train_bpe_merges
+
+    texts = ["a a a"] * 5 + ["c d"] * 3
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = [
+        (r["round"], r["left"], r["right"], r["n_occurrences"])
+        for r in train_bpe_merges(spark, str(tmp_path), rounds=6).collect()
+    ]
+    want = _py_bpe_reference(texts, 6)
+    assert got == want
+    assert want[0][1] == want[0][2] == "a"  # fixture really self-pairs
+    assert [w[:3] for w in want[:3]] == [
+        (1, "a", "a"),
+        (2, "a▁a", "a"),
+        (3, "c", "d"),
+    ]
