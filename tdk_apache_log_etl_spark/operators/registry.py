@@ -36,25 +36,41 @@ _SCOPED_CACHES: dict[object, DataFrame] = {}
 #: bench queries. Still bounded — six sf-scale intermediates, not facts.
 _MAX_SCOPED_CACHES = 6
 
+#: Named cache pools (round 9): a high-reuse staging frame (the parsed
+#: CLF corpus, read by 15 clf_* queries scattered across the bench) was
+#: evicted from the shared LRU by the ~270 intervening queries' staging
+#: frames, so late readers re-paid the full parse materialization.  A
+#: pool gives such a frame its own small LRU that only same-pool frames
+#: can evict — still bounded (pool cap × frame size), never global.
+_POOLED_CACHES: dict[str, dict[object, DataFrame]] = {}
+_MAX_POOLED_CACHES = 2  # per pool: at most (bench sf, correctness sf)
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+
+def scoped_persist(df: DataFrame, pool: str | None = None) -> DataFrame:
     """persist() with bounded lifetime: semantically-identical frames
     share one cached materialization; least-recently-used entries are
     unpersisted beyond a small cap (or all at once via
-    release_scoped_caches)."""
+    release_scoped_caches).  ``pool`` names an isolated LRU (own cap)
+    for frames that must survive unrelated queries' cache pressure."""
+    caches = (
+        _POOLED_CACHES.setdefault(pool, {})
+        if pool is not None
+        else _SCOPED_CACHES
+    )
+    cap = _MAX_POOLED_CACHES if pool is not None else _MAX_SCOPED_CACHES
     try:
         key: object = df.semanticHash()
     except Exception:  # pragma: no cover - defensive: hash is best-effort
         key = object()
-    if key in _SCOPED_CACHES:
-        cached = _SCOPED_CACHES.pop(key)
-        _SCOPED_CACHES[key] = cached  # re-insert = mark most recent
+    if key in caches:
+        cached = caches.pop(key)
+        caches[key] = cached  # re-insert = mark most recent
         return cached
     df = df.persist()
-    _SCOPED_CACHES[key] = df
-    while len(_SCOPED_CACHES) > _MAX_SCOPED_CACHES:
-        oldest = next(iter(_SCOPED_CACHES))
-        _SCOPED_CACHES.pop(oldest).unpersist()
+    caches[key] = df
+    while len(caches) > cap:
+        oldest = next(iter(caches))
+        caches.pop(oldest).unpersist()
     return df
 
 
@@ -62,6 +78,11 @@ def release_scoped_caches() -> None:
     while _SCOPED_CACHES:
         k = next(iter(_SCOPED_CACHES))
         _SCOPED_CACHES.pop(k).unpersist()
+    for pool in list(_POOLED_CACHES):
+        caches = _POOLED_CACHES.pop(pool)
+        while caches:
+            k = next(iter(caches))
+            caches.pop(k).unpersist()
 
 
 def query(name: str, oracle: str | None = None):

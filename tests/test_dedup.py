@@ -143,6 +143,35 @@ def test_scoped_cache_reuses_and_stays_bounded(spark):
     assert len(registry._SCOPED_CACHES) == 0
 
 
+def test_pooled_cache_survives_default_pool_pressure(spark):
+    # Round-9: the parsed-CLF staging frame is read by clf_* queries
+    # scattered across the whole bench; frames in a named pool must
+    # survive arbitrarily many DEFAULT-pool insertions (only same-pool
+    # frames may evict them), each pool stays at its own small cap, and
+    # release_scoped_caches clears pools too.
+    from tdk_apache_log_etl_spark.operators import registry
+    from tdk_apache_log_etl_spark.operators.registry import (
+        release_scoped_caches,
+        scoped_persist,
+    )
+
+    release_scoped_caches()
+    p1 = scoped_persist(spark.range(7), pool="clf_parse")
+    for i in range(registry._MAX_SCOPED_CACHES + 5):
+        scoped_persist(spark.range(2000 + i))
+    p2 = scoped_persist(spark.range(7), pool="clf_parse")
+    assert p1 is p2  # not evicted by default-pool churn
+    for i in range(registry._MAX_POOLED_CACHES + 2):
+        scoped_persist(spark.range(3000 + i), pool="clf_parse")
+    assert (
+        len(registry._POOLED_CACHES["clf_parse"])
+        == registry._MAX_POOLED_CACHES
+    )
+    release_scoped_caches()
+    assert not registry._POOLED_CACHES
+    assert len(registry._SCOPED_CACHES) == 0
+
+
 def test_prefix_filter_bounds_ubiquitous_shingle_bucket(spark):
     # 40 docs all containing one identical 3-gram ("the quick fox" header)
     # but otherwise pairwise-disjoint. The naive inverted-index self-join
