@@ -328,13 +328,20 @@ def test_no_decimal_in_oracle_outputs():
     offenders = {}
     for name, sql in sorted(ORACLES.items()):
         cols = con.execute(f"DESCRIBE {sql}").fetchall()
-        bad = [c for c, ctype, *_ in cols if "DECIMAL" in ctype.upper()]
+        # HUGEINT is the same hazard class (round-1 shipped four uncast
+        # SUM(bigint) oracles): INT128 exceeds pandas int64, surfaces as
+        # float64/object at the driver, and hash-mismatches Spark BIGINT.
+        bad = [
+            f"{c}:{ctype}"
+            for c, ctype, *_ in cols
+            if "DECIMAL" in ctype.upper() or "HUGEINT" in ctype.upper()
+        ]
         if bad:
             offenders[name] = bad
     con.close()
     assert not offenders, (
-        f"oracles emit DECIMAL columns (driver sees lossy float64): "
-        f"{offenders}; CAST to DOUBLE in the oracle SQL"
+        f"oracles emit DECIMAL/HUGEINT columns (lossy at the driver): "
+        f"{offenders}; CAST to DOUBLE/BIGINT in the oracle SQL"
     )
 
 
