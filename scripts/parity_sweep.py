@@ -57,14 +57,19 @@ def connect(duckdb, sf):
     return con
 
 
+from datetime import date, datetime
+from decimal import Decimal
+
+
 def canon(v, duck=False):
     """Driver-fidelity canon.  ``duck=True`` reproduces the driver's
-    pandas fetch, where DuckDB DECIMAL arrives as float64; Spark
+    pandas fetch, where DuckDB DECIMAL/HUGEINT arrive as float64; Spark
     DECIMAL stays a Decimal object on the driver, so the two can never
     hash-equal — a decimal-typed output must FAIL here like it fails
-    remotely (round-8 ab_sequential_obf)."""
-    from datetime import date, datetime
-    from decimal import Decimal
+    remotely (round-8 ab_sequential_obf).  The duck side is fetched
+    through Arrow (HUGEINT surfaces as decimal128(38,0), not a plain
+    int as DBAPI fetchall would give), so this branch sees every value
+    of the hazard class."""
     if duck and isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, float):
@@ -126,9 +131,18 @@ def main():
             timer = threading.Timer(args.duck_timeout, con.interrupt)
             timer.start()
             try:
-                cur = con.execute(osql[name])
-                cols = [d[0] for d in cur.description]
-                raw = cur.fetchall()
+                # Arrow fetch, not fetchall: DBAPI returns HUGEINT as a
+                # plain Python int (indistinguishable from BIGINT here,
+                # so the sweep stayed blind to that driver-failure
+                # class); Arrow surfaces it as decimal128(38,0), which
+                # canon(duck=True) converts to float64 like the driver.
+                tbl = con.execute(osql[name]).fetch_arrow_table()
+                cols = tbl.column_names
+                col_data = [
+                    tbl.column(k).to_pylist()
+                    for k in range(tbl.num_columns)
+                ]
+                raw = list(zip(*col_data)) if col_data else []
             except duckdb.InterruptException:
                 rec["duck_timeout"] = args.duck_timeout
                 rec["match"] = None

@@ -131,20 +131,33 @@ def _normalize(rows, columns):
     return sorted(columns), out
 
 
-def run_oracle(sql: str, sf_dir: str):
-    """Run the DuckDB oracle; return (columns, rows, {col: type_tag}).
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the standard tables registered as views.
 
-    Fetched through Arrow so HUGEINT/INTEGER/BIGINT stay distinguishable
-    (``fetchall`` collapses them all to Python int).
-    """
+    Tolerates partial dirs so tests can run parity over a planted
+    single-table fixture (e.g. short-document documents.parquet).
+    Shared by run_oracle and the oracle-output lints — one source of
+    truth for the view-registration boilerplate."""
     con = duckdb.connect()
     for t in TABLES:
-        # Tolerate partial dirs so tests can run parity over a planted
-        # single-table fixture (e.g. short-document documents.parquet).
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str):
+    """Run the DuckDB oracle; return (columns, rows, {col: type_tag}).
+
+    Fetched through Arrow so INTEGER/BIGINT widths stay distinguishable
+    (``fetchall`` collapses them all to Python int).  NOTE on wide
+    numerics: DECIMAL — and HUGEINT, which Arrow exports as
+    decimal128(38,0) — are deliberately CAST TO FLOAT64 below to match
+    the driver's pandas fetch, so they do NOT keep a distinct tag; a
+    Spark DecimalType output therefore mismatches here like it does
+    remotely."""
+    con = oracle_connection(sf_dir)
     tbl = con.execute(sql).fetch_arrow_table()
     con.close()
     # Driver-fidelity (round-8 ab_sequential_obf): the driver fetches the

@@ -316,29 +316,26 @@ def test_no_decimal_in_oracle_outputs():
     arithmetic (e.g. SUM over DECIMAL vs SUM over DOUBLE).  Keep both
     sides DOUBLE at the SQL level.  DESCRIBE is planning-only, so this
     sweeps all oracles in seconds."""
-    import duckdb
+    from .parity import oracle_connection
 
-    from tdk_apache_log_etl_spark.sources.tables import TABLES
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_SMOKE}/{t}.parquet'"
-        )
-    offenders = {}
-    for name, sql in sorted(ORACLES.items()):
-        cols = con.execute(f"DESCRIBE {sql}").fetchall()
-        # HUGEINT is the same hazard class (round-1 shipped four uncast
-        # SUM(bigint) oracles): INT128 exceeds pandas int64, surfaces as
-        # float64/object at the driver, and hash-mismatches Spark BIGINT.
-        bad = [
-            f"{c}:{ctype}"
-            for c, ctype, *_ in cols
-            if "DECIMAL" in ctype.upper() or "HUGEINT" in ctype.upper()
-        ]
-        if bad:
-            offenders[name] = bad
-    con.close()
+    con = oracle_connection(SF_DIR_SMOKE)
+    try:
+        offenders = {}
+        for name, sql in sorted(ORACLES.items()):
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+            # HUGEINT is the same hazard class (round-1 shipped four
+            # uncast SUM(bigint) oracles): INT128 exceeds pandas int64,
+            # surfaces as float64/object at the driver, and
+            # hash-mismatches Spark BIGINT.
+            bad = [
+                f"{c}:{ctype}"
+                for c, ctype, *_ in cols
+                if "DECIMAL" in ctype.upper() or "HUGEINT" in ctype.upper()
+            ]
+            if bad:
+                offenders[name] = bad
+    finally:
+        con.close()
     assert not offenders, (
         f"oracles emit DECIMAL/HUGEINT columns (lossy at the driver): "
         f"{offenders}; CAST to DOUBLE/BIGINT in the oracle SQL"
