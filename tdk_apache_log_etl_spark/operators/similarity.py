@@ -1432,15 +1432,23 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     signs = _jl_signs()
-    e = as_double(F.col("embedding"))
+    # One F.expr per output column, built as a SQL string: the earlier
+    # Column-algebra form issued ~2,000 py4j calls (16x64 element_at /
+    # mul / add objects) and spent ~4.5 s of DRIVER time per invocation
+    # before Spark saw the plan (measured r9; execution itself is
+    # ~0.5 s).  SQL's `a + b + c` parses left-associative, so the
+    # expression TREE — and therefore the float add order and the
+    # bitwise hash-gated outputs — is identical to the old chain.
+    staged = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("_e")
+    )
     cols = []
     for j, row in enumerate(signs):
-        expr = None
-        for i, s in enumerate(row):
-            term = F.element_at(e, i + 1) * s
-            expr = term if expr is None else expr + term
-        cols.append((expr / F.lit(4.0)).alias(f"y{j}"))
-    return emb.select("vec_id", *cols)
+        terms = " + ".join(
+            f"(element_at(_e, {i + 1}) * {s})" for i, s in enumerate(row)
+        )
+        cols.append(F.expr(f"({terms}) / 4.0").alias(f"y{j}"))
+    return staged.select("vec_id", *cols)
 
 
 # --------------------------------------------------------------------------
@@ -1997,9 +2005,16 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); a zero matrix yields NULL components.
 
     Scale: the corpus is touched ONCE (Arrow-batched gram partials,
-    d²/2-row integer partial per batch); all K rounds run on the d×d
-    integer matrix joined against the d-row vector — driver never holds
-    anything, and the iteration cost is independent of corpus size."""
+    d²/2-row integer partial per batch); the d×d integer matrix is then
+    collected ONCE and the K mat-vec rounds run driver-local in exact
+    arbitrary-precision Python ints — the MLlib precedent
+    (RowMatrix.computePrincipalComponents likewise aggregates the Gram
+    matrix distributed and eigendecomposes the d×d on the driver).
+    Driver memory is d² integers (64 kB at d=64, ~8 MB at d=1024),
+    independent of corpus size; the r8 form instead ran one
+    localCheckpoint JOB per round — 8 cluster round-trips whose walls
+    were pure scheduler latency (measured r9: 3.6 s build / 0.3 s exec
+    at sf0.1 for 64-row frames)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2072,28 +2087,35 @@ def embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    v = cint.select(F.col("i").alias("dim")).distinct().select(
-        "dim", F.lit(_EIG_VSCALE).cast("long").alias("v")
-    )
+    from collections import defaultdict
+
+    adj: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for r in cint.collect():  # d² integer rows, collected once
+        adj[r["i"]].append((r["j"], int(r["c"])))
+    if not adj:
+        return spark.createDataFrame(
+            [], "dim int, component_scaled bigint"
+        )
+
+    def truncdiv(a: int, b: int) -> int:
+        # Spark's integral `div` (and DuckDB's `//` on this data)
+        # truncate toward zero; Python's // floors — match div exactly.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v: dict[int, int | None] = {i: _EIG_VSCALE for i in adj}
     for _ in range(_EIG_ROUNDS):
-        v = v.localCheckpoint(eager=True)
-        mv = (
-            cint.join(v, cint["j"] == v["dim"])
-            .groupBy(cint["i"].alias("dim2"))
-            .agg(
-                F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias(
-                    "mv"
-                )
-            )
-        )
-        nrm = mv.agg(F.max(F.abs(F.col("mv"))).alias("nrm"))
-        v = mv.crossJoin(F.broadcast(nrm)).select(
-            F.col("dim2").alias("dim"),
-            F.expr(
-                f"CAST((mv * {_EIG_VSCALE}) div NULLIF(nrm, 0) AS BIGINT)"
-            ).alias("v"),
-        )
-    return v.select("dim", F.col("v").alias("component_scaled"))
+        mv = {i: sum(c * v[j] for j, c in lst) for i, lst in adj.items()}
+        nrm = max(abs(x) for x in mv.values())
+        if nrm == 0:
+            # zero matrix: SQL's div NULLIF(0) yields NULL components,
+            # and NULL propagates through every later round unchanged
+            v = {i: None for i in mv}
+            break
+        v = {i: truncdiv(x * _EIG_VSCALE, nrm) for i, x in mv.items()}
+    return spark.createDataFrame(
+        sorted(v.items()), "dim int, component_scaled bigint"
+    )
 
 
 # --------------------------------------------------------------------------
