@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,13 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
 
 
-def _latest_driver_records() -> dict[str, dict]:
+def _latest_driver_records() -> dict[str, tuple[int, dict]]:
     """Latest driver CORRECTNESS record per query name across all prior
-    rounds (the driver drops CORRECTNESS_r{N}.json next to this file).
-    Used only for ordering, never for inclusion."""
+    rounds (the driver drops CORRECTNESS_r{N}.json next to this file),
+    keyed with the round number it came from — the ordering below
+    refreshes the OLDEST verdicts first. Used only for ordering, never
+    for inclusion."""
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -31,27 +36,34 @@ def _latest_driver_records() -> dict[str, dict]:
             continue
         if isinstance(data, dict):
             for k, v in data.items():
-                latest[k] = v if isinstance(v, dict) else {}
+                prev = latest.get(k)
+                if prev is None or rnd >= prev[0]:
+                    latest[k] = (rnd, v if isinstance(v, dict) else {})
     return latest
 
 
 def _sampling_order(keys) -> list[str]:
     """Seen-and-FAILED queries first, then never-driver-checked, then
-    seen-and-passed (registration order within each group). The driver
+    seen-and-passed ordered by ASCENDING age of their latest verdict
+    (oldest round first; registration order within a round). The driver
     samples a bounded number of queries per round; if it honors dict
     order, this (a) forces a fresh verdict on anything whose latest
     driver record is a FAIL — the class that most needs independent
-    re-confirmation after a fix — and (b) otherwise maximizes first-time
-    coverage. Every query is always present regardless — this is
-    ordering, not filtering."""
+    re-confirmation after a fix — (b) otherwise maximizes first-time
+    coverage, and (c) once everything has a verdict, ROTATES the sample
+    so the stalest verdicts are refreshed instead of re-checking the
+    same registration-order prefix forever (round-9 verdict item).
+    Every query is always present regardless — this is ordering, not
+    filtering."""
     from tdk_apache_log_etl_spark.operators import ORACLES
 
     latest = _latest_driver_records()
 
     def is_fail(name: str) -> bool:
-        rec = latest.get(name)
-        if rec is None:
+        rec_t = latest.get(name)
+        if rec_t is None:
             return False
+        rec = rec_t[1]
         checks = (
             rec.get("rows_match"),
             rec.get("schema_match"),
@@ -64,9 +76,14 @@ def _sampling_order(keys) -> list[str]:
         # deserves a fresh hash-checked verdict
         return rec.get("err") is not None and name in ORACLES
 
+    keys = list(keys)
+    reg_pos = {k: i for i, k in enumerate(keys)}
     failed = [k for k in keys if is_fail(k)]
     never = [k for k in keys if k not in latest]
-    passed = [k for k in keys if k in latest and k not in set(failed)]
+    passed = sorted(
+        (k for k in keys if k in latest and k not in set(failed)),
+        key=lambda k: (latest[k][0], reg_pos[k]),
+    )
     return failed + never + passed
 
 

@@ -42,9 +42,14 @@ def main() -> int:
 
     spark = get_spark("build-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["clf_user_count"](spark, sf).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up: registry-name-agnostic (survives renames) and best-effort
+    # (a warm-up failure should not kill the audit before it measures).
+    try:
+        next(iter(QUERIES.values()))(spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"WARN warm-up failed: {type(e).__name__}: {e}", flush=True)
 
     walls = []
     for name, fn in QUERIES.items():
@@ -56,9 +61,14 @@ def main() -> int:
             continue
         walls.append((time.perf_counter() - t0, name))
     walls.sort(reverse=True)
+    from tdk_apache_log_etl_spark.operators import EAGER_BUILD
+
     print(f"\nslowest {top_n} DataFrame builds at {sf}:")
+    print("('eager' = registered in registry.EAGER_BUILD: construction")
+    print(" runs Spark jobs by design; unmarked slow builds are suspects)")
     for w, n in walls[:top_n]:
-        print(f"{w:7.2f}  {n}")
+        tag = "  [eager]" if n in EAGER_BUILD else ""
+        print(f"{w:7.2f}  {n}{tag}")
     return 0
 
 

@@ -30,6 +30,8 @@ import re
 import sys
 import threading
 import time
+from datetime import date, datetime
+from decimal import Decimal
 
 os.environ.setdefault("TZ", "America/Chicago")
 time.tzset()
@@ -55,10 +57,6 @@ def connect(duckdb, sf):
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
-
-
-from datetime import date, datetime
-from decimal import Decimal
 
 
 def canon(v, duck=False):

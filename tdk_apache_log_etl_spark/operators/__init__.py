@@ -1,6 +1,6 @@
 """Operator registry. Importing this package registers every query."""
 
-from .registry import ORACLES, QUERIES, query  # noqa: F401
+from .registry import EAGER_BUILD, ORACLES, QUERIES, query  # noqa: F401
 
 from . import logmetrics  # noqa: F401,E402
 from . import relational  # noqa: F401,E402

@@ -85,6 +85,50 @@ def release_scoped_caches() -> None:
             caches.pop(k).unpersist()
 
 
+#: Queries whose DataFrame CONSTRUCTION intentionally runs Spark jobs
+#: (driver-coordinated fixpoints, trained quantizers, collected sketch/
+#: scalar frames, recursive-CTE seeds) instead of returning a purely
+#: lazy plan. Centralized so tooling — plan lints, build-time audits,
+#: Connect smokes — can distinguish an expected eager build from a
+#: plan-building regression without reading per-function docstrings.
+#: Membership is validated against QUERIES in tests/test_coverage_doc.py.
+EAGER_BUILD: frozenset[str] = frozenset(
+    {
+        # iterative graph fixpoints (per-round localCheckpoint + count)
+        "bfs_reach_part_graph",
+        "lpa_communities_part_graph",
+        "kcore_part_graph",
+        "kcore_invariant_audit",
+        "hits_purchase_graph",
+        "weighted_sssp_part_graph",
+        "hub_closeness_centrality",
+        "ktruss_part_graph",
+        # connected-components dedup loop
+        "dedup_cluster_canonical",
+        # trained quantizers / collected gram or pick frames
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "ann_ivf_recall_floor",
+        "ann_pq_recall_floor",
+        "semdedup_prune",
+        "embedding_top_eigenvector",
+        "greedy_coverage_select",
+        "greedy_coverage_audit",
+        # iterative BPE trainer
+        "bpe_train_merges",
+        "bpe_first_merge",
+        # driver-held sketches / collected scalar frames
+        "cms_user_frequency",
+        "join_size_estimate_cms",
+        "heavy_hitter_ngrams",
+        "poisson_bootstrap_value_ci",
+        "markov_attribution_removal",
+        # recursive-CTE seed checkpointing
+        "order_chains_recursive_sql",
+    }
+)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

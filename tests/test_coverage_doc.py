@@ -53,3 +53,21 @@ def test_coverage_cited_queries_exist_in_registry():
         c for c in cited if c.endswith(suffixes) and c not in QUERIES
     }
     assert not lookalikes, f"COVERAGE.md cites unknown queries: {lookalikes}"
+
+
+def test_eager_build_registry_names_are_real():
+    """EAGER_BUILD is the central map of queries whose construction runs
+    Spark jobs (ADVICE r9: one place, not per-docstring notes); a rename
+    that orphans an entry should fail here, not silently de-annotate."""
+    from tdk_apache_log_etl_spark.operators import EAGER_BUILD, QUERIES
+
+    unknown = EAGER_BUILD - set(QUERIES)
+    assert not unknown, f"EAGER_BUILD names not in registry: {unknown}"
+    # the iterative-core members can't quietly drop out either
+    for must in (
+        "kcore_part_graph",
+        "dedup_cluster_canonical",
+        "embedding_top_eigenvector",
+        "semdedup_prune",
+    ):
+        assert must in EAGER_BUILD

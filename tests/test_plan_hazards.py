@@ -84,8 +84,6 @@ BNLJ_OK = {
     "value_anova_by_type",       # (defensive; currently single aggregate)
     "hub_closeness_centrality",  # 1-row n_nodes crossJoin
     "customer_order_span_union",  # (defensive; keyed joins only)
-    "embedding_top_eigenvector",  # per-round 1-row max-|v| crossJoin
-                                  # (L-inf normalization scalar)
     "t_closeness_audit",         # 1-row n_total crossJoin
     "daily_revenue_runs_test",   # 1-row total crossJoin over the
                                  # one-row-per-day frame
