@@ -103,18 +103,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
 
-    Keys absent here (minhash_lsh_neardup, simhash_neardup,
-    ngram_jaccard_pairs, ann_lsh_topk, ann_ivf_topk, ann_pq_topk,
-    embedding_cosine_neardup, ann_recall_eval, bpe_train_merges,
-    semdedup_prune, kcore_part_graph, greedy_coverage_select) are genuinely
-    non-SQL-expressible (LSH bucketing / iterative k-means / iterative
-    BPE / iterative greedy set cover / data-dependent fixpoint;
-    bpe_train_merges, kcore_part_graph, and greedy_coverage_select are
-    instead pinned against pure-Python reference implementations in
+    Keys absent here (minhash_lsh_neardup, ann_lsh_topk, ann_ivf_topk,
+    ann_pq_topk, embedding_cosine_neardup, ann_recall_eval,
+    bpe_train_merges, semdedup_prune, kcore_part_graph,
+    greedy_coverage_select) are genuinely non-SQL-expressible (LSH
+    bucketing / iterative k-means / iterative BPE / iterative greedy
+    set cover / data-dependent fixpoint; bpe_train_merges,
+    kcore_part_graph, and greedy_coverage_select are instead pinned
+    against pure-Python reference implementations in
     tests/test_chunking.py, tests/test_graph.py, and
     tests/test_hygiene.py, semdedup_prune against planted duplicate
-    groups) →
-    driver's rows-only check. Every approx/sketch aggregate
+    groups) → driver's rows-only check — and EVERY one now has a
+    hash-checked oracle-backed companion (minhash_lsh_recall_floor,
+    ann_*_recall_floor, bpe_first_merge, kcore_invariant_audit,
+    greedy_coverage_audit, embedding_neardup_audit,
+    semdedup_invariant_audit). simhash_neardup and ngram_jaccard_pairs
+    graduated to FULL value-hashed oracles in round 10 (sha256
+    fingerprints recomputable in DuckDB; exact inverted-index
+    enumeration). Every approx/sketch aggregate
     (clf_user_count_approx, events_value_percentiles_approx,
     hll_user_rollup, cms_user_frequency, kll_quantile_rollup,
     theta_user_set_ops) IS oracle-backed via tolerance-contract outputs

@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_distinctive_tokens",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ngram_jaccard_pairs",
     "dedup_cluster_canonical",
     "span_dedup_rebuild",
     "quality_filter_gate",
@@ -91,6 +93,9 @@ HEADLINE = [
     "randomized_response_purchase_share",
     "heavy_hitter_ngrams",
     "semdedup_prune",
+    "semdedup_invariant_audit",
+    "embedding_cosine_neardup",
+    "embedding_neardup_audit",
     "frequent_part_triples",
     "kcore_part_graph",
     "kcore_invariant_audit",

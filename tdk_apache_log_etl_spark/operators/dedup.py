@@ -13,12 +13,15 @@ Scale design (the whole point of these operators):
     candidates. Candidate pairs are then verified with exact shingle-set
     Jaccard (array_intersect / array_union).
   * SimHash is the one Pandas-UDF operator here (64-bit accumulation is
-    numpy's sweet spot); it is Arrow-batched and deterministic (blake2b
-    token hashes, not Python's seeded hash()).
+    numpy's sweet spot); it is Arrow-batched and deterministic (sha256
+    token hashes — DuckDB-recomputable — not Python's seeded hash()).
 
-These are rows-only checks for the driver (no practical ANSI-SQL oracle for
-LSH), but all are deterministic; tests/test_dedup.py pins golden outcomes
-and verifies LSH candidates ⊇ true near-dups on planted duplicates.
+The banded-MinHash index is rows-only for the driver (no practical
+ANSI-SQL oracle for probabilistic LSH) and graded by its recall-floor
+companion; simhash_neardup and ngram_jaccard_pairs carry FULL value-hashed
+oracles (exact banding / exact inverted-index enumeration — round 10).
+tests/test_dedup.py pins golden outcomes and verifies LSH candidates ⊇
+true near-dups on planted duplicates.
 """
 
 from __future__ import annotations
@@ -308,15 +311,57 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ngram_jaccard_pairs")  # rows-only
+#: Looser 'review band' threshold between hard dups and distinct docs.
+NGRAM_REVIEW_THRESHOLD = 0.3
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1},
+                                                1))) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', {", ".join(f"tk[i + {j}]" for j in range(SHINGLE_N))}) AS s
+      FROM pos
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.da = sa.doc_id
+    JOIN sizes sb ON inter.db = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c)
+          >= {NGRAM_REVIEW_THRESHOLD}
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 n-gram Jaccard scoring of LSH candidate pairs at a looser
-    threshold (0.3) — the 'review band' between hard dups and distinct docs."""
+    """E2 n-gram Jaccard near-dup scoring at the looser review threshold
+    (0.3) — COMPLETE, not LSH-sampled: exact_jaccard_pairs enumerates
+    every pair with word-trigram Jaccard >= 0.3 via the adaptive
+    inverted-index strategy (direct df-priced self-join, or prefix
+    filtering when a hot shingle would make a quadratic bucket), recall
+    1.0 by construction. That exactness is what upgrades this row from
+    rows-only to a full value-hashed DuckDB oracle (round-10): the
+    oracle mirrors the shingling token-for-token and recomputes every
+    qualifying pair plus its jaccard — both engines divide the same
+    exact |A∩B| / |A∪B| BIGINTs, so the DOUBLE is bit-identical.
+    The banded-LSH candidate path (the index you'd use when even the
+    df-bounded join is too wide) remains minhash_lsh_neardup, graded by
+    its own recall-floor companion."""
     docs = load_table(spark, sf_dir, "documents")
     sh_df = shingle_frame(docs)
-    verified = exact_jaccard(minhash_candidate_pairs(sh_df), sh_df)
-    return verified.filter(F.col("jaccard") >= 0.3).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    return exact_jaccard_pairs(sh_df, NGRAM_REVIEW_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -426,7 +471,14 @@ SIMHASH_CHUNKS = 4  # 16-bit chunks; hamming ≤ 3 ⇒ ≥1 identical chunk
 
 def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Add a deterministic 64-bit SimHash column via an Arrow-batched
-    Pandas UDF (numpy bit accumulation; blake2b token hashes)."""
+    Pandas UDF (numpy bit accumulation).
+
+    Token hash = first 8 bytes (big-endian) of sha256 — chosen over
+    blake2b in round 10 BECAUSE DuckDB ships sha256(): the whole
+    fingerprint (majority vote over per-token bit votes) becomes
+    recomputable in ANSI-ish SQL, which is what gives simhash_neardup a
+    full value-hashed oracle instead of a rows-only verdict. Equally
+    deterministic and uniform; null/empty text fingerprints to 0."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -443,7 +495,7 @@ def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for tok in t.split(" "):
                 h = np.uint64(
                     int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                        hashlib.sha256(tok.encode()).digest()[:8], "big"
                     )
                 )
                 bits = (
@@ -461,12 +513,62 @@ def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("simhash", simhash(F.col(text_col)))
 
 
-@query("simhash_neardup")  # rows-only
+#: Hamming radius for simhash near-dups; SIMHASH_CHUNKS=4 chunk banding
+#: is EXACT for it by pigeonhole (<= 3 differing bits cannot touch all 4
+#: 16-bit chunks), so the banded output equals the brute-force truth set.
+SIMHASH_MAX_HAMMING = 3
+
+#: DuckDB mirror of the fingerprint + brute-force hamming pairs. The
+#: per-token hash is the same first-8-bytes-of-sha256 (hex prefix ->
+#: UBIGINT), the per-bit majority vote is a 64-way generate_series sum,
+#: and the >= 2^63 branch reproduces the signed-long wrap. Quadratic
+#: all-pairs is fine at oracle scale (the driver runs sf0.01: 500 docs);
+#: the ENGINE's banded plan is the one that scales.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, range(0, {SIMHASH_BITS}) t(i)
+      GROUP BY doc_id, i
+    ), fp0 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0
+                      THEN CAST(1 AS HUGEINT) * (CAST(1 AS UBIGINT) << i)
+                      ELSE 0 END) AS v
+      FROM votes GROUP BY doc_id
+    ), fp AS (
+      SELECT d.doc_id,
+             CAST(CASE WHEN COALESCE(f.v, 0) >= 9223372036854775808
+                       THEN COALESCE(f.v, 0) - 18446744073709551616
+                       ELSE COALESCE(f.v, 0) END AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("simhash_neardup", oracle=_SIMHASH_ORACLE)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 SimHash near-dup: 64-bit fingerprints, candidate generation by
     16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
     verification with native bit_count(xor) ≤ 3. Only the fingerprint step
     touches Python (vectorized); banding/joining/verification are JVM-side.
+
+    Full value-hashed oracle (round-10): the chunk banding is EXACT for
+    radius 3 — a brute-force all-pairs hamming scan returns the identical
+    pair set (asserted in tests/test_dedup.py) — and sha256 token hashes
+    let DuckDB recompute the fingerprints bit-for-bit, so the oracle
+    enumerates the same (doc_a, doc_b, hamming) rows by brute force.
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_column(docs).select("doc_id", "simhash")
@@ -503,9 +605,10 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
 

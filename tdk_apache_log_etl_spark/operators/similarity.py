@@ -55,6 +55,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+
 def as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
@@ -358,6 +359,172 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE_THRESHOLD)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+#: Deterministic sub-corpus for the neardup audit's brute-force truth
+#: set: vec_id % 2 — bounds the all-pairs cost to |corpus/2|² in BOTH
+#: engines (the 100 TB shape: grade the index on a doc-hash sample, run
+#: the banded path on the full corpus — minhash_lsh_recall_floor's rule).
+NEARDUP_AUDIT_MOD = 2
+#: Below the production threshold no pair exists in the synthetic corpus
+#: (max pair cosine ≈ 0.51 at sf0.01 / 0.60 at sf0.1), so a probe
+#: threshold carries the value-hashed data: pair count + id checksum at
+#: 0.4 are nonzero at every graded sf and recomputed exactly by DuckDB.
+NEARDUP_PROBE_COSINE = 0.4
+NEARDUP_RECALL_FLOOR = 0.9
+
+_NEARDUP_AUDIT_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {NEARDUP_AUDIT_MOD} = 0
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_dot("a.embedding", "b.embedding")} /
+             (sqrt({_sql_dot("a.embedding", "a.embedding")}) *
+              sqrt({_sql_dot("b.embedding", "b.embedding")})) AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST({NEARDUP_AUDIT_MOD} AS INTEGER) AS sample_mod,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_sampled_vecs,
+           CAST(COUNT(*) FILTER (c >= {NEARDUP_COSINE_THRESHOLD})
+                AS BIGINT) AS n_true_neardup,
+           CAST(COUNT(*) FILTER (c >= {NEARDUP_PROBE_COSINE})
+                AS BIGINT) AS n_probe_pairs,
+           CAST(COALESCE(SUM(id_a + id_b)
+                         FILTER (c >= {NEARDUP_PROBE_COSINE}), 0)
+                AS BIGINT) AS probe_id_checksum,
+           CAST({NEARDUP_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_floor_ok,
+           TRUE AS precision_ok
+    FROM p
+"""
+
+
+@query("embedding_neardup_audit", oracle=_NEARDUP_AUDIT_ORACLE)
+def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2×E3 companion: driver-visible, hash-checked contract for the
+    (rows-only, LSH-candidate) embedding_cosine_neardup path — the same
+    style as minhash_lsh_recall_floor / kcore_invariant_audit. Ground
+    truth is EXACT brute-force cosine over the deterministic
+    vec_id % 2 sub-corpus; DuckDB recomputes the truth-set size at the
+    production threshold, plus a value-carrying probe layer (pair count
+    + id checksum at cosine >= 0.4 — nonzero on this corpus, and
+    bit-identical because both engines fold the same doubles in the
+    same order). The booleans assert, engine-side:
+
+      * recall_floor_ok — the LSH-banded query finds >= 90% of sampled
+        true pairs (vacuously TRUE while the corpus has none at 0.85 —
+        the oracle pins the truth-set SIZE, so 'vacuous' is itself a
+        value-checked fact, not an assumption);
+      * precision_ok — every emitted sampled pair IS in the exact truth
+        set (guards the exact-verification step of the banded plan).
+
+    Scale: the quadratic truth scan is the EVAL harness, not the dedup
+    path — at 100 TB it runs on the hash sample only, while production
+    dedup stays the banded Σ bucket² join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % NEARDUP_AUDIT_MOD == 0
+    )
+    e = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", e.alias("e"), F.sqrt(dot(e, e)).alias("nrm")
+    )
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    # plain persist with a local try/finally (NOT scoped_persist: the
+    # frame is consumed by exactly the two aggregates below and then
+    # dead — parking it in the shared LRU would only evict frames other
+    # queries still reuse)
+    # The non-equi self-join plans as BroadcastNestedLoopJoin; its task
+    # count is the STREAMED side's partitioning, and a one-file corpus
+    # reads as ONE partition — repartition the streamed side to the
+    # session's parallelism or the whole n² scan runs on a single core
+    # (measured 22 s -> 1.6 s at sf0.1 for the identical scan).
+    p_scan = max(8, spark.sparkContext.defaultParallelism)
+    pairs = (
+        va.repartition(p_scan)
+        .join(vb, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "c", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .select("id_a", "id_b", "c")
+        .persist()
+    )
+    try:
+        n_sampled = emb.count()
+        agg = pairs.agg(
+            F.count(
+                F.when(F.col("c") >= NEARDUP_COSINE_THRESHOLD, 1)
+            ).alias("n_true"),
+            F.count(
+                F.when(F.col("c") >= NEARDUP_PROBE_COSINE, 1)
+            ).alias("n_probe"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("c") >= NEARDUP_PROBE_COSINE,
+                        F.col("id_a") + F.col("id_b"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("checksum"),
+        ).collect()[0]
+        truth = pairs.filter(
+            F.col("c") >= NEARDUP_COSINE_THRESHOLD
+        ).select("id_a", "id_b")
+        found_sampled = (
+            QUERIES["embedding_cosine_neardup"](spark, sf_dir)
+            .filter(
+                (F.col("id_a") % NEARDUP_AUDIT_MOD == 0)
+                & (F.col("id_b") % NEARDUP_AUDIT_MOD == 0)
+            )
+            .select("id_a", "id_b")
+        )
+        f_row = (
+            found_sampled.join(
+                truth.withColumn("in_truth", F.lit(1)),
+                ["id_a", "id_b"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_found"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("in_truth"), F.lit(0))), F.lit(0)
+                ).alias("n_found_true"),
+            )
+            .collect()[0]
+        )
+    finally:
+        pairs.unpersist()
+    n_true = int(agg["n_true"])
+    recall_ok = bool(
+        int(f_row["n_found_true"])
+        >= NEARDUP_RECALL_FLOOR * n_true
+    )
+    precision_ok = bool(int(f_row["n_found"]) == int(f_row["n_found_true"]))
+    return spark.createDataFrame(
+        [
+            (
+                int(NEARDUP_AUDIT_MOD),
+                int(n_sampled),
+                n_true,
+                int(agg["n_probe"]),
+                int(agg["checksum"]),
+                float(NEARDUP_RECALL_FLOOR),
+                recall_ok,
+                precision_ok,
+            )
+        ],
+        "sample_mod int, n_sampled_vecs long, n_true_neardup long, "
+        "n_probe_pairs long, probe_id_checksum long, recall_floor double, "
+        "recall_floor_ok boolean, precision_ok boolean",
     )
 
 
@@ -1143,6 +1310,180 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("cluster").applyInPandas(
         _semdedup_group, "vec_id long, cluster int"
+    )
+
+
+_SEMDEDUP_AUDIT_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {NEARDUP_AUDIT_MOD} = 0
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_sql_dot("a.embedding", "b.embedding")} /
+            (sqrt({_sql_dot("a.embedding", "a.embedding")}) *
+             sqrt({_sql_dot("b.embedding", "b.embedding")}))
+            >= {NEARDUP_PROBE_COSINE}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM dups)
+                AS BIGINT) AS n_sampled_unique_probe,
+           CAST((SELECT COALESCE(SUM(vec_id), 0) FROM e
+                 WHERE vec_id NOT IN (SELECT vec_id FROM dups))
+                AS BIGINT) AS unique_probe_id_sum,
+           TRUE AS partition_ok,
+           TRUE AS kept_pairs_ok,
+           TRUE AS dropped_witness_ok,
+           TRUE AS keep_superset_ok
+"""
+
+
+@query("semdedup_invariant_audit", oracle=_SEMDEDUP_AUDIT_ORACLE)
+def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E117 companion: driver-visible, hash-checked INVARIANT contract
+    for the (rows-only, k-means-clustered) semdedup_prune policy — the
+    kcore_invariant_audit style. The cluster assignment itself has no
+    SQL twin, but the keep rule's DEFINING properties are checkable
+    from (embeddings, output, recomputed deterministic assignment):
+
+      * partition_ok        — keep ∪ drop == corpus, disjoint;
+      * kept_pairs_ok       — no kept vector has ANY smaller-id
+        same-cluster vector (kept or dropped) at cosine >= τ — exactly
+        the keep rule, recomputed from raw vectors;
+      * dropped_witness_ok  — every dropped vector HAS such a witness;
+      * keep_superset_ok    — every vector with no smaller-id τ-near-dup
+        in the WHOLE corpus is kept (cluster ⊆ corpus, so no witness
+        can exist — clustering-independent, hence oracle-safe).
+
+    The value-carrying data columns are clustering-independent and
+    recomputed exactly by DuckDB: corpus size, plus (on the
+    deterministic vec_id % 2 sample, at the probe threshold 0.4 where
+    this corpus actually has pairs) the count and id-sum of vectors
+    with NO smaller-id near-dup — the same brute-force-on-a-sample
+    grading shape as embedding_neardup_audit.
+
+    Scale: per-cluster |c|² joins mirror the engine's own SemDeDup cost
+    model; the only corpus-quadratic piece (keep_superset_ok's global
+    scan) is the eval harness and runs on the hash sample at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    centroids = train_ivf_centroids(emb)
+    assign = _assign_udf(centroids)
+    assigned = scoped_persist(
+        emb.select(
+            "vec_id",
+            F.get(assign(F.col("embedding")), 0).alias("cluster"),
+            e.alias("e"),
+            F.sqrt(dot(e, e)).alias("nrm"),
+        )
+    )
+    kept = QUERIES["semdedup_prune"](spark, sf_dir).select(
+        "vec_id"
+    ).localCheckpoint(eager=True)
+    n_vecs = emb.count()
+    n_kept = kept.count()
+    # ONE quadratic cosine pass, persisted; every check below derives
+    # from it with cheap id/cluster joins (three separate pair scans
+    # cost 49 s at sf0.1 — this form is ~2.5x less fold-dot work).
+    # Only pairs at/above the probe threshold survive into the cached
+    # frame: everything downstream filters at >= probe or >= τ anyway,
+    # and the pre-filter keeps the cached frame O(near-dups), not O(n²).
+    # streamed side repartitioned: the BNLJ task count is its partition
+    # count, and the cached one-file corpus would otherwise put the
+    # whole n² scan on one core (see embedding_neardup_audit).
+    p_scan = max(8, spark.sparkContext.defaultParallelism)
+    ga = (
+        assigned.select("vec_id", "cluster", "e", "nrm")
+        .repartition(p_scan)
+        .alias("ga")
+    )
+    gb = assigned.select("vec_id", "cluster", "e", "nrm").alias("gb")
+    pairs = (
+        ga.join(gb, F.col("ga.vec_id") < F.col("gb.vec_id"))
+        .withColumn(
+            "c",
+            dot(F.col("ga.e"), F.col("gb.e"))
+            / (F.col("ga.nrm") * F.col("gb.nrm")),
+        )
+        .filter(F.col("c") >= NEARDUP_PROBE_COSINE)
+        .select(
+            F.col("ga.vec_id").alias("id_a"),
+            F.col("gb.vec_id").alias("id_b"),
+            (F.col("ga.cluster") == F.col("gb.cluster")).alias("same_cluster"),
+            "c",
+        )
+        .persist()
+    )
+    try:
+        # same-cluster ordered pairs with cosine >= τ: b has an earlier
+        # witness — exactly the keep rule's premise.
+        witnessed = (
+            pairs.filter(F.col("same_cluster") & (F.col("c") >= SEMDEDUP_COSINE))
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_kept_witnessed = kept.join(witnessed, "vec_id", "left_semi").count()
+        kept_pairs_ok = n_kept_witnessed == 0
+        # dropped = corpus \ kept; every one must be witnessed
+        dropped = assigned.select("vec_id").join(kept, "vec_id", "left_anti")
+        n_dropped = dropped.count()
+        n_dropped_witnessed = dropped.join(
+            witnessed, "vec_id", "left_semi"
+        ).count()
+        dropped_witness_ok = n_dropped_witnessed == n_dropped
+        partition_ok = (n_kept + n_dropped) == n_vecs
+        # global (clustering-independent) uniques must all be kept
+        global_dup = (
+            pairs.filter(F.col("c") >= SEMDEDUP_COSINE)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        global_unique = assigned.select("vec_id").join(
+            global_dup, "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_global_unique = global_unique.count()
+        n_global_unique_kept = global_unique.join(
+            kept, "vec_id", "left_semi"
+        ).count()
+        keep_superset_ok = n_global_unique_kept == n_global_unique
+        # sampled probe-layer data columns (DuckDB-recomputed)
+        samp_dup = (
+            pairs.filter(
+                (F.col("id_a") % NEARDUP_AUDIT_MOD == 0)
+                & (F.col("id_b") % NEARDUP_AUDIT_MOD == 0)
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        row = (
+            assigned.select("vec_id")
+            .filter(F.col("vec_id") % NEARDUP_AUDIT_MOD == 0)
+            .join(samp_dup, "vec_id", "left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n_u"),
+                F.coalesce(F.sum("vec_id"), F.lit(0)).alias("id_sum"),
+            )
+            .collect()[0]
+        )
+    finally:
+        pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_vecs),
+                int(row["n_u"]),
+                int(row["id_sum"]),
+                bool(partition_ok),
+                bool(kept_pairs_ok),
+                bool(dropped_witness_ok),
+                bool(keep_superset_ok),
+            )
+        ],
+        "n_vecs long, n_sampled_unique_probe long, "
+        "unique_probe_id_sum long, partition_ok boolean, "
+        "kept_pairs_ok boolean, dropped_witness_ok boolean, "
+        "keep_superset_ok boolean",
     )
 
 

@@ -404,3 +404,83 @@ def test_snm_pairs_neighbors_within_window(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """The 4-chunk banding is EXACT for hamming <= 3 by pigeonhole —
+    the full oracle for simhash_neardup rests on this equality, so pin
+    it structurally on the planted corpus (dup pair at hamming 0, near
+    pair within a few bits)."""
+    from tdk_apache_log_etl_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_column,
+    )
+
+    docs = _planted_docs(spark)
+    fp = {r.doc_id: r.simhash for r in simhash_column(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    brute = {
+        (a, b): ham(fp[a], fp[b])
+        for a in fp
+        for b in fp
+        if a < b and ham(fp[a], fp[b]) <= SIMHASH_MAX_HAMMING
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        from tdk_apache_log_etl_spark.operators import QUERIES
+
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in QUERIES["simhash_neardup"](spark, td).collect()
+        }
+    assert got == brute
+    assert got[(0, 3)] == 0  # exact text dup -> identical fingerprint
+
+
+def test_sha256_simhash_matches_pure_python(spark):
+    """The DuckDB oracle recomputes the fingerprint from sha256 hex —
+    anchor the Spark UDF to the same reference computation in pure
+    Python so a quiet UDF change breaks HERE, not at the driver."""
+    import hashlib
+
+    from tdk_apache_log_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_column,
+    )
+
+    docs = _planted_docs(spark)
+    got = {r.doc_id: r.simhash for r in simhash_column(docs).collect()}
+
+    def ref(text):
+        acc = [0] * SIMHASH_BITS
+        for tok in text.split(" "):
+            h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+            for i in range(SIMHASH_BITS):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(SIMHASH_BITS):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for r in docs.collect():
+        assert got[r.doc_id] == ref(r.text)
+
+
+def test_ngram_jaccard_pairs_complete_at_threshold(spark, tmp_path):
+    """ngram_jaccard_pairs is COMPLETE (exact inverted-index recall 1.0)
+    at 0.3 — the planted near pair and the exact dup must both appear,
+    the unrelated doc must not."""
+    from tdk_apache_log_etl_spark.operators import QUERIES
+
+    docs = _planted_docs(spark)
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["ngram_jaccard_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 3)] == 1.0
+    assert (0, 1) in got and 0.3 <= got[(0, 1)] < 1.0
+    assert not any(2 in p for p in got)

@@ -68,11 +68,25 @@ def test_real_registry_order_is_complete_and_stale_first():
     closed the board) the head of the passed rotation must be at least
     as stale as the tail."""
     order = list(entry_mod.queries().keys())
-    from tdk_apache_log_etl_spark.operators import QUERIES
+    from tdk_apache_log_etl_spark.operators import ORACLES, QUERIES
 
     assert sorted(order) == sorted(QUERIES)
     latest = entry_mod._latest_driver_records()
-    rounds = [latest[k][0] for k in order if k in latest]
-    passed_rounds = rounds  # failures would front; none expected here
+
+    def fronted(name):  # mirrors _sampling_order's fail predicate
+        rnd, rec = latest[name]
+        checks = (
+            rec.get("rows_match"),
+            rec.get("schema_match"),
+            rec.get("hash_match"),
+        )
+        return any(c is False for c in checks) or (
+            rec.get("err") is not None and name in ORACLES
+        )
+
+    passed_rounds = [
+        latest[k][0] for k in order if k in latest and not fronted(k)
+    ]
+    # the rotation puts the stalest verdict first within the passed group
     if passed_rounds:
-        assert passed_rounds[0] == min(passed_rounds)
+        assert passed_rounds == sorted(passed_rounds)

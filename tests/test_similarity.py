@@ -431,3 +431,53 @@ def test_nearest_centroid_perfect_separation(spark, tmp_path):
         str(tmp_path),
     )
     assert ok, detail
+
+
+def _planted_dup_embeddings(spark, tmp_path):
+    """80 near-orthogonal unit vectors + planted exact/scaled duplicate
+    groups — the fixture the two r10 audit companions are graded on
+    (pairs exist ABOVE the production 0.85 threshold here, so their
+    booleans are exercised non-vacuously)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(80, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = {i: base[i] for i in range(80)}
+    vecs[100] = vecs[101] = vecs[102] = base[3]
+    vecs[200] = vecs[201] = base[7] * 2.0
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [v.astype("float32") for v in vecs.values()],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_embedding_neardup_audit_planted(spark, tmp_path):
+    sf = _planted_dup_embeddings(spark, tmp_path)
+    row = QUERIES["embedding_neardup_audit"](spark, sf).collect()[0]
+    # sampled (even-id) true pairs: (100,102) and (200,... 201 is odd) —
+    # dup group {3,100,101,102}: even members 100,102 pair with each
+    # other; base[3] has vec_id 3 (odd, excluded). group {7,200,201}:
+    # even member 200 alone. Plus (even base pairs) none at 0.85.
+    assert row.n_true_neardup >= 1
+    assert row.recall_floor_ok and row.precision_ok
+    assert row.n_probe_pairs >= row.n_true_neardup
+    assert row.n_sampled_vecs == sum(
+        1 for v in list(range(80)) + [100, 101, 102, 200, 201] if v % 2 == 0
+    )
+
+
+def test_semdedup_invariant_audit_planted(spark, tmp_path):
+    sf = _planted_dup_embeddings(spark, tmp_path)
+    row = QUERIES["semdedup_invariant_audit"](spark, sf).collect()[0]
+    assert row.n_vecs == 85
+    assert row.partition_ok and row.kept_pairs_ok
+    assert row.dropped_witness_ok and row.keep_superset_ok
+    # at probe threshold 0.4 the planted duplicates are definitely
+    # above, so the sampled-unique count excludes later dup members
+    assert row.n_sampled_unique_probe < row.n_vecs
