@@ -786,6 +786,20 @@ def connected_components(
         .repartition(p_iter, "d")
         .localCheckpoint(eager=True)
     )
+    # Size-aware refinement after the (cheap, post-checkpoint) count:
+    # the loop only runs over edge-TOUCHED nodes — on a deduplicated-ish
+    # corpus a few hundred rows — so a full core-count wave per round is
+    # scheduler floor, not parallelism (the graph.py _iter_parallelism
+    # rationale). The checkpointed edge relation coalesces narrowly
+    # (no new shuffle, no recompute) when the graph is small; at corpus
+    # scale the count keeps p_iter at the core cap and this is a no-op.
+    from .graph import _iter_parallelism as _graph_iter_p
+
+    n_edges = edges.count()
+    p_small = _graph_iter_p(pairs.sparkSession, n_edges)
+    if p_small < p_iter:
+        p_iter = p_small
+        edges = edges.coalesce(p_iter)
     # Only edge-touched nodes can ever change label — the loop runs on
     # that (much smaller) membership and singletons rejoin at the end
     # with label = doc_id. On a deduplicated-ish corpus the duplicate

@@ -44,10 +44,18 @@ DAMP_NUM, DAMP_DEN = 85, 100
 #: graph applies before any ranking pass.
 MIN_COOCCUR = 2
 
-def _iter_parallelism(spark: SparkSession) -> int:
+#: Minimum useful rows per iteration-frame task: below this, task-launch
+#: overhead (~5-20 ms each) exceeds the per-partition compute, and K
+#: rounds multiply the waste. Only bites on SMALL relations — any
+#: corpus-scale edge frame divides to the core-count cap long before it.
+ITER_ROWS_PER_TASK = 2000
+
+
+def _iter_parallelism(spark: SparkSession, n_rows: int | None = None) -> int:
     """Partition count for PERSISTED iteration relations and per-round
     localCheckpoint frames: the cluster's core count, NOT the session's
-    shuffle-partition default.  Two reasons. (1) ``localCheckpoint``
+    shuffle-partition default — capped further by the relation's actual
+    size when known.  Three reasons. (1) ``localCheckpoint``
     materializes through the RDD path, which AQE's partition coalescing
     never touches — under a vanilla 200-partition session every
     per-round frame otherwise carries 200 (mostly empty) partitions
@@ -57,8 +65,47 @@ def _iter_parallelism(spark: SparkSession) -> int:
     count should equal the machine's parallelism — one wave of tasks —
     rather than whatever the session default happens to be.  On a real
     cluster defaultParallelism is the total executor-core count, so the
-    same sizing holds at 1000 executors."""
-    return max(8, spark.sparkContext.defaultParallelism)
+    same sizing holds at 1000 executors.  (3) A SMALL graph (the
+    significant-edge relation at sf0.1 is 7.7k rows) doesn't deserve a
+    full wave: K rounds x 32 near-empty tasks is pure scheduler floor
+    (measured: pagerank 2.9 s -> 1.5 s at sf0.1 by sizing to rows /
+    ITER_ROWS_PER_TASK), while at sf1+ the row count pushes the value
+    back to the core-count cap — the knob only trims the small end."""
+    cores = max(8, spark.sparkContext.defaultParallelism)
+    if n_rows is None:
+        return cores
+    return max(4, min(cores, int(n_rows) // ITER_ROWS_PER_TASK))
+
+
+#: Memoized row counts of persisted iteration relations, keyed by the
+#: frame's semantic hash — back-to-back graph queries over the same
+#: corpus share one count job (the frames themselves are shared through
+#: scoped_persist, so the count is a cached-scan aggregate either way).
+_FRAME_ROWS_CACHE: dict[object, int] = {}
+_MAX_FRAME_ROWS_CACHE = 32
+
+
+def _frame_rows(frame: DataFrame) -> int:
+    try:
+        key: object = frame.semanticHash()
+    except Exception:  # pragma: no cover - defensive
+        key = None
+    if key is not None and key in _FRAME_ROWS_CACHE:
+        return _FRAME_ROWS_CACHE[key]
+    n = frame.count()
+    if key is not None:
+        _FRAME_ROWS_CACHE[key] = n
+        while len(_FRAME_ROWS_CACHE) > _MAX_FRAME_ROWS_CACHE:
+            _FRAME_ROWS_CACHE.pop(next(iter(_FRAME_ROWS_CACHE)))
+    return n
+
+
+def edge_parallelism(spark: SparkSession, frame: DataFrame) -> int:
+    """Size-aware _iter_parallelism for a (persisted) edge relation: one
+    memoized count prices the iteration partitioning. The count doubles
+    as the materialization of the shared edge cache, which every round
+    would otherwise pay inside its first stage."""
+    return _iter_parallelism(spark, _frame_rows(frame))
 
 
 def _oracle() -> str:
@@ -139,7 +186,9 @@ def partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = significant_pairs(spark, sf_dir)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return scoped_persist(
-        pairs.join(deg, "src").repartition(_iter_parallelism(spark), "src")
+        pairs.join(deg, "src").repartition(
+            edge_parallelism(spark, pairs), "src"
+        )
     )
 
 
@@ -297,7 +346,7 @@ def bfs_reach_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-combine is one co-located join per round."""
     edges = partitioned_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    p_iter = _iter_parallelism(spark)
+    p_iter = edge_parallelism(spark, edges)
     levels = nodes.select(
         "node",
         F.when(F.col("node") % SEED_MOD == 0, F.lit(0))
@@ -396,7 +445,7 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     |communities| rows."""
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    p_iter = _iter_parallelism(spark)
+    p_iter = edge_parallelism(spark, edges)
     labels = nodes.select("node", F.col("node").cast("long").alias("label"))
     for _ in range(LPA_ROUNDS):
         labels = labels.coalesce(p_iter).localCheckpoint(eager=True)
@@ -460,7 +509,7 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: no ANSI-SQL fixpoint (aggregation over the
     recursive relation is not legal in WITH RECURSIVE)."""
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
-    p_iter = _iter_parallelism(spark)
+    p_iter = edge_parallelism(spark, edges)
     alive = edges.select(F.col("src").alias("node")).distinct()
     alive = alive.coalesce(p_iter).localCheckpoint(eager=True)
     n_alive = alive.count()
@@ -813,7 +862,14 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint keeps every round's plan O(1) deep, the same
         # discipline the LPA/k-core loops use. The checkpointed frames are
         # 2 longs per node, coalesced to p_iter so the round's task count
-        # never inherits the session's shuffle default.
+        # never inherits the session's shuffle default. (r10 note: lazier
+        # cadences were measured and rejected — skipping the ar
+        # checkpoint re-derives it inside the hr job (5.0 s vs 3.5 s at
+        # sf0.1), and a fully lazy K=4 unroll explodes to tens of
+        # thousands of tasks because exchange reuse does not survive the
+        # per-round normalization rewrite. The ~3 s wall that remains is
+        # the box's per-job floor x the 8 checkpoint barriers + 8
+        # broadcast-normalization jobs, not data volume.)
         ar = (
             edges_by_cust.join(h, "cust")
             .groupBy("part")
@@ -922,7 +978,7 @@ def weighted_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
     )
     dist = src0
-    p_iter = _iter_parallelism(spark)
+    p_iter = edge_parallelism(spark, edges)
     for _ in range(_SSSP_ROUNDS):
         # dist feeds BOTH the relaxation join and the min-combine union;
         # truncate lineage per round (the BFS/LPA discipline) or each
@@ -1129,7 +1185,7 @@ def hub_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     tot = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    p_iter = _iter_parallelism(spark)
+    p_iter = edge_parallelism(spark, edges)
     dist = nodes.where(F.col("node") % SEED_MOD == 0).select(
         F.col("node").alias("source"),
         "node",

@@ -27,15 +27,33 @@ from .conftest import SF_DIR_SMOKE
 
 
 def test_partitioned_edges_sized_to_parallelism(spark):
-    p = _iter_parallelism(spark)
+    # r10: sized by the relation's ROW COUNT (rows / ITER_ROWS_PER_TASK,
+    # clamped to [4, cores]) — a tiny graph must not pay a full
+    # core-count wave per round, a big one must cap at the core count.
+    from tdk_apache_log_etl_spark.operators.graph import (
+        _frame_rows,
+        edge_parallelism,
+    )
+
+    pairs = significant_pairs(spark, SF_DIR_SMOKE)
+    p = edge_parallelism(spark, pairs)
+    assert 4 <= p <= _iter_parallelism(spark)
     assert partitioned_edges(spark, SF_DIR_SMOKE).rdd.getNumPartitions() == p
-    assert significant_pairs(spark, SF_DIR_SMOKE).rdd.getNumPartitions() <= p
+    assert (
+        significant_pairs(spark, SF_DIR_SMOKE).rdd.getNumPartitions()
+        <= _iter_parallelism(spark)
+    )
+    # the memoized count must agree with a fresh count
+    assert _frame_rows(pairs) == pairs.count()
 
 
 def test_iter_parallelism_floors_at_eight(spark):
     # the rule must hold on tiny executors too — never fewer than 8
+    # without a row count, never fewer than 4 with one
     assert _iter_parallelism(spark) >= 8
     assert _iter_parallelism(spark) >= spark.sparkContext.defaultParallelism
+    assert _iter_parallelism(spark, 0) == 4
+    assert _iter_parallelism(spark, 10**12) == _iter_parallelism(spark)
 
 
 def test_hits_edge_copies_partitioned_on_both_keys(spark, tmp_path):
