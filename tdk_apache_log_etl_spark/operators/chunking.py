@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism, input_partitions
 from ..sources.tables import load_table
 from .registry import query
 
@@ -506,8 +507,9 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the boundary rule itself. Docs shorter than CDC_W emit one
     whole-doc chunk (no window fits)."""
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    par = default_parallelism(spark)
+    _np = input_partitions(docs)
+    if _np is None or _np < par:
         docs = docs.repartition(par)
     pos = (
         docs.filter(F.length("text") >= CDC_W)
@@ -678,8 +680,9 @@ def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram stream. fp_hash_sum ≤ n_fp·2^32 keeps BIGINT headroom at any
     doc size the 2^21 position cap admits."""
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    par = default_parallelism(spark)
+    _np = input_partitions(docs)
+    if _np is None or _np < par:
         docs = docs.repartition(par)
     fps = winnow_fingerprints(docs)
     per_doc = fps.groupBy("doc_id").agg(

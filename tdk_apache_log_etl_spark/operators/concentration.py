@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
 from ..sources.tables import load_table
 from .numeric import SCALE
 from .registry import query, scoped_persist
@@ -1284,7 +1285,7 @@ def poisson_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change the result.  u columns materialize once per replica (not
     # once per CASE branch), w columns once per replica (not once in
     # SUM(w*sx) and again in SUM(w)).
-    width = spark.sparkContext.defaultParallelism
+    width = default_parallelism(spark)
     hsel = ", ".join(
         f"md5(concat(event_id, '_', {g})) AS h{g}"
         for g in range(1, n_digests + 1)

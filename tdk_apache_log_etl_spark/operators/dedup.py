@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import default_parallelism
 from ..sources.tables import load_table
 from .registry import QUERIES, query, scoped_persist
 
@@ -779,7 +780,7 @@ def connected_components(
     # class of box, that is ~4 s per round before any real work).
     # Pre-partitioning edges on the join key (d) also means each round's
     # join shuffles only the label frame, to match the cached layout.
-    p_iter = max(8, pairs.sparkSession.sparkContext.defaultParallelism)
+    p_iter = max(8, default_parallelism(pairs.sparkSession))
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
 from ..sources.tables import load_table
 from .registry import query, scoped_persist
 
@@ -71,7 +72,7 @@ def _iter_parallelism(spark: SparkSession, n_rows: int | None = None) -> int:
     (measured: pagerank 2.9 s -> 1.5 s at sf0.1 by sizing to rows /
     ITER_ROWS_PER_TASK), while at sf1+ the row count pushes the value
     back to the core-count cap — the knob only trims the small end."""
-    cores = max(8, spark.sparkContext.defaultParallelism)
+    cores = max(8, default_parallelism(spark))
     if n_rows is None:
         return cores
     return max(4, min(cores, int(n_rows) // ITER_ROWS_PER_TASK))

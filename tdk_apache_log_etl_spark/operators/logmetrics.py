@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.apache_log import parse_clf_lines
+from ..session import default_parallelism, input_partitions
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
 from .registry import query, scoped_persist
@@ -637,8 +638,9 @@ def _parsed_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow-column shuffle buys a 32x-parallel parse).  At production
     # scale the input has >= cores splits and this is a no-op — no
     # shuffle is ever added to an already-parallel read.
-    p = max(8, spark.sparkContext.defaultParallelism)
-    if events.rdd.getNumPartitions() < p:
+    p = max(8, default_parallelism(spark))
+    _np = input_partitions(events)
+    if _np is None or _np < p:
         events = events.repartition(p)
     # scoped_persist is the clf pack's STAGING materialization: (a) the
     # 14 clf_* queries run back-to-back in the sweep/bench, so the parse

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
 from .registry import QUERIES, query, scoped_persist
@@ -447,7 +448,7 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads as ONE partition — repartition the streamed side to the
     # session's parallelism or the whole n² scan runs on a single core
     # (measured 22 s -> 1.6 s at sf0.1 for the identical scan).
-    p_scan = max(8, spark.sparkContext.defaultParallelism)
+    p_scan = max(8, default_parallelism(spark))
     pairs = (
         va.repartition(p_scan)
         .join(vb, F.col("id_a") < F.col("id_b"))
@@ -1391,7 +1392,7 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streamed side repartitioned: the BNLJ task count is its partition
     # count, and the cached one-file corpus would otherwise put the
     # whole n² scan on one core (see embedding_neardup_audit).
-    p_scan = max(8, spark.sparkContext.defaultParallelism)
+    p_scan = max(8, default_parallelism(spark))
     ga = (
         assigned.select("vec_id", "cluster", "e", "nrm")
         .repartition(p_scan)

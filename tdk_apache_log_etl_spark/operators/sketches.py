@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism, input_partitions
 from ..sources.tables import load_table
 from .registry import query, scoped_persist
 
@@ -584,8 +585,9 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen (never collapse) to cluster parallelism: the trigram explode
     # amplifies ~100× past the scan's byte-based sizing, and the MG
     # stage should produce one summary per CORE, not per input file
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    par = default_parallelism(spark)
+    _np = input_partitions(docs)
+    if _np is None or _np < par:
         docs = docs.repartition(par)
     ws = docs.select(F.split("text", " ").alias("w")).filter(
         F.size("w") >= 3

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism, input_partitions
 from ..sources.tables import load_table
 from .numeric import dec_sum, sql_dec_sum
 from .registry import query, scoped_persist
@@ -1350,8 +1351,9 @@ def char_trigram_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Widen (never collapse) to the cluster's parallelism so one small
     # parquet file can't serialize the whole explode onto one core —
     # measured 3.6 s → 1.3 s at sf0.1 on local[32].
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    par = default_parallelism(spark)
+    _np = input_partitions(docs)
+    if _np is None or _np < par:
         docs = docs.repartition(par)
     tri_array = F.expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"

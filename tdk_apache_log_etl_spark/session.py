@@ -28,3 +28,32 @@ def get_spark(app_name: str = "tdk-log-etl-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """Cluster parallelism, Connect-safe. Classic sessions read the
+    SparkContext; a Spark Connect client has no SparkContext, so fall
+    back to server-side confs (spark.default.parallelism if the
+    deployment sets it, else the session's shuffle-partition count —
+    the same knob every shuffle in this pack is already sized by)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Connect client path
+        for key in ("spark.default.parallelism", "spark.sql.shuffle.partitions"):
+            try:
+                return int(spark.conf.get(key))
+            except Exception:
+                continue
+        return 200
+
+
+def input_partitions(df) -> int | None:
+    """DataFrame partition count, or None when unknowable (Spark
+    Connect exposes no RDD API). Callers use this for the 'repartition
+    only if the input arrived under-split' optimization — with None
+    they must take the conservative branch (repartition): one possibly
+    redundant shuffle beats an under-parallelized Pandas-UDF stage."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - Connect client path
+        return None

@@ -577,3 +577,92 @@ def test_waived_global_window_frames_are_bounded(
             f"documented bound is {bound} — the waiver's boundedness "
             "argument no longer holds"
         )
+
+
+# ---------------------------------------------------------------------------
+# Spark-Connect safety lint (round-10 gate)
+# ---------------------------------------------------------------------------
+
+#: Files allowed to touch classic-only driver APIs, with why.
+_CONNECT_WAIVERS = {
+    # Driver-side JDBC DELETE for the exactly-once streaming sink: the
+    # py4j DriverManager bridge is inherently classic; under Connect the
+    # foreachBatch callback would need a python JDBC client instead.
+    "streaming/jdbc_stream.py": {"_jvm"},
+    # The Connect-safe fallbacks themselves live here (try classic API,
+    # degrade to server-side confs / conservative None).
+    "session.py": {"sparkContext", ".rdd"},
+}
+
+_CONNECT_FATAL = ("._jvm", "._jsc", "._jdf", "sparkContext", ".rdd")
+
+
+def test_connect_safety_lint():
+    """Classic-only driver APIs (_jvm/_jsc/sparkContext/DataFrame.rdd)
+    are forbidden in the package outside the documented waiver table —
+    everything else goes through session.default_parallelism /
+    session.input_partitions so a Spark Connect client degrades
+    gracefully instead of dying on SparkContext access. (A live Connect
+    smoke needs grpcio, which this container doesn't ship — the lint is
+    the enforceable half; the fallback paths are unit-tested below.)"""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "tdk_apache_log_etl_spark")
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            allowed = _CONNECT_WAIVERS.get(rel, set())
+            for i, line in enumerate(open(path), start=1):
+                code = line.split("#", 1)[0]
+                if '"""' in line or "'''" in line or code.strip().startswith(('"', "'")):
+                    continue  # docstring/comment mentions are fine
+                for tok in _CONNECT_FATAL:
+                    if tok in code and not any(a in tok or tok.lstrip(".") == a.lstrip(".")
+                                               for a in allowed):
+                        if tok == ".rdd" and ".rdd" in code and "input_partitions" in code:
+                            continue
+                        offenders.append(f"{rel}:{i} uses {tok}")
+    assert not offenders, "Connect-unsafe API outside waivers:\n" + "\n".join(offenders)
+
+
+def test_connect_fallback_helpers(spark):
+    """The Connect-degradation helpers return sane values on a classic
+    session (the only kind this container can start) and their fallback
+    arms produce ints, not exceptions, when the classic API is absent."""
+    from tdk_apache_log_etl_spark.session import (
+        default_parallelism,
+        input_partitions,
+    )
+
+    p = default_parallelism(spark)
+    assert isinstance(p, int) and p >= 1
+    df = spark.range(10)
+    np_ = input_partitions(df)
+    assert np_ is None or (isinstance(np_, int) and np_ >= 1)
+
+    class _FakeConf:
+        def get(self, key):
+            if key == "spark.sql.shuffle.partitions":
+                return "17"
+            raise Exception("no such conf")
+
+    class _FakeConnectSession:
+        conf = _FakeConf()
+
+        @property
+        def sparkContext(self):
+            raise Exception("SparkContext is not supported in Connect")
+
+    assert default_parallelism(_FakeConnectSession()) == 17
+
+    class _FakeConnectDF:
+        @property
+        def rdd(self):
+            raise Exception("rdd is not supported in Connect")
+
+    assert input_partitions(_FakeConnectDF()) is None
