@@ -326,10 +326,65 @@ HEADLINE = [
 ]
 
 
+#: Machine-day calibration anchor. The calibration workload below is
+#: CODE-FROZEN (never tune it with the engine); `_CALIB_ANCHOR_SEC` is
+#: its measured wall on the round-10 reference machine-day, recorded in
+#: the same session that produced the round-10 same-day A/B numbers.
+#: Interpreting any BENCH_r*.json across days:
+#:     machine_day_factor = calib_sec / calib_anchor_sec
+#:     normalized_total   = value / machine_day_factor
+#: (Memory: machine-days differ ~1.1-1.7x uniformly; the probe makes the
+#: driver's number interpretable without re-running old code.)
+_CALIB_ANCHOR_SEC = 0.65
+#: Same-day A/B baseline: the ROUND-9 code (commit 604c103), run in a
+#: worktree on the round-10 reference machine-day over the identical
+#: 281-query r9 headline set. BENCH_r09.json recorded 169.1 s for the
+#: same set on ITS machine-day.
+_SAME_DAY_BASELINE = {
+    "r9_commit": "604c103",
+    "r9_total_sec_same_day": 163.409,  # r9 code, r10 machine-day
+    "r9_total_sec_own_day": 169.116,  # BENCH_r09.json, r9 machine-day
+    "r9_n_queries": 281,
+    "measured_on": "2026-08-16",
+}
+
+
+def _calibration(spark) -> float:
+    """Fixed reference workload (JVM compute + one shuffle), min-of-3:
+    the machine-day probe. Sized so whole-stage-codegen compute
+    (~0.65 s on the reference box) dominates the scheduling floor — a
+    probe that finishes in one scheduler wave measures task-launch
+    jitter, not the machine (the first, smaller probe swung 0.36-0.65 s
+    WITHIN one day; this one repeats at ±5%)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(600_000_000).select(
+            F.sum((F.col("id") * 2654435761) % 1000000007)
+        ).collect()
+        spark.range(20_000_000).groupBy(
+            (F.col("id") % 4096).alias("k")
+        ).count().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Optional comma-separated subset (scaling probes re-time a handful
+    # of queries at big fixtures without paying the full headline set).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
 
     from tdk_apache_log_etl_spark.operators import QUERIES
     from tdk_apache_log_etl_spark.session import get_spark
@@ -360,7 +415,7 @@ def main() -> None:
     # run-to-run swings on an otherwise idle box); min-of-2 reports the
     # computation, not the co-tenant.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -372,6 +427,7 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+    calib = _calibration(spark)
     # The headline set GROWS round over round (29 → 50+ queries), so the
     # raw total is not comparable across rounds — n_queries and the
     # per-query median are the stable figures of merit.
@@ -391,6 +447,9 @@ def main() -> None:
                 "queries": per_query,
                 "n_queries": len(per_query),
                 "sec_per_query_median": round(median, 3),
+                "calib_sec": calib,
+                "calib_anchor_sec": _CALIB_ANCHOR_SEC,
+                "same_day_baseline": _SAME_DAY_BASELINE,
                 "value": total,
                 "sf": sf,
             }
@@ -408,6 +467,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(per_query),
                 "sec_per_query_median": round(median, 3),
+                "calib_sec": calib,
+                "calib_anchor_sec": _CALIB_ANCHOR_SEC,
                 "value": total,
                 "sf": sf,
             }

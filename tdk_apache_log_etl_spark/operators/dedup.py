@@ -468,6 +468,12 @@ def minhash_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4  # 16-bit chunks; hamming ≤ 3 ⇒ ≥1 identical chunk
+#: Token budget per (tokens, 64) bit-matrix expansion inside the simhash
+#: UDF — bounds worker memory to ~64 MB per Arrow batch regardless of
+#: how much text the batch carries. Module-level so tests can shrink it
+#: and pin that chunk boundaries don't change fingerprints (captured at
+#: UDF-build time; simhash_column builds a fresh UDF per call).
+SIMHASH_UDF_CHUNK_TOKENS = 1 << 17
 
 
 def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -482,33 +488,77 @@ def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic and uniform; null/empty text fingerprints to 0."""
     from pyspark.sql.functions import pandas_udf
 
+    chunk_tokens = SIMHASH_UDF_CHUNK_TOKENS
+
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         import hashlib
 
         import numpy as np
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for row, t in enumerate(texts):
-            if not t:
-                continue
-            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-            for tok in t.split(" "):
-                h = np.uint64(
-                    int.from_bytes(
+        # Batch-vectorized: hash each DISTINCT token once per Arrow
+        # batch (sha256 is the cheap part; the old per-token numpy
+        # round-trip was ~10 µs/token and dominated the 9 s sf0.1
+        # wall), expand every doc's token hashes into one flat uint64
+        # vector, unpack to a (n_tokens, 64) sign matrix in bulk, and
+        # segment-sum per doc with np.add.reduceat. Bit-identical to
+        # the per-token fold (integer vote counts are order-free).
+        tok_lists = [t.split(" ") if t else [] for t in texts]
+        lengths = np.fromiter(
+            (len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        cache: dict[str, int] = {}
+        flat = np.empty(int(lengths.sum()), dtype=np.uint64)
+        i = 0
+        for tl in tok_lists:
+            for tok in tl:
+                h = cache.get(tok)
+                if h is None:
+                    h = int.from_bytes(
                         hashlib.sha256(tok.encode()).digest()[:8], "big"
                     )
-                )
+                    cache[tok] = h
+                flat[i] = h
+                i += 1
+        out = np.zeros(len(texts), dtype=np.int64)
+        if i:
+            shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            weights = np.uint64(1) << shifts
+            starts = np.zeros(len(tok_lists), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            # reduceat over only the nonempty docs' start offsets: empty
+            # docs own zero-length segments, so consecutive filtered
+            # starts are exactly the nonempty segment boundaries. The
+            # ±1 vote sum needs no ±1 matrix: Σ(2b−1) = 2·Σb − len.
+            # Chunk by docs so the (tokens, 64) bit matrix stays ≤~64 MB
+            # however large the Arrow batch's total text is (a one-shot
+            # expansion scales with batch TOKENS — unbounded at corpus
+            # scale even though rows-per-batch is capped).
+            nonempty = np.flatnonzero(lengths > 0)
+            lo = 0
+            while lo < len(nonempty):
+                hi = lo + 1
+                tok0 = starts[nonempty[lo]]
+                while (
+                    hi < len(nonempty)
+                    and starts[nonempty[hi]] + lengths[nonempty[hi]] - tok0
+                    <= chunk_tokens
+                ):
+                    hi += 1
+                docs_idx = nonempty[lo:hi]
+                tok1 = starts[docs_idx[-1]] + lengths[docs_idx[-1]]
                 bits = (
-                    (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+                    (flat[tok0:tok1, None] >> shifts) & np.uint64(1)
                 ).astype(np.int64)
-                acc += 2 * bits - 1
-            v = 0
-            for i in range(SIMHASH_BITS):
-                if acc[i] > 0:
-                    v |= 1 << i
-            # wrap to signed 64-bit
-            out[row] = v - (1 << 64) if v >= (1 << 63) else v
+                seg_sums = np.add.reduceat(
+                    bits, starts[docs_idx] - tok0, axis=0
+                )
+                acc = 2 * seg_sums - lengths[docs_idx, None]
+                v = ((acc > 0).astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[docs_idx] = v.astype(np.int64)  # two's-complement wrap
+                lo = hi
         return pd.Series(out)
 
     return docs.withColumn("simhash", simhash(F.col(text_col)))

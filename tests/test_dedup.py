@@ -469,6 +469,25 @@ def test_sha256_simhash_matches_pure_python(spark):
         assert got[r.doc_id] == ref(r.text)
 
 
+def test_simhash_chunked_expansion_invariant(spark, monkeypatch):
+    """The UDF expands token hashes to a (tokens, 64) bit matrix in
+    memory-bounded doc chunks; fingerprints must not depend on where the
+    chunk boundaries fall. Shrink the budget below every planted doc's
+    token count (forcing one-doc chunks AND multi-chunk batches) and pin
+    equality with the default single-chunk path — include an empty doc
+    so zero-length segments cross boundaries too."""
+    from tdk_apache_log_etl_spark.operators import dedup as dd
+
+    docs = _planted_docs(spark).unionByName(
+        spark.createDataFrame([(99, "")], ["doc_id", "text"])
+    )
+    base = {r.doc_id: r.simhash for r in simhash_column(docs).collect()}
+    monkeypatch.setattr(dd, "SIMHASH_UDF_CHUNK_TOKENS", 3)
+    tiny = {r.doc_id: r.simhash for r in dd.simhash_column(docs).collect()}
+    assert tiny == base
+    assert tiny[99] == 0
+
+
 def test_ngram_jaccard_pairs_complete_at_threshold(spark, tmp_path):
     """ngram_jaccard_pairs is COMPLETE (exact inverted-index recall 1.0)
     at 0.3 — the planted near pair and the exact dup must both appear,
