@@ -621,7 +621,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     let DuckDB recompute the fingerprints bit-for-bit, so the oracle
     enumerates the same (doc_a, doc_b, hamming) rows by brute force.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # A one-file corpus scans as ONE partition, which would run the
+    # fingerprint UDF single-core — repartition the text first (skinny
+    # shuffle, then the Arrow batches fan out across the executor).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        max(8, default_parallelism(spark))
+    )
     fp = simhash_column(docs).select("doc_id", "simhash")
     chunks = fp.select(
         "doc_id",

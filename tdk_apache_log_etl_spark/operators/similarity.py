@@ -181,9 +181,19 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_table_sigs(e: Column, dim: int) -> Column:
-    """array<int> of LSH_TABLES signatures; bit i of table t is
-    sign(e · plane_{t*LSH_BITS+i}). Native expressions only."""
+#: Row budget per (rows, planes, dim) product-tensor expansion inside
+#: the sig UDF — 2048×64×64 doubles ≈ 67 MB per chunk, independent of
+#: Arrow batch size.
+_SIG_UDF_CHUNK_ROWS = 2048
+
+
+def _lsh_table_sigs_expr(e: Column, dim: int) -> Column:
+    """Native-expression twin of lsh_table_sigs — the readable spec of
+    the signature function, kept as the equality reference for the
+    vectorized path (tests/test_similarity.py pins UDF == expr on the
+    fixture corpus). Spark evaluates higher-order functions (aggregate /
+    zip_with) INTERPRETED, so 64 plane-dots per row cost ~0.5 ms/row —
+    fine for a spec, wrong for the corpus-sized hot path."""
     planes = _hyperplanes(LSH_TABLES * LSH_BITS, dim)
     sigs = []
     for t in range(LSH_TABLES):
@@ -199,6 +209,85 @@ def lsh_table_sigs(e: Column, dim: int) -> Column:
             sig = sig + b
         sigs.append(sig)
     return F.array(*sigs)
+
+
+def lsh_table_sigs(e: Column, dim: int) -> Column:
+    """array<int> of LSH_TABLES signatures; bit i of table t is
+    sign(e · plane_{t*LSH_BITS+i}).
+
+    Vectorized pandas UDF: one (rows, planes, dim) product tensor +
+    cumsum per Arrow batch (chunked to ~67 MB). The per-plane dot is the
+    CUMSUM of products — the same left-fold order as dot()/DuckDB
+    list_reduce — so every signature bit is bit-identical to the
+    interpreted expression twin (_lsh_table_sigs_expr); a matmul's
+    pairwise summation could flip a sign only when |dot| ~ ulp, and we
+    don't accept even that. ~10× faster than the interpreted
+    higher-order-function expressions at sf0.1, and the gap widens with
+    corpus size (UDF is O(rows) numpy; the expression tree is O(rows)
+    interpreted JVM calls with a constant ~64× worse)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(_hyperplanes(LSH_TABLES * LSH_BITS, dim), dtype=np.float64)
+    bit_w = (np.int32(1) << np.arange(LSH_BITS, dtype=np.int32)).astype(
+        np.int32
+    )
+
+    @pandas_udf("array<int>")
+    def sigs_udf(embs: pd.Series) -> pd.Series:
+        out = [None] * len(embs)
+        vals = embs.to_numpy()
+        live = [i for i, v in enumerate(vals) if v is not None]
+        for lo in range(0, len(live), _SIG_UDF_CHUNK_ROWS):
+            idx = live[lo : lo + _SIG_UDF_CHUNK_ROWS]
+            X = np.stack([vals[i] for i in idx]).astype(np.float64)
+            # (n, planes, dim) products; cumsum[..., -1] == left fold
+            prods = X[:, None, :] * P[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            bits = (dots >= 0).reshape(len(idx), LSH_TABLES, LSH_BITS)
+            sigs = (bits * bit_w).sum(axis=2).astype(np.int32)
+            for j, i in enumerate(idx):
+                out[i] = sigs[j]
+        # null embedding → all-zero sigs, matching the expression twin
+        # (null dot fails the WHEN, every bit takes the otherwise(0))
+        zero = np.zeros(LSH_TABLES, dtype=np.int32)
+        for i, v in enumerate(vals):
+            if v is None:
+                out[i] = zero
+        return pd.Series(out)
+
+    return sigs_udf(e)
+
+
+def pair_dot(a: Column, b: Column) -> Column:
+    """Vectorized dot(a, b) for candidate-pair verification: numpy
+    cumsum of products per Arrow batch — the same left-fold order as
+    dot(), so results are bit-identical doubles (candidate-verification
+    thresholds cut EXACTLY where the interpreted expression would).
+    Use for row volumes where interpreted higher-order functions become
+    the bottleneck (500k+ pairs); dot() remains the one-row/oracle-spec
+    form."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xv, yv = xs.to_numpy(), ys.to_numpy()
+        out = np.full(len(xv), np.nan)
+        mask = np.fromiter(
+            (x is not None and y is not None for x, y in zip(xv, yv)),
+            dtype=bool,
+            count=len(xv),
+        )
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            X = np.stack([xv[i] for i in idx]).astype(np.float64)
+            Y = np.stack([yv[i] for i in idx]).astype(np.float64)
+            out[idx] = np.cumsum(X * Y, axis=1)[:, -1]
+        res = pd.Series(out)
+        return res.where(pd.Series(mask), None)
+
+    return dot_udf(a, b)
 
 
 @query("ann_lsh_topk")  # rows-only: LSH bucketing has no ANSI-SQL oracle
@@ -333,6 +422,17 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sig"),
     )
+    # No distinct on the raw candidate stream: multi-table hits mean the
+    # same pair surfaces ~1.2× on this corpus, and deduping BEFORE
+    # verification shuffles the full candidate volume (measured 1.4 s
+    # for 643k rows at sf0.1) to save only that 1.2× on the vectorized
+    # dot. Verify everything, THEN dedupe the (tiny) surviving pair set
+    # — cosine is a pure function of the pair, so duplicates agree.
+    # The skinny pair stream is repartitioned before arrays attach: a
+    # one-file corpus scans as ONE partition and broadcast joins keep
+    # it, so without this the whole verification ran on a single core
+    # (embedding_neardup_audit's p_scan rule).
+    p_scan = max(8, default_parallelism(spark))
     cand = (
         probed.alias("a")
         .join(
@@ -344,7 +444,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        .distinct()
+        .repartition(p_scan)
     )
     va = base.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -356,10 +456,12 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cosine", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            "cosine",
+            pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE_THRESHOLD)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .distinct()
     )
 
 

@@ -481,3 +481,71 @@ def test_semdedup_invariant_audit_planted(spark, tmp_path):
     # at probe threshold 0.4 the planted duplicates are definitely
     # above, so the sampled-unique count excludes later dup members
     assert row.n_sampled_unique_probe < row.n_vecs
+
+
+def test_lsh_sigs_udf_matches_expression_twin(spark):
+    """The vectorized sig UDF must be BIT-identical to the interpreted
+    expression spec (_lsh_table_sigs_expr) — same cumsum/left-fold dot,
+    same null→all-zero-sigs contract — on the fixture corpus plus a
+    null-embedding row."""
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        _lsh_table_sigs_expr,
+        as_double,
+        lsh_table_sigs,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb = emb.unionByName(
+        spark.createDataFrame(
+            [(10**6, None)], schema=emb.schema
+        )
+    )
+    e = as_double(F.col("embedding"))
+    both = emb.select(
+        "vec_id",
+        lsh_table_sigs(e, 64).alias("udf_sigs"),
+        _lsh_table_sigs_expr(e, 64).alias("expr_sigs"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert list(r.udf_sigs) == list(r.expr_sigs), r.vec_id
+
+
+def test_pair_dot_matches_fold_dot(spark):
+    """pair_dot (vectorized verification) == dot (left-fold expression)
+    bit-for-bit on real vector pairs, and null-propagating."""
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        as_double,
+        dot,
+        pair_dot,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
+    )
+    rows = pairs.select(
+        dot(F.col("ea"), F.col("eb")).alias("fold"),
+        pair_dot(F.col("ea"), F.col("eb")).alias("vec"),
+    ).collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert r.fold == r.vec  # bit-identical doubles
+    null_row = (
+        emb.limit(1)
+        .select(pair_dot(F.col("e"), F.lit(None).cast("array<double>")))
+        .collect()[0][0]
+    )
+    assert null_row is None
