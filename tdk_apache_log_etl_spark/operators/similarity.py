@@ -555,7 +555,10 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         va.repartition(p_scan)
         .join(vb, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "c", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            # pair_dot == dot bit-for-bit (same left fold; pinned by
+            # test) — vectorized because this is the n²/2 truth scan
+            "c",
+            pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
         )
         .select("id_a", "id_b", "c")
         .persist()
@@ -1504,8 +1507,10 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         ga.join(gb, F.col("ga.vec_id") < F.col("gb.vec_id"))
         .withColumn(
+            # pair_dot == dot bit-for-bit (same left fold; pinned by
+            # test) — vectorized because this is the n²/2 truth scan
             "c",
-            dot(F.col("ga.e"), F.col("gb.e"))
+            pair_dot(F.col("ga.e"), F.col("gb.e"))
             / (F.col("ga.nrm") * F.col("gb.nrm")),
         )
         .filter(F.col("c") >= NEARDUP_PROBE_COSINE)
