@@ -123,9 +123,16 @@ def main() -> int:
         shutil.copy(f"{src}/{table}.parquet", f"{dst}/{table}.parquet")
     for table in SHIFT_GROUPS:
         scaled = scale_table(spark, src, table, k, extents)
-        # one parquet FILE per table to mirror the driver fixtures'
-        # layout (load_table globs the path either way)
-        scaled.coalesce(1).write.mode("overwrite").parquet(
+        # K files per table (one per replica of the source file), NOT
+        # coalesce(1): a single-file write lands ONE parquet row group,
+        # and a one-row-group file is unsplittable — every split beyond
+        # the first reads zero rows, so all map-side work at the big
+        # fixtures silently ran single-core (measured: the 10M-row
+        # events local sort took 34 s at sf10 with 21 of 22 "splits"
+        # empty; the round-10 sf3→sf10 exponent inflation to ~1.1-1.16
+        # was exactly this). Real corpora are many files; the scaled
+        # fixture must preserve that property to measure scaling.
+        scaled.repartition(max(k, 4)).write.mode("overwrite").parquet(
             f"{dst}/{table}.parquet"
         )
         print(f"{table}: x{k} written")

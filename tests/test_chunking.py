@@ -439,3 +439,89 @@ def test_bpe_batched_certificate_self_pair(spark, tmp_path):
         (2, "a▁a", "a"),
         (3, "c", "d"),
     ]
+
+
+def test_winnow_udf_matches_expression_twin(spark, tmp_path):
+    """The vectorized winnow UDF must produce EXACTLY the expression
+    twin's (doc_id, fp_hash, fp_pos) set — same polynomial, same
+    comb-packing tie rule, same short-doc cutoffs — on the fixture
+    corpus plus planted edge docs: below-k-gram, exactly at the
+    no-window boundary (n = 22), one fingerprint window (n = 23), and
+    a non-ASCII doc (code points, not bytes)."""
+    import pandas as pd
+
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        _winnow_fingerprints_expr,
+        winnow_fingerprints,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_CORRECT
+
+    base = load_table(spark, SF_DIR_CORRECT, "documents").select(
+        "doc_id", "text"
+    )
+    planted = spark.createDataFrame(
+        [
+            (10**6, "short"),
+            (10**6 + 1, "exactly twenty-two ch."),
+            (10**6 + 2, "exactly twenty-three ch"),
+            (10**6 + 3, "naïve café — żółć über αβγδε " * 4),
+            (10**6 + 4, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(planted)
+    fast = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(docs).collect()
+    }
+    spec = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in _winnow_fingerprints_expr(docs).collect()
+    }
+    assert fast == spec
+    assert any(d == 10**6 + 3 for d, _, _ in fast)  # non-ASCII fingerprinted
+    assert not any(d in (10**6, 10**6 + 1, 10**6 + 4) for d, _, _ in fast)
+    assert sum(1 for d, _, _ in fast if d == 10**6 + 2) == 1
+
+
+def test_cdc_cuts_udf_matches_expression_twin(spark):
+    """The vectorized chunk-boundary UDF must produce EXACTLY the
+    expression twin's chunk rows — same boundary rule, end-cut dedup,
+    sub-k-gram whole-doc chunk — on the fixture corpus plus planted
+    edge docs (short, empty-adjacent, non-ASCII)."""
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        CDC_W,
+        _cdc_chunk_docs_expr,
+        _cdc_chunks_from_cuts,
+        _cdc_cuts_udf,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+    from .conftest import SF_DIR_CORRECT
+
+    base = load_table(spark, SF_DIR_CORRECT, "documents").select(
+        "doc_id", "text"
+    )
+    planted = spark.createDataFrame(
+        [
+            (10**6, "x"),
+            (10**6 + 1, "a" * (CDC_W - 1)),
+            (10**6 + 2, "naïve café — żółć über αβγδε " * 20),
+            (10**6 + 3, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(planted)
+    fast = {
+        tuple(r)
+        for r in _cdc_chunks_from_cuts(
+            docs.filter(F.length("text") >= 1).withColumn(
+                "cuts", _cdc_cuts_udf()(F.col("text"))
+            )
+        ).collect()
+    }
+    spec = {tuple(r) for r in _cdc_chunk_docs_expr(docs).collect()}
+    assert fast == spec
+    assert any(d == 10**6 for d, *_ in fast)  # 1-char doc: one chunk
+    assert not any(d == 10**6 + 3 for d, *_ in fast)
