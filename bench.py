@@ -96,7 +96,14 @@ HEADLINE = [
     "semdedup_invariant_audit",
     "embedding_cosine_neardup",
     "embedding_neardup_audit",
+    # the basket family runs adjacently so the shared persisted frames
+    # (distinct baskets incidence; the holdout test/recs frames of the
+    # two CF metrics) are served from the scoped LRU instead of being
+    # rebuilt (same rule as the bfs/graph adjacency note below)
     "frequent_part_triples",
+    "item_item_cosine_topk",
+    "itemcf_holdout_precision",
+    "itemcf_holdout_ndcg",
     "kcore_part_graph",
     "kcore_invariant_audit",
     "greedy_coverage_audit",
@@ -104,7 +111,6 @@ HEADLINE = [
     "cdc_chunk_docs",
     "ann_pq_topk",
     "monthly_revenue_holt",
-    "item_item_cosine_topk",
     "order_backlog_curve",
     "retention_survival_km",
     "did_value_uplift",
@@ -142,7 +148,6 @@ HEADLINE = [
     "embedding_standardize",
     "dp_type_histogram",
     "token_first_seen_curve",
-    "itemcf_holdout_precision",
     "customer_order_span_union",
     "hub_closeness_centrality",
     "part_name_deletion_pairs",
@@ -156,7 +161,6 @@ HEADLINE = [
     "value_decile_calibration",
     "apdex_by_type",
     "conformal_value_interval",
-    "itemcf_holdout_ndcg",
     "doc_bigram_surprisal",
     "doc_length_quantile_normalize",
     "degree_assortativity_part_graph",

@@ -37,6 +37,53 @@ from .registry import query, scoped_persist
 MINSUP = 2
 
 
+def _distinct_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE persisted distinct (l_orderkey, l_partkey) incidence
+    frame the basket family starts from. Factored so every consumer
+    (triples, item-item CF, the two holdout metrics) persists a
+    semantically IDENTICAL frame — scoped_persist keys on semantic
+    hash, so adjacent basket queries share one materialization instead
+    of re-running the scan+distinct (the itemcf pair previously
+    persisted a RENAMED variant, a different hash, and re-paid it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return scoped_persist(li.select("l_orderkey", "l_partkey").distinct())
+
+
+def _holdout_split_and_recs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared E164/E222 eval scaffolding: the deterministic holdout
+    split, the train-side co-occurrence pair count, and the K-bounded
+    rec lists WITH their rank column. Factored so both metrics build
+    bit-identical plans for the expensive shared prefix (Σ basket² pair
+    join + per-src window): with the bench placing the two queries
+    adjacently, scoped_persist serves the second query from cache.
+    Returns (test, recs_rn); output values of both callers unchanged."""
+    items = _distinct_baskets(spark, sf_dir).select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    )
+    is_test = F.col("okey") % _CF_TEST_MOD == 0
+    train = items.where(~is_test)
+    test = scoped_persist(items.where(is_test))
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    recs_rn = scoped_persist(
+        pairs.select("src", "dst", F.row_number().over(w).alias("rn")).where(
+            F.col("rn") <= _CF_K
+        )
+    )
+    return test, recs_rn
+
+
 @query(
     "frequent_part_triples",
     oracle=f"""
@@ -69,10 +116,7 @@ def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands candidates whose leading pair is already frequent —
     exactness is unaffected because the final HAVING recounts every
     surviving triple."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = scoped_persist(
-        li.select("l_orderkey", "l_partkey").distinct()
-    )
+    b = _distinct_baskets(spark, sf_dir)
     a = b.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
     )
@@ -154,8 +198,7 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     already bounds, never an item×item matrix. Exactness: co and n are
     BIGINTs; the cosine is one product, one correctly-rounded sqrt, and
     one divide — hash-gate-stable."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = scoped_persist(li.select("l_orderkey", "l_partkey").distinct())
+    b = _distinct_baskets(spark, sf_dir)
     deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = b.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
@@ -333,31 +376,8 @@ def itemcf_holdout_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec-list cutting is one keyed window on the collapsed pair frame —
     never a global sort; scoring joins test items to the ≤K-per-item rec
     frame, so eval cost is O(test items × K)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
-    ).distinct()
-    items = scoped_persist(items)
-    is_test = F.col("okey") % _CF_TEST_MOD == 0
-    train = items.where(~is_test)
-    test = scoped_persist(items.where(is_test))
-    a, b = train.alias("a"), train.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.item") != F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
-    recs = (
-        pairs.select("src", "dst", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= _CF_K)
-        .select("src", "dst")
-    )
-    recs = scoped_persist(recs)
+    test, recs_rn = _holdout_split_and_recs(spark, sf_dir)
+    recs = recs_rn.select("src", "dst")
     t = test.alias("t")
     t2 = test.alias("t2")
     r = recs.alias("r")
@@ -573,33 +593,9 @@ def itemcf_holdout_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same basket-bounded pair join and K-bounded rec frame as
     E164; the flag pivot keeps eval rows at one row per (basket, item)
     regardless of K."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = scoped_persist(
-        li.select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("l_partkey").alias("item"),
-        ).distinct()
-    )
-    is_test = F.col("okey") % _CF_TEST_MOD == 0
-    train = items.where(~is_test)
-    test = scoped_persist(items.where(is_test))
+    test, recs = _holdout_split_and_recs(spark, sf_dir)
     bsize = test.groupBy("okey").agg(
         F.count(F.lit(1)).cast("long").alias("bs")
-    )
-    a, b = train.alias("a"), train.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.item") != F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
-    recs = (
-        pairs.select("src", "dst", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= _CF_K)
     )
     t, t2, r = test.alias("t"), test.alias("t2"), recs.alias("r")
     hit = F.col("t2.item").isNotNull()

@@ -290,6 +290,145 @@ def pair_dot(a: Column, b: Column) -> Column:
     return dot_udf(a, b)
 
 
+#: Blocked truth-scan tile sizes: (rows × chunk × dim) float64 tiles
+#: stay ~17 MB, far under worker memory, while each numpy call still
+#: amortizes over tens of thousands of pairs.
+_PAIR_SCAN_A_BLOCK = 128
+_PAIR_SCAN_C_CHUNK = 512
+
+
+def _pair_cosine_scan(
+    base: DataFrame, p_scan: int, min_c: float, with_cluster: bool = False
+) -> DataFrame:
+    """All-pairs (id_a < id_b) cosine truth scan, keeping pairs with
+    c >= min_c (NaN kept, matching Spark/DuckDB NaN-largest ordering).
+
+    Replaces the BroadcastNestedLoopJoin + per-pair pair_dot form: the
+    BNLJ materializes all n²/2 candidate rows — two 64-double arrays
+    each, ~1 KB of Arrow boundary traffic per 8-byte cosine — before
+    the filter can drop them (measured 11.9 s on the 2M-pair semdedup
+    scan at sf0.1, ~2 GB through the Python workers). Here each task
+    receives its partition's rows ONCE through Arrow, the corpus
+    crosses once as a task closure (the same bytes the BNLJ broadcast
+    already built on the driver and shipped to every executor), and
+    only surviving pairs come back. Work and memory are tiled
+    (_PAIR_SCAN_A_BLOCK × _PAIR_SCAN_C_CHUNK × dim float64 products).
+
+    Bit-exactness: products folded left-to-right via cumsum (identical
+    to pair_dot()/dot() and the unrolled SQL oracle fold), then ONE
+    division by the double product nrm_a * nrm_b — the exact expression
+    the BNLJ form evaluated, so every threshold cut lands on the same
+    side. elementwise x*y and nrm_a*nrm_b are bitwise commutative, so
+    pair orientation is irrelevant.
+
+    The collect() is audit-sample bounded BY DESIGN (the callers' truth
+    scans run on deterministic hash samples at scale — see their
+    docstrings); it moves the same bytes the replaced BNLJ pulled
+    through the driver to build its broadcast relation.
+
+    base columns: vec_id, e (array<double>), nrm (+ cluster when
+    with_cluster). Output: id_a, id_b, [same_cluster,] c.
+    """
+    import numpy as np
+
+    rows = base.collect()
+    ids_l: list[int] = []
+    vecs: list = []
+    nrms: list[float] = []
+    clus: list[int] = []
+    for r in rows:
+        if r["e"] is None:
+            # a null embedding yields null cosine in the BNLJ form,
+            # which the >= filter drops — never a pair member
+            continue
+        ids_l.append(r["vec_id"])
+        vecs.append(np.asarray(r["e"], dtype=np.float64))
+        nrms.append(r["nrm"])
+        if with_cluster:
+            clus.append(r["cluster"])
+    c_ids = np.asarray(ids_l, dtype=np.int64)
+    c_nrm = np.asarray(nrms, dtype=np.float64)
+    C = (
+        np.stack(vecs)
+        if vecs
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    c_clu = np.asarray(clus, dtype=np.int64) if with_cluster else None
+
+    schema = (
+        "id_a long, id_b long, same_cluster boolean, c double"
+        if with_cluster
+        else "id_a long, id_b long, c double"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(c_ids):
+                continue
+            a_e = pdf["e"].to_numpy()
+            live = np.fromiter(
+                (v is not None for v in a_e), dtype=bool, count=len(a_e)
+            )
+            idx = np.flatnonzero(live)
+            if not len(idx):
+                continue
+            a_ids_all = pdf["vec_id"].to_numpy()[idx].astype(np.int64)
+            a_nrm_all = pdf["nrm"].to_numpy()[idx].astype(np.float64)
+            a_clu_all = (
+                pdf["cluster"].to_numpy()[idx].astype(np.int64)
+                if with_cluster
+                else None
+            )
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    ("id_a", "id_b", "same_cluster", "c")
+                    if with_cluster
+                    else ("id_a", "id_b", "c")
+                )
+            }
+            n_hits = 0
+            for a_lo in range(0, len(idx), _PAIR_SCAN_A_BLOCK):
+                a_sl = slice(a_lo, a_lo + _PAIR_SCAN_A_BLOCK)
+                A = np.stack(
+                    [
+                        np.asarray(a_e[i], dtype=np.float64)
+                        for i in idx[a_sl]
+                    ]
+                )
+                a_ids = a_ids_all[a_sl]
+                a_nrm = a_nrm_all[a_sl]
+                for c_lo in range(0, len(c_ids), _PAIR_SCAN_C_CHUNK):
+                    c_sl = slice(c_lo, c_lo + _PAIR_SCAN_C_CHUNK)
+                    prods = A[:, None, :] * C[c_sl][None, :, :]
+                    # cumsum[..., -1] == the left fold of pair_dot/dot
+                    dots = np.cumsum(prods, axis=2)[:, :, -1]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / (
+                            a_nrm[:, None] * c_nrm[c_sl][None, :]
+                        )
+                    mask = (a_ids[:, None] < c_ids[c_sl][None, :]) & (
+                        (cos >= min_c) | np.isnan(cos)
+                    )
+                    ai, bj = np.nonzero(mask)
+                    if not len(ai):
+                        continue
+                    n_hits += len(ai)
+                    out["id_a"].append(a_ids[ai])
+                    out["id_b"].append(c_ids[c_sl][bj])
+                    if with_cluster:
+                        out["same_cluster"].append(
+                            a_clu_all[a_sl][ai] == c_clu[c_sl][bj]
+                        )
+                    out["c"].append(cos[ai, bj])
+            if n_hits:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+    return base.repartition(p_scan).mapInPandas(scan, schema)
+
+
 @query("ann_lsh_topk")  # rows-only: LSH bucketing has no ANSI-SQL oracle
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path: multi-table random-hyperplane LSH with multi-probe.
@@ -533,36 +672,20 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", e.alias("e"), F.sqrt(dot(e, e)).alias("nrm")
     )
-    va = base.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    vb = base.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     # plain persist with a local try/finally (NOT scoped_persist: the
     # frame is consumed by exactly the two aggregates below and then
     # dead — parking it in the shared LRU would only evict frames other
     # queries still reuse)
-    # The non-equi self-join plans as BroadcastNestedLoopJoin; its task
-    # count is the STREAMED side's partitioning, and a one-file corpus
-    # reads as ONE partition — repartition the streamed side to the
-    # session's parallelism or the whole n² scan runs on a single core
-    # (measured 22 s -> 1.6 s at sf0.1 for the identical scan).
+    # Blocked mapInPandas truth scan (see _pair_cosine_scan): one Arrow
+    # pass over the sample rows instead of a BNLJ materializing all
+    # n²/2 candidate pairs through the Python boundary. Pre-filtered at
+    # the probe threshold: every downstream aggregate FILTERs at
+    # >= probe or >= τ anyway (count/sum of non-matching rows is
+    # unchanged), so the persisted frame holds O(near-dups) rows.
     p_scan = max(8, default_parallelism(spark))
-    pairs = (
-        va.repartition(p_scan)
-        .join(vb, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            # pair_dot == dot bit-for-bit (same left fold; pinned by
-            # test) — vectorized because this is the n²/2 truth scan
-            "c",
-            pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-        )
-        .select("id_a", "id_b", "c")
-        .persist()
-    )
+    pairs = _pair_cosine_scan(
+        base, p_scan, NEARDUP_PROBE_COSINE
+    ).persist()
     try:
         n_sampled = emb.count()
         agg = pairs.agg(
@@ -1494,34 +1617,18 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only pairs at/above the probe threshold survive into the cached
     # frame: everything downstream filters at >= probe or >= τ anyway,
     # and the pre-filter keeps the cached frame O(near-dups), not O(n²).
-    # streamed side repartitioned: the BNLJ task count is its partition
-    # count, and the cached one-file corpus would otherwise put the
-    # whole n² scan on one core (see embedding_neardup_audit).
+    # Blocked mapInPandas truth scan (see _pair_cosine_scan): the
+    # previous BNLJ + pair_dot form materialized all 2M candidate pairs
+    # (two 64-double arrays each, ~2 GB) through the Python boundary
+    # just to compute one double per pair — 11.9 s at sf0.1 for a scan
+    # whose arithmetic is ~0.3 s of numpy.
     p_scan = max(8, default_parallelism(spark))
-    ga = (
-        assigned.select("vec_id", "cluster", "e", "nrm")
-        .repartition(p_scan)
-        .alias("ga")
-    )
-    gb = assigned.select("vec_id", "cluster", "e", "nrm").alias("gb")
-    pairs = (
-        ga.join(gb, F.col("ga.vec_id") < F.col("gb.vec_id"))
-        .withColumn(
-            # pair_dot == dot bit-for-bit (same left fold; pinned by
-            # test) — vectorized because this is the n²/2 truth scan
-            "c",
-            pair_dot(F.col("ga.e"), F.col("gb.e"))
-            / (F.col("ga.nrm") * F.col("gb.nrm")),
-        )
-        .filter(F.col("c") >= NEARDUP_PROBE_COSINE)
-        .select(
-            F.col("ga.vec_id").alias("id_a"),
-            F.col("gb.vec_id").alias("id_b"),
-            (F.col("ga.cluster") == F.col("gb.cluster")).alias("same_cluster"),
-            "c",
-        )
-        .persist()
-    )
+    pairs = _pair_cosine_scan(
+        assigned.select("vec_id", "cluster", "e", "nrm"),
+        p_scan,
+        NEARDUP_PROBE_COSINE,
+        with_cluster=True,
+    ).persist()
     try:
         # same-cluster ordered pairs with cosine >= τ: b has an earlier
         # witness — exactly the keep rule's premise.

@@ -549,3 +549,57 @@ def test_pair_dot_matches_fold_dot(spark):
         .collect()[0][0]
     )
     assert null_row is None
+
+
+def test_pair_cosine_scan_matches_bnlj_pair_dot(spark):
+    """_pair_cosine_scan (blocked mapInPandas truth scan) emits the
+    bit-identical (id_a, id_b, c) survivor set that the replaced
+    BroadcastNestedLoopJoin + pair_dot form produced, including the
+    same_cluster flag, at the probe threshold used by the audits."""
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        NEARDUP_PROBE_COSINE,
+        _pair_cosine_scan,
+        as_double,
+        dot,
+        pair_dot,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    e = as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 3).cast("int").alias("cluster"),
+        e.alias("e"),
+        F.sqrt(dot(e, e)).alias("nrm"),
+    )
+    scanned = sorted(
+        tuple(r)
+        for r in _pair_cosine_scan(
+            base, 8, NEARDUP_PROBE_COSINE, with_cluster=True
+        ).collect()
+    )
+    ga, gb = base.alias("ga"), base.alias("gb")
+    bnlj = sorted(
+        tuple(r)
+        for r in ga.join(gb, F.col("ga.vec_id") < F.col("gb.vec_id"))
+        .withColumn(
+            "c",
+            pair_dot(F.col("ga.e"), F.col("gb.e"))
+            / (F.col("ga.nrm") * F.col("gb.nrm")),
+        )
+        .filter(F.col("c") >= NEARDUP_PROBE_COSINE)
+        .select(
+            F.col("ga.vec_id").alias("id_a"),
+            F.col("gb.vec_id").alias("id_b"),
+            (F.col("ga.cluster") == F.col("gb.cluster")).alias(
+                "same_cluster"
+            ),
+            "c",
+        )
+        .collect()
+    )
+    assert len(scanned) > 0
+    assert scanned == bnlj  # bit-identical doubles, identical pair set
