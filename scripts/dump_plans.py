@@ -16,6 +16,9 @@ import io
 import os
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
 
 def main() -> None:
     outdir, suffix, *names = sys.argv[1:]

@@ -1609,8 +1609,6 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = QUERIES["semdedup_prune"](spark, sf_dir).select(
         "vec_id"
     ).localCheckpoint(eager=True)
-    n_vecs = emb.count()
-    n_kept = kept.count()
     # ONE quadratic cosine pass, persisted; every check below derives
     # from it with cheap id/cluster joins (three separate pair scans
     # cost 49 s at sf0.1 — this form is ~2.5x less fold-dot work).
@@ -1628,61 +1626,76 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_scan,
         NEARDUP_PROBE_COSINE,
         with_cluster=True,
-    ).persist()
-    try:
-        # same-cluster ordered pairs with cosine >= τ: b has an earlier
-        # witness — exactly the keep rule's premise.
-        witnessed = (
-            pairs.filter(F.col("same_cluster") & (F.col("c") >= SEMDEDUP_COSINE))
-            .select(F.col("id_b").alias("vec_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    # ONE flag-frame aggregation replaces the previous seven separate
+    # count()/agg() actions (each a full job of mostly scheduler floor —
+    # together ~1.5 s of the audit's 3 s wall at sf0.1): every check is
+    # a membership question over assigned/kept/witness sets, so join the
+    # (distinct, pair-derived, hence ⊆ corpus) flag columns once and
+    # count every condition in a single pass. The kept side joins FULL
+    # OUTER so a phantom kept id (one outside the corpus — exactly what
+    # partition_ok exists to catch) still inflates n_kept as the old
+    # per-frame counts did.
+    # same-cluster ordered pairs with cosine >= τ: b has an earlier
+    # witness — exactly the keep rule's premise.
+    witnessed = (
+        pairs.filter(F.col("same_cluster") & (F.col("c") >= SEMDEDUP_COSINE))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("w", F.lit(1))
+    )
+    # global (clustering-independent) dups: their complement must be kept
+    global_dup = (
+        pairs.filter(F.col("c") >= SEMDEDUP_COSINE)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("g", F.lit(1))
+    )
+    # sampled probe-layer dups (DuckDB-recomputed data columns)
+    samp_dup = (
+        pairs.filter(
+            (F.col("id_a") % NEARDUP_AUDIT_MOD == 0)
+            & (F.col("id_b") % NEARDUP_AUDIT_MOD == 0)
         )
-        n_kept_witnessed = kept.join(witnessed, "vec_id", "left_semi").count()
-        kept_pairs_ok = n_kept_witnessed == 0
-        # dropped = corpus \ kept; every one must be witnessed
-        dropped = assigned.select("vec_id").join(kept, "vec_id", "left_anti")
-        n_dropped = dropped.count()
-        n_dropped_witnessed = dropped.join(
-            witnessed, "vec_id", "left_semi"
-        ).count()
-        dropped_witness_ok = n_dropped_witnessed == n_dropped
-        partition_ok = (n_kept + n_dropped) == n_vecs
-        # global (clustering-independent) uniques must all be kept
-        global_dup = (
-            pairs.filter(F.col("c") >= SEMDEDUP_COSINE)
-            .select(F.col("id_b").alias("vec_id"))
-            .distinct()
-        )
-        global_unique = assigned.select("vec_id").join(
-            global_dup, "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        n_global_unique = global_unique.count()
-        n_global_unique_kept = global_unique.join(
-            kept, "vec_id", "left_semi"
-        ).count()
-        keep_superset_ok = n_global_unique_kept == n_global_unique
-        # sampled probe-layer data columns (DuckDB-recomputed)
-        samp_dup = (
-            pairs.filter(
-                (F.col("id_a") % NEARDUP_AUDIT_MOD == 0)
-                & (F.col("id_b") % NEARDUP_AUDIT_MOD == 0)
-            )
-            .select(F.col("id_b").alias("vec_id"))
-            .distinct()
-        )
-        row = (
-            assigned.select("vec_id")
-            .filter(F.col("vec_id") % NEARDUP_AUDIT_MOD == 0)
-            .join(samp_dup, "vec_id", "left_anti")
-            .agg(
-                F.count(F.lit(1)).alias("n_u"),
-                F.coalesce(F.sum("vec_id"), F.lit(0)).alias("id_sum"),
-            )
-            .collect()[0]
-        )
-    finally:
-        pairs.unpersist()
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("s", F.lit(1))
+    )
+    flags = (
+        assigned.select("vec_id")
+        .withColumn("corp", F.lit(1))
+        .join(kept.withColumn("k", F.lit(1)), "vec_id", "full_outer")
+        .join(witnessed, "vec_id", "left")
+        .join(global_dup, "vec_id", "left")
+        .join(samp_dup, "vec_id", "left")
+    )
+    corp = F.col("corp").isNotNull()
+    keptf = F.col("k").isNotNull()
+    wit = F.col("w").isNotNull()
+    gdup = F.col("g").isNotNull()
+    sdup = F.col("s").isNotNull()
+    in_samp = F.col("vec_id") % NEARDUP_AUDIT_MOD == 0
+    row = flags.agg(
+        F.count(F.when(corp, 1)).alias("n_vecs"),
+        F.count(F.when(keptf, 1)).alias("n_kept"),
+        F.count(F.when(keptf & wit, 1)).alias("n_kept_witnessed"),
+        F.count(F.when(corp & ~keptf, 1)).alias("n_dropped"),
+        F.count(F.when(corp & ~keptf & wit, 1)).alias("n_dropped_witnessed"),
+        F.count(F.when(corp & ~gdup, 1)).alias("n_global_unique"),
+        F.count(F.when(corp & ~gdup & keptf, 1)).alias(
+            "n_global_unique_kept"
+        ),
+        F.count(F.when(corp & in_samp & ~sdup, 1)).alias("n_u"),
+        F.coalesce(
+            F.sum(F.when(corp & in_samp & ~sdup, F.col("vec_id"))),
+            F.lit(0),
+        ).alias("id_sum"),
+    ).collect()[0]
+    n_vecs = row["n_vecs"]
+    kept_pairs_ok = row["n_kept_witnessed"] == 0
+    dropped_witness_ok = row["n_dropped_witnessed"] == row["n_dropped"]
+    partition_ok = (row["n_kept"] + row["n_dropped"]) == n_vecs
+    keep_superset_ok = row["n_global_unique_kept"] == row["n_global_unique"]
     return spark.createDataFrame(
         [
             (
