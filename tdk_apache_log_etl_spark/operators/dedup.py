@@ -644,21 +644,23 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
+    # Verify BEFORE deduping (the embedding_cosine_neardup rule): a
+    # multi-chunk collision surfaces the same pair ≤4×, and hamming is
+    # a pure function of the pair, so the distinct moves to the (tiny)
+    # surviving near-dup set instead of shuffling the full candidate
+    # volume. Same rows: distinct on (doc_a, doc_b, sh_a, sh_b) equals
+    # distinct on the pair (fingerprints are per-doc constants).
     return (
         cand.withColumn(
             "hamming",
@@ -666,6 +668,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
