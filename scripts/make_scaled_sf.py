@@ -15,9 +15,12 @@ universe; nation/region stay fixed like real bounded dims):
     replica id — replicas land below near-dup thresholds (one prepended
     token would leave shingle overlap ~99% and collapse the corpus into
     K-clusters, inflating dedup work instead of scaling it);
-  * embeddings: vec_id shifts and a replica-dependent rotation-free
-    perturbation (+r·0.01 per component) keeps vectors distinct without
-    changing dimensionality or norm-order.
+  * embeddings: vec_id shifts and deterministic per-(replica,
+    component) SIGN FLIPS — norm-preserving, and replicas land
+    near-orthogonal to their source and to each other (the old
+    +r·0.01 shift left replicas near-parallel, planting ~86k true
+    near-dup pairs at 10× that quadratically inflated every
+    cosine/LSH query's real work).
 
 The result is a dataset whose per-query work grows ~K× with realistic
 key cardinalities — the third point for per-query scaling exponents
@@ -99,11 +102,33 @@ def scale_table(
         out = out.withColumn("text", F.array_join(mutated, " "))
         out = out.withColumn("n_chars", F.length("text"))
     if table == "embeddings":
+        # Replica vectors must be ANGULARLY distinct, not just distinct
+        # values: the original +r·0.01 shift left replicas near-parallel
+        # to their source (cosine ≈ 1), so a 10× corpus contained ~86k
+        # TRUE near-dup pairs (cosine ≥ 0.85) where the source corpus
+        # has none — every cosine/LSH query then pays quadratically more
+        # REAL work and the scaling exponent measures the planted
+        # duplicates, not the engine (the embeddings twin of the
+        # documents every-3rd-word rule above). Deterministic per-
+        # (replica, component) sign flips keep norms EXACTLY and scatter
+        # replicas across the hypersphere: expected cosine to the source
+        # and to other replicas ≈ 0.
         out = out.withColumn(
             "embedding",
             F.transform(
                 F.col("embedding"),
-                lambda x: (x + F.col("_rep").cast("float") * F.lit(0.01)),
+                lambda x, i: F.when(
+                    (F.col("_rep") > 0)
+                    # xxhash64 of (component index, replica) → fair,
+                    # pairwise-INDEPENDENT flip patterns. (A first cut
+                    # used (a·i + c·rep) mod m < m/2 — a constant shift
+                    # per replica, so close shifts shared most of their
+                    # flip set and same-source replicas stayed
+                    # correlated enough to leave 43k cosine ≥ 0.85
+                    # pairs at 10×.)
+                    & (F.pmod(F.xxhash64(i, F.col("_rep")), F.lit(2)) == 0),
+                    -x,
+                ).otherwise(x),
             ),
         )
     return out.drop("_rep")

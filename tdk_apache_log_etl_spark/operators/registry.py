@@ -111,6 +111,8 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "ann_ivf_recall_floor",
         "ann_pq_recall_floor",
         "semdedup_prune",
+        # corpus count prices the occupancy-adaptive LSH width
+        "embedding_cosine_neardup",
         "semdedup_invariant_audit",
         "embedding_neardup_audit",
         "embedding_top_eigenvector",

