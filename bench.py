@@ -436,6 +436,43 @@ def main() -> None:
     # raw total is not comparable across rounds — n_queries and the
     # per-query median are the stable figures of merit.
     median = statistics.median(per_query.values())
+    # Per-query map as a FILE next to this script: the driver captures
+    # only a bounded stdout tail (~2000 chars ≈ the last ~47 entries),
+    # so round-over-round per-query comparison (PERF's geomean) lost the
+    # map whenever it was stdout-only (PERF_r10: per_query == {}).  The
+    # file is the durable channel; the stdout lines below stay for
+    # tail-scraping compatibility.
+    per_query_payload = {
+        "metric": "per_query_sec",
+        "unit": "sec",
+        "queries": per_query,
+        "n_queries": len(per_query),
+        "calib_sec": calib,
+        "sf": sf,
+        # Adjacency amortization caveat: bench order groups persist-
+        # sharing families (graph pack incl. bfs; basket/CF pack;
+        # price-rank pair) so scoped_persist serves shared frames from
+        # cache. Per-query numbers WITHIN those families are amortized
+        # (warm-cache) costs — the family's first member pays the cold
+        # build; read family sums, not members, across harness changes.
+        "adjacency_amortized_families": [
+            ["frequent_part_triples", "item_item_cosine_topk",
+             "itemcf_holdout_precision", "itemcf_holdout_ndcg"],
+            ["pagerank_part_graph", "triangle_count_part_graph",
+             "bfs_reach_part_graph", "lpa_communities_part_graph"],
+            ["equidepth_price_histogram", "price_quartiles_disc"],
+        ],
+    }
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_per_query.json",
+        )
+        with open(out_path, "w") as fh:
+            json.dump(per_query_payload, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout below still carries the map
     # The big per-query map FIRST, summary scalars LAST: the driver
     # captures a bounded TAIL (suffix) of stdout — BENCH_r03.json's tail
     # ends with "... n_queries: 150, sec_per_query_median: 0.467, sf:
@@ -459,7 +496,13 @@ def main() -> None:
             }
         )
     )
-    # Second, TINY summary-only line: the big line above can exceed the
+    # PENULTIMATE line: the per-query map alone (no summary fields), so
+    # a bounded stdout tail holds per-query entries as close to the end
+    # as possible — a tail big enough for this line parses the whole
+    # map; a 2000-char tail still scrapes the last ~60 entries plus the
+    # intact final summary line.
+    print(json.dumps(per_query_payload))
+    # LAST, TINY summary-only line: the big lines above can exceed the
     # driver's bounded tail capture (BENCH_r05 'parsed' was null because
     # the JSON head was truncated); this one always fits whole, so the
     # driver's JSON parse of the last line succeeds even when the

@@ -584,7 +584,10 @@ def kcore_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three aggregates over the scoped-persisted pre-partitioned
     edge relation (shared with the peel itself) — two semi/anti-join
     degree counts and one full-degree count, all map-side combinable;
-    driver traffic is three 1-row/scalar collects."""
+    driver traffic is ONE 3-row collect (the three 1-row aggregates ride
+    a tagged union, so the post-fixpoint driver pays one job instead of
+    three — each was mostly scheduler floor; the semdedup flag-frame
+    rule applied here)."""
     edges = partitioned_edges(spark, sf_dir).select("src", "dst")
     core = kcore_part_graph(spark, sf_dir).localCheckpoint(eager=True)
     core_nodes = core.select("node")
@@ -596,7 +599,7 @@ def kcore_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("rdeg"))
     )
-    row = (
+    s_core = (
         core.join(in_core_deg, core["node"] == in_core_deg["src"], "left")
         .select(
             "core_degree", F.coalesce("rdeg", F.lit(0)).alias("rdeg")
@@ -606,29 +609,52 @@ def kcore_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("rdeg") >= K_CORE).alias("mdok"),
             F.bool_and(F.col("rdeg") == F.col("core_degree")).alias("rpok"),
         )
-        .collect()[0]
+        .select(
+            F.lit("core").alias("tag"),
+            F.col("core_size").cast("long").alias("v"),
+            "mdok",
+            "rpok",
+        )
     )
-    core_size = int(row["core_size"])
-    # empty core -> NULL bool_and: both invariants are vacuously true
-    min_degree_ok = bool(row["mdok"]) if row["mdok"] is not None else True
-    degree_report_ok = bool(row["rpok"]) if row["rpok"] is not None else True
-    max_into = (
+    s_max_into = (
         edges.join(
             core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi"
         )
         .join(core_nodes.withColumnRenamed("node", "src"), "src", "left_anti")
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("cdeg"))
-        .agg(F.max("cdeg"))
-        .collect()[0][0]
+        .agg(F.max("cdeg").alias("v"))
+        .select(
+            F.lit("max_into").alias("tag"),
+            F.col("v").cast("long"),
+            F.lit(None).cast("boolean").alias("mdok"),
+            F.lit(None).cast("boolean").alias("rpok"),
+        )
     )
-    maximal_ok = max_into is None or int(max_into) < K_CORE
-    n_deg_ge_k = (
+    s_deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
         .filter(F.col("d") >= K_CORE)
-        .count()
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("n_deg_ge_k").alias("tag"),
+            F.col("v").cast("long").alias("v"),
+            F.lit(None).cast("boolean").alias("mdok"),
+            F.lit(None).cast("boolean").alias("rpok"),
+        )
     )
+    by_tag = {
+        r["tag"]: r
+        for r in s_core.unionByName(s_max_into).unionByName(s_deg).collect()
+    }
+    row = by_tag["core"]
+    core_size = int(row["v"])
+    # empty core -> NULL bool_and: both invariants are vacuously true
+    min_degree_ok = bool(row["mdok"]) if row["mdok"] is not None else True
+    degree_report_ok = bool(row["rpok"]) if row["rpok"] is not None else True
+    max_into = by_tag["max_into"]["v"]
+    maximal_ok = max_into is None or int(max_into) < K_CORE
+    n_deg_ge_k = int(by_tag["n_deg_ge_k"]["v"])
     return spark.createDataFrame(
         [
             (
@@ -858,38 +884,52 @@ def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(HITS_ITERS):
-        # Each normalization references its raw frame TWICE (rows + 1-row
-        # max), so without truncation the lazy plan quadruples per round —
-        # localCheckpoint keeps every round's plan O(1) deep, the same
-        # discipline the LPA/k-core loops use. The checkpointed frames are
-        # 2 longs per node, coalesced to p_iter so the round's task count
-        # never inherits the session's shuffle default. (r10 note: lazier
-        # cadences were measured and rejected — skipping the ar
-        # checkpoint re-derives it inside the hr job (5.0 s vs 3.5 s at
-        # sf0.1), and a fully lazy K=4 unroll explodes to tens of
-        # thousands of tasks because exchange reuse does not survive the
-        # per-round normalization rewrite. The ~3 s wall that remains is
-        # the box's per-job floor x the 8 checkpoint barriers + 8
-        # broadcast-normalization jobs, not data volume.)
+        # ONE job per half-round (8 driver barriers per query, down
+        # from 16): the score frame is marked for LAZY localCheckpoint
+        # and the 1-row max aggregate is the action that materializes
+        # it — the checkpoint happens as a side effect of the max job,
+        # and the max comes back as a driver scalar folded into the
+        # normalization as a LITERAL, which removes both the old
+        # eager-checkpoint job and the BroadcastExchange that collected
+        # the crossJoin'd agg(max). Checkpointing (not persist) stays
+        # load-bearing: it truncates lineage so every round's plan is
+        # O(1) deep — a persist()-based variant of this same fusion
+        # re-measured SLOWER (4.5-6 s vs 3.1 s at sf0.1: columnar cache
+        # build cost plus K-deep plans re-analyzed every job). On this
+        # box the wall is unchanged (~3.1 s, the per-stage-wave floor ×
+        # the oracle-pinned K — job count 16 vs 8 measures equal), but
+        # on a real cluster each driver barrier is a network round
+        # trip, so halving them is the at-scale win. The checkpointed
+        # frames are 2 longs per node, coalesced to p_iter so the
+        # round's task count never inherits the session's shuffle
+        # default. (r10 note, still true of lazier cadences: skipping
+        # the ar materialization re-derives it inside the hr job
+        # (5.0 s vs 3.5 s at sf0.1), and a fully lazy K=4 unroll
+        # explodes to tens of thousands of tasks because exchange reuse
+        # does not survive the per-round normalization rewrite.)
         ar = (
             edges_by_cust.join(h, "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("a"))
             .coalesce(p_iter)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        a = ar.crossJoin(ar.agg(F.max("a").alias("mx"))).select(
-            "part", F.expr(f"(a * {HITS_SCALE}) div mx").alias("a")
+        mx_a = ar.agg(F.max("a")).collect()[0][0]
+        mx_a = int(mx_a) if mx_a is not None else 1  # empty graph guard
+        a = ar.select(
+            "part", F.expr(f"(a * {HITS_SCALE}) div {mx_a}").alias("a")
         )
         hr = (
             edges_by_part.join(a, "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("h"))
             .coalesce(p_iter)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        h = hr.crossJoin(hr.agg(F.max("h").alias("mx"))).select(
-            "cust", F.expr(f"(h * {HITS_SCALE}) div mx").alias("h")
+        mx_h = hr.agg(F.max("h")).collect()[0][0]
+        mx_h = int(mx_h) if mx_h is not None else 1
+        h = hr.select(
+            "cust", F.expr(f"(h * {HITS_SCALE}) div {mx_h}").alias("h")
         )
     return a.select(
         F.lit("part").alias("node_type"),

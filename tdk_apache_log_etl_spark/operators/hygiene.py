@@ -398,20 +398,45 @@ def greedy_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the audit adds one explode-distinct count over the persisted
     per-doc set frame (shared via scoped_persist with the greedy run)
     plus a ≤K-row membership recount — O(corpus bigrams) with map-side
-    combine, no new shuffle shape."""
+    combine, no new shuffle shape; the vocab count, first-pick argmax,
+    and picked-union recount ride ONE tagged-union collect (one driver
+    job instead of three, each mostly scheduler floor — the semdedup
+    flag-frame rule)."""
     picks = greedy_coverage_select(spark, sf_dir).collect()  # ≤ K rows
+    ids = [int(r.doc_id) for r in picks]
     doc_toks = _doc_bigram_frame(spark, sf_dir)  # scoped_persist-shared
-    vocab_total = (
-        doc_toks.select(F.explode("toks").alias("tok")).distinct().count()
+    nul = F.lit(None).cast("long")
+    s_vocab = (
+        doc_toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("vocab").alias("tag"), F.col("v").cast("long"),
+                nul.alias("v2"))
     )
-    first = (
+    s_first = (
         doc_toks.filter(F.col("tot") > 0)
         .orderBy(F.desc("tot"), F.asc("doc_id"))
         .limit(1)
-        .collect()
+        .select(F.lit("first").alias("tag"),
+                F.col("doc_id").cast("long").alias("v"),
+                F.col("tot").cast("long").alias("v2"))
     )
-    first_doc = int(first[0].doc_id) if first else None
-    first_tot = int(first[0].tot) if first else None
+    s_union = (
+        doc_toks.filter(
+            F.col("doc_id").isin(ids) if ids else F.lit(False)
+        )
+        .select(F.explode("toks").alias("tok"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("union").alias("tag"), F.col("v").cast("long"),
+                nul.alias("v2"))
+    )
+    rows = s_vocab.unionByName(s_first).unionByName(s_union).collect()
+    by_tag = {r["tag"]: r for r in rows}
+    vocab_total = int(by_tag["vocab"]["v"])
+    first = by_tag.get("first")  # absent when no doc has a bigram
+    first_doc = int(first["v"]) if first is not None else None
+    first_tot = int(first["v2"]) if first is not None else None
     gains = [int(r.new_tokens) for r in picks]
     cums = [int(r.cum_covered) for r in picks]
     gains_ok = bool(
@@ -429,15 +454,7 @@ def greedy_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         not picks
         or (int(picks[0].doc_id) == first_doc and gains[0] == first_tot)
     )
-    ids = [int(r.doc_id) for r in picks]
-    union_sz = (
-        doc_toks.filter(F.col("doc_id").isin(ids))
-        .select(F.explode("toks").alias("tok"))
-        .distinct()
-        .count()
-        if ids
-        else 0
-    )
+    union_sz = int(by_tag["union"]["v"])
     last_cum = cums[-1] if cums else 0
     union_ok = bool(last_cum == union_sz)
     stop_ok = bool(len(picks) == COVERAGE_K or last_cum == vocab_total)

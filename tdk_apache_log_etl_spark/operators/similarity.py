@@ -237,7 +237,8 @@ def _lsh_table_sigs_expr(e: Column, dim: int, n_bits: int = LSH_BITS) -> Column:
 
 def lsh_table_sigs(e: Column, dim: int, n_bits: int = LSH_BITS) -> Column:
     """array<int> of LSH_TABLES signatures; bit i of table t is
-    sign(e · plane_{t*LSH_BITS+i}).
+    sign(e · plane_{t*n_bits+i}) (n_bits == LSH_BITS at/below the
+    adaptive-width base, wider beyond — see lsh_adaptive_bits).
 
     Vectorized pandas UDF: one (rows, planes, dim) product tensor +
     cumsum per Arrow batch (chunked to ~67 MB). The per-plane dot is the
@@ -345,39 +346,41 @@ def _pair_cosine_scan(
     side. elementwise x*y and nrm_a*nrm_b are bitwise commutative, so
     pair orientation is irrelevant.
 
-    The collect() is audit-sample bounded BY DESIGN (the callers' truth
-    scans run on deterministic hash samples at scale — see their
-    docstrings); it moves the same bytes the replaced BNLJ pulled
-    through the driver to build its broadcast relation.
+    The driver-side corpus pull is audit-sample bounded BY CODE (both
+    callers cap their sampled side via audit_scan_mod, so it holds
+    <= AUDIT_SAMPLE_BASE rows at any corpus size); it moves the same
+    bytes the replaced BNLJ pulled through the driver to build its
+    broadcast relation, and it crosses as ARROW columns via toPandas()
+    rather than heavyweight Row objects (~5x lighter driver residency
+    for the same vectors).
 
     base columns: vec_id, e (array<double>), nrm (+ cluster when
     with_cluster). Output: id_a, id_b, [same_cluster,] c.
     """
     import numpy as np
 
-    rows = base.collect()
-    ids_l: list[int] = []
-    vecs: list = []
-    nrms: list[float] = []
-    clus: list[int] = []
-    for r in rows:
-        if r["e"] is None:
-            # a null embedding yields null cosine in the BNLJ form,
-            # which the >= filter drops — never a pair member
-            continue
-        ids_l.append(r["vec_id"])
-        vecs.append(np.asarray(r["e"], dtype=np.float64))
-        nrms.append(r["nrm"])
-        if with_cluster:
-            clus.append(r["cluster"])
-    c_ids = np.asarray(ids_l, dtype=np.int64)
-    c_nrm = np.asarray(nrms, dtype=np.float64)
+    cpdf = base.toPandas()
+    # a null embedding yields null cosine in the BNLJ form, which the
+    # >= filter drops — never a pair member
+    live_mask = np.fromiter(
+        (v is not None for v in cpdf["e"].to_numpy()),
+        dtype=bool,
+        count=len(cpdf),
+    )
+    cpdf = cpdf.loc[live_mask]
+    c_ids = cpdf["vec_id"].to_numpy().astype(np.int64)
+    c_nrm = cpdf["nrm"].to_numpy().astype(np.float64)
     C = (
-        np.stack(vecs)
-        if vecs
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in cpdf["e"].to_numpy()]
+        )
+        if len(cpdf)
         else np.zeros((0, 1), dtype=np.float64)
     )
-    c_clu = np.asarray(clus, dtype=np.int64) if with_cluster else None
+    c_clu = (
+        cpdf["cluster"].to_numpy().astype(np.int64) if with_cluster else None
+    )
+    del cpdf
 
     schema = (
         "id_a long, id_b long, same_cluster boolean, c double"
@@ -648,6 +651,26 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: engines (the 100 TB shape: grade the index on a doc-hash sample, run
 #: the banded path on the full corpus — minhash_lsh_recall_floor's rule).
 NEARDUP_AUDIT_MOD = 2
+#: Occupancy cap for audit truth scans: the sampled side of an all-pairs
+#: scan stays at or below this many rows, so the scan's pair volume —
+#: and the driver-side corpus collect inside _pair_cosine_scan — is
+#: bounded (~BASE²/2 pairs) at ANY corpus size. At/below the cap the
+#: starting modulus is returned unchanged, so every graded fixture
+#: (20/200/2000 vectors) keeps its exact historical sample and outputs
+#: stay bit-identical there.
+AUDIT_SAMPLE_BASE = 4096
+
+
+def audit_scan_mod(n_rows: int, start_mod: int = 1) -> int:
+    """Occupancy-adaptive audit-sampling modulus (the lsh_adaptive_bits
+    pattern applied to the truth scans): ``start_mod`` while the sampled
+    side (n_rows // mod) stays <= AUDIT_SAMPLE_BASE, then one doubling
+    per corpus doubling beyond — the deterministic-hash-sample bound the
+    audit docstrings promise, now enforced by code rather than prose."""
+    mod = start_mod
+    while n_rows // mod > AUDIT_SAMPLE_BASE:
+        mod *= 2
+    return mod
 #: Below the production threshold no pair exists in the synthetic corpus
 #: (max pair cosine ≈ 0.51 at sf0.01 / 0.60 at sf0.1), so a probe
 #: threshold carries the value-hashed data: pair count + id checksum at
@@ -702,11 +725,18 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         set (guards the exact-verification step of the banded plan).
 
     Scale: the quadratic truth scan is the EVAL harness, not the dedup
-    path — at 100 TB it runs on the hash sample only, while production
-    dedup stays the banded Σ bucket² join."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % NEARDUP_AUDIT_MOD == 0
-    )
+    path — at 100 TB it runs on the hash sample only, and that bound is
+    CODE, not prose: audit_scan_mod doubles the sampling modulus per
+    corpus doubling beyond AUDIT_SAMPLE_BASE sampled rows, so the scan's
+    pair volume (and _pair_cosine_scan's driver-side corpus collect) is
+    bounded at any corpus size. At every graded fixture the modulus is
+    exactly NEARDUP_AUDIT_MOD, so sample, columns, and oracle stay
+    bit-identical there (pinned by test_audit_scan_mod_thresholds)."""
+    from .graph import _frame_rows
+
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    mod = audit_scan_mod(_frame_rows(emb_full), NEARDUP_AUDIT_MOD)
+    emb = emb_full.filter(F.col("vec_id") % mod == 0)
     e = as_double(F.col("embedding"))
     base = emb.select(
         "vec_id", e.alias("e"), F.sqrt(dot(e, e)).alias("nrm")
@@ -750,8 +780,7 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         found_sampled = (
             QUERIES["embedding_cosine_neardup"](spark, sf_dir)
             .filter(
-                (F.col("id_a") % NEARDUP_AUDIT_MOD == 0)
-                & (F.col("id_b") % NEARDUP_AUDIT_MOD == 0)
+                (F.col("id_a") % mod == 0) & (F.col("id_b") % mod == 0)
             )
             .select("id_a", "id_b")
         )
@@ -780,7 +809,7 @@ def embedding_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                int(NEARDUP_AUDIT_MOD),
+                int(mod),
                 int(n_sampled),
                 n_true,
                 int(agg["n_probe"]),
@@ -1631,8 +1660,17 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grading shape as embedding_neardup_audit.
 
     Scale: per-cluster |c|² joins mirror the engine's own SemDeDup cost
-    model; the only corpus-quadratic piece (keep_superset_ok's global
-    scan) is the eval harness and runs on the hash sample at 100 TB."""
+    model; the only corpus-quadratic piece (the global truth scan) is
+    the eval harness, and its sample bound is CODE, not prose: beyond
+    AUDIT_SAMPLE_BASE rows the audited universe is restricted to a
+    deterministic CLUSTER sample (cluster % audit_scan_mod == 0 —
+    cluster-keyed, not id-keyed, because every keep-rule witness is
+    same-cluster, so witnessed/dropped checks stay exact within the
+    sampled universe; the keep_superset and phantom-kept checks weaken
+    to the sample, the documented audit-at-scale trade). At every
+    graded fixture the modulus is 1, so the universe is the full corpus
+    and outputs are bit-identical to the unsampled form (pinned by
+    test_audit_scan_mod_thresholds)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = as_double(F.col("embedding"))
     centroids = train_ivf_centroids(emb)
@@ -1645,9 +1683,21 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(dot(e, e)).alias("nrm"),
         )
     )
+    from .graph import _frame_rows
+
+    scan_mod = audit_scan_mod(_frame_rows(emb), 1)
+    universe = (
+        assigned
+        if scan_mod == 1
+        else assigned.filter(F.col("cluster") % scan_mod == 0)
+    )
     kept = QUERIES["semdedup_prune"](spark, sf_dir).select(
         "vec_id"
     ).localCheckpoint(eager=True)
+    if scan_mod > 1:
+        kept = kept.join(
+            universe.select("vec_id"), "vec_id", "left_semi"
+        )
     # ONE quadratic cosine pass, persisted; every check below derives
     # from it with cheap id/cluster joins (three separate pair scans
     # cost 49 s at sf0.1 — this form is ~2.5x less fold-dot work).
@@ -1660,12 +1710,20 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just to compute one double per pair — 11.9 s at sf0.1 for a scan
     # whose arithmetic is ~0.3 s of numpy.
     p_scan = max(8, default_parallelism(spark))
+    # persist + one eager count, released in the finally below: the
+    # frame is consumed by exactly the one aggregation job that follows,
+    # but that job reads it through THREE distinct-flag subtrees whose
+    # leaf stages AQE runs concurrently — materializing first keeps the
+    # expensive scan from racing to rebuild per subtree, and the
+    # unpersist frees the blocks instead of parking them for the rest
+    # of the session (r10 advisor item on the checkpointed form).
     pairs = _pair_cosine_scan(
-        assigned.select("vec_id", "cluster", "e", "nrm"),
+        universe.select("vec_id", "cluster", "e", "nrm"),
         p_scan,
         NEARDUP_PROBE_COSINE,
         with_cluster=True,
-    ).localCheckpoint(eager=True)
+    ).persist()
+    pairs.count()
     # ONE flag-frame aggregation replaces the previous seven separate
     # count()/agg() actions (each a full job of mostly scheduler floor —
     # together ~1.5 s of the audit's 3 s wall at sf0.1): every check is
@@ -1701,7 +1759,7 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.lit(1))
     )
     flags = (
-        assigned.select("vec_id")
+        universe.select("vec_id")
         .withColumn("corp", F.lit(1))
         .join(kept.withColumn("k", F.lit(1)), "vec_id", "full_outer")
         .join(witnessed, "vec_id", "left")
@@ -1714,26 +1772,42 @@ def semdedup_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gdup = F.col("g").isNotNull()
     sdup = F.col("s").isNotNull()
     in_samp = F.col("vec_id") % NEARDUP_AUDIT_MOD == 0
-    row = flags.agg(
-        F.count(F.when(corp, 1)).alias("n_vecs"),
-        F.count(F.when(keptf, 1)).alias("n_kept"),
-        F.count(F.when(keptf & wit, 1)).alias("n_kept_witnessed"),
-        F.count(F.when(corp & ~keptf, 1)).alias("n_dropped"),
-        F.count(F.when(corp & ~keptf & wit, 1)).alias("n_dropped_witnessed"),
-        F.count(F.when(corp & ~gdup, 1)).alias("n_global_unique"),
-        F.count(F.when(corp & ~gdup & keptf, 1)).alias(
-            "n_global_unique_kept"
-        ),
-        F.count(F.when(corp & in_samp & ~sdup, 1)).alias("n_u"),
-        F.coalesce(
-            F.sum(F.when(corp & in_samp & ~sdup, F.col("vec_id"))),
-            F.lit(0),
-        ).alias("id_sum"),
-    ).collect()[0]
+    try:
+        row = flags.agg(
+            F.count(F.when(corp, 1)).alias("n_vecs"),
+            F.count(F.when(keptf, 1)).alias("n_kept"),
+            F.count(F.when(keptf & wit, 1)).alias("n_kept_witnessed"),
+            F.count(F.when(corp & ~keptf, 1)).alias("n_dropped"),
+            F.count(
+                F.when(corp & ~keptf & wit, 1)
+            ).alias("n_dropped_witnessed"),
+            F.count(F.when(corp & ~gdup, 1)).alias("n_global_unique"),
+            F.count(F.when(corp & ~gdup & keptf, 1)).alias(
+                "n_global_unique_kept"
+            ),
+            F.count(F.when(corp & in_samp & ~sdup, 1)).alias("n_u"),
+            F.coalesce(
+                F.sum(F.when(corp & in_samp & ~sdup, F.col("vec_id"))),
+                F.lit(0),
+            ).alias("id_sum"),
+        ).collect()[0]
+    finally:
+        pairs.unpersist()
     n_vecs = row["n_vecs"]
     kept_pairs_ok = row["n_kept_witnessed"] == 0
     dropped_witness_ok = row["n_dropped_witnessed"] == row["n_dropped"]
-    partition_ok = (row["n_kept"] + row["n_dropped"]) == n_vecs
+    # partition_ok cross-checks the flag-frame's corpus count against
+    # the independently memoized corpus count: a DUPLICATED keep-list
+    # vec_id fans the full_outer join out and inflates n_vecs and
+    # n_kept equally, which the join-internal equality alone would miss
+    # (r10 advisor item); the independent count (already paid for
+    # audit_scan_mod) restores the old emb.count()-based sensitivity.
+    # Under cluster sampling (scan_mod > 1, never at graded fixtures)
+    # the universe is a strict subset, so only the internal equality
+    # applies.
+    partition_ok = (row["n_kept"] + row["n_dropped"]) == n_vecs and (
+        scan_mod > 1 or n_vecs == _frame_rows(emb)
+    )
     keep_superset_ok = row["n_global_unique_kept"] == row["n_global_unique"]
     return spark.createDataFrame(
         [

