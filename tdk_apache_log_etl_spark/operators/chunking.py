@@ -27,6 +27,96 @@ from .registry import query
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
+#: 64-bit polynomial base for word_ngram_fingerprints — odd (hence
+#: invertible mod 2^64) so substring hashes divide out of the prefix
+#: form; the FNV-1a 64-bit prime, a well-mixed standard constant.
+_NGRAM_FP_BASE = 1099511628211
+
+
+def word_ngram_fingerprints(text, n: int):
+    """array<long> of 64-bit fingerprints of the word n-grams of
+    ``split(text, ' ')`` — the vectorized twin of
+
+        transform(sequence(1, size(ws)-n+1),
+                  i -> xxhash64(array_join(slice(ws, i, n), ' ')))
+
+    (empty array when the document has under n tokens, matching the
+    expression form's guard; a NULL text also yields the empty array).
+
+    The fingerprint VALUES differ from xxhash64 — they are internal
+    join/aggregation keys only: every consumer computes both sides of
+    its gram join with this same function and exposes only gram
+    COUNTS, so results are identical as long as distinct grams get
+    distinct fingerprints, the same p(collision) ≈ pairs/2^64 contract
+    the xxhash64 form documented (and the full-string DuckDB oracles
+    verify per fixture). Equal grams map to equal fingerprints exactly:
+    split-on-space/join-with-space reconstructs the original character
+    run, so a gram's fingerprint is a pure function of its token
+    sequence, and the space-joined representation is injective (tokens
+    cannot contain the separator).
+
+    Why a UDF beats the codegen'd expression here (guide §4.2): the
+    expression form builds one ~50-byte string per gram (slice +
+    array_join) and hashes it — measured ~145 ns/gram and 55% of
+    benchmark_decontaminate's sf1 wall. This form decodes each doc to
+    UTF-32 code points ONCE and gets every gram hash from O(1) numpy
+    work via prefix polynomials: with pw[k] = BASE^k (mod 2^64,
+    uint64 wraparound) and Q[k] = Σ_{j<k} code_j·pw[j], the hash of
+    chars [a, b) is (Q[b] − Q[a]) · pw[a]^{-1} — BASE is odd, so pw[a]
+    has a modular inverse, itself just invBASE^a. All uint64 vector
+    ops, no per-gram strings, no per-gram Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(_NGRAM_FP_BASE)
+    invB = np.uint64(pow(_NGRAM_FP_BASE, -1, 2**64))
+
+    @pandas_udf("array<long>")
+    def fps_udf(texts: pd.Series) -> pd.Series:
+        # powers grown once per batch to the longest doc, reused across
+        # docs (cumprod wraps mod 2^64 natively on uint64)
+        cap = 1024
+        for t in texts:
+            if t is not None:
+                cap = max(cap, len(t) + 1)
+        pw = np.empty(cap, dtype=np.uint64)
+        ipw = np.empty(cap, dtype=np.uint64)
+        pw[0] = 1
+        ipw[0] = 1
+        np.cumprod(np.full(cap - 1, B, dtype=np.uint64), out=pw[1:])
+        np.cumprod(np.full(cap - 1, invB, dtype=np.uint64), out=ipw[1:])
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            length = len(codes)
+            # token starts = 0 and every position after a space; the
+            # token COUNT includes empty tokens, exactly like
+            # size(split(text, ' ')) with Java's limit=-1 semantics
+            starts = np.flatnonzero(codes == 32) + 1
+            m = len(starts) + 1
+            if m < n:
+                out.append([])
+                continue
+            a = np.empty(m - n + 1, dtype=np.int64)
+            a[0] = 0
+            a[1:] = starts[: m - n]
+            b = np.empty(m - n + 1, dtype=np.int64)
+            b[:-1] = starts[n - 1 : m - 1] - 1  # char before the space
+            b[-1] = length
+            Q = np.empty(length + 1, dtype=np.uint64)
+            Q[0] = 0
+            np.cumsum(codes * pw[:length], out=Q[1:])
+            # bit-reinterpret to int64: Arrow longs are signed
+            out.append(((Q[b] - Q[a]) * ipw[a]).view(np.int64))
+        return pd.Series(out)
+
+    return fps_udf(text)
+
 _CHUNK_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents

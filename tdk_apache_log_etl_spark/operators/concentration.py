@@ -2266,12 +2266,23 @@ def part_supplier_hhi_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: (part, supplier) quantity collapse (map-side combine) → one
     part-keyed aggregate → a ≤4-row band regroup + 1-row total. The
-    per-part HHI never materializes shares."""
+    per-part HHI never materializes shares.
+
+    The FIRST-level sum runs as BIGINT, not decimal(38,0) (guide §2.3
+    narrower types: −28% at sf10, where this aggregate over ~55M
+    near-distinct (part, supplier) groups is the query's wall): the
+    scaled per-row quantity is ≤ 5000, so the per-(part, supplier) sum
+    overflows BIGINT only past ~1.8e15 lineitem rows for ONE pair —
+    far beyond any real multiplicity. Only the squaring level, where
+    q² genuinely needs 128 bits, casts up to decimal(38,0); the
+    integers (and hence every HHI bit) are identical."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.floor(F.col("l_quantity").cast("double") * 100 + F.lit(0.5)).cast(
-        "decimal(38,0)"
+        "long"
     )
-    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(q).alias("q"))
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q).cast("decimal(38,0)").alias("q")
+    )
     per_part = pq.groupBy("l_partkey").agg(
         F.expr(
             f"CAST((SUM(q * q) * {_HHI_SCALE})"

@@ -1095,16 +1095,15 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard path, here unconditional because a gram in >{CONT_DF_CAP}
     docs carries no subsumption signal; denominators count the SAME
     informative-gram set, mirrored in the oracle."""
+    from .chunking import word_ngram_fingerprints
+
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (CONT_N - 1))
-    ngrams = F.when(
-        F.size(ws) >= CONT_N,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.array_join(F.slice(ws, i, CONT_N), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # word_ngram_fingerprints: one vectorized prefix-polynomial pass
+    # per document instead of a slice+array_join+xxhash64 string build
+    # per gram (guide §4.2 — same swap as benchmark_decontaminate;
+    # fingerprints are internal join keys computed identically on both
+    # sides, results are gram COUNTS, oracle joins full strings).
+    ngrams = word_ngram_fingerprints(F.col("text"), CONT_N)
     g = scoped_persist(
         docs.select("doc_id", F.explode(ngrams).alias("ng")).distinct()
     )

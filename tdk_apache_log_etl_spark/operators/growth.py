@@ -745,32 +745,33 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    vparts = [
-        counts.select(F.lit("full").alias("variant"), "s", "t", "c")
-    ]
-    for ch in MK_CHANNELS:
-        vparts.append(
-            counts.filter(F.col("s") != ch).select(
-                F.lit(ch).alias("variant"),
-                "s",
-                F.when(F.col("t") == ch, "NULL").otherwise(
-                    F.col("t")
-                ).alias("t"),
-                "c",
-            )
-        )
-    vcounts = vparts[0]
-    for vp in vparts[1:]:
-        vcounts = vcounts.unionByName(vp)
     # The (variant, s, t) grid is bounded by the FIXED event-type
     # vocabulary (≤ 5·6·6 cells at any corpus size), so the value
     # iteration runs driver-side over the collected grid — the same
     # bounded-driver-artifact shape as the CMS probe and IVF centroids;
     # 16 Spark jobs of 30-row joins would buy nothing but latency. The
     # arithmetic (Σ c·p // tot) is the oracle's, bit for bit.
-    cells = [
-        ((r.variant, r.s), (r.t, int(r.c))) for r in vcounts.collect()
-    ]
+    #
+    # The variant fan-out happens on the COLLECTED base grid, in
+    # Python: each removal variant is a pure per-row transform of
+    # counts (drop s == ch, remap t == ch -> 'NULL'), so building it as
+    # 5 unioned DataFrame branches made the optimizer carry five copies
+    # of the whole fact pipeline (window + transition count) in one
+    # plan — ~0.5 s of duplicated plan/agg work per call at sf0.1 for
+    # what is a <=36-row driver loop (guide §1.2 "don't compute things
+    # you throw away"). Duplicate (variant, s, t) cells after the
+    # remap need no merge here, exactly as the union form needed none:
+    # the accumulation below sums every edge's c into num/tot, so the
+    # multiset of (t, c) per (variant, s) key is what matters, and it
+    # is identical.
+    base_cells = [(r.s, r.t, int(r.c)) for r in counts.collect()]
+    cells = [(("full", s), (t, c)) for s, t, c in base_cells]
+    for ch in MK_CHANNELS:
+        cells.extend(
+            ((ch, s), ("NULL" if t == ch else t, c))
+            for s, t, c in base_cells
+            if s != ch
+        )
     from collections import defaultdict
 
     out_edges: dict[tuple, list] = defaultdict(list)

@@ -123,14 +123,19 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than {DECON_N} tokens contribute no n-grams (guarded; the
     ANSI element_at trap from round 1 doesn't apply to slice).
 
-    The join and the distinct run on xxhash64 FINGERPRINTS of the
+    The join and the distinct run on 64-bit FINGERPRINTS of the
     n-grams, not the strings — the ~50-byte n-gram text never crosses
     the exchange, only 8-byte longs (the standard trick in production
     decontamination: at 100 TB the shuffle is the cost, and this cuts
-    its width ~6×). A fingerprint collision (p ≈ pairs/2⁶⁴) could
-    overcount n_hits by one; the DuckDB oracle joins on the full
-    strings, so the differential gate itself proves no collision exists
-    in the fixture corpus.
+    its width ~6×). Fingerprints come from word_ngram_fingerprints —
+    one vectorized prefix-polynomial pass per document instead of the
+    slice+array_join+xxhash64 string build per gram, which profiled at
+    ~145 ns/gram and 55% of this query's sf1 wall (guide §4.2); both
+    join sides use the same function, so only gram equality matters. A
+    fingerprint collision (p ≈ pairs/2⁶⁴) could overcount n_hits by
+    one; the DuckDB oracle joins on the full strings, so the
+    differential gate itself proves no collision exists in the fixture
+    corpus.
 
     SCALE CONTRACT (why this equi-join stays LINEAR at 100 TB —
     measured exponent 0.98 on the sf0.1→sf1 leg, SCALING_r06):
@@ -146,16 +151,10 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-fraction here only because the fixture has no external eval
     suite; real probe sets are fixed-size (~10⁶ grams) and AQE
     broadcasts them, making the join map-side at any corpus scale."""
+    from .chunking import word_ngram_fingerprints
+
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (DECON_N - 1))
-    ngrams = F.when(
-        F.size(ws) >= DECON_N,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.array_join(F.slice(ws, i, DECON_N), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ngrams = word_ngram_fingerprints(F.col("text"), DECON_N)
     # NOT persisted: measured slower (4.1 s vs 2.8 s at sf0.1) — a
     # persist serializes the probe/corpus branches behind one
     # materialization job, while the un-persisted plan tokenizes twice

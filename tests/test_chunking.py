@@ -525,3 +525,59 @@ def test_cdc_cuts_udf_matches_expression_twin(spark):
     assert fast == spec
     assert any(d == 10**6 for d, *_ in fast)  # 1-char doc: one chunk
     assert not any(d == 10**6 + 3 for d, *_ in fast)
+
+
+def test_word_ngram_fingerprints_matches_expression_structure(spark):
+    """The vectorized prefix-polynomial gram fingerprints must induce
+    EXACTLY the same gram identity structure as the expression form
+    they replaced (slice+array_join per gram): same per-doc gram count,
+    equal gram strings <=> equal fingerprints — that is the full
+    contract its consumers (benchmark_decontaminate,
+    doc_containment_pairs) rely on, since they only expose gram counts.
+    Exercised on the fixture corpus plus edge docs (NULL text, short
+    docs, empty/duplicated tokens from consecutive spaces)."""
+    from tdk_apache_log_etl_spark.operators.chunking import (
+        word_ngram_fingerprints,
+    )
+    from tdk_apache_log_etl_spark.sources.tables import load_table
+    from .conftest import SF_DIR_CORRECT
+
+    n = 5
+    docs = load_table(spark, SF_DIR_CORRECT, "documents").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (10_001, None),
+            (10_002, ""),
+            (10_003, "a b c d"),           # n-1 tokens -> no grams
+            (10_004, "a b c d e"),         # exactly one gram
+            (10_005, "a  b c d e f"),      # empty token counts
+            (10_006, "x y x y x y x y x"), # repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    ws = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    grams_str = F.when(
+        F.size(ws) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = docs.select(
+        "doc_id",
+        grams_str.alias("gs"),
+        word_ngram_fingerprints(F.col("text"), n).alias("fp"),
+    ).collect()
+    str2fp: dict[str, int] = {}
+    fp2str: dict[int, str] = {}
+    n_grams = 0
+    for r in rows:
+        gs = list(r.gs) if r.gs is not None else []
+        fp = list(r.fp)
+        assert len(gs) == len(fp), r.doc_id
+        for s, f in zip(gs, fp):
+            n_grams += 1
+            assert str2fp.setdefault(s, f) == f, (s, r.doc_id)
+            assert fp2str.setdefault(f, s) == s, (f, r.doc_id)
+    assert n_grams > 10_000  # the fixture actually exercised the path
