@@ -839,11 +839,15 @@ def connected_components(
     # Pre-partitioning edges on the join key (d) also means each round's
     # join shuffles only the label frame, to match the cached layout.
     p_iter = max(8, default_parallelism(pairs.sparkSession))
+    # LAZY checkpoint: the size-probe count below is the action that
+    # materializes it — one driver barrier instead of two (the hits
+    # lazy-checkpoint+fused-action rule; the frame has exactly one
+    # pre-materialization consumer, so nothing can race to rebuild it).
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
         .repartition(p_iter, "d")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Size-aware refinement after the (cheap, post-checkpoint) count:
     # the loop only runs over edge-TOUCHED nodes — on a deduplicated-ish
@@ -894,7 +898,11 @@ def connected_components(
                 ).alias("chg"),
             )
             .coalesce(p_iter)
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the round's
+            # checkpoint as a side effect — one driver barrier per round
+            # instead of two (the hits lazy-checkpoint rule; the count is
+            # the frame's only pre-materialization consumer)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("chg")).count()
         labels = new_labels.drop("chg")
